@@ -1,0 +1,148 @@
+"""Similarity Column expressions — native, no Python-per-row.
+
+Rebuilds the reference's similarity UDF
+(``calculate_similarity_score_udf``, deduplicate.py:73-109: weighted
+0.5*Jaccard(title) + 0.3*eq(company) + 0.2*eq(location)) as pure
+column arithmetic, and adds the vector/set similarity kernels the
+dedup + ANN operators need (cosine, dot, Jaccard over n-gram shingle
+sets, SimHash, MinHash signatures).
+
+Vector math uses higher-order functions (``zip_with`` / ``aggregate``)
+— JVM-evaluated per row over the array, no UDF serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array<string> columns (set semantics).
+
+    Native form of the UDF at deduplicate.py:89-96:
+    |A ∩ B| / |A ∪ B|, 0.0 when the union is empty.
+    """
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def eq_score(a: Column, b: Column) -> Column:
+    """1.0 when both non-null and equal, else 0.0 (deduplicate.py:99-105)."""
+    return F.when(a.isNotNull() & b.isNotNull() & (a == b), F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def weighted_record_similarity(
+    title_a: Column, title_b: Column,
+    company_a: Column, company_b: Column,
+    location_a: Column, location_b: Column,
+    w_title: float = 0.5, w_company: float = 0.3, w_location: float = 0.2,
+) -> Column:
+    """The reference's record-similarity formula (deduplicate.py:73-109),
+    weights 0.5/0.3/0.2, on already-normalized token arrays/strings."""
+    return (
+        F.lit(w_title) * jaccard(title_a, title_b)
+        + F.lit(w_company) * eq_score(company_a, company_b)
+        + F.lit(w_location) * eq_score(location_a, location_b)
+    )
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    toks = tokens(c)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """n-gram Jaccard similarity of two raw-text columns."""
+    return jaccard(word_ngrams(a, n), word_ngrams(b, n))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, computed in double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two vectors; 0.0 if either norm is 0."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def minhash_signature(token_array: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) of a
+    token/shingle set.
+
+    Hash family: xxhash64(token, seed=i) for i in [0, num_hashes) —
+    xxhash64 accepts a seed literal, giving independent permutation
+    approximations without Python. Empty sets map to a sentinel
+    signature of Long.MaxValue so they never collide with content.
+    """
+    max_long = F.lit(9223372036854775807)
+    sig = [
+        F.coalesce(
+            F.array_min(F.transform(token_array, lambda t: F.xxhash64(t, F.lit(i)))),
+            max_long,
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: array<string> of '<band_idx>:<hash of band slice>'.
+
+    Docs sharing any band key become join candidates; banding turns
+    the O(n²) all-pairs problem into an equi-join on band key, which
+    Spark shuffles by key — the scalable path at 100 TB.
+    """
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.xxhash64(F.array_join(
+                F.transform(F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string")),
+                "_",
+            )).cast("string"),
+        )
+        for b in range(num_bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash64(token_array: Column) -> Column:
+    """64-bit SimHash of a token array as a bigint.
+
+    For each bit position, sum +1/-1 contributions of each token's
+    xxhash64 bit; bit set iff the sum is positive. Expressed with
+    higher-order functions over a 64-element index array — heavier
+    than MinHash but still fully native.
+    """
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        contrib = F.transform(
+            token_array,
+            lambda t: F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bit_val = F.when(
+            total > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit_val)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHashes (bigint cols)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,129 @@
+"""Offer × CV compatibility matching — the reference's declared-but-
+never-implemented core (PLAN_REALISATION.md:338-345, matching_dag.py:50-57).
+
+Weighted score: skills 40% + location 20% + salary 20% + experience
+20%. Designed join-first so it scales: the skill component comes
+from an explode+equi-join on skill token (never a cross join of
+offers × CVs) — only pairs sharing at least one skill are ever
+materialized, which is the semantically useful candidate set and
+keeps the shuffle proportional to the inverted-index size.
+
+Skew note: a ubiquitous skill ("excel") fans out hot partitions; AQE
+skew-join splits those at runtime, and a frequency cap (drop skills
+above a document-frequency threshold before the join) is the 100 TB
+lever — ubiquitous skills carry no matching signal anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EXPERIENCE_ORDER = {"Débutant": 0, "Intermédiaire": 1, "Senior": 2}
+
+W_SKILLS, W_LOCATION, W_SALARY, W_EXPERIENCE = 0.4, 0.2, 0.2, 0.2
+
+
+def match_offers_cvs(
+    offers: DataFrame,
+    cvs: DataFrame,
+    max_skill_df: int | None = None,
+) -> DataFrame:
+    """Compute agg_matching_scores rows (NEXT_STEPS.md:183-192).
+
+    offers needs: job_id, skills array<string>, localisation_id,
+    salaire_min, salaire_max, niveau_experience.
+    cvs needs: cv_id, competences array<string>,
+    localisation_souhaitee_id, salaire_souhaite, annees_experience.
+    """
+    o_sk = offers.select(
+        "job_id", F.explode_outer("skills").alias("skill")
+    ).withColumn("skill", F.lower(F.trim("skill")))
+    c_sk = cvs.select(
+        "cv_id", F.explode_outer("competences").alias("skill")
+    ).withColumn("skill", F.lower(F.trim("skill")))
+
+    if max_skill_df is not None:
+        freq = o_sk.groupBy("skill").count().filter(F.col("count") <= max_skill_df)
+        o_sk = o_sk.join(F.broadcast(freq.select("skill")), "skill")
+
+    # inverted-index join: candidate pairs = share >= 1 skill
+    shared = (
+        o_sk.join(c_sk, "skill")
+        .groupBy("job_id", "cv_id")
+        .agg(F.countDistinct("skill").alias("n_shared"))
+    )
+
+    o_dim = offers.select(
+        "job_id",
+        F.size(F.array_distinct(F.transform(F.coalesce(F.col("skills"), F.array()), lambda s: F.lower(F.trim(s))))).alias("n_offer_skills"),
+        F.col("localisation_id").alias("o_loc"),
+        "salaire_min", "salaire_max",
+        F.col("niveau_experience").alias("o_exp"),
+    )
+    c_dim = cvs.select(
+        "cv_id",
+        F.col("localisation_souhaitee_id").alias("c_loc"),
+        F.col("salaire_souhaite"),
+        F.col("annees_experience"),
+    )
+
+    pairs = shared.join(o_dim, "job_id").join(c_dim, "cv_id")
+
+    skill_pct = F.when(
+        F.col("n_offer_skills") > 0,
+        F.col("n_shared") / F.col("n_offer_skills"),
+    ).otherwise(F.lit(0.0))
+
+    loc_pct = F.when(
+        F.col("o_loc").isNotNull() & (F.col("o_loc") == F.col("c_loc")), 1.0
+    ).otherwise(0.0)
+
+    # salary fit: 1.0 when the wish is inside [min,max]; decays
+    # linearly to 0 at 50% outside the nearer bound.
+    lo, hi, wish = F.col("salaire_min"), F.col("salaire_max"), F.col("salaire_souhaite")
+    inside = (wish >= lo) & (wish <= hi)
+    below = F.greatest(F.lit(0.0), 1.0 - (lo - wish) / (lo * 0.5))
+    above = F.greatest(F.lit(0.0), 1.0 - (wish - hi) / (hi * 0.5))
+    salary_pct = (
+        F.when(wish.isNull() | lo.isNull() | hi.isNull(), 0.5)
+        .when(inside, 1.0)
+        .when(wish < lo, below)
+        .otherwise(above)
+    )
+
+    # experience: map offer level to a years band, score distance
+    exp_target = (
+        F.when(F.col("o_exp") == "Débutant", 1)
+        .when(F.col("o_exp") == "Intermédiaire", 4)
+        .when(F.col("o_exp") == "Senior", 8)
+    )
+    exp_pct = F.when(exp_target.isNull() | F.col("annees_experience").isNull(), 0.5).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - F.abs(F.col("annees_experience") - exp_target) / F.lit(8.0))
+    )
+
+    return pairs.select(
+        "job_id",
+        F.col("cv_id").alias("candidate_id"),
+        F.round(skill_pct, 6).alias("skill_match_pct"),
+        F.round(loc_pct, 6).alias("location_match_pct"),
+        F.round(salary_pct, 6).alias("salary_match_pct"),
+        F.round(exp_pct, 6).alias("experience_match_pct"),
+        F.round(
+            W_SKILLS * skill_pct + W_LOCATION * loc_pct
+            + W_SALARY * salary_pct + W_EXPERIENCE * exp_pct,
+            6,
+        ).alias("match_score"),
+    )
+
+
+def top_matches_per_candidate(matches: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k offers per candidate ("Top 20 offres-CVs" dashboard,
+    PLAN_REALISATION.md:509-511)."""
+    w = Window.partitionBy("candidate_id").orderBy(
+        F.desc("match_score"), F.asc("job_id")
+    )
+    return (
+        matches.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the (huge) corpus, score natively with zip_with/aggregate,
+take top-k per query via window. The corpus is never shuffled: the
+scan streams through a broadcast-nested-loop with only k×Q rows kept
+per partition, which is the right 100 TB plan when Q is small.
+
+Scale path: LSH-bucketed ANN — random-hyperplane signatures put
+near vectors in shared buckets; scoring happens only within buckets
+(equi-join on bucket key). Recall is tunable via tables×bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+
+# Deterministic pseudo-random hyperplanes: component h[i][d] derived
+# from xxhash64 of (table, bit, dim) — stable across runs, no RNG.
+
+
+def _hyperplane_sig(vec: Column, dim: int, table: int, bits: int) -> Column:
+    """<bits>-bit random-hyperplane signature of a vector as a string
+    key. Hyperplane components are ±1 pseudo-random per (table, bit,
+    dim) — a deterministic sign pattern from md5 bits."""
+    bit_vals = []
+    for b in range(bits):
+        # dot(vec, h_b) with h_b[d] = +1/-1 from a hash of (table,b,d)
+        signs = F.array(*[
+            F.lit(1.0) if (hash((table, b, d)) & 1) else F.lit(-1.0)
+            for d in range(dim)
+        ])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bit_vals.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(F.lit(f"t{table}:"), *bit_vals)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, score) with deterministic
+    tie-break on neighbor id. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+    if score_decimals is not None:
+        out = out.withColumn("score", F.round("score", score_decimals))
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    tables: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each vector gets ``tables`` signatures; candidates = corpus rows
+    sharing any signature with the query; exact cosine re-rank of
+    candidates. At 100 TB the bucket join shuffles only keys+vectors,
+    and bucket sizes (2^-bits of corpus per table) bound the scoring
+    work.
+    """
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sigs = F.array(*[
+            _hyperplane_sig(F.col(vec_col), dim, t, bits) for t in range(tables)
+        ])
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(sigs).alias("bucket"),
+        )
+
+    cb = with_buckets(corpus, "neighbor_id", "c_vec")
+    qb = with_buckets(queries, "query_id", "q_vec")
+    cand = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

@@ -1,0 +1,181 @@
+"""Event-stream analytics on the ``events`` table — the batch forms
+of the reference's streaming workload ("offers per day" dashboards,
+PLAN_REALISATION.md:479-483; SURVEY §2.9's idiomatic upgrade path).
+The same transforms run under readStream in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .catalog import QuerySpec, register
+
+MONEY = "decimal(18,6)"
+
+
+# --- events_daily_by_type: the "offers per day" aggregate -----------------
+
+def _daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
+        )
+    )
+
+
+_DAILY_SQL = f"""
+SELECT CAST(ts AS DATE) AS day, event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS {MONEY})) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "events_daily_by_type", _daily, _DAILY_SQL,
+    "date-derivation groupBy (offers-per-day dashboard, consume_jobs.py:117-121)",
+    ("events", "agg", "bench"),
+))
+
+
+# --- events_hourly_windows: tumbling event-time window (batch form) -------
+
+def _hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "events_hourly_windows", _hourly, _HOURLY_SQL,
+    "tumbling window aggregate — batch twin of the streaming path",
+    ("events", "window", "streaming-shape"),
+))
+
+
+# --- events_sessionization: lag + gap-threshold session ids ---------------
+
+def _sessions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    with_flag = ev.withColumn(
+        "prev_ms", F.lag(F.unix_millis("ts")).over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ms").isNull()
+            | ((F.unix_millis("ts") - F.col("prev_ms")) > gap_ms),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        with_flag.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("n_sessions", F.col("n_sessions").cast("bigint"))
+    )
+
+
+_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+register(QuerySpec(
+    "events_sessionization", _sessions, _SESSIONS_SQL,
+    "sessionization via lag + gap threshold (advanced window)",
+    ("events", "window", "bench"),
+))
+
+
+# --- events_type_mix: wide conditional-count projection per day -----------
+
+def _type_mix(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    def n(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).cast(MONEY))
+            .cast("double").alias("purchase_value"),
+        )
+    )
+
+
+_TYPE_MIX_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS {MONEY})) AS DOUBLE) AS purchase_value
+FROM events GROUP BY 1
+"""
+
+register(QuerySpec(
+    "events_type_mix", _type_mix, _TYPE_MIX_SQL,
+    "pivot-style conditional counts (contract-type mix dashboard)",
+    ("events", "agg", "pivot"),
+))
+
+
+# --- events_json_props: JSON field extraction from the props column ------
+
+def _json_props(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+register(QuerySpec(
+    "events_json_props", _json_props, _JSON_SQL,
+    "semi-structured JSON extraction (from_json ingest path, consume_jobs.py:105-111)",
+    ("events", "json"),
+))

@@ -1,0 +1,213 @@
+"""Text-analysis workload over the ``documents`` table.
+
+The training-data-pipeline text ops (language-ID, quality scoring,
+token counting, fingerprinting) plus the reference's keyword-catalog
+extraction pattern (extract_skills_udf, parse_jobs.py:302-352)
+rebuilt as a broadcast catalog join. Everything is native column
+expressions, verified value-exact against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.io import load_table
+from .catalog import QuerySpec, register
+
+# DuckDB twin of functions.text.normalize_text / tokens
+_SQL_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"CASE WHEN {_SQL_NORM} = '' THEN [] ELSE string_split({_SQL_NORM}, ' ') END"
+
+
+# --- doc_stats: token/char counts, ratios, BPE-ish token estimate ---------
+
+def _doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.char_count(t).alias("n_chars"),
+        X.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.mean_word_length(t).alias("mean_word_len"),
+    )
+
+
+_DOC_STATS_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks, {_SQL_NORM} AS norm FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(COALESCE(list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN length(text) > 0
+       THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       ELSE 0.0 END AS punct_ratio,
+  CASE WHEN len(toks) > 0
+       THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+       ELSE 0.0 END AS mean_word_len
+FROM tok
+"""
+
+register(QuerySpec(
+    "doc_stats", _doc_stats, _DOC_STATS_SQL,
+    "token counting + char stats + BPE-ish subword estimate (native exprs)",
+    ("text", "projection", "bench"),
+))
+
+
+# --- doc_language_id: stopword-profile argmax ------------------------------
+
+def _lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.detect_language(F.col("text")).alias("detected_lang"),
+    )
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.LANG_PROFILES[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+_LANG_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+    {_sql_hits('en')} AS h_en, {_sql_hits('fr')} AS h_fr,
+    {_sql_hits('es')} AS h_es, {_sql_hits('de')} AS h_de,
+    len(toks) AS n
+  FROM tok
+)
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN n = 0 OR greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+       WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en'
+       WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_de THEN 'es'
+       ELSE 'de' END AS detected_lang
+FROM hits
+"""
+
+register(QuerySpec(
+    "doc_language_id", _lang_id, _LANG_SQL,
+    "language-ID heuristic via stopword-profile argmax",
+    ("text", "langid"),
+))
+
+
+# --- doc_quality: composite quality score in [0,1] -------------------------
+
+def _quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        X.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in X.LANG_PROFILES["en"])
+_QUALITY_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+    len(toks) AS n_tok,
+    CASE WHEN len(toks) > 0
+         THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS swr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS pr
+  FROM tok
+)
+SELECT doc_id,
+  ((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality_score
+FROM sig
+"""
+
+register(QuerySpec(
+    "doc_quality", _quality, _QUALITY_SQL,
+    "document quality scoring (parsing_quality_score shape, parse_jobs.py:437-441)",
+    ("text", "quality"),
+))
+
+
+# --- keyword_catalog_tags: broadcast catalog join (skills-extraction shape)
+
+_KEYWORD_CATALOG: list[tuple[str, str]] = [
+    ("spark", "engine"), ("hash", "engine"), ("vector", "engine"),
+    ("join", "operator"), ("filter", "operator"), ("sort", "operator"),
+    ("merge", "operator"), ("window", "operator"), ("scan", "operator"),
+    ("stream", "runtime"), ("batch", "runtime"), ("query", "runtime"),
+]
+
+
+def _keyword_tags(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    catalog = spark.createDataFrame(_KEYWORD_CATALOG, "keyword string, category string")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("keyword")
+    )
+    tagged = toks.join(F.broadcast(catalog), "keyword")
+    counts = tagged.groupBy("category", "keyword").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    w = Window.partitionBy("category").orderBy(F.desc("n_docs"), F.asc("keyword"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("category", "keyword", "n_docs", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_CATALOG_VALUES = ", ".join(f"('{k}', '{c}')" for k, c in _KEYWORD_CATALOG)
+_KEYWORD_SQL = f"""
+WITH catalog(keyword, category) AS (VALUES {_CATALOG_VALUES}),
+toks AS (
+  SELECT doc_id, source, unnest(list_distinct({_SQL_TOKS})) AS keyword FROM documents
+),
+counts AS (
+  SELECT c.category, c.keyword, COUNT(DISTINCT t.doc_id) AS n_docs
+  FROM toks t JOIN catalog c ON t.keyword = c.keyword
+  GROUP BY c.category, c.keyword
+)
+SELECT category, keyword, n_docs, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY category ORDER BY n_docs DESC, keyword ASC) AS rnk
+  FROM counts
+) WHERE rnk <= 3
+"""
+
+register(QuerySpec(
+    "keyword_catalog_tags", _keyword_tags, _KEYWORD_SQL,
+    "broadcast keyword-catalog join + top-k per category (skills extraction, parse_jobs.py:302-352)",
+    ("text", "join", "topk", "bench"),
+))
+
+
+# --- doc_fingerprints: canonical md5 fingerprint per document -------------
+
+def _fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+FROM documents
+"""
+
+register(QuerySpec(
+    "doc_fingerprints", _fingerprints, _FP_SQL,
+    "canonical token-set md5 fingerprint (doc identity for exact dedup)",
+    ("text", "fingerprint"),
+))

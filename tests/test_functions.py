@@ -1,0 +1,118 @@
+"""Unit tests for the native function libraries on tiny fixture data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.functions import ids, salary, similarity as S, text as X
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Développeur   PYTHON/Spark!  ",)], "t string")
+    out = df.select(X.normalize_text(F.col("t")).alias("n")).collect()[0].n
+    assert out == "d veloppeur python spark"  # non-ascii stripped to space
+
+
+def test_tokens_empty(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("a b",)], "t string")
+    out = df.select(F.size(X.tokens(F.col("t"))).alias("n")).collect()
+    assert [r.n for r in out] == [0, 0, 2]
+
+
+def test_quality_and_counts(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame([(good,)], "t string")
+    r = df.select(
+        X.token_count(F.col("t")).alias("n"),
+        X.quality_score(F.col("t")).alias("q"),
+    ).collect()[0]
+    assert r.n == 14
+    assert r.q == 1.0
+
+
+def test_detect_language(spark):
+    rows = [
+        ("the cat and the dog is in the house", "en"),
+        ("le chat et la maison est un des", "fr"),
+        ("el gato y la casa es una que", "es"),
+        ("der hund und die katze ist ein von", "de"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    out = df.select(X.detect_language(F.col("t")).alias("l")).collect()
+    assert [r.l for r in out] == [lang for _, lang in rows]
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>")
+    out = df.select(S.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert abs(out - 0.5) < 1e-12
+
+
+def test_cosine(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
+    out = [r.c for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(out[0] - 1.0) < 1e-12 and abs(out[1]) < 1e-12
+
+
+def test_minhash_signature_similarity(spark):
+    # near-identical sets get near-identical signatures
+    a = [f"tok{i}" for i in range(50)]
+    b = a[:45] + [f"x{i}" for i in range(5)]
+    c = [f"y{i}" for i in range(50)]
+    df = spark.createDataFrame([(a, b), (a, c)], "s1 array<string>, s2 array<string>")
+    out = df.select(
+        F.size(F.array_intersect(
+            S.minhash_signature(F.col("s1"), 32), S.minhash_signature(F.col("s2"), 32)
+        )).alias("overlap")
+    ).collect()
+    assert out[0].overlap > out[1].overlap
+
+
+def test_simhash_hamming(spark):
+    a = [f"tok{i}" for i in range(30)]
+    b = a[:28] + ["x1", "x2"]
+    c = [f"z{i}" for i in range(30)]
+    df = spark.createDataFrame([(a, b), (a, c)], "s1 array<string>, s2 array<string>")
+    out = df.select(
+        S.hamming64(S.simhash64(F.col("s1")), S.simhash64(F.col("s2"))).alias("h")
+    ).collect()
+    assert out[0].h < out[1].h
+
+
+def test_surrogate_ids(spark):
+    df = spark.createDataFrame([("Tech Solutions CI",), (None,), ("",)], "n string")
+    out = [r.i for r in df.select(ids.entreprise_id(F.col("n")).alias("i")).collect()]
+    assert out == ["ENT_TECHSOLUTI", "ENT_INCONNU", "ENT_INCONNU"]
+
+
+def test_record_id_stable(spark):
+    df = spark.createDataFrame([("educarriere", "offer-123")], "s string, k string")
+    out = df.select(ids.record_id(F.col("s"), F.col("k")).alias("i")).collect()[0].i
+    assert len(out) == 16
+
+
+def test_salary_parse_range_fcfa(spark):
+    df = spark.createDataFrame(
+        [("Salaire: 300 000 - 500 000 FCFA par mois",),
+         ("450000 FCFA",),
+         ("2000 EUR par an",),
+         ("a negocier",)],
+        "t string",
+    )
+    rows = df.select(salary.parse_salary(F.col("t")).alias("s")).select("s.*").collect()
+    assert rows[0].min_fcfa == 300000.0 and rows[0].max_fcfa == 500000.0
+    assert rows[0].confidence == 0.9
+    assert rows[1].min_fcfa == 450000.0 and rows[1].confidence == 0.7
+    assert abs(rows[2].min_fcfa - 2000 * 655 / 12) < 1e-9 and rows[2].period == "year"
+    assert rows[3].min_fcfa is None and rows[3].confidence == 0.0
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame([("alpha beta gamma",), ("gamma  beta   ALPHA",)], "t string")
+    out = [r.f for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()]
+    assert out[0] == out[1]

@@ -1,0 +1,129 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every queries() entry at a given SF dir through Spark AND its
+oracle_sql() through DuckDB, then compares row count, column names,
+and order-insensitive per-row value hashes. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def row_hashes(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        s = "|".join(canon_value(r[i]) for i in order)
+        out.append(hashlib.md5(s.encode()).hexdigest())
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from bigdata_jobmatching_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ROWS-ONLY {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sh, dh = row_hashes(s_cols, s_rows), row_hashes(d_cols, d_rows)
+            if sh != dh:
+                ndiff = sum(1 for a, b in zip(sh, dh) if a != b)
+                problems.append(f"value-hash mismatch ({ndiff}/{len(sh)} rows differ)")
+                s_set = set(sh)
+                d_map = {}
+                order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                for r in d_rows:
+                    s = "|".join(canon_value(r[i]) for i in order)
+                    d_map[hashlib.md5(s.encode()).hexdigest()] = r
+                shown = 0
+                for h, r in d_map.items():
+                    if h not in s_set and shown < 3:
+                        print(f"    duck-only row: {r}")
+                        shown += 1
+                s_map = {}
+                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                for r in s_rows:
+                    s = "|".join(canon_value(r[i]) for i in order)
+                    s_map[hashlib.md5(s.encode()).hexdigest()] = r
+                shown = 0
+                for h, r in s_map.items():
+                    if h not in set(dh) and shown < 3:
+                        print(f"    spark-only row: {r}")
+                        shown += 1
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
