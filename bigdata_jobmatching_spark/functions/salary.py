@@ -80,7 +80,7 @@ def parse_salary(text: Column) -> Column:
     t = F.coalesce(text, F.lit(""))
     cur = detect_currency(t)
     per = detect_period(t)
-    has_cur_word = F.lower(t).rlike(r"(fcfa|f cfa|xof|€|euro|\$|usd|francs?)")
+    has_cur_word = F.lower(t).rlike(r"(fcfa|f cfa|xof|€|euro|eur\b|\$|usd|francs?)")
 
     lo_raw = _to_number(F.regexp_extract(t, _RANGE_PAT, 1))
     hi_raw = _to_number(F.regexp_extract(t, _RANGE_PAT, 2))

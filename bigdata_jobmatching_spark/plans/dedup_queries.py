@@ -1,1 +1,200 @@
-"""Dedup workload over ``documents`` (filled in below)."""
+"""Dedup workload over ``documents`` — each dedup family from the
+training-pipeline inventory as a catalog query.
+
+Exact + Jaccard variants are value-checked against DuckDB; the
+MinHash/SimHash families depend on Spark-side xxhash64 (no DuckDB
+equivalent), so they are registered without oracle SQL (driver
+records the weaker rows-only check) and get unit-tested instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions import text as X
+from ..operators import dedup as D
+from ..sources.io import load_table
+from .catalog import QuerySpec, register
+from .text_queries import _SQL_TOKS
+
+_SQL_TOKSET = f"list_distinct({_SQL_TOKS})"
+
+
+# --- docs_exact_dedup: keep-best per canonical fingerprint ----------------
+
+def _exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").withColumn(
+        "fp", X.fingerprint(F.col("text"))
+    )
+    kept = D.exact_dedup(
+        d, F.col("fp"), [F.desc("n_chars"), F.asc("doc_id")], "doc_id"
+    )
+    return kept.select("doc_id", "fp")
+
+
+_EXACT_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+    md5(array_to_string(list_sort({_SQL_TOKSET}), ' ')) AS fp
+  FROM documents
+)
+SELECT doc_id, fp FROM (
+  SELECT doc_id, fp,
+    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM fp
+) WHERE rn = 1
+"""
+
+register(QuerySpec(
+    "docs_exact_dedup", _exact, _EXACT_SQL,
+    "exact dedup: hash-groupBy keep-best (declared rule, deduplicate.py:142-167)",
+    ("dedup", "window"),
+))
+
+
+# --- docs_jaccard_pairs: blocking self-join + token-set Jaccard -----------
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents")
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
+        .select("blk", "doc_id", "tokset")
+    )
+    pairs = D.pairwise_candidates(d, "blk", "doc_id", ["tokset"])
+    return (
+        pairs.withColumn("jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select(
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, lang, source, {_SQL_TOKSET} AS ts FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+"""
+
+register(QuerySpec(
+    "docs_jaccard_pairs", _jaccard_pairs, _JACCARD_SQL,
+    "blocking-key self-join + pairwise Jaccard (rebuilt J2, deduplicate.py:207-262)",
+    ("dedup", "join", "bench"),
+))
+
+
+# --- docs_dedup_keep_best: full pipeline pairs -> groups -> survivors -----
+
+def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents")
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
+    )
+    cand = D.pairwise_candidates(
+        d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
+    )
+    dup_pairs = cand.withColumn(
+        "jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b"))
+    ).filter(F.col("jaccard") >= 0.9)
+    kept = D.keep_best(
+        d.select("doc_id", "n_chars"), dup_pairs, "doc_id",
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return kept.select("doc_id")
+
+
+_KEEP_BEST_SQL = f"""
+WITH t AS (SELECT doc_id, n_chars, lang, source, {_SQL_TOKSET} AS ts FROM documents),
+pairs AS (
+  SELECT a.doc_id AS m, b.doc_id AS n
+  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+),
+sym AS (
+  SELECT m, n FROM pairs UNION ALL SELECT n AS m, m AS n FROM pairs
+  UNION ALL SELECT m, m FROM pairs UNION ALL SELECT n AS m, n FROM pairs
+),
+rep AS (SELECT m AS doc_id, MIN(n) AS grp FROM sym GROUP BY m),
+grouped AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(r.grp, d.doc_id) AS grp
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM grouped
+) WHERE rn = 1
+"""
+
+register(QuerySpec(
+    "docs_dedup_keep_best", _keep_best, _KEEP_BEST_SQL,
+    "end-to-end near-dup dedup: pairs -> min-id groups -> keep-best window",
+    ("dedup", "window", "join"),
+))
+
+
+# --- docs_minhash_near_dups: MinHash+LSH banded candidates (no SQL oracle)
+
+def _minhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text",
+        shingle_n=3, num_hashes=32, num_bands=8, jaccard_threshold=0.6,
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+register(QuerySpec(
+    "docs_minhash_near_dups", _minhash, None,
+    "MinHash+LSH banded near-dup join (scale path for J2; xxhash64-based, no SQL twin)",
+    ("dedup", "lsh", "bench"),
+))
+
+
+# --- docs_simhash_near_dups: SimHash banded candidates (no SQL oracle) ----
+
+def _simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+register(QuerySpec(
+    "docs_simhash_near_dups", _simhash, None,
+    "SimHash 64-bit near-dup pairs via 16-bit band blocking (no SQL twin)",
+    ("dedup", "simhash"),
+))
+
+
+# --- embeddings_near_dup_cosine: embedding-cosine near-dup pairs ----------
+
+def _emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return (
+        D.embedding_near_dup_pairs(e, "vec_id", "embedding", "label", 0.35)
+        .withColumn("cos", F.round("cos", 6))
+    )
+
+
+_EMB_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+register(QuerySpec(
+    "embeddings_near_dup_cosine", _emb_near_dup, _EMB_SQL,
+    "embedding-cosine near-dup pairs within coarse buckets",
+    ("dedup", "vector"),
+))

@@ -1,1 +1,292 @@
-"""Job-matching domain queries mapped onto the test lake (filled in below)."""
+"""Job-matching domain operators exercised on the test lake.
+
+The domain pipeline's semantic kernels (salary parsing, surrogate-id
+generation, keyword classification, offer-CV matching) are run over
+deterministic derivations of the TPC-H-ish tables so DuckDB can check
+them: the oracle recomputes the *expected* result arithmetically
+(ground truth), while Spark runs the real operator (regex parse,
+id exprs, inverted-index match join) — a genuine semantic check, not
+the same code twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import classify
+from ..functions import ids as I
+from ..functions import salary as SAL
+from ..operators import matching as M
+from ..sources.io import load_table
+from .catalog import QuerySpec, register
+
+
+# --- salary_parse_roundtrip: regex parser vs arithmetic ground truth ------
+# Build salary text from order amounts (4 format families), parse with
+# the native regex chain, compare against directly-computed values.
+
+def _salary_text_expr():
+    amt = F.round(F.col("o_totalprice")).cast("bigint")
+    amt2 = amt + 50000
+    fam = F.col("o_orderkey") % 4
+    return (
+        F.when(fam == 0, F.concat(F.lit("Salaire: "), amt.cast("string"), F.lit(" - "), amt2.cast("string"), F.lit(" FCFA par mois")))
+        .when(fam == 1, F.concat(amt.cast("string"), F.lit(" FCFA")))
+        .when(fam == 2, F.concat(F.lit("environ "), amt.cast("string"), F.lit(" EUR par an")))
+        .otherwise(F.lit("remuneration attractive"))
+    )
+
+
+def _salary_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    parsed = o.withColumn("stxt", _salary_text_expr()).withColumn(
+        "sal", SAL.parse_salary(F.col("stxt"))
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("sal.min_fcfa").alias("min_fcfa"),
+        F.col("sal.max_fcfa").alias("max_fcfa"),
+        F.col("sal.avg_fcfa").alias("avg_fcfa"),
+        F.col("sal.currency").alias("currency"),
+        F.col("sal.period").alias("period"),
+        F.col("sal.confidence").alias("confidence"),
+    )
+
+
+_SALARY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice) AS BIGINT) AS amt, o_orderkey % 4 AS fam
+  FROM orders
+)
+SELECT o_orderkey,
+  CASE fam WHEN 0 THEN CAST(amt AS DOUBLE)
+           WHEN 1 THEN CAST(amt AS DOUBLE)
+           WHEN 2 THEN amt * 655.0 / 12.0 END AS min_fcfa,
+  CASE fam WHEN 0 THEN CAST(amt + 50000 AS DOUBLE)
+           WHEN 1 THEN CAST(amt AS DOUBLE)
+           WHEN 2 THEN amt * 655.0 / 12.0 END AS max_fcfa,
+  CASE fam WHEN 0 THEN (CAST(amt AS DOUBLE) + CAST(amt + 50000 AS DOUBLE)) / 2.0
+           WHEN 1 THEN CAST(amt AS DOUBLE)
+           WHEN 2 THEN amt * 655.0 / 12.0 END AS avg_fcfa,
+  CASE fam WHEN 0 THEN 'FCFA' WHEN 1 THEN 'FCFA' WHEN 2 THEN 'EUR' END AS currency,
+  CASE fam WHEN 0 THEN 'month' WHEN 1 THEN 'month' WHEN 2 THEN 'year' END AS period,
+  CAST(CASE fam WHEN 0 THEN 0.9 WHEN 1 THEN 0.7 WHEN 2 THEN 0.7 ELSE 0.0 END AS DOUBLE) AS confidence
+FROM base
+"""
+
+register(QuerySpec(
+    "salary_parse_roundtrip", _salary_roundtrip, _SALARY_SQL,
+    "salary regex parser (extract_salary.py:43-177 semantics) vs arithmetic ground truth",
+    ("domain", "regex", "bench"),
+))
+
+
+# --- surrogate_dim_ids: deterministic id exprs + dim distinct -------------
+
+def _dim_ids(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            I.entreprise_id(F.col("c_name")).alias("entreprise_id"),
+            I.localisation_id(F.col("n_name")).alias("localisation_id"),
+            F.col("c_custkey"),
+        )
+    )
+    return dim.groupBy("localisation_id").agg(
+        F.countDistinct("entreprise_id").alias("n_entreprises"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_DIM_IDS_SQL = """
+WITH dim AS (
+  SELECT
+    CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN 'ENT_INCONNU'
+         ELSE 'ENT_' || substring(regexp_replace(upper(trim(c_name)), '[^A-Z0-9]', '', 'g'), 1, 10) END AS entreprise_id,
+    CASE WHEN n_name IS NULL OR trim(n_name) = '' THEN 'LOC_INCONNU'
+         ELSE 'LOC_' || substring(regexp_replace(upper(trim(n_name)), '[^A-Z0-9]', '', 'g'), 1, 10) END AS localisation_id
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT localisation_id, COUNT(DISTINCT entreprise_id) AS n_entreprises, COUNT(*) AS n_rows
+FROM dim GROUP BY localisation_id
+"""
+
+register(QuerySpec(
+    "surrogate_dim_ids", _dim_ids, _DIM_IDS_SQL,
+    "join-free deterministic surrogate ids (load_to_bigquery.py:40-78) + dim distinct",
+    ("domain", "ids"),
+))
+
+
+# --- contract_type_mix: keyword CASE-chain classification -----------------
+
+def _contract_mix(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    fam = F.col("p_partkey") % 5
+    text = (
+        F.when(fam == 0, F.concat(F.lit("Poste "), F.col("p_type"), F.lit(" CDI temps plein")))
+        .when(fam == 1, F.concat(F.lit("Contrat CDD "), F.col("p_type")))
+        .when(fam == 2, F.concat(F.lit("Stage de 6 mois "), F.col("p_type")))
+        .when(fam == 3, F.concat(F.lit("Mission freelance "), F.col("p_type")))
+        .otherwise(F.col("p_type"))
+    )
+    classified = p.withColumn("contract_type", classify.contract_type(text))
+    return classified.groupBy("contract_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# NOTE the rule ORDER matters: 'Mission freelance' hits 'freelance'
+# first because CONTRACT_RULES checks cdi/cdd/stage before freelance
+# and freelance before mission.
+_CONTRACT_SQL = """
+WITH txt AS (
+  SELECT CASE p_partkey % 5
+    WHEN 0 THEN 'Poste ' || p_type || ' CDI temps plein'
+    WHEN 1 THEN 'Contrat CDD ' || p_type
+    WHEN 2 THEN 'Stage de 6 mois ' || p_type
+    WHEN 3 THEN 'Mission freelance ' || p_type
+    ELSE p_type END AS t
+  FROM part
+),
+cls AS (
+  SELECT CASE
+    WHEN lower(t) LIKE '%cdi%' THEN 'CDI'
+    WHEN lower(t) LIKE '%cdd%' THEN 'CDD'
+    WHEN lower(t) LIKE '%stage%' THEN 'Stage'
+    WHEN lower(t) LIKE '%stagiaire%' THEN 'Stage'
+    WHEN lower(t) LIKE '%alternance%' THEN 'Alternance'
+    WHEN lower(t) LIKE '%freelance%' THEN 'Freelance'
+    WHEN lower(t) LIKE '%mission%' THEN 'Mission'
+    ELSE 'Autre' END AS contract_type
+  FROM txt
+)
+SELECT contract_type, COUNT(*) AS n FROM cls GROUP BY contract_type
+"""
+
+register(QuerySpec(
+    "contract_type_mix", _contract_mix, _CONTRACT_SQL,
+    "ordered keyword CASE-chain classifier (extract_contract_type_udf, parse_jobs.py:273-299)",
+    ("domain", "classify"),
+))
+
+
+# --- job_cv_matching: the declared-but-missing core, oracle-checked -------
+# Offers derived from orders (1-in-10), CVs from customers; the Spark
+# side runs the real inverted-index matching operator.
+
+_N_SKILLS = 50
+
+
+def _derived_offers(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("job_id"),
+        F.array(
+            F.concat(F.lit("s"), (k % _N_SKILLS).cast("string")),
+            F.concat(F.lit("s"), ((k * 7 + 1) % _N_SKILLS).cast("string")),
+            F.concat(F.lit("s"), ((k * 13 + 2) % _N_SKILLS).cast("string")),
+        ).alias("skills"),
+        F.concat(F.lit("LOC_"), (F.col("o_custkey") % 10).cast("string")).alias("localisation_id"),
+        F.round(F.col("o_totalprice")).cast("bigint").cast("double").alias("salaire_min"),
+        (F.round(F.col("o_totalprice")).cast("bigint") + 100000).cast("double").alias("salaire_max"),
+        F.when(k % 3 == 0, "Débutant").when(k % 3 == 1, "Intermédiaire").otherwise("Senior").alias("niveau_experience"),
+    )
+
+
+def _derived_cvs(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("cv_id"),
+        F.array(
+            F.concat(F.lit("s"), (k % _N_SKILLS).cast("string")),
+            F.concat(F.lit("s"), ((k * 11 + 3) % _N_SKILLS).cast("string")),
+            F.concat(F.lit("s"), ((k * 3 + 7) % _N_SKILLS).cast("string")),
+        ).alias("competences"),
+        F.concat(F.lit("LOC_"), (k % 10).cast("string")).alias("localisation_souhaitee_id"),
+        ((k % 20) * 50000 + 100000).cast("double").alias("salaire_souhaite"),
+        (k % 12).cast("int").alias("annees_experience"),
+    )
+
+
+def _matching(spark: SparkSession, sf: str) -> DataFrame:
+    return M.match_offers_cvs(_derived_offers(spark, sf), _derived_cvs(spark, sf))
+
+
+_MATCH_SQL = f"""
+WITH offers AS (
+  SELECT o_orderkey AS job_id,
+    list_distinct(['s' || CAST(o_orderkey % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((o_orderkey * 7 + 1) % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((o_orderkey * 13 + 2) % {_N_SKILLS} AS VARCHAR)]) AS skills,
+    'LOC_' || CAST(o_custkey % 10 AS VARCHAR) AS o_loc,
+    CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) AS sal_min,
+    CAST(CAST(round(o_totalprice) AS BIGINT) + 100000 AS DOUBLE) AS sal_max,
+    CASE o_orderkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 8 END AS exp_target
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+cvs AS (
+  SELECT c_custkey AS candidate_id,
+    list_distinct(['s' || CAST(c_custkey % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((c_custkey * 11 + 3) % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((c_custkey * 3 + 7) % {_N_SKILLS} AS VARCHAR)]) AS competences,
+    'LOC_' || CAST(c_custkey % 10 AS VARCHAR) AS c_loc,
+    CAST((c_custkey % 20) * 50000 + 100000 AS DOUBLE) AS wish,
+    CAST(c_custkey % 12 AS INT) AS years
+  FROM customer
+),
+pairs AS (
+  SELECT o.job_id, c.candidate_id,
+    len(list_intersect(o.skills, c.competences)) AS n_shared,
+    len(o.skills) AS n_offer_skills,
+    CASE WHEN o.o_loc = c.c_loc THEN 1.0 ELSE 0.0 END AS loc_pct,
+    CASE WHEN c.wish >= o.sal_min AND c.wish <= o.sal_max THEN 1.0
+         WHEN c.wish < o.sal_min THEN greatest(0.0, 1.0 - (o.sal_min - c.wish) / (o.sal_min * 0.5))
+         ELSE greatest(0.0, 1.0 - (c.wish - o.sal_max) / (o.sal_max * 0.5)) END AS sal_pct,
+    greatest(0.0, 1.0 - abs(c.years - o.exp_target) / 8.0) AS exp_pct
+  FROM offers o JOIN cvs c ON len(list_intersect(o.skills, c.competences)) >= 1
+)
+SELECT job_id, candidate_id,
+  round(CAST(n_shared AS DOUBLE) / n_offer_skills, 6) AS skill_match_pct,
+  round(loc_pct, 6) AS location_match_pct,
+  round(sal_pct, 6) AS salary_match_pct,
+  round(exp_pct, 6) AS experience_match_pct,
+  round(0.4 * (CAST(n_shared AS DOUBLE) / n_offer_skills)
+      + 0.2 * loc_pct + 0.2 * sal_pct + 0.2 * exp_pct, 6) AS match_score
+FROM pairs
+"""
+
+register(QuerySpec(
+    "job_cv_matching", _matching, _MATCH_SQL,
+    "offer x CV weighted matching 40/20/20/20 via inverted-index skill join "
+    "(PLAN_REALISATION.md:338-345, never implemented in the reference)",
+    ("domain", "matching", "join", "bench"),
+))
+
+
+# --- top_matches_per_candidate: matching leaderboard ----------------------
+
+def _top_matches(spark: SparkSession, sf: str) -> DataFrame:
+    m = _matching(spark, sf)
+    return M.top_matches_per_candidate(m, k=5).withColumn(
+        "rnk", F.col("rnk").cast("int")
+    )
+
+
+_TOP_MATCH_SQL = f"""
+WITH m AS ({_MATCH_SQL})
+SELECT * FROM (
+  SELECT m.*, CAST(ROW_NUMBER() OVER (
+      PARTITION BY candidate_id ORDER BY match_score DESC, job_id ASC) AS INT) AS rnk
+  FROM m
+) WHERE rnk <= 5
+"""
+
+register(QuerySpec(
+    "top_matches_per_candidate", _top_matches, _TOP_MATCH_SQL,
+    "top-k offers per candidate (Top-20 offres-CVs dashboard, PLAN_REALISATION.md:509-511)",
+    ("domain", "matching", "topk"),
+))
