@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .binding import let
+
 EUR_TO_FCFA = 655.0
 USD_TO_FCFA = 600.0
 
@@ -78,36 +80,44 @@ def parse_salary(text: Column) -> Column:
     with currency 0.7, bare number 0.4 — extract_salary.py:154-170).
     """
     t = F.coalesce(text, F.lit(""))
-    cur = detect_currency(t)
-    per = detect_period(t)
-    has_cur_word = F.lower(t).rlike(r"(fcfa|f cfa|xof|€|euro|eur\b|\$|usd|francs?)")
-
-    lo_raw = _to_number(F.regexp_extract(t, _RANGE_PAT, 1))
-    hi_raw = _to_number(F.regexp_extract(t, _RANGE_PAT, 2))
-    single_raw = _to_number(F.regexp_extract(t, _SINGLE_PAT, 1))
-
-    lo = _to_monthly(_to_fcfa(lo_raw, cur), per)
-    hi = _to_monthly(_to_fcfa(hi_raw, cur), per)
-    single = _to_monthly(_to_fcfa(single_raw, cur), per)
-
-    is_range = lo.isNotNull() & hi.isNotNull()
-    has_single = single.isNotNull()
-
-    min_f = F.when(is_range, F.least(lo, hi)).when(has_single, single)
-    max_f = F.when(is_range, F.greatest(lo, hi)).when(has_single, single)
-    avg_f = F.when(min_f.isNotNull(), (min_f + max_f) / 2.0)
-    conf = (
-        F.when(is_range & has_cur_word, 0.9)
-        .when(is_range, 0.6)
-        .when(has_single & has_cur_word, 0.7)
-        .when(has_single, 0.4)
-        .otherwise(0.0)
+    # Bind all regex extractions once per row (a let-struct): the six
+    # output fields would otherwise each re-run the regex families
+    # after projection collapse.
+    bound = F.struct(
+        detect_currency(t).alias("cur"),
+        detect_period(t).alias("per"),
+        F.lower(t).rlike(r"(fcfa|f cfa|xof|€|euro|eur\b|\$|usd|francs?)").alias("hasc"),
+        _to_number(F.regexp_extract(t, _RANGE_PAT, 1)).alias("lo_raw"),
+        _to_number(F.regexp_extract(t, _RANGE_PAT, 2)).alias("hi_raw"),
+        _to_number(F.regexp_extract(t, _SINGLE_PAT, 1)).alias("single_raw"),
     )
-    return F.struct(
-        min_f.alias("min_fcfa"),
-        max_f.alias("max_fcfa"),
-        avg_f.alias("avg_fcfa"),
-        F.when(min_f.isNotNull(), cur).alias("currency"),
-        F.when(min_f.isNotNull(), per).alias("period"),
-        conf.alias("confidence"),
-    )
+
+    def body(s: Column) -> Column:
+        cur, per = s["cur"], s["per"]
+        lo = _to_monthly(_to_fcfa(s["lo_raw"], cur), per)
+        hi = _to_monthly(_to_fcfa(s["hi_raw"], cur), per)
+        single = _to_monthly(_to_fcfa(s["single_raw"], cur), per)
+
+        is_range = lo.isNotNull() & hi.isNotNull()
+        has_single = single.isNotNull()
+
+        min_f = F.when(is_range, F.least(lo, hi)).when(has_single, single)
+        max_f = F.when(is_range, F.greatest(lo, hi)).when(has_single, single)
+        avg_f = F.when(min_f.isNotNull(), (min_f + max_f) / 2.0)
+        conf = (
+            F.when(is_range & s["hasc"], 0.9)
+            .when(is_range, 0.6)
+            .when(has_single & s["hasc"], 0.7)
+            .when(has_single, 0.4)
+            .otherwise(0.0)
+        )
+        return F.struct(
+            min_f.alias("min_fcfa"),
+            max_f.alias("max_fcfa"),
+            avg_f.alias("avg_fcfa"),
+            F.when(min_f.isNotNull(), cur).alias("currency"),
+            F.when(min_f.isNotNull(), per).alias("period"),
+            conf.alias("confidence"),
+        )
+
+    return let(bound, body)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .binding import let
 from .text import tokens
 
 
@@ -51,11 +52,17 @@ def weighted_record_similarity(
 
 
 def word_ngrams(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    toks = tokens(c)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    let-bound: the tokenize chain must evaluate once per row, not once
+    per shingle (CollapseProject would inline it into the lambda).
+    """
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(0)))
+        return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+    return let(tokens(c), body)
 
 
 def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
@@ -89,14 +96,17 @@ def minhash_signature(token_array: Column, num_hashes: int = 32) -> Column:
     signature of Long.MaxValue so they never collide with content.
     """
     max_long = F.lit(9223372036854775807)
-    sig = [
-        F.coalesce(
-            F.array_min(F.transform(token_array, lambda t: F.xxhash64(t, F.lit(i)))),
-            max_long,
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sig)
+
+    def body(toks: Column) -> Column:
+        return F.array(*[
+            F.coalesce(
+                F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(i)))),
+                max_long,
+            )
+            for i in range(num_hashes)
+        ])
+
+    return let(token_array, body)
 
 
 def minhash_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -106,19 +116,21 @@ def minhash_bands(signature: Column, num_bands: int, rows_per_band: int) -> Colu
     the O(n²) all-pairs problem into an equi-join on band key, which
     Spark shuffles by key — the scalable path at 100 TB.
     """
-    keys = [
-        F.concat_ws(
-            ":",
-            F.lit(str(b)),
-            F.xxhash64(F.array_join(
-                F.transform(F.slice(signature, b * rows_per_band + 1, rows_per_band),
-                            lambda h: h.cast("string")),
-                "_",
-            )).cast("string"),
-        )
-        for b in range(num_bands)
-    ]
-    return F.array(*keys)
+    def body(sig: Column) -> Column:
+        return F.array(*[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.xxhash64(F.array_join(
+                    F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string")),
+                    "_",
+                )).cast("string"),
+            )
+            for b in range(num_bands)
+        ])
+
+    return let(signature, body)
 
 
 def simhash64(token_array: Column) -> Column:
@@ -129,18 +141,28 @@ def simhash64(token_array: Column) -> Column:
     higher-order functions over a 64-element index array — heavier
     than MinHash but still fully native.
     """
-    out = F.lit(0).cast("long")
-    for bit in range(64):
-        contrib = F.transform(
-            token_array,
-            lambda t: F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        bit_val = F.when(
-            total > 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(bit_val)
-    return out
+    def body(toks: Column) -> Column:
+        # hash each token ONCE, then derive all 64 bit-votes from the
+        # bound hash array (64 aggregates over cheap attribute refs).
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+        def from_hashes(hs: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for bit in range(64):
+                contrib = F.transform(
+                    hs,
+                    lambda h: F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+                )
+                total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+                bit_val = F.when(
+                    total > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+                ).otherwise(F.lit(0).cast("long"))
+                out = out.bitwiseOR(bit_val)
+            return out
+
+        return let(hashes, from_hashes)
+
+    return let(token_array, body)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .binding import let
+
 # French stopwords the reference strips during dedup normalization
 # (deduplicate.py:58-63) plus the short-token rule (len > 2).
 FRENCH_STOPWORDS = (
@@ -51,9 +53,12 @@ def tokens(c: Column) -> Column:
 
     Empty input must give an empty array, not [''] — guard with a
     CASE; ``split('')`` returns a single empty token otherwise.
+    The normalized string is let-bound (guard + split share it).
     """
-    norm = normalize_text(c)
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+    return let(
+        normalize_text(c),
+        lambda norm: F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " ")),
+    )
 
 
 def content_tokens(c: Column, stopwords: tuple[str, ...] = FRENCH_STOPWORDS, min_len: int = 3) -> Column:
@@ -73,11 +78,13 @@ def bpe_ish_token_count(c: Column) -> Column:
     digit runs count once per ~4 chars (ceil), punctuation counts one
     each. A deterministic, SQL-expressible stand-in for a real BPE
     vocab (the actual tokenizer is external to the engine)."""
-    pieces = F.split(normalize_text(c), " ")
-    per_word = F.transform(pieces, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long"))
-    return F.when(normalize_text(c) == "", F.lit(0).cast("long")).otherwise(
-        F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    )
+    def body(norm: Column) -> Column:
+        per_word = F.transform(F.split(norm, " "), lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long"))
+        return F.when(norm == "", F.lit(0).cast("long")).otherwise(
+            F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+
+    return let(normalize_text(c), body)
 
 
 def char_count(c: Column) -> Column:
@@ -90,18 +97,28 @@ def punct_ratio(c: Column) -> Column:
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
+def _stopword_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def _mean_word_length(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
 def stopword_ratio(c: Column, stopwords: tuple[str, ...]) -> Column:
     """Fraction of tokens that are stopwords — a core quality signal."""
-    toks = tokens(c)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return let(
+        tokens(c),
+        lambda toks: F.when(
+            F.size(toks) > 0, _stopword_hits(toks, stopwords) / F.size(toks)
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def mean_word_length(c: Column) -> Column:
-    toks = tokens(c)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    return let(tokens(c), _mean_word_length)
 
 
 def quality_score(c: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
@@ -110,40 +127,52 @@ def quality_score(c: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -
     Same shape as the reference's parsing_quality_score — a sum of
     bounded indicator terms over 4 signals (parse_jobs.py:437-441) —
     applied to free text: length band, mean word length band,
-    stopword presence, low punctuation noise.
+    stopword presence, low punctuation noise. Tokens are let-bound so
+    the tokenize chain runs once per row across all four signals.
     """
-    n_tok = token_count(c)
-    mwl = mean_word_length(c)
-    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
-    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
-    sw_ok = F.when(stopword_ratio(c, stopwords) >= 0.05, 1.0).otherwise(0.0)
-    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
-    return (length_ok + mwl_ok + sw_ok + punct_ok) / F.lit(4.0)
+    def body(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        mwl = _mean_word_length(toks)
+        swr = F.when(F.size(toks) > 0, _stopword_hits(toks, stopwords) / F.size(toks)).otherwise(F.lit(0.0))
+        length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+        mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+        sw_ok = F.when(swr >= 0.05, 1.0).otherwise(0.0)
+        punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+        return (length_ok + mwl_ok + sw_ok + punct_ok) / F.lit(4.0)
+
+    return let(tokens(c), body)
 
 
 def lang_scores(c: Column) -> dict[str, Column]:
     """Per-language stopword-hit ratios (the lang-ID signal)."""
-    toks = tokens(c)
     out: dict[str, Column] = {}
     for lang, words in LANG_PROFILES.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        out[lang] = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+        out[lang] = let(
+            tokens(c),
+            lambda toks, words=words: F.when(
+                F.size(toks) > 0, _stopword_hits(toks, words) / F.size(toks)
+            ).otherwise(F.lit(0.0)),
+        )
     return out
 
 
 def detect_language(c: Column) -> Column:
     """Argmax language over the stopword profiles; 'und' when no
     profile scores > 0. Deterministic tie-break: profile order
-    en > fr > es > de (strict > comparison keeps the earlier)."""
-    scores = lang_scores(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang, s in scores.items():
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    en > fr > es > de (strict > comparison keeps the earlier).
+    Tokens let-bound once across all language profiles."""
+    def body(toks: Column) -> Column:
+        best_lang = F.lit("und")
+        best_score = F.lit(0.0)
+        n = F.size(toks)
+        for lang, words in LANG_PROFILES.items():
+            s = F.when(n > 0, _stopword_hits(toks, words) / n).otherwise(F.lit(0.0))
+            is_better = s > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, s).otherwise(best_score)
+        return best_lang
+
+    return let(tokens(c), body)
 
 
 def fingerprint(c: Column) -> Column:
@@ -160,10 +189,12 @@ def rolling_hash_fingerprint(c: Column, window: int = 8, keep: int = 4) -> Colum
     ``window``-gram shingle, keep the ``keep`` smallest hashes, md5 the
     concatenation. All native array ops (shingle via sequence+slice).
     """
-    toks = tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, window), " "))
-    hashes = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
-    kept = F.slice(F.array_sort(hashes), 1, keep)
-    return F.md5(F.array_join(F.transform(kept, lambda h: h.cast("string")), "_"))
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+        shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, window), " "))
+        hashes = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
+        kept = F.slice(F.array_sort(hashes), 1, keep)
+        return F.md5(F.array_join(F.transform(kept, lambda h: h.cast("string")), "_"))
+
+    return let(tokens(c), body)

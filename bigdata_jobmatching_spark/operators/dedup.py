@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..functions import text as X
+from ..sources.io import fan_out
 
 
 def exact_dedup(df: DataFrame, key: Column, order_cols: list[Column], id_col: str) -> DataFrame:
@@ -110,7 +111,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
     rows = num_hashes // num_bands
-    sh = df.select(
+    sh = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         S.word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -146,7 +147,7 @@ def simhash_near_dup_pairs(
     at least one band by pigeonhole for <=3 differing bands; wider
     distances still mostly collide), verify exact Hamming distance.
     """
-    hashed = df.select(
+    hashed = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), S.simhash64(X.tokens(F.col(text_col))).alias("sim")
     )
     bands = hashed.select(

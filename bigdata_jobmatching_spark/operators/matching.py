@@ -36,12 +36,14 @@ def match_offers_cvs(
     cvs needs: cv_id, competences array<string>,
     localisation_souhaitee_id, salaire_souhaite, annees_experience.
     """
-    o_sk = offers.select(
-        "job_id", F.explode_outer("skills").alias("skill")
-    ).withColumn("skill", F.lower(F.trim("skill")))
-    c_sk = cvs.select(
-        "cv_id", F.explode_outer("competences").alias("skill")
-    ).withColumn("skill", F.lower(F.trim("skill")))
+    # Explode DISTINCT normalized skills so the pair-grain aggregate can
+    # be a plain count(*): unlike countDistinct, count(*) admits
+    # map-side partial aggregation — the decisive shuffle-size lever
+    # when the candidate-pair set is large.
+    norm_skills = F.array_distinct(F.transform(F.coalesce(F.col("skills"), F.array()), lambda s: F.lower(F.trim(s))))
+    norm_comp = F.array_distinct(F.transform(F.coalesce(F.col("competences"), F.array()), lambda s: F.lower(F.trim(s))))
+    o_sk = offers.select("job_id", F.explode(norm_skills).alias("skill"))
+    c_sk = cvs.select("cv_id", F.explode(norm_comp).alias("skill"))
 
     if max_skill_df is not None:
         freq = o_sk.groupBy("skill").count().filter(F.col("count") <= max_skill_df)
@@ -51,7 +53,7 @@ def match_offers_cvs(
     shared = (
         o_sk.join(c_sk, "skill")
         .groupBy("job_id", "cv_id")
-        .agg(F.countDistinct("skill").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
     o_dim = offers.select(
@@ -68,7 +70,9 @@ def match_offers_cvs(
         F.col("annees_experience"),
     )
 
-    pairs = shared.join(o_dim, "job_id").join(c_dim, "cv_id")
+    # entity dims are tiny next to the pair set: broadcast both so the
+    # candidate stream never shuffles again after the pair aggregate.
+    pairs = shared.join(F.broadcast(o_dim), "job_id").join(F.broadcast(c_dim), "cv_id")
 
     skill_pct = F.when(
         F.col("n_offer_skills") > 0,

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
+from ..sources.io import fan_out
 
 # Deterministic pseudo-random hyperplanes: component h[i][d] derived
 # from xxhash64 of (table, bit, dim) — stable across runs, no RNG.
@@ -57,9 +58,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -100,7 +101,7 @@ def lsh_ann_topk(
         sigs = F.array(*[
             _hyperplane_sig(F.col(vec_col), dim, t, bits) for t in range(tables)
         ])
-        return df.select(
+        return fan_out(df.select(id_col, vec_col)).select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
             F.explode(sigs).alias("bucket"),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as S
 from ..functions import text as X
 from ..operators import dedup as D
-from ..sources.io import load_table
+from ..sources.io import fan_out, load_table
 from .catalog import QuerySpec, register
 from .text_queries import _SQL_TOKS
 
@@ -25,7 +25,7 @@ _SQL_TOKSET = f"list_distinct({_SQL_TOKS})"
 # --- docs_exact_dedup: keep-best per canonical fingerprint ----------------
 
 def _exact(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents").withColumn(
+    d = fan_out(load_table(spark, sf, "documents")).withColumn(
         "fp", X.fingerprint(F.col("text"))
     )
     kept = D.exact_dedup(
@@ -58,7 +58,7 @@ register(QuerySpec(
 
 def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = (
-        load_table(spark, sf, "documents")
+        fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
         .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
         .select("blk", "doc_id", "tokset")
@@ -96,7 +96,7 @@ register(QuerySpec(
 
 def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
     d = (
-        load_table(spark, sf, "documents")
+        fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
         .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
     )

@@ -18,7 +18,7 @@ from ..functions import classify
 from ..functions import ids as I
 from ..functions import salary as SAL
 from ..operators import matching as M
-from ..sources.io import load_table
+from ..sources.io import fan_out, load_table
 from .catalog import QuerySpec, register
 
 
@@ -39,7 +39,7 @@ def _salary_text_expr():
 
 
 def _salary_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders")
+    o = fan_out(load_table(spark, sf, "orders"))
     parsed = o.withColumn("stxt", _salary_text_expr()).withColumn(
         "sal", SAL.parse_salary(F.col("stxt"))
     )
@@ -176,7 +176,10 @@ register(QuerySpec(
 # Offers derived from orders (1-in-10), CVs from customers; the Spark
 # side runs the real inverted-index matching operator.
 
-_N_SKILLS = 50
+# 500-skill vocabulary: candidate-pair density ~1.8% (real skill vocabs
+# are thousands; 50 made nearly every offer-CV pair a candidate, which
+# benchmarks the synthetic density, not the operator).
+_N_SKILLS = 500
 
 
 def _derived_offers(spark: SparkSession, sf: str) -> DataFrame:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..sources.io import load_table
+from ..sources.io import fan_out, load_table
 from .catalog import QuerySpec, register
 
 # DuckDB twin of functions.text.normalize_text / tokens
@@ -24,7 +24,7 @@ _SQL_TOKS = f"CASE WHEN {_SQL_NORM} = '' THEN [] ELSE string_split({_SQL_NORM}, 
 # --- doc_stats: token/char counts, ratios, BPE-ish token estimate ---------
 
 def _doc_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = fan_out(load_table(spark, sf, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -61,7 +61,7 @@ register(QuerySpec(
 # --- doc_language_id: stopword-profile argmax ------------------------------
 
 def _lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = fan_out(load_table(spark, sf, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -102,7 +102,7 @@ register(QuerySpec(
 # --- doc_quality: composite quality score in [0,1] -------------------------
 
 def _quality(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = fan_out(load_table(spark, sf, "documents"))
     return d.select(
         "doc_id",
         X.quality_score(F.col("text")).alias("quality_score"),
@@ -152,7 +152,7 @@ _KEYWORD_CATALOG: list[tuple[str, str]] = [
 
 
 def _keyword_tags(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = fan_out(load_table(spark, sf, "documents"))
     catalog = spark.createDataFrame(_KEYWORD_CATALOG, "keyword string, category string")
     toks = d.select(
         "doc_id", "source", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("keyword")
@@ -196,7 +196,7 @@ register(QuerySpec(
 # --- doc_fingerprints: canonical md5 fingerprint per document -------------
 
 def _fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = fan_out(load_table(spark, sf, "documents"))
     return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 

@@ -54,6 +54,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Redistribute rows across ``n`` partitions before a compute-heavy
+    per-row stage.
+
+    The local test lake stores each table as ONE single-row-group
+    parquet file, which Spark cannot split — every scan is one task,
+    so expensive projections (regex, shingling, vector math) would
+    run single-threaded. One round-robin shuffle of the (small) input
+    buys full-core parallelism. On a real cluster the scan already
+    arrives in many splits and AQE coalesces; the extra exchange on a
+    compute-bound stage is still the right trade at 100 TB when
+    upstream partitioning is coarser than the cluster.
+    """
+    from ..session import default_parallelism
+
+    return df.repartition(n or default_parallelism())
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
