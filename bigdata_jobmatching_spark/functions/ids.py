@@ -46,6 +46,12 @@ def record_id(source: Column, source_key: Column) -> Column:
     """Stable 16-hex record id: md5('<source>_<key>')[:16].
 
     Same shape as base_scraper.py:277-281 but date-free so the same
-    posting re-scraped later maps to the same id.
+    posting re-scraped later maps to the same id. NULL when either
+    component is null — concat_ws silently skips nulls, which would
+    give every malformed record the identical md5('') id and make
+    downstream id-dedup collapse them into one survivor.
     """
-    return F.substring(F.md5(F.concat_ws("_", source, source_key)), 1, 16)
+    return F.when(
+        source.isNotNull() & source_key.isNotNull(),
+        F.substring(F.md5(F.concat_ws("_", source, source_key)), 1, 16),
+    )

@@ -1,0 +1,324 @@
+"""The job-matching domain pipeline, Spark-first.
+
+Rebuilds the reference's batch chain (parse -> skills -> salary ->
+dedup -> sectors -> warehouse, airflow/dags/processing_spark_dag.py:159)
+as composable DataFrame stage functions with zero Python row-UDFs.
+Every stage is a projection/join/window over native expressions, so
+Catalyst keeps pushdown and whole-stage codegen end to end.
+
+Stage map (reference file -> here):
+- consume_jobs.py transforms   -> normalize_offers
+- parse_jobs.py blob parsing   -> split_blobs + parse_html_fields
+- extract_skills.py            -> extract_skills (broadcast catalog join)
+- extract_salary.py            -> enrich_salary (functions.salary)
+- deduplicate.py               -> dedup_offers (declared keep-best rule)
+- extract_sectors.py           -> enrich_sectors (explode-join-argmax)
+- load_to_bigquery.py          -> build_warehouse (deterministic ids)
+- matching (declared only)     -> operators.matching
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import classify
+from ..functions import ids as I
+from ..functions import salary as SAL
+from ..functions import similarity as S
+from ..functions import text as X
+from ..operators import dedup as D
+
+# ~40-term skill catalog (keyword -> category), the shape of the
+# reference's catalog (parse_jobs.py:309-339, classify_skill_category_udf
+# extract_skills.py:200-242). Broadcast-joined, never a Python UDF.
+SKILL_CATALOG: tuple[tuple[str, str], ...] = (
+    ("python", "Programmation"), ("java", "Programmation"), ("javascript", "Programmation"),
+    ("php", "Programmation"), ("sql", "Data"), ("spark", "Data"), ("hadoop", "Data"),
+    ("kafka", "Data"), ("airflow", "Data"), ("excel", "Bureautique"), ("word", "Bureautique"),
+    ("powerpoint", "Bureautique"), ("docker", "DevOps"), ("kubernetes", "DevOps"),
+    ("linux", "DevOps"), ("git", "DevOps"), ("react", "Web"), ("angular", "Web"),
+    ("django", "Web"), ("comptabilite", "Finance"), ("audit", "Finance"),
+    ("marketing", "Commerce"), ("vente", "Commerce"), ("negociation", "Commerce"),
+    ("communication", "Soft skills"), ("management", "Soft skills"),
+    ("anglais", "Langues"), ("francais", "Langues"),
+)
+
+# Declared source priority for dedup keep-best (deduplicate.py:158-165).
+SOURCE_PRIORITY: tuple[tuple[str, int], ...] = (
+    ("educarriere_ci", 4), ("macarrierepro_net", 3), ("goafricaonline", 2), ("linkedin_ci", 1),
+)
+
+
+# --------------------------------------------------------------- ingest --
+
+def normalize_offers(raw: DataFrame) -> DataFrame:
+    """Typed, cleaned offer rows (consume_jobs.py:105-139 semantics):
+    date derivations, whitespace squeeze, null defaults, salary struct
+    flatten, stable record id (date-free, fixing SURVEY §2.11-6)."""
+    ts = F.to_timestamp("scraped_at")
+    clean = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    return raw.select(
+        I.record_id(F.col("source"), F.col("source_url")).alias("offer_id"),
+        F.col("job_id").alias("scraper_job_id"),
+        ts.alias("scraped_ts"),
+        F.to_date(ts).alias("scraped_date"),
+        F.year(ts).alias("scraped_year"),
+        F.month(ts).alias("scraped_month"),
+        clean(F.col("title")).alias("title"),
+        clean(F.coalesce(F.col("company"), F.lit("Entreprise confidentielle"))).alias("company"),
+        clean(F.coalesce(F.col("location"), F.lit("Non spécifié"))).alias("location"),
+        F.col("description"),
+        F.col("requirements"),
+        F.col("salary.amount").alias("salary_amount"),
+        F.col("salary.currency").alias("salary_currency"),
+        F.col("salary.period").alias("salary_period"),
+        F.col("salary.original_text").alias("salary_text"),
+        F.coalesce(F.col("contract_type"), F.lit("Non spécifié")).alias("contract_type"),
+        F.col("experience_level"),
+        F.coalesce(F.col("skills"), F.array().cast("array<string>")).alias("declared_skills"),
+        F.col("source"),
+        F.col("source_url"),
+    )
+
+
+# ---------------------------------------------------------- blob parsing --
+
+BLOB_META_PATTERNS = {
+    "job_id": r'"job_id"\s*:\s*"([^"]+)"',
+    "source": r'"source"\s*:\s*"([^"]+)"',
+    "scraped_at": r'"scraped_at"\s*:\s*"([^"]+)"',
+}
+
+HTML_FIELD_PATTERNS = {
+    # fixture-HTML CSS hooks the reference extractors target
+    # (parse_jobs.py:50-53, 83-85, 124-127, 203-205, 242-244)
+    "title": r'<h1[^>]*class="job-title"[^>]*>\s*(.*?)\s*</h1>',
+    "company": r'<[^>]*class="company-name"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
+    "description": r'<[^>]*class="job-description"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
+    "requirements": r'<[^>]*class="requirements"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
+    "location": r'<[^>]*class="location"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
+    "salary_text": r'<[^>]*class="salary"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
+}
+
+FALLBACK_PATTERNS = {
+    "title": r"<title>\s*(.*?)\s*</title>",
+    "salary_text": r"((?:\d[\d \.,]*)\s*(?:-|à)?\s*(?:\d[\d \.,]*)?\s*FCFA[^<]*)",
+}
+
+
+def split_blobs(blobs: DataFrame) -> DataFrame:
+    """'{json meta}\\n\\n{html}' whole-file rows -> (metadata, html)
+    plus regex-extracted meta fields (parse_jobs.py:383-399 intent,
+    with the wholetext fix from SURVEY §2.11-2)."""
+    parts = F.split(F.col("value"), r"\n\n", 2)
+    # F.get (not getItem): a malformed blob without the separator has a
+    # 1-element split, and ANSI mode makes out-of-bounds indexing throw.
+    df = blobs.select(
+        F.get(parts, 0).alias("metadata"),
+        F.get(parts, 1).alias("html"),
+    )
+    for name, pat in BLOB_META_PATTERNS.items():
+        df = df.withColumn(name, F.regexp_extract("metadata", pat, 1))
+    return df
+
+
+def parse_html_fields(df: DataFrame) -> DataFrame:
+    """CSS-hook regex cascade with fallbacks + parsing quality score
+    (parse_jobs.py:404-441 semantics, native regexp_extract)."""
+    out = df
+    for name, pat in HTML_FIELD_PATTERNS.items():
+        primary = F.regexp_extract("html", pat, 1)
+        fb = FALLBACK_PATTERNS.get(name)
+        val = F.when(primary != "", primary)
+        if fb is not None:
+            fallback = F.regexp_extract("html", fb, 1)
+            val = val.otherwise(F.when(fallback != "", fallback))
+        out = out.withColumn(name, val)
+    quality = (
+        F.when(F.col("title").isNotNull(), 1.0).otherwise(0.0)
+        + F.when(F.col("company").isNotNull(), 1.0).otherwise(0.0)
+        + F.when(F.col("description").isNotNull(), 1.0).otherwise(0.0)
+        + F.when(F.col("location").isNotNull(), 1.0).otherwise(0.0)
+    ) / F.lit(4.0)
+    return out.withColumn("parsing_quality_score", quality)
+
+
+# ------------------------------------------------------------ enrichment --
+
+def extract_skills(spark: SparkSession, offers: DataFrame) -> DataFrame:
+    """Skills from free text via broadcast catalog join, unioned with
+    scraper-declared skills (array_union+array_distinct, U2 —
+    extract_skills.py:300-306), plus per-skill category pairs."""
+    catalog = spark.createDataFrame(list(SKILL_CATALOG), "skill string, skill_category string")
+    text = F.concat_ws(" ", "title", "description", "requirements")
+    toks = offers.select(
+        "offer_id",
+        F.explode(F.array_distinct(X.tokens(text))).alias("skill"),
+    )
+    found = (
+        toks.join(F.broadcast(catalog), "skill")
+        .groupBy("offer_id")
+        .agg(F.array_sort(F.collect_set("skill")).alias("text_skills"))
+    )
+    return (
+        offers.join(found, "offer_id", "left")
+        .withColumn(
+            "skills",
+            F.array_sort(F.array_distinct(F.array_union(
+                F.coalesce(F.col("text_skills"), F.array().cast("array<string>")),
+                F.transform(F.col("declared_skills"), lambda s: F.lower(F.trim(s))),
+            ))),
+        )
+        .drop("text_skills")
+    )
+
+
+def enrich_salary(offers: DataFrame) -> DataFrame:
+    """Salary struct from explicit salary text, else from description
+    (extract_salary.py priority: structured > text > inferred)."""
+    src = F.coalesce(F.col("salary_text"), F.col("description"))
+    return (
+        offers.withColumn("parsed_salary", SAL.parse_salary(src))
+        .withColumn(
+            "salaire_min",
+            F.coalesce(F.col("salary_amount").cast("double"), F.col("parsed_salary.min_fcfa")),
+        )
+        .withColumn(
+            "salaire_max",
+            F.coalesce(F.col("salary_amount").cast("double"), F.col("parsed_salary.max_fcfa")),
+        )
+        .withColumn("salary_confidence", F.col("parsed_salary.confidence"))
+        .drop("parsed_salary")
+    )
+
+
+def enrich_sectors(spark: SparkSession, offers: DataFrame) -> DataFrame:
+    """Sector via keyword-catalog explode-join-argmax
+    (classify_sector_udf rebuild, extract_sectors.py:48-345)."""
+    rows = [(sid, kw) for sid, kws in classify.SECTOR_CATALOG for kw in kws]
+    catalog = spark.createDataFrame(rows, "secteur_id string, keyword string")
+    text_df = offers.withColumn(
+        "__text", F.concat_ws(" ", "title", "description", "company")
+    )
+    best = classify.sector_scores(catalog, text_df, "offer_id", "__text")
+    return (
+        text_df.join(best, "offer_id", "left")
+        .withColumn("secteur_id", F.coalesce(F.col("secteur_id"), F.lit("SECT_INCONNU")))
+        .withColumn("sector_confidence", F.coalesce(F.col("confidence"), F.lit(0.0)))
+        .drop("__text", "confidence")
+    )
+
+
+# ----------------------------------------------------------------- dedup --
+
+def completeness_score(df: DataFrame) -> Column:
+    """6-field completeness in [0,1] (deduplicate.py:127-139)."""
+    fields = ["title", "company", "location", "description", "salaire_min", "contract_type"]
+    score = sum(
+        (F.when(F.col(f).isNotNull() & (F.col(f).cast("string") != ""), 1.0).otherwise(0.0) for f in fields),
+        start=F.lit(0.0),
+    )
+    return score / F.lit(len(fields))
+
+
+def dedup_offers(offers: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Cross-source near-dup removal per the DECLARED rule
+    (deduplicate.py:142-167), not the reference's drop-both bug:
+    blocking key -> in-block pairwise weighted similarity
+    (0.5 Jaccard(title) + 0.3 eq(company) + 0.2 eq(location), >= 0.7)
+    -> min-id groups -> keep best (completeness, recency, source
+    priority)."""
+    prio = F.lit(0)
+    for src, p in SOURCE_PRIORITY:
+        prio = F.when(F.col("source") == src, p).otherwise(prio)
+    enriched = (
+        offers.withColumn("__blk", D.blocking_key(F.col("title"), F.col("company"), F.col("location")))
+        .withColumn("__title_toks", X.content_tokens(F.col("title")))
+        .withColumn("__company_n", X.normalize_text(F.col("company")))
+        .withColumn("__location_n", X.normalize_text(F.col("location")))
+        .withColumn("__completeness", completeness_score(offers))
+        .withColumn("__prio", prio)
+    )
+    cand = D.pairwise_candidates(
+        enriched.select("__blk", "offer_id", "__title_toks", "__company_n", "__location_n"),
+        "__blk", "offer_id", ["__title_toks", "__company_n", "__location_n"],
+    )
+    dup_pairs = cand.withColumn(
+        "sim",
+        S.weighted_record_similarity(
+            F.col("__title_toks_a"), F.col("__title_toks_b"),
+            F.col("__company_n_a"), F.col("__company_n_b"),
+            F.col("__location_n_a"), F.col("__location_n_b"),
+        ),
+    ).filter(F.col("sim") >= threshold)
+    kept = D.keep_best(
+        enriched, dup_pairs, "offer_id",
+        [F.desc("__completeness"), F.desc("scraped_ts"), F.desc("__prio"), F.asc("offer_id")],
+    )
+    return kept.drop("__blk", "__title_toks", "__company_n", "__location_n", "__completeness", "__prio")
+
+
+# ------------------------------------------------------------- warehouse --
+
+def build_warehouse(spark: SparkSession, offers: DataFrame) -> dict[str, DataFrame]:
+    """Star schema with join-free deterministic surrogate ids
+    (load_to_bigquery.py:40-78,159-249): fact_offres + 3 dims,
+    registered as temp views for spark.sql analytics."""
+    fact = offers.select(
+        F.col("offer_id").alias("offre_id"),
+        F.col("title").alias("titre_poste"),
+        I.entreprise_id(F.col("company")).alias("entreprise_id"),
+        I.localisation_id(F.col("location")).alias("localisation_id"),
+        F.col("secteur_id"),
+        F.col("contract_type").alias("type_contrat"),
+        F.col("experience_level").alias("niveau_experience"),
+        "salaire_min", "salaire_max", "skills",
+        F.transform(F.col("skills"), I.competence_id).alias("competences_ids"),
+        F.col("source").alias("source_site"),
+        F.col("scraped_date").alias("date_publication"),
+        F.col("scraped_ts").alias("scraped_at"),
+    )
+    dim_entreprise = (
+        offers.select(
+            I.entreprise_id(F.col("company")).alias("entreprise_id"),
+            F.col("company").alias("nom_entreprise"),
+        ).dropDuplicates(["entreprise_id"])
+    )
+    dim_localisation = (
+        offers.select(
+            I.localisation_id(F.col("location")).alias("localisation_id"),
+            F.col("location").alias("ville"),
+        ).dropDuplicates(["localisation_id"])
+    )
+    dim_competence = (
+        offers.select(F.explode("skills").alias("nom_competence"))
+        .dropDuplicates(["nom_competence"])
+        .select(
+            I.competence_id(F.col("nom_competence")).alias("competence_id"),
+            "nom_competence",
+        )
+    )
+    out = {
+        "fact_offres": fact,
+        "dim_entreprise": dim_entreprise,
+        "dim_localisation": dim_localisation,
+        "dim_competence": dim_competence,
+    }
+    for name, df in out.items():
+        df.createOrReplaceTempView(name)
+    return out
+
+
+# ---------------------------------------------------------- full pipeline --
+
+def run_pipeline(spark: SparkSession, raw_offers: DataFrame) -> dict[str, DataFrame]:
+    """parse -> skills -> salary -> dedup -> sectors -> warehouse, the
+    reference's chain order (processing_spark_dag.py:159)."""
+    normalized = normalize_offers(raw_offers)
+    with_skills = extract_skills(spark, normalized)
+    with_salary = enrich_salary(with_skills)
+    deduped = dedup_offers(with_salary)
+    with_sectors = enrich_sectors(spark, deduped)
+    wh = build_warehouse(spark, with_sectors)
+    return {"offers_enriched": with_sectors, **wh}

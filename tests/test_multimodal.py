@@ -1,0 +1,49 @@
+"""Multimodal binary-column plumbing: Arrow-batched mapInPandas
+feature extraction (deterministic fake decoder) + frame-sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from bigdata_jobmatching_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("img1", "image", "image/png", b"\x89PNG-fake-1", 64, 64, None),
+        ("img2", "image", "image/png", b"\x89PNG-fake-2", 32, 32, None),
+        ("aud1", "audio", "audio/wav", b"RIFF-fake", None, None, 4000),
+        ("vid1", "video", "video/mp4", b"mp4-fake", 640, 480, 3500),
+        ("nil1", "image", "image/png", None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(spark, media):
+    out = MM.extract_features(media, fake=True, dim=8)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {"img1", "img2", "aud1", "vid1", "nil1"}
+    r = rows["img1"]
+    assert r.payload_bytes == len(b"\x89PNG-fake-1")
+    assert r.payload_sha1 == hashlib.sha1(b"\x89PNG-fake-1").hexdigest()
+    assert len(r.feature) == 8 and all(0.0 <= v <= 1.0 for v in r.feature)
+    # null payload handled as empty bytes
+    assert rows["nil1"].payload_bytes == 0
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in MM.extract_features(media, fake=True, dim=8).collect()}
+    assert again["img2"] == rows["img2"].feature
+
+
+def test_real_decode_is_explicitly_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, fake=False)
+
+
+def test_frame_sampling(spark, media):
+    frames = MM.sample_frames(media, every_ms=1000).collect()
+    # vid1: 3500ms -> samples at 0,1000,2000,3000
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+    assert all(f.media_id == "vid1" for f in frames)

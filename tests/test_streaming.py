@@ -1,0 +1,73 @@
+"""Structured Streaming ingest: file-source drain -> partitioned
+parquet lake, and watermarked windowed counts."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.streaming.ingest import (
+    read_offer_stream,
+    stream_offers_to_lake,
+    windowed_offer_counts,
+)
+
+from tests.fixtures import make_raw_offers
+
+
+def _write_json_batch(d: Path, rows: list[dict], name: str) -> None:
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / name, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_lands_partitioned_parquet(spark, tmp_path):
+    rows = make_raw_offers(40)
+    _write_json_batch(tmp_path / "in", rows, "batch1.json")
+    q = stream_offers_to_lake(
+        spark,
+        str(tmp_path / "in"),
+        str(tmp_path / "lake"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "lake"))
+    assert out.count() == len(rows)  # fixture list already includes the planted dup pair
+    # hive partitioning by (scraped_date, source) exists on disk
+    parts = {p.name for p in (tmp_path / "lake").iterdir() if p.is_dir()}
+    assert any(p.startswith("scraped_date=") for p in parts)
+    # exactly-once on restart: draining again with same checkpoint adds nothing
+    q2 = stream_offers_to_lake(
+        spark, str(tmp_path / "in"), str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == len(rows)
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    rows = make_raw_offers(30)
+    _write_json_batch(tmp_path / "in2", rows, "batch1.json")
+    stream = read_offer_stream(spark, str(tmp_path / "in2"))
+    from bigdata_jobmatching_spark.plans.domain_pipeline import normalize_offers
+
+    agg = windowed_offer_counts(normalize_offers(stream))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a
+    # single drained batch nothing closes yet — the streaming query
+    # must still run clean. The same transform applied in batch mode
+    # gives the full counts (one definition, two execution modes).
+    batch = normalize_offers(spark.read.schema(stream.schema).json(str(tmp_path / "in2")))
+    daily = windowed_offer_counts(batch)
+    total = daily.agg(F.sum("n_offers").alias("t")).collect()[0].t
+    assert total == 32
