@@ -1,0 +1,190 @@
+"""Dashboard/analytics workload (PLAN_REALISATION.md:479-527 declared
+queries) + remaining §2 operator specimens: collect_list grouping
+(A1), arrays_zip pairing (§2.7), co-occurrence joins, approximate
+aggregates (scale-out path, SURVEY §7.2-10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.io import fan_out, load_table
+from .catalog import QuerySpec, register
+from .text_queries import _KEYWORD_CATALOG, _SQL_TOKS
+
+MONEY = "decimal(18,6)"
+
+
+# --- customer_order_history: groupBy + collect into sorted array (A1) -----
+
+def _order_history(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_HISTORY_SQL = """
+SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, COUNT(*) AS n_orders
+FROM orders WHERE o_custkey % 100 = 0 GROUP BY o_custkey
+"""
+
+register(QuerySpec(
+    "customer_order_history", _order_history, _HISTORY_SQL,
+    "groupBy + collect_list into sorted array (A1, deduplicate.py:207-229)",
+    ("relational", "agg", "array"),
+))
+
+
+# --- doc_bigrams: arrays_zip token pairing + explode (§2.7) ---------------
+
+def _bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = X.tokens(F.col("text"))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    pairs = d.select(F.explode(zipped).alias("p")).select(
+        F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram")
+    )
+    return (
+        pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 30)
+    )
+
+
+_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks WHERE len(t) >= 2
+)
+SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
+FROM pairs GROUP BY 1 HAVING COUNT(*) >= 30
+"""
+
+register(QuerySpec(
+    "doc_bigrams", _bigrams, _BIGRAMS_SQL,
+    "arrays_zip bigram pairing + explode + having (extract_skills.py:311-326 shape)",
+    ("text", "array", "agg"),
+))
+
+
+# --- skill_cooccurrence: declared dashboard (co-occurrence pairs) ---------
+
+def _cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    catalog = spark.createDataFrame(_KEYWORD_CATALOG, "keyword string, category string")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("keyword")
+    ).join(F.broadcast(catalog.select("keyword")), "keyword")
+    a = toks.select("doc_id", F.col("keyword").alias("kw_a"))
+    b = toks.select("doc_id", F.col("keyword").alias("kw_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("kw_a") < F.col("kw_b"))
+        .groupBy("kw_a", "kw_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 50)
+    )
+
+
+_KW_LIST = ", ".join(f"'{k}'" for k, _ in _KEYWORD_CATALOG)
+_COOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS keyword FROM documents
+),
+hits AS (SELECT DISTINCT doc_id, keyword FROM toks WHERE keyword IN ({_KW_LIST}))
+SELECT a.keyword AS kw_a, b.keyword AS kw_b, COUNT(*) AS n_docs
+FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.keyword < b.keyword
+GROUP BY 1, 2 HAVING COUNT(*) >= 50
+"""
+
+register(QuerySpec(
+    "skill_cooccurrence", _cooccurrence, _COOC_SQL,
+    "skill co-occurrence pairs (declared dashboard, PLAN_REALISATION.md:512-517)",
+    ("text", "join", "agg", "bench"),
+))
+
+
+# --- avg_price_by_segment_priority: salary-by-sector dashboard analog -----
+
+def _segment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(MONEY)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+
+
+_SEGMENT_SQL = f"""
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS {MONEY})) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "avg_price_by_segment_priority", _segment_priority, _SEGMENT_SQL,
+    "avg-metric by two dims (avg salary by sector/experience dashboard shape)",
+    ("relational", "agg", "join"),
+))
+
+
+# --- price_quantiles: exact interpolated percentiles ----------------------
+
+def _quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+register(QuerySpec(
+    "price_quantiles", _quantiles, _QUANTILES_SQL,
+    "exact interpolated percentiles per group (salary-distribution dashboard)",
+    ("relational", "agg", "percentile"),
+))
+
+
+# --- approx_distinct_stats: approximate aggregates (scale path) -----------
+# HLL sketches are implementation-specific => no cross-engine oracle;
+# unit tests assert <5% relative error vs exact counts.
+
+def _approx(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+register(QuerySpec(
+    "approx_distinct_stats", _approx, None,
+    "approx_count_distinct + percentile_approx (sketch-based scale path; no SQL twin)",
+    ("relational", "approx"),
+))

@@ -45,6 +45,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect registration)."""
+    from . import analytics_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import domain_queries  # noqa: F401
     from . import events_queries  # noqa: F401
