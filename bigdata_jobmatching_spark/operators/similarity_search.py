@@ -79,6 +79,67 @@ def brute_force_topk(
     return out
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Arrow/numpy variant of brute_force_topk: the query matrix is
+    collected (small, broadcast via closure), and each corpus Arrow
+    batch is scored with one BLAS matmul inside mapInPandas.
+
+    This is the documented exception to "stay JVM-side": dense
+    float matmul is exactly what BLAS does 10-50x faster than a
+    per-element expression tree, and the Arrow batch transfer
+    amortizes the Python boundary. Per-batch partial top-k keeps the
+    shuffle at k rows per (query, batch).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+
+    def score_batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c, axis=1)
+            c_norm[c_norm == 0] = 1.0
+            sims = (c @ q_mat.T) / np.outer(c_norm, q_norm)  # (batch, nq)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_ids, cand_scores = ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    top = np.argpartition(-cand_scores, k)[:k]
+                    cand_ids, cand_scores = cand_ids[top], cand_scores[top]
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": cand_ids, "score": cand_scores,
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    out = (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+    if score_decimals is not None:
+        out = out.withColumn("score", F.round("score", score_decimals))
+    return out
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,44 @@
+"""Skew-mitigation helpers: salted aggregation (two-phase) and a
+salted join side.
+
+AQE's skew-join splitting handles join-side skew at runtime; salting
+is the explicit lever for aggregation hot keys (one key holding a
+large fraction of rows makes a single reducer the straggler). The
+two-phase pattern: append a random-ish salt to the key, partial-agg
+on (key, salt), then final-agg on key. Both phases are map-side
+combinable; the hot key's work spreads across ``n_salts`` reducers.
+
+The salt here is deterministic (hash of a unique column mod n) so
+results stay reproducible under the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_source: Column,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a deterministic salt.
+
+    ``aggs`` maps output name -> (input column, fn) with fn in
+    {'sum', 'count', 'min', 'max'} (the re-aggregable functions; avg
+    is derived as sum/count by the caller).
+    """
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)))
+    phase1_aggs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(out))
+        else:
+            phase1_aggs.append(getattr(F, fn)(F.col(col)).alias(out))
+    partial = salted.groupBy(*group_cols, "__salt").agg(*phase1_aggs)
+    refold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase2 = [refold[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()]
+    return partial.groupBy(*group_cols).agg(*phase2)

@@ -1,0 +1,72 @@
+"""Temporal joins, salted agg equivalence, Arrow ANN parity, MLlib LSH."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.operators import similarity_search as ANN
+from bigdata_jobmatching_spark.operators.mllib_lsh import mllib_minhash_pairs
+from bigdata_jobmatching_spark.operators.temporal import asof_join, range_join
+from bigdata_jobmatching_spark.sources.io import load_table
+
+
+def _ts(m: int) -> datetime:
+    return datetime(2024, 1, 1, 10, m, 0)
+
+
+def test_asof_join_hand_case(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(5), "t1"), (1, _ts(20), "t2"), (2, _ts(10), "t3")],
+        "key int, ts timestamp, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(3), 100.0), (1, _ts(5), 101.0), (1, _ts(15), 105.0), (2, _ts(30), 200.0)],
+        "key int, qts timestamp, px double",
+    )
+    out = {
+        r.trade: r.px_asof
+        for r in asof_join(
+            trades, quotes, "key", "ts", "qts", ["px"], tiebreak=["trade"]
+        ).collect()
+    }
+    # t1 at 10:05 matches the exact-tie quote at 10:05 (right sorts first)
+    assert out == {"t1": 101.0, "t2": 105.0, "t3": None}
+
+
+def test_range_join_bucketed_equals_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    a = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("sid"), "ts"
+    )
+    b = ev.filter(F.col("event_type") != "signup").select(
+        F.col("user_id"), F.col("event_id").alias("oid"), F.col("ts").alias("ots")
+    )
+    plain = range_join(a, b, "user_id", "ts", "ots", 3600).select("sid", "oid")
+    bucketed = range_join(a, b, "user_id", "ts", "ots", 3600, bucket_minutes=60).select("sid", "oid")
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+
+
+def test_arrow_ann_matches_native_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    native = ANN.brute_force_topk(e, q, "vec_id", "embedding", k=5, score_decimals=6)
+    arrow = ANN.brute_force_topk_arrow(e, q, "vec_id", "embedding", k=5, score_decimals=6)
+    n = native.select("query_id", "neighbor_id", "rnk")
+    a = arrow.select("query_id", "neighbor_id", "rnk")
+    assert n.exceptAll(a).count() == 0 and a.exceptAll(n).count() == 0
+
+
+def test_mllib_lsh_agrees_with_native_on_planted_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(57)) + " x1 x2 x3"
+    far = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = mllib_minhash_pairs(df, "doc_id", "text", jaccard_threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
