@@ -72,6 +72,19 @@ def stream_offers_to_lake(
     return writer.start()
 
 
+def dedup_offer_stream(offers: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Stateful streaming dedup by offer id: exactly-one-row-per-id
+    within the watermark horizon (re-scrapes and producer retries are
+    the duplicate source). State is bounded by the watermark —
+    Spark's dropDuplicatesWithinWatermark evicts ids older than the
+    horizon, so state size tracks the arrival rate, not history.
+
+    The reference's streaming job lands duplicates and relies on the
+    batch dedup stage; this closes that gap at ingest.
+    """
+    return offers.withWatermark("scraped_ts", watermark).dropDuplicatesWithinWatermark(["offer_id"])
+
+
 def windowed_offer_counts(offers: DataFrame, window: str = "1 day", watermark: str = "2 days") -> DataFrame:
     """Watermarked tumbling-window offer counts per source — late data
     beyond the watermark is dropped, state is bounded (the idiomatic

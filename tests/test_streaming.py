@@ -71,3 +71,25 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     daily = windowed_offer_counts(batch)
     total = daily.agg(F.sum("n_offers").alias("t")).collect()[0].t
     assert total == 32
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    from bigdata_jobmatching_spark.plans.domain_pipeline import normalize_offers
+    from bigdata_jobmatching_spark.streaming.ingest import dedup_offer_stream
+
+    rows = make_raw_offers(20)
+    dup_rows = rows + rows[:5]  # replayed records (producer retries)
+    _write_json_batch(tmp_path / "in3", dup_rows, "batch1.json")
+    stream = read_offer_stream(spark, str(tmp_path / "in3"))
+    deduped = dedup_offer_stream(normalize_offers(stream))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT offer_id FROM dedup_out").collect()
+    assert len(out) == len(rows)  # five replays dropped
+    assert len({r.offer_id for r in out}) == len(out)
