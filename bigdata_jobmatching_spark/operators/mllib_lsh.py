@@ -57,3 +57,25 @@ def mllib_minhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_features: int = 1 << 16,
+) -> DataFrame:
+    """MLlib text-analysis path: Tokenizer -> StopWordsRemover ->
+    HashingTF -> IDF (SURVEY §7.2-10). Returns (id, tfidf sparse
+    vector) — downstream consumers take norms/similarities. The
+    native expression path (functions/text.py) remains the default
+    for oracle-checkable stats; this is the MLlib-pipeline parity
+    surface."""
+    from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    sw = StopWordsRemover(inputCol="__words", outputCol="__terms")
+    tf = HashingTF(inputCol="__terms", outputCol="__tf", numFeatures=num_features)
+    stage = tf.transform(sw.transform(tok.transform(fan_out(df.select(id_col, text_col)))))
+    idf = IDF(inputCol="__tf", outputCol="tfidf").fit(stage)
+    return idf.transform(stage).select(id_col, "tfidf")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from bigdata_jobmatching_spark.operators import similarity_search as ANN
@@ -70,3 +71,40 @@ def test_mllib_lsh_agrees_with_native_on_planted_dups(spark):
     )
     pairs = mllib_minhash_pairs(df, "doc_id", "text", jaccard_threshold=0.5).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_tfidf_pipeline(spark, sf_dir):
+    from bigdata_jobmatching_spark.operators.mllib_lsh import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, "doc_id", "text")
+    rows = out.limit(3).collect()
+    assert len(rows) == 3
+    assert all(r.tfidf.numNonzeros() > 0 for r in rows)
+
+
+def test_sql_registered_pandas_udf(spark, sf_dir):
+    """The spark.udf.register path the reference uses for SQL-callable
+    UDFs (load_to_bigquery.py:143-147) — demonstrated with an Arrow
+    pandas_udf, the only sanctioned Python-per-row style."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def py_char_entropy(s: pd.Series) -> pd.Series:
+        import math
+
+        def ent(t):
+            if not t:
+                return 0.0
+            from collections import Counter
+            n = len(t)
+            return -sum(c / n * math.log2(c / n) for c in Counter(t).values())
+
+        return s.map(ent)
+
+    spark.udf.register("py_char_entropy", py_char_entropy)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udf_test")
+    row = spark.sql(
+        "SELECT max(py_char_entropy(text)) AS h FROM docs_udf_test"
+    ).collect()[0]
+    assert row.h > 1.0
