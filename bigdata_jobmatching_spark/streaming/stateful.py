@@ -1,0 +1,85 @@
+"""Custom stateful streaming operators.
+
+Two session-aggregation paths over the offer/event stream:
+
+1. ``native_session_counts`` — Spark's built-in ``session_window``
+   (gap-based), the preferred form: state managed by the engine,
+   watermark-bounded, no Python.
+2. ``stateful_user_stats`` — ``applyInPandasWithState``: the escape
+   hatch for semantics the built-ins can't express (here: a running
+   per-user profile with custom merge logic — count, value sum, and
+   the first/last event times — emitted per batch). Demonstrates the
+   GroupState contract: timeout handling, state schema, Arrow batches.
+
+At scale both shuffle once on the grouping key; state size is bounded
+by (active keys x state row width), independent of history length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_events long, total_value double, first_ms long, last_ms long"
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, first_ms long, last_ms long"
+)
+
+
+def native_session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization with engine-managed state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def _update_user_stats(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, first_ms, last_ms = state.get
+    else:
+        n, total, first_ms, last_ms = 0, 0.0, None, None
+    for pdf in pdfs:
+        ms = pdf["ms"]
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        lo, hi = int(ms.min()), int(ms.max())
+        first_ms = lo if first_ms is None else min(first_ms, lo)
+        last_ms = hi if last_ms is None else max(last_ms, hi)
+    state.update((n, total, first_ms, last_ms))
+    yield pd.DataFrame([{
+        "user_id": user_id, "n_events": n, "total_value": total,
+        "first_ms": first_ms, "last_ms": last_ms,
+    }])
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Running per-user profile via applyInPandasWithState. Input needs
+    (user_id, ts timestamp, value double); emits the updated profile
+    for each user seen in each micro-batch."""
+    prepped = events.select(
+        "user_id", F.unix_millis("ts").alias("ms"), "value", "ts"
+    ).withWatermark("ts", "1 hour")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
