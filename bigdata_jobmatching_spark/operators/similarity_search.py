@@ -140,6 +140,62 @@ def brute_force_topk_arrow(
     return out
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns each
+    corpus vector to a cell; each query scores only its ``n_probe``
+    nearest cells. The 100 TB shape: centroids broadcast (tiny),
+    corpus partitioned by cell, scoring reads ~n_probe/n_cells of the
+    data. Recall grows with n_probe (n_probe == n_cells is exact).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dense = fan_out(corpus.select(id_col, vec_col)).withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
+    model = km.fit(dense)
+    assigned = model.transform(dense).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = queries.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", S.cosine(F.col("q_vec"), F.col("centroid")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

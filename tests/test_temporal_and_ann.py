@@ -108,3 +108,22 @@ def test_sql_registered_pandas_udf(spark, sf_dir):
         "SELECT max(py_char_entropy(text)) AS h FROM docs_udf_test"
     ).collect()[0]
     assert row.h > 1.0
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = ANN.brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    ivf = ANN.ivf_topk(e, q, "vec_id", "embedding", n_cells=8, n_probe=4, k=5)
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    assert total > 0
+    # probing half the cells on random data must recover a meaningful
+    # fraction of true neighbors (clustered real data does far better)
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
+    # full probe == exact
+    full = ANN.ivf_topk(e, q, "vec_id", "embedding", n_cells=8, n_probe=8, k=5)
+    miss = exact.select("query_id", "neighbor_id").exceptAll(
+        full.select("query_id", "neighbor_id")
+    ).count()
+    assert miss == 0
