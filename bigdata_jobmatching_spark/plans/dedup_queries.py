@@ -144,6 +144,53 @@ register(QuerySpec(
 ))
 
 
+# --- docs_ngram_jaccard_pairs: 3-gram shingle Jaccard (exact, oracled) ----
+# The exact n-gram variant of the near-dup family (MinHash approximates
+# THIS measure). DuckDB twin builds shingles with expression-context
+# range(); note duckdb list slicing t[i:i+2] is END-INCLUSIVE (3 elems).
+
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - 1, 1)), "
+    f"i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')))"
+)
+
+
+def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        fan_out(load_table(spark, sf, "documents"))
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn("sh", S.word_ngrams(F.col("text"), 3))
+        .select("blk", "doc_id", "sh")
+    )
+    pairs = D.pairwise_candidates(d, "blk", "doc_id", ["sh"])
+    return (
+        pairs.withColumn("jaccard", S.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.18)
+        .select(
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+_NGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, lang, source, {_SQL_SHINGLES} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.18
+"""
+
+register(QuerySpec(
+    "docs_ngram_jaccard_pairs", _ngram_pairs, _NGRAM_SQL,
+    "exact word-3-gram Jaccard near-dup pairs within blocks (the measure MinHash-LSH approximates)",
+    ("dedup", "join", "ngram"),
+))
+
+
 # --- docs_minhash_near_dups: MinHash+LSH banded candidates (no SQL oracle)
 
 def _minhash(spark: SparkSession, sf: str) -> DataFrame:

@@ -116,3 +116,17 @@ def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame([("alpha beta gamma",), ("gamma  beta   ALPHA",)], "t string")
     out = [r.f for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()]
     assert out[0] == out[1]
+
+
+def test_rolling_hash_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog again and again today",),
+         ("the quick brown fox jumps over the lazy dog again and again today",),
+         ("completely different words occupy this entire string of text here now",)],
+        "t string",
+    )
+    out = [r.f for r in df.select(
+        X.rolling_hash_fingerprint(F.col("t")).alias("f")
+    ).collect()]
+    assert out[0] == out[1] != out[2]
+    assert all(len(f) == 32 for f in out)
