@@ -310,6 +310,26 @@ def build_warehouse(spark: SparkSession, offers: DataFrame) -> dict[str, DataFra
     return out
 
 
+def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """Persist the star schema as the parquet warehouse (the engine's
+    stand-in for the BigQuery sink, SURVEY S8): fact partitioned by
+    publication date — the BigQuery DDL's PARTITION BY
+    (create_tables.sql:91-92) — and CLUSTER BY emulated with
+    sortWithinPartitions on the cluster keys; dims unpartitioned."""
+    from ..sources.io import write_stage
+
+    for name, df in tables.items():
+        if name == "fact_offres":
+            (
+                df.sortWithinPartitions("entreprise_id", "localisation_id", "secteur_id")
+                .write.mode("overwrite")
+                .partitionBy("date_publication")
+                .parquet(f"{out_dir}/{name}")
+            )
+        else:
+            write_stage(df, f"{out_dir}/{name}")
+
+
 # ---------------------------------------------------------- full pipeline --
 
 def run_pipeline(spark: SparkSession, raw_offers: DataFrame) -> dict[str, DataFrame]:

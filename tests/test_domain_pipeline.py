@@ -99,3 +99,20 @@ def test_blob_parse_wholefile(spark, tmp_path):
     assert all(r.parsing_quality_score == 1.0 for r in full)
     assert all(r.title is not None and r.salary_text and "FCFA" in r.salary_text for r in fallback)
     assert all(r.source in {"educarriere_ci", "macarrierepro_net", "goafricaonline", "linkedin_ci"} for r in rows.values())
+
+
+def test_write_warehouse_partitioned(spark, result, tmp_path):
+    P.write_warehouse(
+        {k: v for k, v in result.items() if k != "offers_enriched"},
+        str(tmp_path / "wh"),
+    )
+    fact = spark.read.parquet(str(tmp_path / "wh" / "fact_offres"))
+    assert fact.count() == result["fact_offres"].count()
+    parts = {p.name for p in (tmp_path / "wh" / "fact_offres").iterdir() if p.is_dir()}
+    assert any(p.startswith("date_publication=") for p in parts)
+    # date filter prunes partitions at the scan
+    one_day = fact.filter(F.col("date_publication") == "2024-03-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    dim = spark.read.parquet(str(tmp_path / "wh" / "dim_competence"))
+    assert dim.count() == result["dim_competence"].count()
