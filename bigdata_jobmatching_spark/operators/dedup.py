@@ -69,21 +69,17 @@ def pairwise_candidates(df: DataFrame, block_col: str, id_col: str, payload_cols
 
 def keep_best(df: DataFrame, dup_pairs: DataFrame, id_col: str, order_cols: list[Column]) -> DataFrame:
     """Resolve duplicate pairs by the declared keep-best rule
-    (deduplicate.py:142-167): group pair members under a canonical
-    representative (min-id union-find, one propagation step — pairs
-    from blocking are near-cliques so one step converges for them),
-    rank by ``order_cols``, keep rank 1; rows in no pair pass through.
+    (deduplicate.py:142-167): group pair members into true connected
+    components (chains A~B~C form ONE group — iterative min-label
+    propagation, not a single step), rank by ``order_cols``, keep
+    rank 1; rows in no pair pass through untouched.
     """
+    from .graph import connected_components
+
     edges = dup_pairs.select(
         F.col(f"{id_col}_a").alias("m"), F.col(f"{id_col}_b").alias("n")
     )
-    sym = edges.union(edges.select(F.col("n").alias("m"), F.col("m").alias("n")))
-    # representative = min neighbor id (including self)
-    rep = (
-        sym.union(sym.select(F.col("m"), F.col("m").alias("n")))
-        .groupBy("m").agg(F.min("n").alias("grp"))
-        .withColumnRenamed("m", id_col)
-    )
+    rep = connected_components(edges).withColumnRenamed("node", id_col).withColumnRenamed("component", "grp")
     joined = df.join(rep, id_col, "left").withColumn(
         "grp", F.coalesce(F.col("grp"), F.col(id_col))
     )

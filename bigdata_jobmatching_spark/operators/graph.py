@@ -1,0 +1,70 @@
+"""Connected components over duplicate-pair edges.
+
+The dedup grouping problem (SURVEY §7.5 hard-part #1): duplicate
+pairs form chains (A~B, B~C without A~C when similarity is
+borderline), and keep-best must treat the whole chain as ONE group.
+A single min-neighbor step mislabels chains (C would group under B
+while B groups under A), so we iterate min-label propagation to a
+fixpoint — the standard label-propagation CC algorithm.
+
+Scale: each iteration is one self-join + groupBy min (two shuffles on
+node id); iterations needed = graph diameter, which for dedup blocks
+is small (near-cliques: 1-2; pathological chains: log-n with the
+shortcut step). Lineage is truncated with localCheckpoint so plans
+stay bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "m",
+    dst: str = "n",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label propagation to fixpoint. ``edges`` holds undirected pairs
+    (any orientation). Returns (node, component) where component is
+    the minimum node id reachable; only nodes appearing in edges are
+    returned (isolated nodes are the caller's passthrough).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # initial label: min(self, direct neighbors)
+    labels = (
+        sym.union(sym.select("a", F.col("a").alias("b")))
+        .groupBy("a")
+        .agg(F.min("b").alias("label"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # propagate: my new label = min(my label, neighbors' labels)
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -113,19 +113,26 @@ def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+# True connected components in the oracle too: recursive CTE
+# enumerating reachable labels, component = min reachable id. Chains
+# (A~B~C without A~C) must land in ONE group on both engines.
 _KEEP_BEST_SQL = f"""
-WITH t AS (SELECT doc_id, n_chars, lang, source, {_SQL_TOKSET} AS ts FROM documents),
+WITH RECURSIVE t AS (
+  SELECT doc_id, n_chars, lang, source, {_SQL_TOKSET} AS ts FROM documents
+),
 pairs AS (
   SELECT a.doc_id AS m, b.doc_id AS n
   FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
       / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
 ),
-sym AS (
-  SELECT m, n FROM pairs UNION ALL SELECT n AS m, m AS n FROM pairs
-  UNION ALL SELECT m, m FROM pairs UNION ALL SELECT n AS m, n FROM pairs
+sym AS (SELECT m AS a, n AS b FROM pairs UNION ALL SELECT n, m FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
 ),
-rep AS (SELECT m AS doc_id, MIN(n) AS grp FROM sym GROUP BY m),
+rep AS (SELECT node AS doc_id, MIN(label) AS grp FROM reach GROUP BY node),
 grouped AS (
   SELECT d.doc_id, d.n_chars, COALESCE(r.grp, d.doc_id) AS grp
   FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id

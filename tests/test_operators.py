@@ -64,3 +64,26 @@ def test_every_bench_query_has_oracle_or_reason(spark):
         if spec.oracle is None:
             # rows-only checks are limited to hash/sketch/approx ops
             assert any(t in spec.tags for t in ("lsh", "simhash", "approx")), name
+
+
+def test_connected_components_chain(spark):
+    from bigdata_jobmatching_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, separate pair 10-11, singleton edge-less 99 absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "m long, n long"
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_keep_best_collapses_chain_to_one(spark):
+    from bigdata_jobmatching_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (4, 1), (50, 2)], "id long, score long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    kept = sorted(r.id for r in keep_best(df, pairs, "id", [F.desc("score"), F.asc("id")]).collect())
+    # the whole chain {1,2,3,4} keeps only id=2 (score 9); 50 untouched
+    assert kept == [2, 50]
