@@ -150,6 +150,101 @@ register(QuerySpec(
 ))
 
 
+# --- user_funnel_conversion: staged min-over-condition funnel -------------
+
+def _funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ms").alias("signup_ms")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ms") > F.col("signup_ms"))
+        .groupBy("user_id").agg(F.min("ms").alias("click_ms"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") > F.col("click_ms"))
+        .groupBy("user_id").agg(F.min("ms").alias("purchase_ms"))
+    )
+    return (
+        s.join(c, "user_id", "left").join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count("click_ms").alias("n_clicked_after"),
+            F.count("purchase_ms").alias("n_purchased_after"),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS signup_ms FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS click_ms
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s.signup_ms
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS purchase_ms
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.click_ms
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_signed_up,
+  COUNT(c.click_ms) AS n_clicked_after,
+  COUNT(p.purchase_ms) AS n_purchased_after
+FROM s LEFT JOIN c ON s.user_id = c.user_id LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+register(QuerySpec(
+    "user_funnel_conversion", _funnel, _FUNNEL_SQL,
+    "staged funnel: signup -> first later click -> first later purchase",
+    ("events", "funnel", "join"),
+))
+
+
+# --- order_price_deciles: ntile window distribution -----------------------
+
+def _deciles(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_price"),
+        )
+        .withColumn("decile", F.col("decile").cast("int"))
+    )
+
+
+_DECILES_SQL = """
+SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM (
+  SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+) GROUP BY decile
+"""
+
+register(QuerySpec(
+    "order_price_deciles", _deciles, _DECILES_SQL,
+    "global ntile decile distribution (salary-deciles dashboard shape)",
+    ("relational", "window"),
+))
+
+
 # --- events_json_props: JSON field extraction from the props column ------
 
 def _json_props(spark: SparkSession, sf: str) -> DataFrame:

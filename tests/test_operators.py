@@ -87,3 +87,25 @@ def test_keep_best_collapses_chain_to_one(spark):
     kept = sorted(r.id for r in keep_best(df, pairs, "id", [F.desc("score"), F.asc("id")]).collect())
     # the whole chain {1,2,3,4} keeps only id=2 (score 9); 50 untouched
     assert kept == [2, 50]
+
+
+def test_matching_skill_df_cap(spark):
+    from bigdata_jobmatching_spark.operators.matching import match_offers_cvs
+
+    offers = spark.createDataFrame(
+        [(1, ["python", "excel"], "LOC_1", 100.0, 200.0, "Senior"),
+         (2, ["excel"], "LOC_1", 100.0, 200.0, "Senior")],
+        "job_id long, skills array<string>, localisation_id string, "
+        "salaire_min double, salaire_max double, niveau_experience string",
+    )
+    cvs = spark.createDataFrame(
+        [(10, ["python"], "LOC_1", 150.0, 5), (11, ["excel"], "LOC_1", 150.0, 5)],
+        "cv_id long, competences array<string>, localisation_souhaitee_id string, "
+        "salaire_souhaite double, annees_experience int",
+    )
+    # 'excel' appears in 2 offers -> capped out at max_skill_df=1;
+    # only the python-based candidate pair survives
+    capped = match_offers_cvs(offers, cvs, max_skill_df=1).collect()
+    assert {(r.job_id, r.candidate_id) for r in capped} == {(1, 10)}
+    uncapped = match_offers_cvs(offers, cvs).count()
+    assert uncapped == 3
