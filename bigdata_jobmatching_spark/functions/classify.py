@@ -54,6 +54,34 @@ def experience_level(text: Column) -> Column:
     return _keyword_case(text, EXPERIENCE_RULES, "Intermédiaire")
 
 
+# City canonicalization map (base_scraper.py:132-157): scraped location
+# variants -> canonical CI city names. Native CASE chain over the
+# normalized string — a broadcast-map join at catalog scale.
+CITY_CANONICAL: tuple[tuple[str, str], ...] = (
+    ("abidjan", "Abidjan"), ("abj", "Abidjan"), ("cocody", "Abidjan"),
+    ("plateau", "Abidjan"), ("yopougon", "Abidjan"), ("marcory", "Abidjan"),
+    ("bouake", "Bouaké"), ("yamoussoukro", "Yamoussoukro"), ("yakro", "Yamoussoukro"),
+    ("san pedro", "San-Pédro"), ("daloa", "Daloa"), ("korhogo", "Korhogo"),
+    ("man", "Man"), ("gagnoa", "Gagnoa"), ("abengourou", "Abengourou"),
+)
+
+
+def canonical_city(location: Column) -> Column:
+    """Map location text to its canonical city; pass through trimmed
+    original when no variant matches (base_scraper.py:132-157)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(location, F.lit("")), r"[-_]", " ")))
+    out = F.trim(location)
+    for variant, canon in reversed(CITY_CANONICAL):
+        out = F.when(norm.contains(variant), F.lit(canon)).otherwise(out)
+    return out
+
+
+def is_remote(text: Column) -> Column:
+    """Remote-work detection (emploi_ci_scraper.py:221-228 keywords)."""
+    low = F.lower(F.coalesce(text, F.lit("")))
+    return low.rlike(r"(télétravail|teletravail|remote|à distance|a distance|home\s*office|hybride)")
+
+
 # 13-sector Ivorian catalog shape (extract_sectors.py:71-302): keyword
 # hits x0.3 capped 0.8, company-name hit +0.5, title hit +0.2, argmax.
 SECTOR_CATALOG: tuple[tuple[str, tuple[str, ...]], ...] = (

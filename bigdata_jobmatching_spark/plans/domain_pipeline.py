@@ -67,7 +67,10 @@ def normalize_offers(raw: DataFrame) -> DataFrame:
         F.month(ts).alias("scraped_month"),
         clean(F.col("title")).alias("title"),
         clean(F.coalesce(F.col("company"), F.lit("Entreprise confidentielle"))).alias("company"),
-        clean(F.coalesce(F.col("location"), F.lit("Non spécifié"))).alias("location"),
+        classify.canonical_city(
+            clean(F.coalesce(F.col("location"), F.lit("Non spécifié")))
+        ).alias("location"),
+        classify.is_remote(F.concat_ws(" ", "title", "description")).alias("teletravail"),
         F.col("description"),
         F.col("requirements"),
         F.col("salary.amount").alias("salary_amount"),

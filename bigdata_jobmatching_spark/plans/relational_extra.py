@@ -184,6 +184,79 @@ register(QuerySpec(
 ))
 
 
+# --- small_quantity_revenue: correlated-avg subquery (Q17 shape) ----------
+
+def _q17(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(MONEY)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q17_SQL = f"""
+WITH avg_qty AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+"""
+
+register(QuerySpec(
+    "small_quantity_revenue", _q17, _Q17_SQL,
+    "correlated per-group average threshold (TPC-H Q17 shape)",
+    ("relational", "join", "subquery"),
+))
+
+
+# --- disjunctive_revenue: complex OR predicate pushdown (Q19 shape) -------
+
+def _q19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(5, 20)) & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#21") & (F.col("p_size").between(10, 40)) & (F.col("l_quantity").between(20, 40)))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY)
+    return joined.filter(cond).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {MONEY})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+register(QuerySpec(
+    "disjunctive_revenue", _q19, _Q19_SQL,
+    "disjunctive multi-attribute predicate over a join (TPC-H Q19 shape)",
+    ("relational", "filter", "join"),
+))
+
+
 # --- events_status_pivot: pivot + unpivot roundtrip -----------------------
 
 def _pivot(spark: SparkSession, sf: str) -> DataFrame:

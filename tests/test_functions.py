@@ -130,3 +130,25 @@ def test_rolling_hash_fingerprint(spark):
     ).collect()]
     assert out[0] == out[1] != out[2]
     assert all(len(f) == 32 for f in out)
+
+
+def test_canonical_city_variants(spark):
+    from bigdata_jobmatching_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [("Abidjan - Cocody",), ("abj",), ("Yakro centre",), ("San-Pédro",), ("Paris",)],
+        "loc string",
+    )
+    out = [r.c for r in df.select(classify.canonical_city(F.col("loc")).alias("c")).collect()]
+    assert out == ["Abidjan", "Abidjan", "Yamoussoukro", "San-Pédro", "Paris"]
+
+
+def test_is_remote(spark):
+    from bigdata_jobmatching_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [("Poste en télétravail complet",), ("100% remote ok",), ("Travail sur site",), (None,)],
+        "t string",
+    )
+    out = [r.r for r in df.select(classify.is_remote(F.col("t")).alias("r")).collect()]
+    assert out == [True, True, False, False]
