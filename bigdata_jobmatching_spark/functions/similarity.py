@@ -17,7 +17,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .binding import let
-from .text import tokens
+from .text import shingle_starts, tokens
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -58,8 +58,7 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
     per shingle (CollapseProject would inline it into the lambda).
     """
     def body(toks: Column) -> Column:
-        cnt = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(0)))
+        idx = shingle_starts(F.size(toks), n)
         return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
     return let(tokens(c), body)

@@ -68,6 +68,20 @@ def content_tokens(c: Column, stopwords: tuple[str, ...] = FRENCH_STOPWORDS, min
     return F.filter(toks, lambda t: F.length(t) >= min_len)
 
 
+def shingle_starts(cnt: Column, n: int) -> Column:
+    """1-based start indexes of ``n``-token shingles; empty when cnt < n.
+
+    The guard matters: ``sequence(1, 0)`` produces a DESCENDING [1, 0]
+    array (Spark auto-steps -1 when start > stop) and ``slice(toks, 0,
+    n)`` then throws INVALID_PARAMETER_VALUE.START under ANSI mode —
+    short/empty documents must yield an empty shingle set instead
+    (matching the DuckDB oracle twin's empty-list behavior).
+    """
+    return F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def token_count(c: Column) -> Column:
     """Whitespace token count — the cheap tokenizer for doc stats."""
     return F.size(tokens(c)).cast("long")
@@ -190,8 +204,7 @@ def rolling_hash_fingerprint(c: Column, window: int = 8, keep: int = 4) -> Colum
     concatenation. All native array ops (shingle via sequence+slice).
     """
     def body(toks: Column) -> Column:
-        n = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+        idx = shingle_starts(F.size(toks), window)
         shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, window), " "))
         hashes = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)))
         kept = F.slice(F.array_sort(hashes), 1, keep)

@@ -49,11 +49,20 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("a", "node")
         )
+        prop = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        )
+        # pointer-jumping shortcut: follow my label's own label, which
+        # halves chain depth each round — convergence in O(log diameter)
+        # instead of O(diameter), so long duplicate chains can't outrun
+        # max_iter silently.
+        parent = prop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         new_labels = (
-            labels.join(neigh, "node", "left")
+            prop.join(parent, prop.label == parent.p_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
             )
             .localCheckpoint()
         )
@@ -67,4 +76,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never return silently-wrong component labels: unconverged
+        # labels split one true component into several groups.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels.select("node", F.col("label").alias("component"))

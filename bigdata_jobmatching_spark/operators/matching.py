@@ -70,9 +70,11 @@ def match_offers_cvs(
         F.col("annees_experience"),
     )
 
-    # entity dims are tiny next to the pair set: broadcast both so the
-    # candidate stream never shuffles again after the pair aggregate.
-    pairs = shared.join(F.broadcast(o_dim), "job_id").join(F.broadcast(c_dim), "cv_id")
+    # Broadcast ONLY the CV dim (the genuinely small side); the offer
+    # dim is left to AQE, which broadcasts it when it fits and falls
+    # back to a shuffle join when it doesn't. Forcing broadcast on the
+    # full offer dim dies at 100x scale (exceeds broadcast limits).
+    pairs = shared.join(o_dim, "job_id").join(F.broadcast(c_dim), "cv_id")
 
     skill_pct = F.when(
         F.col("n_offer_skills") > 0,
@@ -84,11 +86,13 @@ def match_offers_cvs(
     ).otherwise(0.0)
 
     # salary fit: 1.0 when the wish is inside [min,max]; decays
-    # linearly to 0 at 50% outside the nearer bound.
+    # linearly to 0 at 50% outside the nearer bound. Zero bounds get
+    # the 0.5 neutral score — under Spark 4 ANSI mode an unguarded
+    # division by lo*0.5 / hi*0.5 would abort the whole job.
     lo, hi, wish = F.col("salaire_min"), F.col("salaire_max"), F.col("salaire_souhaite")
     inside = (wish >= lo) & (wish <= hi)
-    below = F.greatest(F.lit(0.0), 1.0 - (lo - wish) / (lo * 0.5))
-    above = F.greatest(F.lit(0.0), 1.0 - (wish - hi) / (hi * 0.5))
+    below = F.when(lo > 0, F.greatest(F.lit(0.0), 1.0 - (lo - wish) / (lo * 0.5))).otherwise(F.lit(0.5))
+    above = F.when(hi > 0, F.greatest(F.lit(0.0), 1.0 - (wish - hi) / (hi * 0.5))).otherwise(F.lit(0.5))
     salary_pct = (
         F.when(wish.isNull() | lo.isNull() | hi.isNull(), 0.5)
         .when(inside, 1.0)

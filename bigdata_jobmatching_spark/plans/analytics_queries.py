@@ -20,19 +20,30 @@ MONEY = "decimal(18,6)"
 # --- customer_order_history: groupBy + collect into sorted array (A1) -----
 
 def _order_history(spark: SparkSession, sf: str) -> DataFrame:
+    # The sorted array is emitted as a comma-joined string: the driver's
+    # pandas canonicalizer cannot hash raw list cells, and a deterministic
+    # string encodes the same information gate-compatibly.
     o = load_table(spark, sf, "orders")
     return (
         o.filter(F.col("o_custkey") % 100 == 0)
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("orderkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
 
 _HISTORY_SQL = """
-SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, COUNT(*) AS n_orders
+SELECT o_custkey,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+  COUNT(*) AS n_orders
 FROM orders WHERE o_custkey % 100 = 0 GROUP BY o_custkey
 """
 

@@ -294,13 +294,18 @@ def build_warehouse(spark: SparkSession, offers: DataFrame) -> dict[str, DataFra
             F.col("location").alias("ville"),
         ).dropDuplicates(["localisation_id"])
     )
+    # Deduplicate on competence_id, not the raw name: the id truncates
+    # the cleaned name to 15 chars, so two distinct names sharing a
+    # prefix must collapse to ONE dim row (star-join key uniqueness).
+    # groupBy+min keeps the representative name deterministic.
     dim_competence = (
         offers.select(F.explode("skills").alias("nom_competence"))
-        .dropDuplicates(["nom_competence"])
         .select(
             I.competence_id(F.col("nom_competence")).alias("competence_id"),
             "nom_competence",
         )
+        .groupBy("competence_id")
+        .agg(F.min("nom_competence").alias("nom_competence"))
     )
     out = {
         "fact_offres": fact,

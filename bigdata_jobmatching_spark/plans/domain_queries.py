@@ -247,8 +247,11 @@ pairs AS (
     len(o.skills) AS n_offer_skills,
     CASE WHEN o.o_loc = c.c_loc THEN 1.0 ELSE 0.0 END AS loc_pct,
     CASE WHEN c.wish >= o.sal_min AND c.wish <= o.sal_max THEN 1.0
-         WHEN c.wish < o.sal_min THEN greatest(0.0, 1.0 - (o.sal_min - c.wish) / (o.sal_min * 0.5))
-         ELSE greatest(0.0, 1.0 - (c.wish - o.sal_max) / (o.sal_max * 0.5)) END AS sal_pct,
+         WHEN c.wish < o.sal_min THEN
+           CASE WHEN o.sal_min > 0 THEN greatest(0.0, 1.0 - (o.sal_min - c.wish) / (o.sal_min * 0.5)) ELSE 0.5 END
+         ELSE
+           CASE WHEN o.sal_max > 0 THEN greatest(0.0, 1.0 - (c.wish - o.sal_max) / (o.sal_max * 0.5)) ELSE 0.5 END
+         END AS sal_pct,
     greatest(0.0, 1.0 - abs(c.years - o.exp_target) / 8.0) AS exp_pct
   FROM offers o JOIN cvs c ON len(list_intersect(o.skills, c.competences)) >= 1
 )

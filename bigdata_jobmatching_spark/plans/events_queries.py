@@ -248,9 +248,12 @@ register(QuerySpec(
 # --- events_json_props: JSON field extraction from the props column ------
 
 def _json_props(spark: SparkSession, sf: str) -> DataFrame:
+    # Extract the JSON number as DOUBLE on both sides: string->bigint casts
+    # disagree between engines on non-integer numerics ("1.5": Spark NULL,
+    # DuckDB rounds), while string->double parsing agrees exactly.
     ev = load_table(spark, sf, "events")
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -263,9 +266,9 @@ def _json_props(spark: SparkSession, sf: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+  SUM(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS sum_k,
+  MIN(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS min_k,
+  MAX(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_k
 FROM events GROUP BY event_type
 """
 

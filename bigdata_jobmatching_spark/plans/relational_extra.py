@@ -150,12 +150,17 @@ register(QuerySpec(
 # --- big_spenders: scalar-subquery threshold + semi join (Q22-lite) -------
 
 def _q22(spark: SparkSession, sf: str) -> DataFrame:
+    # The threshold stays a broadcast 1-row DataFrame (crossJoin +
+    # broadcast) instead of a driver-side collect(): one job, no
+    # synchronous barrier, and the whole query remains a single plan.
     cust = load_table(spark, sf, "customer")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / F.count(F.lit(1))
-    ).collect()[0][0]
+    threshold = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
     recent = load_table(spark, sf, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
-    rich = cust.filter(F.col("c_acctbal") > avg_bal)
+    rich = cust.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
     no_orders = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return no_orders.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),

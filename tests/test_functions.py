@@ -132,6 +132,27 @@ def test_rolling_hash_fingerprint(spark):
     assert all(len(f) == 32 for f in out)
 
 
+def test_shingling_short_docs_no_crash(spark):
+    # sequence(1, 0) yields a DESCENDING [1, 0] and slice(toks, 0, n)
+    # throws under ANSI — 0/1/n-1-token docs must give empty shingles,
+    # not a runtime error (matches DuckDB's empty-list behavior).
+    from bigdata_jobmatching_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("two words",), ("exactly three tokens",),
+         ("now four whole tokens",), (None,)],
+        "t string",
+    )
+    grams = df.select(S.word_ngrams(F.col("t"), 3).alias("g")).collect()
+    sizes = [len(r.g) if r.g is not None else None for r in grams]
+    assert sizes == [0, 0, 0, 1, 2, 0]
+
+    # rolling_hash_fingerprint (window=8) on the same short docs: a
+    # deterministic md5 (of the empty shingle set), never a crash.
+    fps = df.select(X.rolling_hash_fingerprint(F.col("t")).alias("f")).collect()
+    assert all(r.f is None or len(r.f) == 32 for r in fps)
+
+
 def test_canonical_city_variants(spark):
     from bigdata_jobmatching_spark.functions import classify
 

@@ -109,3 +109,26 @@ def test_matching_skill_df_cap(spark):
     assert {(r.job_id, r.candidate_id) for r in capped} == {(1, 10)}
     uncapped = match_offers_cvs(offers, cvs).count()
     assert uncapped == 3
+
+
+def test_matching_zero_salary_bounds_no_ansi_abort(spark):
+    # salaire_min/max of 0 with the wish outside the range used to
+    # divide by lo*0.5 / hi*0.5 and abort under Spark 4 ANSI mode;
+    # zero bounds must fall back to the 0.5 neutral score.
+    from bigdata_jobmatching_spark.operators.matching import match_offers_cvs
+
+    offers = spark.createDataFrame(
+        [(1, ["python"], "LOC_1", 0.0, 0.0, "Senior"),
+         (2, ["python"], "LOC_1", 0.0, 200.0, "Senior")],
+        "job_id long, skills array<string>, localisation_id string, "
+        "salaire_min double, salaire_max double, niveau_experience string",
+    )
+    cvs = spark.createDataFrame(
+        [(10, ["python"], "LOC_1", 500.0, 5)],
+        "cv_id long, competences array<string>, localisation_souhaitee_id string, "
+        "salaire_souhaite double, annees_experience int",
+    )
+    rows = {r.job_id: r for r in match_offers_cvs(offers, cvs).collect()}
+    assert rows[1].salary_match_pct == 0.5  # wish above hi=0 -> neutral
+    # job 2: wish=500 above hi=200 -> linear decay 1 - 300/100 -> clamp 0
+    assert rows[2].salary_match_pct == 0.0

@@ -45,6 +45,32 @@ def test_matching_broadcast_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_matching_offer_dim_not_force_broadcast(spark, sf_dir):
+    # Only the CV dim carries an explicit broadcast hint; the offer dim
+    # is left to AQE so an over-limit offer side degrades to a shuffle
+    # join instead of killing the job at scale. Exactly ONE ResolvedHint
+    # in the logical plan == no forced broadcast of o_dim.
+    df = REGISTRY["job_cv_matching"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+
+
+def test_no_driver_collect_in_query_paths():
+    # Driver-side .collect() in an operator/query path forces a
+    # synchronous barrier + a second job; scalar thresholds must use
+    # the broadcast-scalar crossJoin pattern instead. The single
+    # allowed site is the ANN query-set broadcast (documented).
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "bigdata_jobmatching_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" in line.split("#")[0]:
+                offenders.append(f"{py.relative_to(root)}:{i}")
+    assert offenders == ["operators/similarity_search.py:103"], offenders
+
+
 def test_keyword_catalog_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "keyword_catalog_tags")
     assert "BroadcastHashJoin" in plan
