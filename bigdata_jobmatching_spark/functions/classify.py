@@ -82,36 +82,128 @@ def is_remote(text: Column) -> Column:
     return low.rlike(r"(télétravail|teletravail|remote|à distance|a distance|home\s*office|hybride)")
 
 
-# 13-sector Ivorian catalog shape (extract_sectors.py:71-302): keyword
-# hits x0.3 capped 0.8, company-name hit +0.5, title hit +0.2, argmax.
-SECTOR_CATALOG: tuple[tuple[str, tuple[str, ...]], ...] = (
-    ("SECT_TIC", ("developpeur", "informatique", "logiciel", "data", "reseau")),
-    ("SECT_FINANCE", ("banque", "finance", "comptable", "audit", "assurance")),
-    ("SECT_COMMERCE", ("vente", "commercial", "marketing", "boutique")),
-    ("SECT_BTP", ("chantier", "construction", "genie civil", "architecte")),
-    ("SECT_SANTE", ("medecin", "infirmier", "pharmacie", "clinique")),
-    ("SECT_EDUCATION", ("professeur", "enseignant", "formation", "ecole")),
-    ("SECT_AGRO", ("agricole", "cacao", "plantation", "agroalimentaire")),
-    ("SECT_TRANSPORT", ("chauffeur", "logistique", "transport", "livraison")),
+# 8-sector condensed Ivorian catalog (extract_sectors.py:71-302):
+# (secteur_id, keywords, companies). Scoring follows the reference's
+# full formula (extract_sectors.py:312-343): substring containment in
+# the full text, min(keyword_hits x 0.3, 0.8) + 0.5 if any known
+# company appears + 0.2 PER keyword appearing in the title, stored
+# capped at 1.0; argmax keeps the FIRST catalog sector on ties
+# (strictly-greater comparison in catalog order).
+SECTOR_CATALOG: tuple[tuple[str, tuple[str, ...], tuple[str, ...]], ...] = (
+    ("SECT_TIC", ("developpeur", "informatique", "logiciel", "data", "reseau"),
+     ("orange", "mtn", "moov", "africa systems")),
+    ("SECT_FINANCE", ("banque", "finance", "comptable", "audit", "assurance"),
+     ("ecobank", "sgbci", "nsia", "bceao")),
+    ("SECT_COMMERCE", ("vente", "commercial", "marketing", "boutique"),
+     ("carrefour", "jumia", "kilimall", "yango market")),
+    ("SECT_BTP", ("chantier", "construction", "genie civil", "architecte"),
+     ("bouygues", "vinci", "eiffage", "cimaf")),
+    ("SECT_SANTE", ("medecin", "infirmier", "pharmacie", "clinique"),
+     ("sanofi", "pfizer", "novartis", "roche")),
+    ("SECT_EDUCATION", ("professeur", "enseignant", "formation", "ecole"),
+     ("universite", "inphb", "institut", "lycee")),
+    ("SECT_AGRO", ("agricole", "cacao", "plantation", "agroalimentaire"),
+     ("sifca", "palmci", "olam", "cargill")),
+    ("SECT_TRANSPORT", ("chauffeur", "logistique", "transport", "livraison"),
+     ("maersk", "dhl", "bollore", "fedex")),
 )
 
 
-def sector_scores(catalog_df: DataFrame, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Explode-join-score-argmax sector classification.
+def classify_sector(text: Column, title: Column) -> Column:
+    """Full-formula sector classification as ONE native projection:
+    struct(secteur_id, confidence).
 
-    catalog_df: (secteur_id, keyword). Returns (id, secteur_id,
-    confidence) keeping the best sector per row; rows with no keyword
-    hit are absent (caller coalesces to SECT_INCONNU).
+    Rebuilds classify_sector_udf (extract_sectors.py:304-345) exactly,
+    including its subtleties: substring containment (so multi-word
+    keywords like 'genie civil' match), the company bonus fires at
+    most once (+0.5), the title bonus fires PER keyword (+0.2 each),
+    the stored confidence is capped at 1.0 but the comparison uses the
+    raw score, and ties keep the earlier catalog sector.
+
+    Scale: zero shuffles — ~100 codegen'd substring searches per row
+    over a compile-time catalog beats an explode + join + window argmax
+    (two shuffles) at any data size for a fixed-size catalog.
+    """
+    from .binding import let
+
+    def raw_score(low: Column, tlow: Column, kws: tuple[str, ...], cos: tuple[str, ...]) -> Column:
+        kw_hits = sum((low.contains(k).cast("int") for k in kws), start=F.lit(0))
+        kw_conf = F.when(kw_hits > 0, F.least(kw_hits * 0.3, F.lit(0.8))).otherwise(F.lit(0.0))
+        company_hit: Column | None = None
+        for c in cos:
+            h = low.contains(c)
+            company_hit = h if company_hit is None else (company_hit | h)
+        t_hits = sum((tlow.contains(k).cast("int") for k in kws), start=F.lit(0))
+        return kw_conf + F.when(company_hit, F.lit(0.5)).otherwise(F.lit(0.0)) + t_hits * 0.2
+
+    # The argmax is a FOLD over the catalog. Naively chaining
+    # when(raw > best, ...).otherwise(best) embeds two copies of the
+    # previous state per step — a ~3^n expression tree that stalls
+    # Catalyst. Binding each step's (id, conf, raw) in a let-struct
+    # keeps the tree linear: every state reference is a lambda
+    # attribute, evaluated once.
+    def fold(low: Column, tlow: Column, state_id: Column, state_conf: Column, i: int) -> Column:
+        if i == len(SECTOR_CATALOG):
+            return F.struct(state_id.alias("secteur_id"), state_conf.alias("confidence"))
+        sid, kws, cos = SECTOR_CATALOG[i]
+        step = F.struct(
+            state_id.alias("id"),
+            state_conf.alias("conf"),
+            raw_score(low, tlow, kws, cos).alias("raw"),
+            low.alias("low"),
+            tlow.alias("tlow"),
+        )
+
+        def body(s: Column) -> Column:
+            # the reference compares the RAW score against the stored
+            # (capped) best, then stores min(raw, 1.0)
+            better = s["raw"] > s["conf"]
+            return fold(
+                s["low"], s["tlow"],
+                F.when(better, F.lit(sid)).otherwise(s["id"]),
+                F.when(better, F.least(s["raw"], F.lit(1.0))).otherwise(s["conf"]),
+                i + 1,
+            )
+
+        return let(step, body)
+
+    ctx = F.struct(
+        F.lower(F.coalesce(text, F.lit(""))).alias("low"),
+        F.lower(F.coalesce(title, F.lit(""))).alias("tlow"),
+    )
+    return let(
+        ctx,
+        lambda c: fold(c["low"], c["tlow"], F.lit("SECT_INCONNU"), F.lit(0.0), 0),
+    )
+
+
+def sector_scores(catalog_df: DataFrame, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode-join-score-argmax classification for DATA-DRIVEN
+    catalogs (when the catalog is a table, not a compile-time constant
+    — the scalable path for catalogs too large to inline).
+
+    catalog_df: (secteur_id, keyword); keywords may be one- or
+    two-word (two-word entries join against token bigrams — 'genie
+    civil' matches; 3+-word entries are not supported). Returns (id,
+    secteur_id, confidence) keeping the best sector per row; rows with
+    no keyword hit are absent (caller coalesces to SECT_INCONNU).
 
     Scale: the catalog broadcasts; the doc side never shuffles until
     the per-id argmax (one shuffle on id).
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("keyword")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    hits = toks.join(F.broadcast(catalog_df), "keyword")
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.concat(toks, bigrams))).alias("keyword"),
+    )
+    hits = terms.join(F.broadcast(catalog_df), "keyword")
     scored = hits.groupBy(id_col, "secteur_id").agg(
         F.least(F.count(F.lit(1)) * 0.3, F.lit(0.8)).alias("confidence")
     )

@@ -18,6 +18,27 @@ from .binding import let
 EUR_TO_FCFA = 655.0
 USD_TO_FCFA = 600.0
 
+# Title-keyword salary grid (FCFA/month) from the reference's context
+# inference UDF (extract_salary.py:188-206). ORDER matters: the FIRST
+# keyword contained in the title wins (the reference iterates the dict
+# in insertion order and breaks on first hit).
+SALARY_GRID: tuple[tuple[str, int, int], ...] = (
+    ("junior", 150_000, 400_000),
+    ("senior", 500_000, 1_500_000),
+    ("lead", 800_000, 2_500_000),
+    ("manager", 1_000_000, 3_000_000),
+    ("développeur", 200_000, 800_000),
+    ("data scientist", 400_000, 1_200_000),
+    ("devops", 350_000, 1_000_000),
+    ("architecte", 600_000, 1_800_000),
+    ("finance", 300_000, 1_000_000),
+    ("tech", 250_000, 900_000),
+    ("marketing", 200_000, 600_000),
+)
+ABIDJAN_FACTOR = 1.2   # extract_salary.py:221-225
+CDD_FACTOR = 0.9       # extract_salary.py:227-231
+INFERRED_CONFIDENCE = 0.3
+
 _NUM = r"(\d{1,3}(?:[ .,]\d{3})+|\d+)"
 # Ordered regex families: ranges first (higher priority), then singles.
 _RANGE_PAT = _NUM + r"\s*(?:-|à|a|et)\s*" + _NUM
@@ -68,6 +89,45 @@ def _to_monthly(amount: Column, period: Column) -> Column:
         .when(period == "day", amount * 22.0)
         .when(period == "hour", amount * 8.0 * 22.0)
         .otherwise(amount)
+    )
+
+
+def infer_salary_range(title: Column, location: Column, contract_type: Column) -> Column:
+    """Context-based salary inference for offers with no parseable
+    salary text (extract_salary.py:180-250): first grid keyword
+    contained in the title sets the range; Abidjan multiplies by 1.2
+    and CDD by 0.9 (int-truncated, in that order); confidence 0.3.
+
+    A pure when-chain over compile-time constants — one projection,
+    zero shuffles, exactly reproducible in ANSI SQL for the oracle.
+    """
+    tl = F.lower(F.coalesce(title, F.lit("")))
+    ll = F.lower(F.coalesce(location, F.lit("")))
+    cl = F.lower(F.coalesce(contract_type, F.lit("")))
+
+    grid_min: Column | None = None
+    grid_max: Column | None = None
+    for kw, lo, hi in SALARY_GRID:
+        hit = tl.contains(kw)
+        grid_min = F.when(hit, F.lit(lo)) if grid_min is None else grid_min.when(hit, F.lit(lo))
+        grid_max = F.when(hit, F.lit(hi)) if grid_max is None else grid_max.when(hit, F.lit(hi))
+
+    def adjust(v: Column) -> Column:
+        # int() in the reference truncates; values are positive so
+        # floor == trunc, and the CDD factor applies to the already
+        # Abidjan-adjusted integer: int(int(v*1.2)*0.9).
+        v = F.when(ll.contains("abidjan"), F.floor(v * ABIDJAN_FACTOR)).otherwise(v)
+        v = F.when(cl.contains("cdd"), F.floor(v * CDD_FACTOR)).otherwise(v)
+        return v.cast("double")
+
+    has = grid_min.isNotNull()
+    return F.struct(
+        adjust(grid_min).alias("min_fcfa"),
+        adjust(grid_max).alias("max_fcfa"),
+        F.lit("FCFA").alias("currency"),
+        F.lit("month").alias("period"),
+        F.when(has, F.lit(INFERRED_CONFIDENCE)).otherwise(F.lit(0.0)).alias("confidence"),
+        F.when(has, F.lit("inferred")).otherwise(F.lit("none")).alias("source"),
     )
 
 

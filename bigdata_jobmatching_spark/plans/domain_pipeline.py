@@ -26,6 +26,7 @@ from ..functions import classify
 from ..functions import ids as I
 from ..functions import salary as SAL
 from ..functions import similarity as S
+from ..functions import skills as SK
 from ..functions import text as X
 from ..operators import dedup as D
 
@@ -152,7 +153,15 @@ def parse_html_fields(df: DataFrame) -> DataFrame:
 def extract_skills(spark: SparkSession, offers: DataFrame) -> DataFrame:
     """Skills from free text via broadcast catalog join, unioned with
     scraper-declared skills (array_union+array_distinct, U2 —
-    extract_skills.py:300-306), plus per-skill category pairs."""
+    extract_skills.py:300-306) and the NLP-ish three-pass extractor
+    (extract_skills.py:61-197 rebuild in functions/skills.py), plus
+    per-skill (category, confidence) metadata structs
+    (extract_skills.py:310-326).
+
+    Deviation from the reference: its NLP source string is built with
+    ``col + " " + col`` — numeric addition on strings, which yields
+    NULL on Spark 3 non-ANSI, silently disabling the feature; we use
+    concat_ws so the extractor actually sees text."""
     catalog = spark.createDataFrame(list(SKILL_CATALOG), "skill string, skill_category string")
     text = F.concat_ws(" ", "title", "description", "requirements")
     toks = offers.select(
@@ -164,52 +173,88 @@ def extract_skills(spark: SparkSession, offers: DataFrame) -> DataFrame:
         .groupBy("offer_id")
         .agg(F.array_sort(F.collect_set("skill")).alias("text_skills"))
     )
+    nlp_src = F.concat_ws(" ", "description", "requirements")
     return (
         offers.join(found, "offer_id", "left")
+        .withColumn("nlp_skills", SK.extract_skills_nlp(nlp_src))
         .withColumn(
             "skills",
             F.array_sort(F.array_distinct(F.array_union(
-                F.coalesce(F.col("text_skills"), F.array().cast("array<string>")),
+                F.array_union(
+                    F.coalesce(F.col("text_skills"), F.array().cast("array<string>")),
+                    F.col("nlp_skills"),
+                ),
                 F.transform(F.col("declared_skills"), lambda s: F.lower(F.trim(s))),
             ))),
+        )
+        .withColumn(
+            "skills_with_metadata",
+            F.transform(
+                F.col("skills"),
+                lambda s: F.struct(
+                    s.alias("skill"),
+                    SK.classify_skill_category(s).alias("category"),
+                    SK.skill_confidence(s, nlp_src).alias("confidence"),
+                ),
+            ),
         )
         .drop("text_skills")
     )
 
 
 def enrich_salary(offers: DataFrame) -> DataFrame:
-    """Salary struct from explicit salary text, else from description
-    (extract_salary.py priority: structured > text > inferred)."""
+    """Salary struct from explicit salary text, else from description,
+    else inferred from title/location/contract context
+    (extract_salary.py priority: structured > text > inferred;
+    inference grid at extract_salary.py:180-250, confidence 0.3)."""
     src = F.coalesce(F.col("salary_text"), F.col("description"))
+    explicit = F.col("salary_amount").cast("double")
     return (
         offers.withColumn("parsed_salary", SAL.parse_salary(src))
         .withColumn(
+            "inferred_salary",
+            SAL.infer_salary_range(
+                F.col("title"), F.col("location"), F.col("contract_type")
+            ),
+        )
+        .withColumn(
             "salaire_min",
-            F.coalesce(F.col("salary_amount").cast("double"), F.col("parsed_salary.min_fcfa")),
+            F.coalesce(explicit, F.col("parsed_salary.min_fcfa"), F.col("inferred_salary.min_fcfa")),
         )
         .withColumn(
             "salaire_max",
-            F.coalesce(F.col("salary_amount").cast("double"), F.col("parsed_salary.max_fcfa")),
+            F.coalesce(explicit, F.col("parsed_salary.max_fcfa"), F.col("inferred_salary.max_fcfa")),
         )
-        .withColumn("salary_confidence", F.col("parsed_salary.confidence"))
-        .drop("parsed_salary")
+        .withColumn(
+            "salary_confidence",
+            F.when(
+                explicit.isNotNull() | F.col("parsed_salary.min_fcfa").isNotNull(),
+                F.col("parsed_salary.confidence"),
+            ).otherwise(F.col("inferred_salary.confidence")),
+        )
+        .withColumn(
+            "salary_source",
+            F.when(explicit.isNotNull(), F.lit("structured"))
+            .when(F.col("parsed_salary.min_fcfa").isNotNull(), F.lit("parsed"))
+            .otherwise(F.col("inferred_salary.source")),
+        )
+        .drop("parsed_salary", "inferred_salary")
     )
 
 
 def enrich_sectors(spark: SparkSession, offers: DataFrame) -> DataFrame:
-    """Sector via keyword-catalog explode-join-argmax
-    (classify_sector_udf rebuild, extract_sectors.py:48-345)."""
-    rows = [(sid, kw) for sid, kws in classify.SECTOR_CATALOG for kw in kws]
-    catalog = spark.createDataFrame(rows, "secteur_id string, keyword string")
-    text_df = offers.withColumn(
-        "__text", F.concat_ws(" ", "title", "description", "company")
+    """Sector via the full scoring formula (classify_sector_udf
+    rebuild, extract_sectors.py:304-345): keyword hits x0.3 capped
+    0.8, +0.5 company-name hit, +0.2 per title keyword hit — one
+    zero-shuffle projection over the compile-time catalog."""
+    best = classify.classify_sector(
+        F.concat_ws(" ", "title", "description", "company"), F.col("title")
     )
-    best = classify.sector_scores(catalog, text_df, "offer_id", "__text")
     return (
-        text_df.join(best, "offer_id", "left")
-        .withColumn("secteur_id", F.coalesce(F.col("secteur_id"), F.lit("SECT_INCONNU")))
-        .withColumn("sector_confidence", F.coalesce(F.col("confidence"), F.lit(0.0)))
-        .drop("__text", "confidence")
+        offers.withColumn("__sector", best)
+        .withColumn("secteur_id", F.col("__sector.secteur_id"))
+        .withColumn("sector_confidence", F.col("__sector.confidence"))
+        .drop("__sector")
     )
 
 

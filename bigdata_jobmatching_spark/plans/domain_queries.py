@@ -82,6 +82,104 @@ register(QuerySpec(
 ))
 
 
+# --- salary_inference_grid: context inference for unparseable salaries ----
+# Titles/locations/contracts derived from part; the Spark side runs the
+# real infer_salary_range expression (first-grid-keyword-wins priority,
+# Abidjan x1.2 then CDD x0.9 int-truncated, confidence 0.3 — the
+# reference's extract_salary.py:180-250), the oracle recomputes the
+# grid arithmetic directly.
+
+def _salary_inference(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    k = F.col("p_partkey")
+    fam = k % 7
+    title = (
+        F.when(fam == 0, F.concat(F.lit("Développeur "), F.col("p_type")))
+        .when(fam == 1, F.lit("Senior développeur web"))     # 'senior' outranks 'développeur'
+        .when(fam == 2, F.lit("Data Scientist junior"))      # 'junior' outranks 'data scientist'
+        .when(fam == 3, F.lit("Chef de projet marketing"))
+        .when(fam == 4, F.lit("Architecte cloud"))
+        .when(fam == 5, F.lit("Comptable"))                  # no grid keyword -> none
+        .otherwise(F.concat(F.lit("Tech lead "), F.col("p_type")))  # 'lead' outranks 'tech'
+    )
+    location = (
+        F.when(k % 3 == 0, F.lit("Abidjan, Plateau"))
+        .when(k % 3 == 1, F.lit("Bouaké"))
+        .otherwise(F.lit("Yamoussoukro"))
+    )
+    contract = F.when(k % 2 == 0, F.lit("CDD 6 mois")).otherwise(F.lit("CDI"))
+    inf = SAL.infer_salary_range(title, location, contract)
+    return p.select(
+        "p_partkey",
+        inf["min_fcfa"].alias("min_fcfa"),
+        inf["max_fcfa"].alias("max_fcfa"),
+        inf["confidence"].alias("confidence"),
+        inf["source"].alias("source"),
+    )
+
+
+_INFER_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+    lower(CASE p_partkey % 7
+      WHEN 0 THEN 'Développeur ' || p_type
+      WHEN 1 THEN 'Senior développeur web'
+      WHEN 2 THEN 'Data Scientist junior'
+      WHEN 3 THEN 'Chef de projet marketing'
+      WHEN 4 THEN 'Architecte cloud'
+      WHEN 5 THEN 'Comptable'
+      ELSE 'Tech lead ' || p_type END) AS tl,
+    lower(CASE p_partkey % 3 WHEN 0 THEN 'Abidjan, Plateau' WHEN 1 THEN 'Bouaké' ELSE 'Yamoussoukro' END) AS ll,
+    lower(CASE p_partkey % 2 WHEN 0 THEN 'CDD 6 mois' ELSE 'CDI' END) AS cl
+  FROM part
+),
+grid AS (
+  SELECT p_partkey, ll, cl,
+    CASE WHEN contains(tl, 'junior') THEN 150000
+         WHEN contains(tl, 'senior') THEN 500000
+         WHEN contains(tl, 'lead') THEN 800000
+         WHEN contains(tl, 'manager') THEN 1000000
+         WHEN contains(tl, 'développeur') THEN 200000
+         WHEN contains(tl, 'data scientist') THEN 400000
+         WHEN contains(tl, 'devops') THEN 350000
+         WHEN contains(tl, 'architecte') THEN 600000
+         WHEN contains(tl, 'finance') THEN 300000
+         WHEN contains(tl, 'tech') THEN 250000
+         WHEN contains(tl, 'marketing') THEN 200000 END AS gmin,
+    CASE WHEN contains(tl, 'junior') THEN 400000
+         WHEN contains(tl, 'senior') THEN 1500000
+         WHEN contains(tl, 'lead') THEN 2500000
+         WHEN contains(tl, 'manager') THEN 3000000
+         WHEN contains(tl, 'développeur') THEN 800000
+         WHEN contains(tl, 'data scientist') THEN 1200000
+         WHEN contains(tl, 'devops') THEN 1000000
+         WHEN contains(tl, 'architecte') THEN 1800000
+         WHEN contains(tl, 'finance') THEN 1000000
+         WHEN contains(tl, 'tech') THEN 900000
+         WHEN contains(tl, 'marketing') THEN 600000 END AS gmax
+  FROM base
+),
+adj AS (
+  SELECT p_partkey, cl,
+    CASE WHEN contains(ll, 'abidjan') THEN CAST(floor(gmin * 1.2) AS BIGINT) ELSE gmin END AS m1,
+    CASE WHEN contains(ll, 'abidjan') THEN CAST(floor(gmax * 1.2) AS BIGINT) ELSE gmax END AS x1
+  FROM grid
+)
+SELECT p_partkey,
+  CAST(CASE WHEN contains(cl, 'cdd') THEN CAST(floor(m1 * 0.9) AS BIGINT) ELSE m1 END AS DOUBLE) AS min_fcfa,
+  CAST(CASE WHEN contains(cl, 'cdd') THEN CAST(floor(x1 * 0.9) AS BIGINT) ELSE x1 END AS DOUBLE) AS max_fcfa,
+  CAST(CASE WHEN m1 IS NOT NULL THEN 0.3 ELSE 0.0 END AS DOUBLE) AS confidence,
+  CASE WHEN m1 IS NOT NULL THEN 'inferred' ELSE 'none' END AS source
+FROM adj
+"""
+
+register(QuerySpec(
+    "salary_inference_grid", _salary_inference, _INFER_SQL,
+    "context salary inference: title grid + Abidjan/CDD multipliers (extract_salary.py:180-250)",
+    ("domain", "classify"),
+))
+
+
 # --- surrogate_dim_ids: deterministic id exprs + dim distinct -------------
 
 def _dim_ids(spark: SparkSession, sf: str) -> DataFrame:
@@ -118,6 +216,104 @@ register(QuerySpec(
     "surrogate_dim_ids", _dim_ids, _DIM_IDS_SQL,
     "join-free deterministic surrogate ids (load_to_bigquery.py:40-78) + dim distinct",
     ("domain", "ids"),
+))
+
+
+# --- sector_scoring_full: the complete classify_sector formula ------------
+# Derived offers plant each formula component: keyword cap, multi-word
+# keyword ('genie civil'), company bonus flipping the argmax, title
+# bonus flipping the argmax, confidence cap at 1.0, and first-catalog-
+# sector tie-breaks. The oracle SQL is GENERATED from SECTOR_CATALOG so
+# Spark and DuckDB score from the same constant.
+
+_SECT_FAMS: tuple[tuple[str, str, str], ...] = (
+    ("Commercial terrain", "vente en boutique", "Jumia CI"),              # cap: raw 1.5 -> 1.0
+    ("Technicien travaux", "travaux sur chantier, genie civil", "BTP Services"),  # multi-word kw
+    ("Assistant administratif", "audit et finance", "Ecobank CI"),        # company bonus + cap
+    ("Poste polyvalent", "developpeur informatique, audit interne", "SGBCI"),     # bonus flips argmax
+    ("Chauffeur poids lourd", "livraison de cacao", "Divers SA"),         # title bonus flips argmax
+    ("Stagiaire", "poste tout-terrain", "Confidentiel"),                  # no hit -> SECT_INCONNU
+    ("Poste generaliste", "analyse data et audit interne", "Divers SA"),  # tie -> first sector
+)
+
+
+def _sector_full(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    fam = F.col("p_partkey") % len(_SECT_FAMS)
+    title = F.when(fam == 0, _SECT_FAMS[0][0])
+    desc = F.when(fam == 0, _SECT_FAMS[0][1])
+    comp = F.when(fam == 0, _SECT_FAMS[0][2])
+    for i, (t, d, c) in enumerate(_SECT_FAMS[1:], start=1):
+        title = title.when(fam == i, t)
+        desc = desc.when(fam == i, d)
+        comp = comp.when(fam == i, c)
+    best = classify.classify_sector(F.concat_ws(" ", title, desc, comp), title)
+    return p.select(
+        "p_partkey",
+        best["secteur_id"].alias("secteur_id"),
+        F.round(best["confidence"], 6).alias("confidence"),
+    )
+
+
+def _sector_score_sql(kws: tuple[str, ...], cos: tuple[str, ...]) -> str:
+    kw_hits = " + ".join(f"CAST(contains(low, '{k}') AS INT)" for k in kws)
+    comp = " OR ".join(f"contains(low, '{c}')" for c in cos)
+    t_hits = " + ".join(f"CAST(contains(tlow, '{k}') AS INT)" for k in kws)
+    return (
+        f"(CASE WHEN ({kw_hits}) > 0 THEN least(({kw_hits}) * CAST(0.3 AS DOUBLE), CAST(0.8 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END"
+        f" + CASE WHEN {comp} THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        f" + ({t_hits}) * CAST(0.2 AS DOUBLE))"
+    )
+
+
+def _build_sector_oracle() -> str:
+    n = len(_SECT_FAMS)
+    title_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, (t, _, _) in enumerate(_SECT_FAMS)
+    )
+    text_case = " ".join(
+        f"WHEN {i} THEN '{t} {d} {c}'" for i, (t, d, c) in enumerate(_SECT_FAMS)
+    )
+    scores = ",\n    ".join(
+        f"{_sector_score_sql(kws, cos)} AS s{i}"
+        for i, (_, kws, cos) in enumerate(classify.SECTOR_CATALOG)
+    )
+    # sequential fold mirroring the reference's strictly-greater argmax:
+    # compare RAW score to the stored (capped) best, store min(raw, 1).
+    folds = []
+    prev_b, prev_i = "CAST(0.0 AS DOUBLE)", "'SECT_INCONNU'"
+    for i, (sid, _, _) in enumerate(classify.SECTOR_CATALOG):
+        folds.append(
+            f"f{i} AS (SELECT *, "
+            f"CASE WHEN s{i} > {prev_b} THEN least(s{i}, CAST(1.0 AS DOUBLE)) ELSE {prev_b} END AS b{i}, "
+            f"CASE WHEN s{i} > {prev_b} THEN '{sid}' ELSE {prev_i} END AS i{i} "
+            f"FROM {'s' if i == 0 else f'f{i-1}'})"
+        )
+        prev_b, prev_i = f"b{i}", f"i{i}"
+    last = len(classify.SECTOR_CATALOG) - 1
+    folds_sql = ",\n".join(folds)
+    return f"""
+WITH base AS (
+  SELECT p_partkey,
+    lower(CASE p_partkey % {n} {text_case} END) AS low,
+    lower(CASE p_partkey % {n} {title_case} END) AS tlow
+  FROM part
+),
+s AS (
+  SELECT p_partkey, low, tlow,
+    {scores}
+  FROM base
+),
+{folds_sql}
+SELECT p_partkey, i{last} AS secteur_id, round(b{last}, 6) AS confidence FROM f{last}
+"""
+
+
+register(QuerySpec(
+    "sector_scoring_full", _sector_full, _build_sector_oracle(),
+    "full sector formula: kw x0.3 cap 0.8 + company 0.5 + title 0.2/kw, cap 1.0 "
+    "(classify_sector_udf, extract_sectors.py:304-345)",
+    ("domain", "classify"),
 ))
 
 

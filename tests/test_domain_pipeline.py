@@ -59,6 +59,46 @@ def test_salary_enrichment(spark, raw):
     assert parsed and all(r.salaire_max >= r.salaire_min for r in parsed)
 
 
+def test_salary_inference_third_tier(spark):
+    # Offers with no structured amount and no parseable text fall back
+    # to the context grid (extract_salary.py:180-250): 'senior' title in
+    # Abidjan on CDD -> int(int(500000*1.2)*0.9) = 540000; a title with
+    # no grid keyword stays null with confidence 0 / source 'none'.
+    from bigdata_jobmatching_spark.functions import salary as SAL
+
+    df = spark.createDataFrame(
+        [("Senior développeur web", "Abidjan, Plateau", "CDD 6 mois"),
+         ("Data Scientist junior", "Bouaké", "CDI"),
+         ("Comptable", "Abidjan", "CDI")],
+        "title string, location string, contract_type string",
+    )
+    rows = df.select(
+        SAL.infer_salary_range(
+            F.col("title"), F.col("location"), F.col("contract_type")
+        ).alias("s")
+    ).select("s.*").collect()
+    assert (rows[0].min_fcfa, rows[0].max_fcfa) == (540000.0, 1620000.0)
+    assert rows[0].confidence == 0.3 and rows[0].source == "inferred"
+    # 'junior' (first grid key) outranks 'data scientist'
+    assert (rows[1].min_fcfa, rows[1].max_fcfa) == (150000.0, 400000.0)
+    assert rows[2].min_fcfa is None and rows[2].confidence == 0.0 and rows[2].source == "none"
+
+
+def test_salary_inference_wired_into_pipeline(spark, raw):
+    n = P.enrich_salary(P.extract_skills(spark, P.normalize_offers(raw)))
+    rows = n.collect()
+    assert "salary_source" in n.columns
+    # every row lands in exactly one tier
+    assert {r.salary_source for r in rows} <= {"structured", "parsed", "inferred", "none"}
+    # the salary-less linkedin dup ("Ingénieur DevOps Cloud") must hit
+    # the grid via its 'devops' title keyword
+    inferred = [r for r in rows if r.salary_source == "inferred"]
+    assert inferred
+    for r in inferred:
+        assert r.salary_amount is None and r.salaire_min is not None
+        assert r.salary_confidence == 0.3
+
+
 def test_dedup_keeps_best_of_planted_pair(result):
     offers = result["offers_enriched"]
     dup = offers.filter(F.col("title") == "Ingénieur DevOps Cloud").collect()

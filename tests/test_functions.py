@@ -164,6 +164,59 @@ def test_canonical_city_variants(spark):
     assert out == ["Abidjan", "Abidjan", "Yamoussoukro", "San-Pédro", "Paris"]
 
 
+def test_classify_sector_full_formula(spark):
+    # Each row plants one component of the reference formula
+    # (extract_sectors.py:304-345); the bonus rows exist to FLIP the
+    # argmax away from the raw-keyword winner.
+    from bigdata_jobmatching_spark.functions import classify
+
+    df = spark.createDataFrame(
+        [
+            # company +0.5 flips: TIC has 2 text kw (0.6) but FINANCE's
+            # 1 kw + sgbci company = 0.8
+            ("Poste polyvalent", "developpeur informatique, audit interne chez SGBCI"),
+            # title +0.2/kw flips: AGRO 1 kw (0.3) vs TRANSPORT 2 kw
+            # (0.6) + title 'chauffeur' (0.2) = 0.8
+            ("Chauffeur poids lourd", "livraison de cacao"),
+            # multi-word keyword matches by substring
+            ("Technicien", "travaux sur chantier, genie civil"),
+            # cap at 1.0: 3 kw (0.8 capped) + company 0.5 + title 0.2
+            ("Commercial terrain", "vente en boutique Jumia CI"),
+            # tie keeps the earlier catalog sector (TIC before FINANCE)
+            ("Poste generaliste", "analyse data et audit interne"),
+            ("Stagiaire", "poste tout-terrain"),
+        ],
+        "title string, description string",
+    )
+    out = df.select(
+        classify.classify_sector(
+            F.concat_ws(" ", "title", "description"), F.col("title")
+        ).alias("s")
+    ).select("s.*").collect()
+    assert (out[0].secteur_id, out[0].confidence) == ("SECT_FINANCE", 0.8)
+    assert (out[1].secteur_id, out[1].confidence) == ("SECT_TRANSPORT", 0.8)
+    assert out[2].secteur_id == "SECT_BTP" and abs(out[2].confidence - 0.6) < 1e-9
+    assert (out[3].secteur_id, out[3].confidence) == ("SECT_COMMERCE", 1.0)
+    assert out[4].secteur_id == "SECT_TIC" and abs(out[4].confidence - 0.3) < 1e-9
+    assert (out[5].secteur_id, out[5].confidence) == ("SECT_INCONNU", 0.0)
+
+
+def test_sector_scores_bigram_keywords(spark):
+    # the data-driven join path must match two-word catalog entries
+    from bigdata_jobmatching_spark.functions import classify
+
+    catalog = spark.createDataFrame(
+        [("SECT_BTP", "genie civil"), ("SECT_TIC", "data")],
+        "secteur_id string, keyword string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "expert en genie civil"), (2, "analyste data"), (3, "rien ici")],
+        "id long, text string",
+    )
+    out = {r.id: r.secteur_id for r in classify.sector_scores(catalog, docs, "id", "text").collect()}
+    assert out == {1: "SECT_BTP", 2: "SECT_TIC"}
+
+
 def test_is_remote(spark):
     from bigdata_jobmatching_spark.functions import classify
 
