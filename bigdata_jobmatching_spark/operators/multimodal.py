@@ -75,6 +75,124 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+# ----------------------------------------------------- header sniffing --
+# One REAL modality with zero codec dependencies: container-header
+# metadata (format, width, height) parsed from the leading bytes of
+# the payload in pure Python. This is the part of image decode that
+# needs no pixel codec — PNG stores dims in the IHDR chunk, JPEG in
+# its SOFn frame header.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0..SOF15 minus DHT/JPG/DAC
+
+
+def parse_png_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR chunk, or None if not a PNG.
+
+    Layout: 8-byte signature, 4-byte chunk length, b'IHDR', then
+    width/height as 4-byte big-endian ints.
+    """
+    if len(b) < 24 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    return (
+        int.from_bytes(b[16:20], "big"),
+        int.from_bytes(b[20:24], "big"),
+    )
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn marker, or None.
+
+    Walks the marker stream: each segment is 0xFF, marker byte, 2-byte
+    big-endian length (inclusive of itself). SOFn payload is
+    [precision:1][height:2][width:2].
+    """
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:  # SOI
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: no length
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            return None
+        seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 9 > len(b):
+                return None
+            height = int.from_bytes(b[i + 5:i + 7], "big")
+            width = int.from_bytes(b[i + 7:i + 9], "big")
+            return (width, height)
+        i += 2 + seg_len
+    return None
+
+
+def sniff_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) for PNG/JPEG payloads, (None,)*3 else."""
+    if not b:
+        return (None, None, None)
+    dims = parse_png_header(b)
+    if dims is not None:
+        return ("png", dims[0], dims[1])
+    dims = parse_jpeg_header(b)
+    if dims is not None:
+        return ("jpeg", dims[0], dims[1])
+    return (None, None, None)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal structurally-valid PNG header (signature + IHDR) for
+    fixtures — the sniffer reads dims, no pixel data needed."""
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return _PNG_SIG + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00" * 4
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + APP0(JFIF) + SOF0 carrying the dims."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0_payload = b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01\x01\x11\x00"
+    sof0 = b"\xff\xc0" + (len(sof0_payload) + 2).to_bytes(2, "big") + sof0_payload
+    return b"\xff\xd8" + app0 + sof0
+
+
+def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append (hdr_format, hdr_width, hdr_height) parsed from the payload's
+    container header — mapInPandas over Arrow batches, pure Python,
+    no codec libs. All other columns pass through.
+
+    Scale: payload bytes never shuffle (narrow transformation on the
+    scan partitioning); the appended metadata is three small columns.
+    """
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("hdr_format", T.StringType()),
+            T.StructField("hdr_width", T.IntegerType()),
+            T.StructField("hdr_height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sniffed = pdf[payload_col].apply(
+                lambda b: sniff_header(bytes(b) if b is not None else None)
+            )
+            out = pdf.copy()
+            out["hdr_format"] = sniffed.str[0]
+            out["hdr_width"] = sniffed.str[1].astype("Int32")
+            out["hdr_height"] = sniffed.str[2].astype("Int32")
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (native explode over a sequence — the decode of each

@@ -42,6 +42,37 @@ def test_real_decode_is_explicitly_stubbed(media):
         MM.extract_features(media, fake=False)
 
 
+def test_png_jpeg_header_parsers_pure_python():
+    assert MM.parse_png_header(MM.make_png(640, 480)) == (640, 480)
+    assert MM.parse_jpeg_header(MM.make_jpeg(1920, 1080)) == (1920, 1080)
+    # JPEG parser must skip APP0 and find SOF0 even with extra markers
+    jpeg = MM.make_jpeg(8, 8)
+    assert MM.sniff_header(jpeg) == ("jpeg", 8, 8)
+    assert MM.sniff_header(MM.make_png(1, 1)) == ("png", 1, 1)
+    # truncated / garbage / empty payloads degrade to None, never raise
+    assert MM.sniff_header(MM.make_png(9, 9)[:10]) == (None, None, None)
+    assert MM.sniff_header(b"\xff\xd8\xff") == (None, None, None)
+    assert MM.sniff_header(b"not an image") == (None, None, None)
+    assert MM.sniff_header(None) == (None, None, None)
+    assert MM.sniff_header(b"") == (None, None, None)
+
+
+def test_sniff_image_dims_mapinpandas(spark):
+    rows = [
+        ("a", MM.make_png(300, 200)),
+        ("b", MM.make_jpeg(64, 32)),
+        ("c", b"garbage"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r.media_id: r for r in MM.sniff_image_dims(df).collect()}
+    assert (out["a"].hdr_format, out["a"].hdr_width, out["a"].hdr_height) == ("png", 300, 200)
+    assert (out["b"].hdr_format, out["b"].hdr_width, out["b"].hdr_height) == ("jpeg", 64, 32)
+    assert out["c"].hdr_format is None and out["d"].hdr_width is None
+    # pass-through of the original columns
+    assert out["a"].payload is not None
+
+
 def test_frame_sampling(spark, media):
     frames = MM.sample_frames(media, every_ms=1000).collect()
     # vid1: 3500ms -> samples at 0,1000,2000,3000
