@@ -51,6 +51,7 @@ def connected_components(
         )
         prop = labels.join(neigh, "node", "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
         # pointer-jumping shortcut: follow my label's own label, which
@@ -62,19 +63,17 @@ def connected_components(
             prop.join(parent, prop.label == parent.p_node, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
             )
+            # the convergence flag rides the SAME materialization — the
+            # changed-check below is a scan of checkpointed data, not
+            # another old-vs-new join job.
+            .withColumn("changed", F.col("label") != F.col("old_label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if new_labels.filter(F.col("changed")).limit(1).count() == 0:
             break
     else:
         # never return silently-wrong component labels: unconverged

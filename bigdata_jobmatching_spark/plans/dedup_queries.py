@@ -147,7 +147,7 @@ SELECT doc_id FROM (
 register(QuerySpec(
     "docs_dedup_keep_best", _keep_best, _KEEP_BEST_SQL,
     "end-to-end near-dup dedup: pairs -> min-id groups -> keep-best window",
-    ("dedup", "window", "join"),
+    ("dedup", "window", "join", "bench"),
 ))
 
 

@@ -94,21 +94,78 @@ BLOB_META_PATTERNS = {
     "scraped_at": r'"scraped_at"\s*:\s*"([^"]+)"',
 }
 
-HTML_FIELD_PATTERNS = {
-    # fixture-HTML CSS hooks the reference extractors target
-    # (parse_jobs.py:50-53, 83-85, 124-127, 203-205, 242-244)
-    "title": r'<h1[^>]*class="job-title"[^>]*>\s*(.*?)\s*</h1>',
-    "company": r'<[^>]*class="company-name"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
-    "description": r'<[^>]*class="job-description"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
-    "requirements": r'<[^>]*class="requirements"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
-    "location": r'<[^>]*class="location"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
-    "salary_text": r'<[^>]*class="salary"[^>]*>\s*(.*?)\s*</[a-z0-9]+>',
+def _hook(cls: str, tag: str = "[a-z][a-z0-9]*") -> tuple[str, int]:
+    """Class-selector pattern tolerant of real-world markup: any
+    attribute order, single or double quotes, multiple classes in the
+    attribute, whitespace around '='; the closing tag is backref'd to
+    whatever tag actually opened. Content is capture group 2."""
+    return (
+        rf'(?s)<({tag})\b[^>]*class\s*=\s*["\'][^"\']*'
+        rf'(?<![\w-]){cls}(?![\w-])'
+        rf'[^"\']*["\'][^>]*>\s*(.*?)\s*</\1\s*>',
+        2,
+    )
+
+
+def _plain(tag: str) -> tuple[str, int]:
+    return (rf"(?s)<({tag})\b[^>]*>\s*(.*?)\s*</\1\s*>", 2)
+
+
+# Selector cascades mirroring the reference's BeautifulSoup lists —
+# same order, same min-length validation (parse_jobs.py: title 50-58
+# len>5, company 83-89 len>2, description 124-131 len>50,
+# requirements 161-166 len>10, location 203-207 len>2, salary 242-246
+# non-empty). Each entry: (pattern, capture_group, min_len).
+HTML_FIELD_CASCADES: dict[str, tuple[tuple[str, int, int], ...]] = {
+    "title": tuple(
+        (p, g, 5) for p, g in (
+            _hook("job-title", "h1"), _hook("title", "h1"), _hook("offer-title"),
+            _plain("h1"), _plain("title"),
+        )
+    ),
+    "company": tuple(
+        (p, g, 2) for p, g in (
+            _hook("company-name"), _hook("employer"), _hook("company"),
+        )
+    ) + (
+        # textual fallback (parse_jobs.py:95-107); IGNORECASE like the
+        # reference, which also makes its [A-Z] match any case
+        (r"(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)", 1, 2),
+    ),
+    "description": tuple(
+        (p, g, 50) for p, g in (
+            _hook("job-description"), _hook("description"), _hook("offer-description"),
+            _hook("job-content"), _hook("content"), _hook("main-content"),
+        )
+    ),
+    "requirements": tuple(
+        (p, g, 10) for p, g in (
+            _hook("requirements"), _hook("qualifications"), _hook("skills"),
+            _hook("competences"), _hook("profile"),
+        )
+    ),
+    "location": tuple(
+        (p, g, 2) for p, g in (
+            _hook("location"), _hook("place"), _hook("city"), _hook("address"),
+        )
+    ),
+    "salary_text": tuple(
+        (p, g, 0) for p, g in (
+            _hook("salary"), _hook("remuneration"), _hook("compensation"), _hook("pay"),
+        )
+    ) + (
+        # FCFA regex fallbacks over the page text (parse_jobs.py:249-253)
+        (r"(\d+(?:[\s\.,]\d+)*\s*(?:FCFA|CFA|XOF|francs?|€|\$))", 1, 0),
+        (r"(?i)(?:salaire|rémunération|paye)\s*:?\s*(\d+(?:[\s\.,]\d+)*[^\n,<]*)", 1, 0),
+    ),
 }
 
-FALLBACK_PATTERNS = {
-    "title": r"<title>\s*(.*?)\s*</title>",
-    "salary_text": r"((?:\d[\d \.,]*)\s*(?:-|à)?\s*(?:\d[\d \.,]*)?\s*FCFA[^<]*)",
-}
+# city-list fallback for location (parse_jobs.py:209-218), tried in
+# list order against the lowered page, canonical capitalization kept
+CI_CITIES = (
+    "Abidjan", "Bouaké", "Daloa", "Yamoussoukro", "San-Pédro",
+    "Korhogo", "Man", "Gagnoa", "Divo", "Soubré", "Côte d'Ivoire",
+)
 
 
 def split_blobs(blobs: DataFrame) -> DataFrame:
@@ -127,18 +184,65 @@ def split_blobs(blobs: DataFrame) -> DataFrame:
     return df
 
 
+def _strip_tags(c: Column) -> Column:
+    """get_text(strip=True) analog: drop tags, squeeze whitespace."""
+    return F.trim(F.regexp_replace(F.regexp_replace(c, r"<[^>]+>", ""), r"\s+", " "))
+
+
 def parse_html_fields(df: DataFrame) -> DataFrame:
-    """CSS-hook regex cascade with fallbacks + parsing quality score
-    (parse_jobs.py:404-441 semantics, native regexp_extract)."""
+    """Selector-cascade extraction with fallbacks + parsing quality
+    score (parse_jobs.py:41-260 semantics, native regexp_extract).
+
+    Each field tries its cascade in the reference's selector order:
+    the first candidate whose TAG-STRIPPED text passes the min-length
+    validation wins (coalesce over null-if-invalid steps — one
+    projection, no Python). Hardened against real markup: attribute
+    reorder, single quotes, multi-class attributes, nested inline
+    tags, and whitespace all extract correctly (see the adversarial
+    fixtures in tests)."""
     out = df
-    for name, pat in HTML_FIELD_PATTERNS.items():
-        primary = F.regexp_extract("html", pat, 1)
-        fb = FALLBACK_PATTERNS.get(name)
-        val = F.when(primary != "", primary)
-        if fb is not None:
-            fallback = F.regexp_extract("html", fb, 1)
-            val = val.otherwise(F.when(fallback != "", fallback))
-        out = out.withColumn(name, val)
+    for name, steps in HTML_FIELD_CASCADES.items():
+        candidates = []
+        for pat, grp, mn in steps:
+            txt = _strip_tags(F.regexp_extract("html", pat, grp))
+            cond = (F.length(txt) > mn) if mn else (txt != "")
+            candidates.append(F.when(cond, txt))
+        out = out.withColumn(name, F.coalesce(*candidates))
+    # location city-list fallback + country default (parse_jobs.py:209-221)
+    low = F.lower(F.col("html"))
+    city_fb = F.coalesce(
+        *[F.when(low.contains(c.lower()), F.lit(c)) for c in CI_CITIES]
+    )
+    out = out.withColumn("location", F.coalesce(F.col("location"), city_fb, F.lit("Côte d'Ivoire")))
+    # description final fallback: page text minus chrome, >100 chars,
+    # first 2000 (parse_jobs.py:138-145)
+    page_txt = _strip_tags(
+        F.regexp_replace(
+            F.col("html"),
+            r"(?s)<(script|style|nav|header|footer|aside)\b.*?</\1\s*>",
+            " ",
+        )
+    )
+    out = out.withColumn(
+        "description",
+        F.coalesce(
+            F.col("description"),
+            F.when(F.length(page_txt) > 100, F.substring(page_txt, 1, 2000)),
+        ),
+    )
+    # requirements bullet-list fallback from the description text
+    # (parse_jobs.py:180-186: first 10 items, space-joined)
+    bullets = F.array_join(
+        F.slice(
+            F.regexp_extract_all(F.col("description"), F.lit(r"[•\-\*]\s*([^\n•\-\*]+)"), F.lit(1)),
+            1, 10,
+        ),
+        " ",
+    )
+    out = out.withColumn(
+        "requirements",
+        F.coalesce(F.col("requirements"), F.when(bullets != "", bullets)),
+    )
     quality = (
         F.when(F.col("title").isNotNull(), 1.0).otherwise(0.0)
         + F.when(F.col("company").isNotNull(), 1.0).otherwise(0.0)

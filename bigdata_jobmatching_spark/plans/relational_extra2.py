@@ -85,7 +85,7 @@ WHERE part_value > 0.0005 * tv
 register(QuerySpec(
     "important_stock_shares", _q11, _Q11_SQL,
     "group aggregate filtered by a global scalar fraction (TPC-H Q11 shape)",
-    ("relational", "agg", "subquery"),
+    ("relational", "agg", "subquery", "bench"),
 ))
 
 
@@ -124,5 +124,5 @@ FROM events WHERE user_id < 20
 register(QuerySpec(
     "events_running_value", _running, _RUNNING_SQL,
     "explicit window frames: running decimal sum + sliding 3-row count",
-    ("relational", "window", "frame"),
+    ("relational", "window", "frame", "bench"),
 ))

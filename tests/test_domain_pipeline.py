@@ -156,3 +156,43 @@ def test_write_warehouse_partitioned(spark, result, tmp_path):
     assert "PartitionFilters" in plan
     dim = spark.read.parquet(str(tmp_path / "wh" / "dim_competence"))
     assert dim.count() == result["dim_competence"].count()
+
+
+def test_html_cascade_adversarial_markup(spark):
+    # Real-world markup the old fixture-hook regexes missed: attribute
+    # reorder, single quotes, multi-class attributes, nested inline
+    # tags, whitespace around '=', and missing hooks falling through
+    # the reference's selector cascade (parse_jobs.py:41-260).
+    adversarial = """<html><head><title>Fallback Title Page</title></head><body>
+    <h1 data-x="1" class = 'headline job-title featured'>
+      Ingénieur <span>Data</span> Senior
+    </h1>
+    <div id="c" class="inner company-name">Orange <strong>CI</strong></div>
+    <section class='job-description main'>
+      Nous construisons des plateformes de données distribuées pour nos clients
+      et cherchons un profil confirmé en ingénierie logicielle.
+    </section>
+    <p class="qualifications">5 ans d'expérience en python</p>
+    <em class="city">Yamoussoukro</em>
+    <b class="remuneration">600 000 FCFA par mois</b>
+    </body></html>"""
+    no_hooks = """<html><head><title>Offre courte</title></head><body>
+    <p>Poste base a Korhogo. Salaire : 250 000 FCFA net.</p></body></html>"""
+    df = spark.createDataFrame(
+        [("{}", adversarial), ("{}", no_hooks)], "metadata string, html string"
+    )
+    out = P.parse_html_fields(df).collect()
+    a, b = out[0], out[1]
+    # nested tags stripped, whitespace squeezed
+    assert a.title == "Ingénieur Data Senior"
+    assert a.company == "Orange CI"
+    assert a.description.startswith("Nous construisons des plateformes")
+    assert a.requirements == "5 ans d'expérience en python"
+    # .city and .remuneration are deeper cascade steps
+    assert a.location == "Yamoussoukro"
+    assert a.salary_text == "600 000 FCFA par mois"
+    assert a.parsing_quality_score == 1.0
+    # no hooks at all: <title> fallback, city-list fallback, FCFA regex
+    assert b.title == "Offre courte"
+    assert b.location == "Korhogo"
+    assert b.salary_text is not None and "250" in b.salary_text
