@@ -211,3 +211,75 @@ def rolling_hash_fingerprint(c: Column, window: int = 8, keep: int = 4) -> Colum
         return F.md5(F.array_join(F.transform(kept, lambda h: h.cast("string")), "_"))
 
     return let(tokens(c), body)
+
+
+# Gopher-rule document filter thresholds (Rae et al. 2021,
+# arXiv:2112.11446, Table A1 — public paper). The repetition signal is
+# adapted to single-line docs: fraction of the (capped) bigram list
+# taken by its most frequent bigram, vs the paper's top-2-gram
+# character fraction.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+# bounded work per doc: the O(distinct x len) repetition scan runs on
+# at most this many bigrams, so a 1M-token document costs the same as
+# a 257-token one — the cap is what makes the rule safe at 100 TB.
+GOPHER_REPETITION_CAP = 256
+
+
+def gopher_stats(c: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
+    """struct(n_words, mean_word_len, alpha_word_ratio, stop_hits,
+    top_bigram_frac, passes) — the Gopher quality-filter signals as
+    ONE native projection (tokens let-bound, zero shuffles).
+
+    ``passes`` is the conjunction of all five rules; short docs with
+    no bigrams fail (they are below GOPHER_MIN_WORDS anyway).
+    """
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        mwl = _mean_word_length(toks)
+        alpha = F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n,
+        ).otherwise(F.lit(0.0))
+        stop_hits = _stopword_hits(toks, stopwords)
+        bigrams = F.slice(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            1, GOPHER_REPETITION_CAP,
+        )
+
+        def rep(bg: Column) -> Column:
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda d: F.size(F.filter(bg, lambda x: x == d)),
+                )
+            )
+            return F.when(F.size(bg) > 0, top / F.size(bg))
+
+        top_frac = let(bigrams, rep)
+        passes = (
+            (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MEAN_WORD_LEN) & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (alpha >= GOPHER_MIN_ALPHA_RATIO)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+            & F.coalesce(top_frac <= GOPHER_MAX_TOP_BIGRAM_FRAC, F.lit(False))
+        )
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            F.round(mwl, 6).alias("mean_word_len"),
+            F.round(alpha, 6).alias("alpha_word_ratio"),
+            stop_hits.cast("long").alias("stop_hits"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            passes.alias("passes"),
+        )
+
+    return let(tokens(c), body)

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import events_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
+    from . import mixing_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
     from . import relational_extra2  # noqa: F401
     from . import skills_queries  # noqa: F401

@@ -211,3 +211,70 @@ register(QuerySpec(
     "canonical token-set md5 fingerprint (doc identity for exact dedup)",
     ("text", "fingerprint"),
 ))
+
+
+# --- doc_gopher_filter: Gopher-rule quality gate ---------------------------
+# The five-rule document filter a pretraining pipeline runs before
+# dedup (word-count band, mean-word-length band, alphabetic-word
+# ratio, stopword evidence, bigram repetition). The oracle recomputes
+# every signal with DuckDB list lambdas from the same constants.
+
+def _gopher(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    s = X.gopher_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["alpha_word_ratio"].alias("alpha_word_ratio"),
+        s["stop_hits"].alias("stop_hits"),
+        s["top_bigram_frac"].alias("top_bigram_frac"),
+        s["passes"].alias("passes"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) > 0
+         THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS alpha,
+    len(list_filter(toks, t -> t IN ({_EN}))) AS stop_hits,
+    list_slice(
+      list_transform(
+        list_zip(list_slice(toks, 1, len(toks) - 1), list_slice(toks, 2, len(toks))),
+        p -> p[1] || ' ' || p[2]),
+      1, {X.GOPHER_REPETITION_CAP}) AS bg
+  FROM tok
+),
+rep AS (
+  SELECT doc_id, n, mwl, alpha, stop_hits,
+    CASE WHEN len(bg) > 0
+         THEN CAST(list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+    END AS tbf
+  FROM sig
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(alpha, 6) AS alpha_word_ratio,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  round(tbf, 6) AS top_bigram_frac,
+  (n >= {X.GOPHER_MIN_WORDS} AND n <= {X.GOPHER_MAX_WORDS}
+   AND mwl >= {X.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {X.GOPHER_MAX_MEAN_WORD_LEN}
+   AND alpha >= {X.GOPHER_MIN_ALPHA_RATIO}
+   AND stop_hits >= {X.GOPHER_MIN_STOP_HITS}
+   AND COALESCE(tbf <= {X.GOPHER_MAX_TOP_BIGRAM_FRAC}, FALSE)) AS passes
+FROM rep
+"""
+
+register(QuerySpec(
+    "doc_gopher_filter", _gopher, _GOPHER_SQL,
+    "Gopher-rule document quality filter (word/mwl bands, alpha ratio, "
+    "stopword evidence, capped bigram repetition; arXiv:2112.11446 Table A1)",
+    ("text", "quality"),
+))

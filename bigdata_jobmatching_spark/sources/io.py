@@ -115,3 +115,32 @@ def read_blobs(spark: SparkSession, glob_path: str) -> DataFrame:
     is a wholetext scan so each file is one row.
     """
     return spark.read.text(glob_path, wholetext=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, optionally sorted parquet table (the warehouse-sink
+    clustering analog of the reference's load_to_bigquery.py
+    partition+cluster spec, taken one step further for Spark).
+
+    Bucketing pre-shuffles the data ONCE at write time: every later
+    join or aggregation on the bucket key reads co-located files and
+    skips its shuffle entirely — at 100 TB the dominant cost of a
+    fact-to-fact join. `sort_cols` additionally pre-sorts within
+    buckets so sort-merge joins skip their sort. Bucketed output
+    requires the table catalog (`saveAsTable`); `path` makes it an
+    external table at that location.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

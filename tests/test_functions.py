@@ -226,3 +226,28 @@ def test_is_remote(spark):
     )
     out = [r.r for r in df.select(classify.is_remote(F.col("t")).alias("r")).collect()]
     assert out == [True, True, False, False]
+
+
+def test_gopher_stats_rules(spark):
+    from bigdata_jobmatching_spark.functions import text as X
+
+    base = "the quick brown fox jumps over a lazy dog in the field and runs far " * 5
+    rows = [
+        ("ok", base),                                     # passes all rules
+        ("short", "the quick brown fox"),                 # < 50 words
+        ("repeat", "the fox " * 60),                      # top bigram dominates
+        ("numeric", " ".join("123 456 789" for _ in range(30))),  # alpha ratio 0
+        ("nostop", "zum zug bahn hof haus berg tal see " * 10),   # no EN stopwords
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {r.id: r.s for r in df.select("id", X.gopher_stats(F.col("text")).alias("s")).collect()}
+    assert out["ok"].passes
+    assert out["ok"].n_words == 75 and out["ok"].stop_hits >= 2
+    assert not out["short"].passes and out["short"].n_words == 4
+    assert not out["repeat"].passes
+    assert out["repeat"].top_bigram_frac > X.GOPHER_MAX_TOP_BIGRAM_FRAC
+    assert not out["numeric"].passes and out["numeric"].alpha_word_ratio == 0.0
+    assert not out["nostop"].passes and out["nostop"].stop_hits == 0
+    assert not out["empty"].passes and out["empty"].n_words == 0
+    assert out["empty"].top_bigram_frac is None

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from bigdata_jobmatching_spark.plans.catalog import load_all
 
 REGISTRY = load_all()
@@ -86,3 +88,44 @@ def test_warehouse_partition_pruning(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(str(tmp_path / "t")).filter(F.col("day") == "2024-01-05")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*day", plan)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    # Co-located fact-to-fact join: both sides bucketed on the join key
+    # at write time -> the join plan contains NO Exchange. At 100 TB
+    # this is the difference between reading co-located files and
+    # re-shuffling the whole fact table on every join.
+    from bigdata_jobmatching_spark.sources.io import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders, "b_orders", ("o_custkey",), 8,
+        sort_cols=("o_custkey",), path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        cust, "b_customer", ("c_custkey",), 8,
+        sort_cols=("c_custkey",), path=str(tmp_path / "b_customer"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself must be exchange-free; the post-join groupBy
+        # aggregates on a different key and may legitimately shuffle
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_part
+        assert "bucketed scan" in plan.lower() or "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
