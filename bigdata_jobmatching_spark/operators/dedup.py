@@ -192,3 +192,34 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= cosine_threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs — the half of the
+    reference's declared "Jaccard + Fuzzy matching" algorithm
+    (deduplicate.py:13) it never built (levenshtein imported at
+    deduplicate.py:23, unused). Spark-native completion.
+
+    Blocked self-join (default block: first text token, which survives
+    mid-string edits) keeps candidate generation O(block²);
+    `id_a < id_b` halves the pair set; the O(len²)-per-pair
+    levenshtein only runs on in-block candidates — never all-pairs.
+    Cap text length upstream for long documents (edit distance on
+    100 KB blobs is the wrong tool; fingerprint those instead).
+    """
+    key = block_expr if block_expr is not None else F.split(F.col(text_col), " ").getItem(0)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), key.alias("bk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), key.alias("bk"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

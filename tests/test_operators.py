@@ -132,3 +132,19 @@ def test_matching_zero_salary_bounds_no_ansi_abort(spark):
     assert rows[1].salary_match_pct == 0.5  # wish above hi=0 -> neutral
     # job 2: wish=500 above hi=200 -> linear decay 1 - 300/100 -> clamp 0
     assert rows[2].salary_match_pct == 0.0
+
+
+def test_levenshtein_pairs_blocked(spark):
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    rows = [
+        (1, "ingenieur logiciel senior"),
+        (2, "ingenieur logiciel senio"),    # 1 edit from id 1
+        (3, "ingenieur reseau junior"),     # same block, far
+        (4, "comptable confirme"),          # different block
+        (5, "comptable confirmee"),         # 1 edit from id 4
+    ]
+    df = spark.createDataFrame(rows, "id long, title string")
+    out = {(r.id_a, r.id_b): r.distance
+           for r in D.levenshtein_pairs(df, "id", "title", max_distance=3).collect()}
+    assert out == {(1, 2): 1, (4, 5): 1}
