@@ -1,0 +1,109 @@
+"""Plain-driver orchestration of the batch chain (SURVEY §2.10).
+
+The reference sequences parse -> skills -> salary -> dedup -> sectors
+as Airflow SparkSubmit tasks (processing_spark_dag.py:159) with a
+quality gate that counts output files per stage directory and fails
+in strict mode when a required stage produced nothing
+(processing_spark_dag.py:55-88). Parity needs the SEMANTICS, not
+Airflow: a stage-function driver that lands every intermediate as
+parquet (so any stage can be re-run or inspected independently, like
+the reference's lake layout) and the same count-based gate.
+
+At scale the stage landings are the checkpoint/restart story: each
+stage is a pure function of the previous stage's parquet, so a failed
+run resumes from the last good directory instead of recomputing the
+chain.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans import domain_pipeline as P
+from .sources.io import write_stage
+
+# stage name -> required in the quality gate (the reference marks only
+# the parse landing as required; enrichments are optional directories)
+STAGES: tuple[tuple[str, bool], ...] = (
+    ("jobs_parsed", True),
+    ("skills_enriched", False),
+    ("salaries_enriched", False),
+    ("deduplicated", False),
+    ("sectors_enriched", False),
+)
+WAREHOUSE_TABLES = ("fact_offres", "dim_entreprise", "dim_localisation", "dim_competence")
+
+
+def quality_check(spark: SparkSession, out_dir: str, strict: bool = True) -> dict:
+    """File+row counts per stage directory; strict mode raises when a
+    required stage is empty (processing_spark_dag.py:55-88 semantics,
+    with row counts added — file existence alone passes on an empty
+    parquet write)."""
+    stats: dict[str, dict] = {}
+    problems: list[str] = []
+    for name, required in STAGES + tuple((f"warehouse/{t}", True) for t in WAREHOUSE_TABLES):
+        d = Path(out_dir) / name
+        files = len(list(d.rglob("*.parquet"))) if d.exists() else 0
+        rows = spark.read.parquet(str(d)).count() if files else 0
+        stats[name] = {"required": required, "files": files, "rows": rows}
+        if required and rows == 0:
+            problems.append(name)
+    if strict and problems:
+        raise ValueError(f"quality gate: no output for required stages {problems}")
+    return stats
+
+
+def run_staged_pipeline(
+    spark: SparkSession,
+    raw_offers: DataFrame,
+    out_dir: str,
+    strict: bool = True,
+) -> dict:
+    """The reference's chain with per-stage parquet landings and the
+    quality gate; returns the gate stats."""
+    normalized = P.normalize_offers(raw_offers)
+    write_stage(normalized, f"{out_dir}/jobs_parsed", ("source",))
+
+    with_skills = P.extract_skills(spark, spark.read.parquet(f"{out_dir}/jobs_parsed"))
+    write_stage(with_skills, f"{out_dir}/skills_enriched", ("source",))
+
+    with_salary = P.enrich_salary(spark.read.parquet(f"{out_dir}/skills_enriched"))
+    write_stage(with_salary, f"{out_dir}/salaries_enriched", ("source",))
+
+    deduped = P.dedup_offers(spark.read.parquet(f"{out_dir}/salaries_enriched"))
+    write_stage(deduped, f"{out_dir}/deduplicated", ("source",))
+
+    with_sectors = P.enrich_sectors(spark, spark.read.parquet(f"{out_dir}/deduplicated"))
+    write_stage(with_sectors, f"{out_dir}/sectors_enriched", ("source",))
+
+    wh = P.build_warehouse(spark, spark.read.parquet(f"{out_dir}/sectors_enriched"))
+    P.write_warehouse(wh, f"{out_dir}/warehouse")
+
+    return quality_check(spark, out_dir, strict=strict)
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from .schemas import JOB_RAW_SCHEMA
+    from .session import get_spark
+    from .sources.io import read_json_records
+
+    ap = argparse.ArgumentParser(description="staged batch pipeline driver")
+    ap.add_argument("input", help="JSON-lines raw offers path")
+    ap.add_argument("out_dir", help="stage/warehouse output directory")
+    ap.add_argument("--no-strict", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("staged-pipeline")
+    raw = read_json_records(spark, args.input, JOB_RAW_SCHEMA)
+    stats = run_staged_pipeline(spark, raw, args.out_dir, strict=not args.no_strict)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -196,3 +196,23 @@ def test_html_cascade_adversarial_markup(spark):
     assert b.title == "Offre courte"
     assert b.location == "Korhogo"
     assert b.salary_text is not None and "250" in b.salary_text
+
+
+def test_staged_pipeline_driver_and_quality_gate(spark, raw, tmp_path):
+    import json as J
+
+    from bigdata_jobmatching_spark import orchestrate as O
+
+    stats = O.run_staged_pipeline(spark, raw, str(tmp_path / "lake"))
+    # every stage landed rows and the gate saw them
+    assert all(s["rows"] > 0 for s in stats.values())
+    assert stats["jobs_parsed"]["required"] and stats["warehouse/fact_offres"]["required"]
+    # stage landings are re-readable (restart story): sectors output
+    # equals the in-memory chain's row count
+    n_disk = spark.read.parquet(str(tmp_path / "lake" / "sectors_enriched")).count()
+    assert n_disk == stats["sectors_enriched"]["rows"]
+    # strict gate fails on an empty/missing required stage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quality gate"):
+        O.quality_check(spark, str(tmp_path / "nowhere"), strict=True)
