@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): the parser/similarity kernels
+hold their invariants on GENERATED inputs, not just pinned fixtures.
+
+Each property runs ONE Spark job per example over a generated batch
+(hypothesis drives the batch content; examples kept small because a
+Spark round-trip is ~1s).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.functions import salary as SAL
+from bigdata_jobmatching_spark.functions import similarity as S
+from bigdata_jobmatching_spark.functions import text as X
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_amounts = st.lists(st.integers(min_value=1000, max_value=9_999_999), min_size=8, max_size=24)
+
+
+@given(amounts=_amounts, fam=st.lists(st.integers(0, 2), min_size=8, max_size=24))
+@settings(**_SETTINGS)
+def test_salary_parser_matches_arithmetic(spark, amounts, fam):
+    # range / single-FCFA / yearly-EUR families must parse back to the
+    # planted amounts under the documented conversions (x655, /12)
+    rows = []
+    for a, f in zip(amounts, fam):
+        if f == 0:
+            rows.append((f"Salaire: {a} - {a + 50000} FCFA par mois", float(a), float(a + 50000)))
+        elif f == 1:
+            rows.append((f"{a} FCFA", float(a), float(a)))
+        else:
+            rows.append((f"environ {a} EUR par an", a * 655.0 / 12.0, a * 655.0 / 12.0))
+    df = spark.createDataFrame(rows, "txt string, want_min double, want_max double")
+    out = df.select("want_min", "want_max", SAL.parse_salary(F.col("txt")).alias("s")).collect()
+    for r in out:
+        assert r.s.min_fcfa == r.want_min and r.s.max_fcfa == r.want_max
+        assert r.s.min_fcfa <= r.s.avg_fcfa <= r.s.max_fcfa
+
+
+_texts = st.lists(
+    st.text(alphabet="abcdefg h", min_size=0, max_size=60),
+    min_size=6, max_size=16,
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_jaccard_identity_symmetry_bounds(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    a = df.select(F.col("id").alias("ia"), F.col("t").alias("ta"))
+    b = df.select(F.col("id").alias("ib"), F.col("t").alias("tb"))
+    pairs = a.crossJoin(b).select(
+        "ia", "ib",
+        S.jaccard(X.tokens(F.col("ta")), X.tokens(F.col("tb"))).alias("j"),
+    ).collect()
+    vals = {(r.ia, r.ib): r.j for r in pairs}
+    for (i, j), v in vals.items():
+        assert 0.0 <= v <= 1.0
+        assert v == vals[(j, i)]  # symmetric
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        if toks:
+            assert vals[(i, i)] == 1.0  # identity on non-empty docs
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**31), min_size=10, max_size=30, unique=True))
+@settings(**_SETTINGS)
+def test_lcg_split_engine_independent(spark, ids):
+    # the train/val carve-out must equal its pure-Python twin exactly
+    from bigdata_jobmatching_spark.plans.mixing_queries import _LCG_A, _LCG_C, _LCG_M, _VAL_PCT
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    h = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M
+    out = {
+        r.doc_id: r.split
+        for r in df.select(
+            "doc_id",
+            F.when(h < _LCG_M * _VAL_PCT // 100, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+        ).collect()
+    }
+    for i in ids:
+        want = "val" if (i * _LCG_A + _LCG_C) % _LCG_M < _LCG_M * _VAL_PCT // 100 else "train"
+        assert out[i] == want
+
+
+@given(texts=st.lists(st.text(alphabet="abcde fg", min_size=0, max_size=40), min_size=4, max_size=10))
+@settings(**_SETTINGS)
+def test_ngram_shingles_never_crash_and_bound(spark, texts):
+    # the round-1 advisor crash class: short/empty docs through the
+    # shingling kernels must yield empty arrays, never slice errors
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    out = df.select(
+        "id",
+        F.size(S.word_ngrams(F.col("t"), 3)).alias("n3"),
+        X.rolling_hash_fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    for r, (_, t) in zip(out, enumerate(texts)):
+        n = len([w for w in t.split() if w])
+        assert r.n3 == max(n - 2, 0)
+        assert r.fp is not None and len(r.fp) == 32  # md5 hex, even for short docs
