@@ -167,3 +167,40 @@ def simhash64(token_array: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHashes (bigint cols)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# Oracle-friendly MinHash hash family: token -> integer via the first
+# 15 md5 hex digits (engine-independent, unlike xxhash64), then k LCG
+# permutations (a*x + b) mod p. p fits 31 bits so a*x stays inside
+# int64 — every step is exact in both Spark and DuckDB, making the
+# FULL LSH pipeline value-verifiable, not just rows-checkable.
+MINHASH_P = 2_147_483_647
+
+
+def lcg_seeds(k: int) -> tuple[tuple[int, int], ...]:
+    return tuple(
+        ((i * 2654435761 + 12582917) % MINHASH_P, (i * 40503 + 7) % MINHASH_P)
+        for i in range(k)
+    )
+
+
+def md5_token_hash(t: Column) -> Column:
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
+def md5_minhash_signature(token_array: Column, num_hashes: int = 16) -> Column:
+    """Cross-engine-exact MinHash signature (array<bigint>). Empty
+    sets map to the sentinel p (outside the mod range) so they never
+    collide with content signatures."""
+    seeds = lcg_seeds(num_hashes)
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_P
+
+    def body(hv: Column) -> Column:
+        return F.array(*[
+            F.coalesce(F.array_min(F.transform(hv, perm(a, b))), F.lit(MINHASH_P))
+            for a, b in seeds
+        ])
+
+    return let(F.transform(token_array, md5_token_hash), body)

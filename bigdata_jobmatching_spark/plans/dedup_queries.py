@@ -289,3 +289,111 @@ register(QuerySpec(
     "of deduplicate.py:13; levenshtein import unused in the reference)",
     ("dedup", "join"),
 ))
+
+
+# --- minhash_md5_near_dups: the LSH pipeline, VALUE-verified ---------------
+# Same banded shape as docs_minhash_near_dups, but over the md5+LCG
+# hash family (functions/similarity.py) that DuckDB reproduces bit for
+# bit — signatures, band keys, candidates, and verified Jaccard all
+# hash-compared. 16 hashes, 4 bands x 4 rows, verify >= 0.8 on
+# distinct 3-gram shingle sets (token sets are degenerate on the
+# test lake's 31-token vocabulary; shingles isolate the planted pair).
+
+_MMH_HASHES, _MMH_BANDS, _MMH_ROWS = 16, 4, 4
+_MMH_THRESHOLD = 0.8
+
+
+def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    base = (
+        d.select(
+            "doc_id",
+            F.array_distinct(S.word_ngrams(F.col("text"), 3)).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .withColumn("sig", S.md5_minhash_signature(F.col("ts"), _MMH_HASHES))
+    )
+    band_cells = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * _MMH_ROWS + 1, _MMH_ROWS),
+                    lambda h: h.cast("string"),
+                ),
+                "_",
+            ).alias("k"),
+        )
+        for b in range(_MMH_BANDS)
+    ])
+    bands = base.select("doc_id", F.explode(band_cells).alias("bk")).select(
+        "doc_id", "bk.band_idx", "bk.k"
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_idx", "k")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_idx", "k")
+    cand = (
+        a.join(b, ["band_idx", "k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ts = base.select("doc_id", "ts")
+    return (
+        cand.join(ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        .withColumn("jaccard", F.round(S.jaccard(F.col("ts_a"), F.col("ts_b")), 6))
+        .filter(F.col("jaccard") >= _MMH_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _build_minhash_md5_oracle() -> str:
+    p = S.MINHASH_P
+    mins = ",\n      ".join(
+        f"COALESCE(list_min(list_transform(hv, x -> (x * {a} + {b}) % {p})), {p})"
+        for a, b in S.lcg_seeds(_MMH_HASHES)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS ts FROM documents
+),
+nz AS (SELECT * FROM t WHERE len(ts) > 0),
+h AS (
+  SELECT doc_id, ts,
+    list_transform(ts, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % {p}) AS hv
+  FROM nz
+),
+s AS (
+  SELECT doc_id, [
+      {mins}
+    ] AS sig
+  FROM h
+),
+b AS (
+  SELECT doc_id, band_idx,
+    array_to_string(list_transform(
+      list_slice(sig, band_idx * {_MMH_ROWS} + 1, band_idx * {_MMH_ROWS} + {_MMH_ROWS}),
+      x -> CAST(x AS VARCHAR)), '_') AS k
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band_idx = b2.band_idx AND a.k = b2.k AND a.doc_id < b2.doc_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+    round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+          / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+  FROM cand c JOIN nz ta ON ta.doc_id = c.id_a JOIN nz tb ON tb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {_MMH_THRESHOLD}
+"""
+
+
+register(QuerySpec(
+    "minhash_md5_near_dups", _minhash_md5, _build_minhash_md5_oracle(),
+    "MinHash+LSH near-dup pipeline with a cross-engine-exact md5+LCG "
+    "hash family: signatures, bands, candidates and verified Jaccard "
+    "all value-checked against DuckDB",
+    ("dedup", "join", "minhash"),
+))

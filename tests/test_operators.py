@@ -148,3 +148,28 @@ def test_levenshtein_pairs_blocked(spark):
     out = {(r.id_a, r.id_b): r.distance
            for r in D.levenshtein_pairs(df, "id", "title", max_distance=3).collect()}
     assert out == {(1, 2): 1, (4, 5): 1}
+
+
+def test_md5_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    # every pair surfaced by the cross-engine-exact md5+LCG LSH path
+    # must carry the TRUE shingle Jaccard (recomputed directly) and
+    # respect the threshold/ordering contract
+    from bigdata_jobmatching_spark.functions import similarity as S
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    rows = load_all()["minhash_md5_near_dups"].spark(spark, sf_dir).collect()
+    assert rows  # non-degenerate on the test lake
+    assert all(r.id_a < r.id_b and r.jaccard >= 0.8 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    some = sorted(rows, key=lambda r: (r.id_a, r.id_b))[:5]
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.filter(F.col("doc_id").isin(
+            [r.id_a for r in some] + [r.id_b for r in some]))
+        .select("doc_id", S.word_ngrams(F.col("text"), 3).alias("sh")).collect()
+    }
+    for r in some:
+        a, b = sh[r.id_a], sh[r.id_b]
+        want = round(len(a & b) / len(a | b), 6)
+        assert abs(r.jaccard - want) < 1e-9
