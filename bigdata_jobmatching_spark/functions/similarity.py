@@ -204,3 +204,32 @@ def md5_minhash_signature(token_array: Column, num_hashes: int = 16) -> Column:
         ])
 
     return let(F.transform(token_array, md5_token_hash), body)
+
+
+def md5_token_hash_raw(t: Column) -> Column:
+    """60-bit engine-independent token hash (no modulus)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_md5(token_array: Column, bits: int = 32) -> Column:
+    """Cross-engine-exact SimHash over md5-derived token ints: every
+    bit vote is integer arithmetic DuckDB reproduces, so signatures
+    are value-verifiable (unlike the xxhash64 simhash64)."""
+    def body(hs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for bit in range(bits):
+            contrib = F.transform(
+                hs,
+                lambda h: F.when(
+                    F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+            out = out.bitwiseOR(
+                F.when(total > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return out
+
+    return let(F.transform(token_array, md5_token_hash_raw), body)

@@ -397,3 +397,45 @@ register(QuerySpec(
     "all value-checked against DuckDB",
     ("dedup", "join", "minhash"),
 ))
+
+
+# --- simhash_md5_signatures: value-verified SimHash kernel -----------------
+# Per-document 32-bit SimHash over the md5 token-hash family — DuckDB
+# recomputes every bit vote, so the signature itself is hash-compared
+# (the xxhash64 simhash pipeline remains the rows-only pairing twin).
+
+def _simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = F.array_distinct(X.tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        S.simhash_md5(toks, 32).alias("simhash"),
+    )
+
+
+def _build_simhash_md5_oracle() -> str:
+    cells = "\n    + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hv, "
+        f"h -> CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {bit}) ELSE 0 END"
+        for bit in range(32)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS ts FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(ts, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS hv
+  FROM t
+)
+SELECT doc_id,
+  ({cells}) AS simhash
+FROM h
+"""
+
+
+register(QuerySpec(
+    "simhash_md5_signatures", _simhash_md5, _build_simhash_md5_oracle(),
+    "cross-engine-exact 32-bit SimHash signatures (md5 token hashes; "
+    "every bit vote value-verified against DuckDB)",
+    ("dedup", "simhash"),
+))
