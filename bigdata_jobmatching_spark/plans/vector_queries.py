@@ -121,3 +121,123 @@ register(QuerySpec(
     "per-vector L2 norm via higher-order aggregate (JVM-side vector math)",
     ("vector", "projection"),
 ))
+
+
+# --- ann_lsh_exact: LSH ANN with deterministic hyperplanes, oracled -------
+# The rows-only ann_lsh_topk uses engine-local randomness; this twin
+# derives its hyperplanes from LCG rationals (exact in both engines),
+# so bucket keys, candidate sets, scores and ranks are all
+# hash-compared. 2 tables x 6 sign bits over 64 dims; sign taken on
+# the 6dp-rounded dot so a last-bit double difference can never flip
+# a bucket.
+
+_LSHX_TABLES, _LSHX_BITS, _LSHX_DIM, _LSHX_K = 2, 6, 64, 10
+_LSHX_M = 2_147_483_648
+
+
+def _lshx_planes() -> list[list[list[float]]]:
+    return [
+        [
+            [
+                (((t * 1000003 + b * 7919 + i) * 1103515245 + 12345) % _LSHX_M) / _LSHX_M - 0.5
+                for i in range(_LSHX_DIM)
+            ]
+            for b in range(_LSHX_BITS)
+        ]
+        for t in range(_LSHX_TABLES)
+    ]
+
+
+def _lshx_keys_spark(vec) -> F.Column:
+    planes = _lshx_planes()
+
+    def dot_lit(plane: list[float]) -> F.Column:
+        lit = F.array(*[F.lit(p) for p in plane])
+        return F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    cells = []
+    for t in range(_LSHX_TABLES):
+        bits = [
+            F.when(F.round(dot_lit(planes[t][b]), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(_LSHX_BITS)
+        ]
+        cells.append(F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("k")))
+    return F.array(*cells)
+
+
+def _ann_lsh_exact(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
+    )
+    keys = e.select(
+        "vec_id", F.explode(_lshx_keys_spark(F.col("e"))).alias("bk")
+    ).select("vec_id", "bk.t", "bk.k")
+    q = keys.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "t", "k"
+    )
+    cand = (
+        q.join(keys.select(F.col("vec_id").alias("neighbor_id"), "t", "k"), ["t", "k"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")), "query_id")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")), "neighbor_id")
+        .withColumn("score", F.round(S.cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _LSHX_K)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def _build_lshx_oracle() -> str:
+    planes = _lshx_planes()
+
+    def key_sql(t: int) -> str:
+        bits = " || ".join(
+            "CASE WHEN round(list_dot_product(e, ["
+            + ", ".join(repr(p) for p in planes[t][b])
+            + "]), 6) >= 0 THEN '1' ELSE '0' END"
+            for b in range(_LSHX_BITS)
+        )
+        return f"SELECT vec_id, e, {t} AS t, {bits} AS k FROM v"
+
+    keys_union = "\nUNION ALL\n".join(key_sql(t) for t in range(_LSHX_TABLES))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+keys AS (
+{keys_union}
+),
+q AS (SELECT vec_id AS query_id, t, k FROM keys WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN keys c ON q.t = c.t AND q.k = c.k AND c.vec_id != q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(list_cosine_similarity(qa.e, ca.e), 6) AS score
+  FROM cand
+  JOIN v qa ON qa.vec_id = cand.query_id
+  JOIN v ca ON ca.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_LSHX_K}
+"""
+
+
+register(QuerySpec(
+    "ann_lsh_exact", _ann_lsh_exact, _build_lshx_oracle(),
+    "LSH ANN with deterministic LCG hyperplanes — buckets, candidates, "
+    "scores and ranks all value-verified (the random variant stays rows-only)",
+    ("vector", "ann", "lsh"),
+))
