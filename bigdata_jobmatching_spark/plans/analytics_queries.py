@@ -199,3 +199,65 @@ register(QuerySpec(
     "approx_count_distinct + percentile_approx (sketch-based scale path; no SQL twin)",
     ("relational", "approx"),
 ))
+
+
+# --- price_qty_correlation: Pearson r from exact decimal moments ----------
+# Native F.corr / DuckDB corr() use different one-pass formulations
+# whose float error differs between engines; computing the five moments
+# as exact DECIMAL sums (operands at DECIMAL(12,6) so the DECIMAL(24,12)
+# products fit both engines' 38-digit limit; DuckDB needs one operand
+# widened to DECIMAL(24,6) to route the multiply through int128) and
+# assembling r in double at the end is
+# order-independent and engine-exact — the same discipline as the
+# average queries, extended to second moments.
+
+def _corr(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,6)")
+    y = F.col("l_quantity").cast("decimal(12,6)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(F.col("n").alias("n_rows"), F.round(r, 9).alias("pearson_r"))
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,6))) AS sx,
+    SUM(CAST(l_quantity AS DECIMAL(12,6))) AS sy,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS sxy,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS sxx,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS syy
+  FROM lineitem
+)
+SELECT n AS n_rows,
+  round(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+  9) AS pearson_r
+FROM m
+"""
+
+register(QuerySpec(
+    "price_qty_correlation", _corr, _CORR_SQL,
+    "Pearson correlation assembled from exact decimal moments "
+    "(engine-independent, unlike native corr())",
+    ("analytics", "agg"),
+))
