@@ -277,3 +277,45 @@ register(QuerySpec(
     "semi-structured JSON extraction (from_json ingest path, consume_jobs.py:105-111)",
     ("events", "json"),
 ))
+
+
+# --- events_multi_grain_rollup: GROUPING SETS in one pass ------------------
+# Hypertable-style continuous-aggregate shape: (day, type), (day) and
+# grand-total grains computed in ONE scan+shuffle via grouping sets
+# instead of three separate aggregations. Grain is labeled from key
+# nullness (engine-safe; ts is never null so a null day only appears
+# in super-aggregate rows).
+
+def _multi_grain(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    day, typ = F.col("day"), F.col("event_type")
+    g = ev.groupingSets([[day, typ], [day], []], day, typ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
+    )
+    grain = (
+        F.when(F.col("day").isNull(), F.lit("total"))
+        .when(F.col("event_type").isNull(), F.lit("day"))
+        .otherwise(F.lit("day_type"))
+    )
+    return g.select("day", "event_type", grain.alias("grain"), "n_events", "total_value")
+
+
+_MULTI_GRAIN_SQL = f"""
+SELECT CAST(ts AS DATE) AS day, event_type,
+  CASE WHEN CAST(ts AS DATE) IS NULL THEN 'total'
+       WHEN event_type IS NULL THEN 'day' ELSE 'day_type' END AS grain,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS {MONEY})) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type), (CAST(ts AS DATE)), ())
+"""
+
+register(QuerySpec(
+    "events_multi_grain_rollup", _multi_grain, _MULTI_GRAIN_SQL,
+    "continuous-aggregate rollup at three grains in one scan via "
+    "GROUPING SETS (hypertable rollup analog)",
+    ("events", "agg", "rollup"),
+))
