@@ -32,7 +32,10 @@ def connected_components(
     returned (isolated nodes are the caller's passthrough).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the symmetric edge set ONCE: without this the whole
+    # upstream pair-generation (blocking join + similarity filter)
+    # re-executes inside every propagation iteration.
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     # initial label: min(self, direct neighbors)
     labels = (
         sym.union(sym.select("a", F.col("a").alias("b")))
