@@ -126,3 +126,65 @@ register(QuerySpec(
     "explicit window frames: running decimal sum + sliding 3-row count",
     ("relational", "window", "frame", "bench"),
 ))
+
+
+# --- nation_pair_trade_volumes: the TPC-H Q7 shape -------------------------
+# Five-way join (lineitem-orders-customer-supplier-nation x2) with a
+# DISJUNCTIVE nation-pair filter and year extraction; volume uses the
+# exact-decimal discipline. Scale shape: both nation dims broadcast,
+# the order/customer joins shuffle on their keys, AQE sizes the rest.
+
+def _q7(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(pair)
+        .filter(F.year("l_shipdate").between(1996, 1998))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("volume"))
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+    EXTRACT(year FROM l_shipdate) AS l_year,
+    l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND EXTRACT(year FROM l_shipdate) BETWEEN 1996 AND 1998
+)
+GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "nation_pair_trade_volumes", _q7, _Q7_SQL,
+    "disjunctive nation-pair five-way join with yearly exact-decimal "
+    "volumes (TPC-H Q7 shape)",
+    ("relational", "join", "agg"),
+))
