@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
     "region",
@@ -47,10 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in ns_cols:
-        # integer `div` keeps full precision (double division would
-        # round a 1.7e18 ns epoch); truncation ns->us matches the
-        # oracle's ns->ms/date truncation downstream.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # Legacy nanosAsLong path: integer `div` keeps full
+            # precision (double division would round a 1.7e18 ns
+            # epoch); truncation ns->us matches the oracle's
+            # ns->ms/date truncation downstream.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Newer Spark reads TIMESTAMP(NANOS) natively as NTZ with
+            # microsecond truncation — same wall-clock values; cast to
+            # TIMESTAMP (session tz is UTC) for one stable carrier
+            # type across Spark versions.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

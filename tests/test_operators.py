@@ -150,6 +150,34 @@ def test_levenshtein_pairs_blocked(spark):
     assert out == {(1, 2): 1, (4, 5): 1}
 
 
+def test_levenshtein_hot_block_bounded(spark):
+    # One Zipfian first token ("senior ...") planted 200× in a single
+    # composite block must contribute ZERO pairs under a 50-row cap,
+    # while a small block's genuine pair survives untouched.
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    hot = [(i, f"senior agent {i:03d}") for i in range(200)]  # same token+length bucket
+    cold = [(1001, "comptable confirme"), (1002, "comptable confirmee")]
+    df = spark.createDataFrame(hot + cold, "id long, title string")
+    pairs = D.levenshtein_pairs(df, "id", "title", max_distance=3, max_block=50)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1001, 1002)}
+
+    over = D.levenshtein_oversized_blocks(df, "title", max_block=50).collect()
+    assert len(over) == 1 and over[0].block_size == 200
+
+
+def test_levenshtein_length_bucket_boundary(spark):
+    # A qualifying pair whose lengths straddle a bucket boundary must
+    # still collide (the a-side emits bucket +/- max_distance overlap).
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    rows = [(1, "alpha bcdefghij"), (2, "alpha bcdefghijkl")]  # len 15 vs 17
+    df = spark.createDataFrame(rows, "id long, title string")
+    out = D.levenshtein_pairs(df, "id", "title", max_distance=3, length_bucket=8).collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 2)]
+
+
 def test_md5_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     # every pair surfaced by the cross-engine-exact md5+LCG LSH path
     # must carry the TRUE shingle Jaccard (recomputed directly) and
