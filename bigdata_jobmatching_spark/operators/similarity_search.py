@@ -19,26 +19,47 @@ from pyspark.sql import functions as F
 from ..functions import similarity as S
 from ..sources.io import fan_out
 
-# Deterministic pseudo-random hyperplanes: component h[i][d] derived
-# from xxhash64 of (table, bit, dim) — stable across runs, no RNG.
+# Deterministic pseudo-random hyperplanes from one LCG rational
+# family: component h[t][b][d] = LCG(t,b,d)/2^31 - 0.5. Dyadic
+# rationals are exactly representable as doubles in every engine, so
+# the same planes (and therefore the same bucket keys) can be
+# reproduced in an external SQL oracle — the property the
+# `ann_lsh_exact` gate query relies on. One family everywhere: the
+# operator, the exact twin, and the oracle all call this.
+
+_LCG_M = 2_147_483_648  # 2^31
 
 
-def _hyperplane_sig(vec: Column, dim: int, table: int, bits: int) -> Column:
+def lcg_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
+    """``tables x bits`` hyperplanes of ``dim`` components in
+    [-0.5, 0.5), derived from a linear congruential generator seeded
+    by (table, bit, dim-index). No RNG state, stable across runs and
+    engines."""
+    return [
+        [
+            [
+                (((t * 1000003 + b * 7919 + i) * 1103515245 + 12345) % _LCG_M) / _LCG_M - 0.5
+                for i in range(dim)
+            ]
+            for b in range(bits)
+        ]
+        for t in range(tables)
+    ]
+
+
+def _hyperplane_sig(vec: Column, planes: list[list[float]], table: int) -> Column:
     """<bits>-bit random-hyperplane signature of a vector as a string
-    key. Hyperplane components are ±1 pseudo-random per (table, bit,
-    dim) — a deterministic sign pattern from md5 bits."""
+    key. The sign is taken on the 6dp-rounded projection so a
+    last-bit double difference between engines can never flip a
+    bucket bit."""
     bit_vals = []
-    for b in range(bits):
-        # dot(vec, h_b) with h_b[d] = +1/-1 from a hash of (table,b,d)
-        signs = F.array(*[
-            F.lit(1.0) if (hash((table, b, d)) & 1) else F.lit(-1.0)
-            for d in range(dim)
-        ])
+    for plane in planes:
+        lit = F.array(*[F.lit(p) for p in plane])
         proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda acc, x: acc + x,
         )
-        bit_vals.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bit_vals.append(F.when(F.round(proj, 6) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(F.lit(f"t{table}:"), *bit_vals)
 
 
@@ -86,6 +107,7 @@ def brute_force_topk_arrow(
     vec_col: str,
     k: int = 10,
     score_decimals: int | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Arrow/numpy variant of brute_force_topk: the query matrix is
     collected (small, broadcast via closure), and each corpus Arrow
@@ -96,11 +118,24 @@ def brute_force_topk_arrow(
     per-element expression tree, and the Arrow batch transfer
     amortizes the Python boundary. Per-batch partial top-k keeps the
     shuffle at k rows per (query, batch).
+
+    The contract is a SMALL query set (it rides to every executor in
+    the task closure); ``max_queries`` makes a misuse fail loudly
+    instead of silently OOMing the driver — the collect itself is
+    limit-bounded, so even a 100 TB "queries" DataFrame cannot pull
+    more than ``max_queries + 1`` rows.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_arrow query set exceeds max_queries="
+            f"{max_queries}; broadcast-joining that many query vectors "
+            "through a closure would flood executors — use the LSH/IVF "
+            "path or raise max_queries deliberately"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -205,6 +240,7 @@ def lsh_ann_topk(
     k: int = 10,
     tables: int = 4,
     bits: int = 8,
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -213,10 +249,18 @@ def lsh_ann_topk(
     candidates. At 100 TB the bucket join shuffles only keys+vectors,
     and bucket sizes (2^-bits of corpus per table) bound the scoring
     work.
+
+    Hyperplanes come from the shared :func:`lcg_planes` rational
+    family, so the full result (buckets, candidates, scores, ranks)
+    is reproducible by an external SQL oracle. Plane literals cost
+    ``tables*bits*dim`` plan nodes — fine to dim≈128; for very wide
+    embeddings compute signatures in an Arrow batch instead.
     """
+    planes = lcg_planes(tables, bits, dim)
+
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         sigs = F.array(*[
-            _hyperplane_sig(F.col(vec_col), dim, t, bits) for t in range(tables)
+            _hyperplane_sig(F.col(vec_col), planes[t], t) for t in range(tables)
         ])
         return fan_out(df.select(id_col, vec_col)).select(
             F.col(id_col).alias(id_alias),
@@ -232,6 +276,11 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
     )
+    if score_decimals is not None:
+        # round BEFORE ranking: with the unique-id tie-break the
+        # ordering is then exactly reproducible by an external oracle
+        # even when two raw doubles differ in the last bit.
+        cand = cand.withColumn("score", F.round("score", score_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))

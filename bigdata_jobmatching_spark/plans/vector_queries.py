@@ -44,23 +44,23 @@ register(QuerySpec(
 ))
 
 
-# --- ann_lsh_topk: random-hyperplane LSH approximate top-k (no oracle) ----
+# --- ann_lsh_topk: random-hyperplane LSH approximate top-k ----------------
+# The operator's hyperplanes come from the shared LCG rational family
+# (similarity_search.lcg_planes), so buckets, candidate sets, scores
+# and ranks are all reproducible in SQL — the query is fully
+# value-verified despite being an approximate algorithm.
+
+_LSH_TABLES, _LSH_BITS, _LSH_DIM, _LSH_K = 4, 8, 64, 10
+
 
 def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
-    return (
-        ANN.lsh_ann_topk(e, queries, "vec_id", "embedding", dim=64, k=10, tables=4, bits=8)
-        .withColumn("score", F.round("score", 6))
-        .withColumn("rnk", F.col("rnk").cast("int"))
-    )
-
-
-register(QuerySpec(
-    "ann_lsh_topk", _ann_lsh, None,
-    "LSH-bucketed approximate top-k (scale path; approximate => no SQL twin)",
-    ("vector", "ann", "lsh"),
-))
+    return ANN.lsh_ann_topk(
+        e, queries, "vec_id", "embedding",
+        dim=_LSH_DIM, k=_LSH_K, tables=_LSH_TABLES, bits=_LSH_BITS,
+        score_decimals=6,
+    ).withColumn("rnk", F.col("rnk").cast("int"))
 
 
 # --- embedding_centroids: per-label element-wise mean (first 4 dims) ------
@@ -124,28 +124,18 @@ register(QuerySpec(
 
 
 # --- ann_lsh_exact: LSH ANN with deterministic hyperplanes, oracled -------
-# The rows-only ann_lsh_topk uses engine-local randomness; this twin
-# derives its hyperplanes from LCG rationals (exact in both engines),
-# so bucket keys, candidate sets, scores and ranks are all
-# hash-compared. 2 tables x 6 sign bits over 64 dims; sign taken on
-# the 6dp-rounded dot so a last-bit double difference can never flip
-# a bucket.
+# A lighter-parameter twin of ann_lsh_topk built directly from column
+# expressions (no operator indirection), sharing the same LCG
+# rational plane family: bucket keys, candidate sets, scores and
+# ranks are all hash-compared. 2 tables x 6 sign bits over 64 dims;
+# sign taken on the 6dp-rounded dot so a last-bit double difference
+# can never flip a bucket.
 
 _LSHX_TABLES, _LSHX_BITS, _LSHX_DIM, _LSHX_K = 2, 6, 64, 10
-_LSHX_M = 2_147_483_648
 
 
 def _lshx_planes() -> list[list[list[float]]]:
-    return [
-        [
-            [
-                (((t * 1000003 + b * 7919 + i) * 1103515245 + 12345) % _LSHX_M) / _LSHX_M - 0.5
-                for i in range(_LSHX_DIM)
-            ]
-            for b in range(_LSHX_BITS)
-        ]
-        for t in range(_LSHX_TABLES)
-    ]
+    return ANN.lcg_planes(_LSHX_TABLES, _LSHX_BITS, _LSHX_DIM)
 
 
 def _lshx_keys_spark(vec) -> F.Column:
@@ -198,19 +188,22 @@ def _ann_lsh_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _build_lshx_oracle() -> str:
-    planes = _lshx_planes()
+def _lsh_oracle_sql(tables: int, bits: int, dim: int, k: int) -> str:
+    """SQL twin of the LCG-plane LSH ANN for any (tables, bits, dim,
+    k): reproduces bucket keys bit-for-bit (rounded-dot signs over
+    the shared rational planes), then candidates, scores and ranks."""
+    planes = ANN.lcg_planes(tables, bits, dim)
 
     def key_sql(t: int) -> str:
-        bits = " || ".join(
+        bit_cases = " || ".join(
             "CASE WHEN round(list_dot_product(e, ["
             + ", ".join(repr(p) for p in planes[t][b])
             + "]), 6) >= 0 THEN '1' ELSE '0' END"
-            for b in range(_LSHX_BITS)
+            for b in range(bits)
         )
-        return f"SELECT vec_id, e, {t} AS t, {bits} AS k FROM v"
+        return f"SELECT vec_id, e, {t} AS t, {bit_cases} AS k FROM v"
 
-    keys_union = "\nUNION ALL\n".join(key_sql(t) for t in range(_LSHX_TABLES))
+    keys_union = "\nUNION ALL\n".join(key_sql(t) for t in range(tables))
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 keys AS (
@@ -231,13 +224,24 @@ scored AS (
 SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
   FROM scored
-) WHERE rnk <= {_LSHX_K}
+) WHERE rnk <= {k}
 """
 
 
 register(QuerySpec(
-    "ann_lsh_exact", _ann_lsh_exact, _build_lshx_oracle(),
+    "ann_lsh_topk", _ann_lsh,
+    _lsh_oracle_sql(_LSH_TABLES, _LSH_BITS, _LSH_DIM, _LSH_K),
+    "LSH-bucketed approximate top-k via the operator path — hyperplanes "
+    "from the shared LCG rational family, so the approximate result is "
+    "itself fully value-verified",
+    ("vector", "ann", "lsh"),
+))
+
+register(QuerySpec(
+    "ann_lsh_exact", _ann_lsh_exact,
+    _lsh_oracle_sql(_LSHX_TABLES, _LSHX_BITS, _LSHX_DIM, _LSHX_K),
     "LSH ANN with deterministic LCG hyperplanes — buckets, candidates, "
-    "scores and ranks all value-verified (the random variant stays rows-only)",
+    "scores and ranks all value-verified (expression-level twin of the "
+    "operator path)",
     ("vector", "ann", "lsh"),
 ))

@@ -62,6 +62,16 @@ def test_arrow_ann_matches_native_exact(spark, sf_dir):
     assert n.exceptAll(a).count() == 0 and a.exceptAll(n).count() == 0
 
 
+def test_arrow_ann_rejects_oversized_query_set(spark, sf_dir):
+    # the closure-broadcast contract is a SMALL query set; a misuse
+    # must fail loudly (limit-bounded collect), not OOM the driver.
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        ANN.brute_force_topk_arrow(e, e, "vec_id", "embedding", k=5, max_queries=10)
+
+
 def test_mllib_lsh_agrees_with_native_on_planted_dups(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = " ".join(f"tok{i}" for i in range(57)) + " x1 x2 x3"
