@@ -28,6 +28,7 @@ def match_offers_cvs(
     offers: DataFrame,
     cvs: DataFrame,
     max_skill_df: int | None = None,
+    max_skill_df_frac: float | None = None,
 ) -> DataFrame:
     """Compute agg_matching_scores rows (NEXT_STEPS.md:183-192).
 
@@ -35,6 +36,16 @@ def match_offers_cvs(
     salaire_min, salaire_max, niveau_experience.
     cvs needs: cv_id, competences array<string>,
     localisation_souhaitee_id, salaire_souhaite, annees_experience.
+
+    ``max_skill_df`` / ``max_skill_df_frac`` drop offer-side skills
+    whose document frequency exceeds an absolute count / a fraction of
+    the offer corpus BEFORE the inverted-index join. Ubiquitous
+    skills ("excel") fan out hot partitions and carry no matching
+    signal; the fractional form is the scale-invariant lever — the
+    same 0.5 means the same thing at sf0.001 and at 100 TB. Skills
+    dropped from candidate generation still count in the
+    ``n_offer_skills`` denominator, so capping only shrinks the
+    candidate set, never inflates a surviving pair's score.
     """
     # Explode DISTINCT normalized skills so the pair-grain aggregate can
     # be a plain count(*): unlike countDistinct, count(*) admits
@@ -45,8 +56,17 @@ def match_offers_cvs(
     o_sk = offers.select("job_id", F.explode(norm_skills).alias("skill"))
     c_sk = cvs.select("cv_id", F.explode(norm_comp).alias("skill"))
 
-    if max_skill_df is not None:
-        freq = o_sk.groupBy("skill").count().filter(F.col("count") <= max_skill_df)
+    if max_skill_df is not None or max_skill_df_frac is not None:
+        freq = o_sk.groupBy("skill").count()
+        if max_skill_df_frac is not None:
+            # broadcast-scalar crossJoin (no driver collect): the cap
+            # is frac x |offers|, computed inside the same job
+            total = offers.select(F.count(F.lit(1)).alias("__n_offers"))
+            freq = freq.crossJoin(F.broadcast(total)).filter(
+                F.col("count") <= F.col("__n_offers") * F.lit(max_skill_df_frac)
+            )
+        else:
+            freq = freq.filter(F.col("count") <= max_skill_df)
         o_sk = o_sk.join(F.broadcast(freq.select("skill")), "skill")
 
     # inverted-index join: candidate pairs = share >= 1 skill

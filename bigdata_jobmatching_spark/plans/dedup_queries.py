@@ -287,7 +287,7 @@ register(QuerySpec(
     "fuzzy_title_pairs", _fuzzy_pairs, _FUZZY_SQL,
     "edit-distance near-dup pairs in blocks (the declared Fuzzy half "
     "of deduplicate.py:13; levenshtein import unused in the reference)",
-    ("dedup", "join"),
+    ("dedup", "join", "bench"),
 ))
 
 
@@ -395,7 +395,7 @@ register(QuerySpec(
     "MinHash+LSH near-dup pipeline with a cross-engine-exact md5+LCG "
     "hash family: signatures, bands, candidates and verified Jaccard "
     "all value-checked against DuckDB",
-    ("dedup", "join", "minhash"),
+    ("dedup", "join", "minhash", "bench"),
 ))
 
 

@@ -184,9 +184,32 @@ def split_blobs(blobs: DataFrame) -> DataFrame:
     return df
 
 
+# bs4's get_text() decodes HTML entities; the named ones below cover
+# what French job markup actually uses, plus decimal escapes for the
+# same repertoire. All literal replaces — stays in codegen.
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&#160;", " "),
+    ("&lt;", "<"), ("&#60;", "<"), ("&gt;", ">"), ("&#62;", ">"),
+    ("&quot;", '"'), ("&#34;", '"'), ("&apos;", "'"), ("&#39;", "'"),
+    ("&eacute;", "é"), ("&#233;", "é"), ("&egrave;", "è"), ("&#232;", "è"),
+    ("&ecirc;", "ê"), ("&#234;", "ê"), ("&agrave;", "à"), ("&#224;", "à"),
+    ("&ccedil;", "ç"), ("&#231;", "ç"), ("&ocirc;", "ô"), ("&#244;", "ô"),
+    ("&ucirc;", "û"), ("&#251;", "û"), ("&icirc;", "î"), ("&#238;", "î"),
+    ("&euro;", "€"), ("&#8364;", "€"),
+    ("&ndash;", "–"), ("&#8211;", "–"), ("&mdash;", "—"), ("&#8212;", "—"),
+    ("&rsquo;", "'"), ("&#8217;", "'"), ("&laquo;", "«"), ("&raquo;", "»"),
+    # ampersand LAST so freshly-decoded entities aren't re-decoded
+    ("&amp;", "&"), ("&#38;", "&"),
+)
+
+
 def _strip_tags(c: Column) -> Column:
-    """get_text(strip=True) analog: drop tags, squeeze whitespace."""
-    return F.trim(F.regexp_replace(F.regexp_replace(c, r"<[^>]+>", ""), r"\s+", " "))
+    """get_text(strip=True) analog: drop tags, decode entities,
+    squeeze whitespace."""
+    txt = F.regexp_replace(c, r"<[^>]+>", "")
+    for ent, ch in _HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(txt, r"\s+", " "))
 
 
 def parse_html_fields(df: DataFrame) -> DataFrame:

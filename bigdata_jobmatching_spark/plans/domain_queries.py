@@ -469,6 +469,96 @@ register(QuerySpec(
 ))
 
 
+# --- job_cv_matching_capped: the 100 TB skew lever, oracle-checked --------
+# The corpus gains a deliberately ubiquitous skill ("excel" on every
+# offer and every CV) — without a cap this degenerates to an all-pairs
+# join. The fractional document-frequency cap (drop skills in >50% of
+# offers) removes it BEFORE the inverted-index join at any scale,
+# restoring the meaningful candidate set. n_offer_skills — the score
+# denominator — still counts the full skill set including the dropped
+# one, so capping only shrinks the candidate set, never inflates a
+# surviving pair's score.
+
+_SKILL_DF_FRAC = 0.5
+
+
+def _matching_capped(spark: SparkSession, sf: str) -> DataFrame:
+    offers = _derived_offers(spark, sf).withColumn(
+        "skills", F.array_union(F.col("skills"), F.array(F.lit("excel")))
+    )
+    cvs = _derived_cvs(spark, sf).withColumn(
+        "competences", F.array_union(F.col("competences"), F.array(F.lit("excel")))
+    )
+    return M.match_offers_cvs(offers, cvs, max_skill_df_frac=_SKILL_DF_FRAC)
+
+
+_MATCH_CAPPED_SQL = f"""
+WITH offers AS (
+  SELECT o_orderkey AS job_id,
+    list_distinct(list_append(['s' || CAST(o_orderkey % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((o_orderkey * 7 + 1) % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((o_orderkey * 13 + 2) % {_N_SKILLS} AS VARCHAR)], 'excel')) AS skills,
+    'LOC_' || CAST(o_custkey % 10 AS VARCHAR) AS o_loc,
+    CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) AS sal_min,
+    CAST(CAST(round(o_totalprice) AS BIGINT) + 100000 AS DOUBLE) AS sal_max,
+    CASE o_orderkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 8 END AS exp_target
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+o_sk AS (SELECT job_id, unnest(skills) AS skill FROM offers),
+kept AS (
+  SELECT skill FROM o_sk GROUP BY skill
+  HAVING COUNT(*) <= {_SKILL_DF_FRAC} * (SELECT COUNT(*) FROM offers)
+),
+o_kept AS (
+  SELECT job_id, list(skill) AS kskills
+  FROM o_sk JOIN kept USING (skill) GROUP BY job_id
+),
+cvs AS (
+  SELECT c_custkey AS candidate_id,
+    list_distinct(list_append(['s' || CAST(c_custkey % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((c_custkey * 11 + 3) % {_N_SKILLS} AS VARCHAR),
+                   's' || CAST((c_custkey * 3 + 7) % {_N_SKILLS} AS VARCHAR)], 'excel')) AS competences,
+    'LOC_' || CAST(c_custkey % 10 AS VARCHAR) AS c_loc,
+    CAST((c_custkey % 20) * 50000 + 100000 AS DOUBLE) AS wish,
+    CAST(c_custkey % 12 AS INT) AS years
+  FROM customer
+),
+pairs AS (
+  SELECT o.job_id, c.candidate_id,
+    len(list_intersect(ok.kskills, c.competences)) AS n_shared,
+    len(o.skills) AS n_offer_skills,
+    CASE WHEN o.o_loc = c.c_loc THEN 1.0 ELSE 0.0 END AS loc_pct,
+    CASE WHEN c.wish >= o.sal_min AND c.wish <= o.sal_max THEN 1.0
+         WHEN c.wish < o.sal_min THEN
+           CASE WHEN o.sal_min > 0 THEN greatest(0.0, 1.0 - (o.sal_min - c.wish) / (o.sal_min * 0.5)) ELSE 0.5 END
+         ELSE
+           CASE WHEN o.sal_max > 0 THEN greatest(0.0, 1.0 - (c.wish - o.sal_max) / (o.sal_max * 0.5)) ELSE 0.5 END
+         END AS sal_pct,
+    greatest(0.0, 1.0 - abs(c.years - o.exp_target) / 8.0) AS exp_pct
+  FROM offers o
+  JOIN o_kept ok ON ok.job_id = o.job_id
+  JOIN cvs c ON len(list_intersect(ok.kskills, c.competences)) >= 1
+)
+SELECT job_id, candidate_id,
+  round(CAST(n_shared AS DOUBLE) / n_offer_skills, 6) AS skill_match_pct,
+  round(loc_pct, 6) AS location_match_pct,
+  round(sal_pct, 6) AS salary_match_pct,
+  round(exp_pct, 6) AS experience_match_pct,
+  round(0.4 * (CAST(n_shared AS DOUBLE) / n_offer_skills)
+      + 0.2 * loc_pct + 0.2 * sal_pct + 0.2 * exp_pct, 6) AS match_score
+FROM pairs
+"""
+
+register(QuerySpec(
+    "job_cv_matching_capped", _matching_capped, _MATCH_CAPPED_SQL,
+    "matching over a corpus with a planted ubiquitous skill, with the "
+    f"fractional document-frequency cap on (frac={_SKILL_DF_FRAC}) — the "
+    "ubiquitous-skill skew lever at 100 TB; without it this input is an "
+    "all-pairs join",
+    ("domain", "matching", "join", "skew", "bench"),
+))
+
+
 # --- top_matches_per_candidate: matching leaderboard ----------------------
 
 def _top_matches(spark: SparkSession, sf: str) -> DataFrame:

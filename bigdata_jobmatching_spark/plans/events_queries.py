@@ -317,5 +317,5 @@ register(QuerySpec(
     "events_multi_grain_rollup", _multi_grain, _MULTI_GRAIN_SQL,
     "continuous-aggregate rollup at three grains in one scan via "
     "GROUPING SETS (hypertable rollup analog)",
-    ("events", "agg", "rollup"),
+    ("events", "agg", "rollup", "bench"),
 ))

@@ -59,7 +59,7 @@ register(QuerySpec(
     "doc_train_val_split", _split, _SPLIT_SQL,
     "deterministic LCG-hash train/val split — reproducible across runs "
     "and engines, no sampling state",
-    ("mixing",),
+    ("mixing", "bench"),
 ))
 
 
@@ -140,7 +140,7 @@ register(QuerySpec(
     _BUDGET_SQL.format(toks=_SQL_TOKS, en=_EN),
     "greedy quality-band fill to a token budget — banded cumsum "
     "(~100 rows) + broadcast cutoff join, never a global per-doc window",
-    ("mixing",),
+    ("mixing", "bench"),
 ))
 
 

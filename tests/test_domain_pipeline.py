@@ -198,6 +198,51 @@ def test_html_cascade_adversarial_markup(spark):
     assert b.salary_text is not None and "250" in b.salary_text
 
 
+def test_html_cascade_entities_multiline_unclosed(spark):
+    # Second hostile round (bs4-grade tolerance, parse_jobs.py:41-230):
+    # entity escapes (named + decimal), attributes and values spanning
+    # lines, decoy class names that embed the hook as a substring,
+    # unclosed INNER tags, and an unclosed hook element that must fall
+    # through the cascade instead of swallowing the rest of the page.
+    entities = """<html><body>
+    <h1
+       class="job-title">Charg&eacute; R&amp;D
+       &#233;quipe Donn&#233;es</h1>
+    <div class="company-name">AT&amp;T C&ocirc;te d'Ivoire</div>
+    <div class="job-description">Notre &eacute;quipe d&#233;veloppe des outils
+    d'analyse pour la r&eacute;gion et recherche un profil autonome, rigoureux
+    et curieux pour accompagner sa croissance.</div>
+    <p class="requirements">Ma&icirc;trise de l'ing&eacute;nierie &amp; du cloud</p>
+    <span class="location">Abidjan &#8212; Plateau</span>
+    <b class="salary">500&nbsp;000 FCFA</b>
+    </body></html>"""
+    decoy_unclosed = """<html><head><title>Analyste Supply Chain</title></head><body>
+    <h1 class="job-title-archive">Vieille annonce</h1>
+    <div class="job-description">Premier paragraphe sans fermeture de p<p>
+    suite du texte qui continue assez longtemps pour la validation</div>
+    <div class="company-name">Bollore
+    </body></html>"""
+    df = spark.createDataFrame(
+        [("{}", entities), ("{}", decoy_unclosed)], "metadata string, html string"
+    )
+    out = P.parse_html_fields(df).collect()
+    a, b = out[0], out[1]
+    assert a.title == "Chargé R&D équipe Données"
+    assert a.company == "AT&T Côte d'Ivoire"
+    assert a.description.startswith("Notre équipe développe")
+    assert a.requirements == "Maîtrise de l'ingénierie & du cloud"
+    assert a.location.startswith("Abidjan")
+    assert a.salary_text == "500 000 FCFA"
+    assert a.parsing_quality_score == 1.0
+    # decoy class "job-title-archive" must NOT win: h1 fallback does;
+    # unclosed inner <p> is contained by the hook's backref close;
+    # the unclosed company hook falls through without eating the page
+    assert b.title == "Vieille annonce"  # via _plain("h1"), not the decoy hook
+    assert b.description.startswith("Premier paragraphe")
+    assert "suite du texte" in b.description
+    assert b.company is None or "Bollore" not in (b.company or "")
+
+
 def test_staged_pipeline_driver_and_quality_gate(spark, raw, tmp_path):
     import json as J
 

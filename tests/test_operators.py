@@ -3,6 +3,7 @@ top-k, ANN recall."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_jobmatching_spark.operators import dedup as D
@@ -132,6 +133,74 @@ def test_matching_zero_salary_bounds_no_ansi_abort(spark):
     assert rows[1].salary_match_pct == 0.5  # wish above hi=0 -> neutral
     # job 2: wish=500 above hi=200 -> linear decay 1 - 300/100 -> clamp 0
     assert rows[2].salary_match_pct == 0.0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_approx_distinct_error_bounds(spark, sf):
+    # approx_distinct_stats stays rows-only forever (HLL sketches are
+    # implementation-specific), so this is its quantitative
+    # correctness statement: every per-group estimate within 3x the
+    # configured rsd of the exact distinct count, and the approximate
+    # median inside a 1% rank band around the exact quantile.
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    approx = {r.l_returnflag: r for r in load_all()["approx_distinct_stats"].spark(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, array(0.49, 0.50, 0.51))").alias("p"),
+        ).collect()
+    }
+    assert set(approx) == set(exact) and len(approx) == 3
+    rsd = 0.05  # approx_count_distinct default
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) <= 3 * rsd * e.parts, (flag, a.approx_parts, e.parts)
+        assert abs(a.approx_orders - e.orders) <= 3 * rsd * e.orders, (flag, a.approx_orders, e.orders)
+        # percentile_approx(accuracy=1000): rank error <= 1/1000; the
+        # 49th-51st percentile band is a generous envelope for it
+        p49, _, p51 = e.p
+        assert p49 <= a.approx_median_price <= p51, (flag, a.approx_median_price, e.p)
+
+
+def test_matching_skill_df_cap_drops_hot_fanout(spark):
+    # a ubiquitous skill makes every offer x CV pair a candidate; the
+    # fractional document-frequency cap removes it before the join, so
+    # the capped candidate set is a strict subset (only genuinely
+    # shared skills) and the fan-out drops accordingly.
+    from bigdata_jobmatching_spark.operators.matching import match_offers_cvs
+
+    offers = spark.createDataFrame(
+        [
+            (1, ["python", "excel"], "L1", 100.0, 200.0, "Senior"),
+            (2, ["java", "excel"], "L1", 100.0, 200.0, "Senior"),
+            (3, ["go", "excel"], "L2", 100.0, 200.0, "Senior"),
+        ],
+        "job_id long, skills array<string>, localisation_id string, "
+        "salaire_min double, salaire_max double, niveau_experience string",
+    )
+    cvs = spark.createDataFrame(
+        [
+            (10, ["python", "excel"], "L1", 150.0, 8),
+            (20, ["java", "excel"], "L2", 150.0, 8),
+            (30, ["excel"], "L1", 150.0, 8),
+        ],
+        "cv_id long, competences array<string>, localisation_souhaitee_id string, "
+        "salaire_souhaite double, annees_experience int",
+    )
+    plain = {(r.job_id, r.candidate_id) for r in match_offers_cvs(offers, cvs).collect()}
+    capped_rows = match_offers_cvs(offers, cvs, max_skill_df_frac=0.5).collect()
+    capped = {(r.job_id, r.candidate_id) for r in capped_rows}
+    assert plain == {(j, c) for j in (1, 2, 3) for c in (10, 20, 30)}  # all pairs
+    assert capped == {(1, 10), (2, 20)}  # only genuinely shared skills
+    assert capped < plain
+    # denominator still counts the dropped skill: 1 shared of 2 total
+    scores = {(r.job_id, r.candidate_id): r.skill_match_pct for r in capped_rows}
+    assert scores[(1, 10)] == 0.5
 
 
 def test_levenshtein_pairs_blocked(spark):
