@@ -319,3 +319,120 @@ register(QuerySpec(
     "GROUPING SETS (hypertable rollup analog)",
     ("events", "agg", "rollup", "bench"),
 ))
+
+
+# --- events_user_type_cube: full CUBE in one pass --------------------------
+# The fourth grouping shape next to plain GROUP BY, ROLLUP
+# (part_size_rollup) and GROUPING SETS (events_multi_grain_rollup):
+# CUBE over (event_type, user cohort) computes all four grains in one
+# scan+shuffle. grouping_id disambiguates a NULL key from a subtotal
+# row — both engines emit the same bitmask (first column = high bit).
+
+def _type_cohort_cube(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("cohort"), "value"
+    )
+    return (
+        ev.cube("event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
+            F.grouping_id().cast("int").alias("grp"),
+        )
+        .select("event_type", "cohort", "grp", "n_events", "total_value")
+    )
+
+
+_CUBE_SQL = f"""
+SELECT event_type, user_id % 10 AS cohort,
+  CAST(GROUPING(event_type, user_id % 10) AS INT) AS grp,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS {MONEY})) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+register(QuerySpec(
+    "events_user_type_cube", _type_cohort_cube, _CUBE_SQL,
+    "four grains in one scan via CUBE with grouping_id disambiguation",
+    ("events", "agg", "cube"),
+))
+
+
+# --- events_daily_deltas: lag-based day-over-day change --------------------
+# The missing window shape next to running sums and ntile: lag() over
+# an aggregated series. The window partitions by event_type, so no
+# global sort; day_value is an exact decimal cast to double before the
+# subtraction, making the delta engine-reproducible.
+
+def _daily_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast(MONEY)).cast("double").alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("day_value").over(w)
+    return daily.select(
+        "day", "event_type", "day_value",
+        F.round(F.col("day_value") - prev, 6).alias("delta_vs_prev_day"),
+    )
+
+
+_DAILY_DELTAS_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    CAST(SUM(CAST(value AS {MONEY})) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, day_value,
+  round(day_value - LAG(day_value) OVER (PARTITION BY event_type ORDER BY day), 6)
+    AS delta_vs_prev_day
+FROM daily
+"""
+
+register(QuerySpec(
+    "events_daily_deltas", _daily_deltas, _DAILY_DELTAS_SQL,
+    "day-over-day value change per event type via lag() over the "
+    "aggregated series",
+    ("events", "window", "agg"),
+))
+
+
+# --- events_sliding_hour_value: RANGE window frame -------------------------
+# A physical-time sliding aggregate per user: everything in the
+# trailing hour, expressed as a RANGE frame over epoch millis — peers
+# at the same timestamp are included symmetrically on both engines,
+# so no tie-break is needed (unlike ROWS frames).
+
+def _sliding_hour(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    ms = F.unix_millis("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-3_600_000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast(MONEY)).over(w).cast("double").alias("hour_value"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
+_SLIDING_SQL = f"""
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS {MONEY})) OVER (
+    PARTITION BY user_id ORDER BY epoch_ms(ts)
+    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY epoch_ms(ts)
+    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS hour_events
+FROM events WHERE user_id < 50
+"""
+
+register(QuerySpec(
+    "events_sliding_hour_value", _sliding_hour, _SLIDING_SQL,
+    "trailing-hour sliding aggregate per user via a RANGE frame over "
+    "epoch millis (physical-time window, peer-inclusive)",
+    ("events", "window"),
+))

@@ -15,7 +15,7 @@ cutoff, and the per-document work stays embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -189,4 +189,162 @@ register(QuerySpec(
     "per-source mixing weights (uniform + sqrt-smoothed) for a "
     "pretraining data mix",
     ("mixing",),
+))
+
+
+# --- stratified_sample_lcg: per-source deterministic sampling -------------
+# The "apply the mixing weights" step: each source keeps a different
+# fraction of documents, decided by exact LCG-hash arithmetic on the
+# doc id (no RNG state, no sampleBy seed drift across engines or
+# retries). Embarrassingly parallel — a filter over the scan.
+
+_SAMPLE_PER_10K = {"src0": 5000, "src1": 2500}  # others: 10%
+_SAMPLE_DEFAULT = 1000
+
+
+def _stratified(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    slot = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M % 10000
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for src, r in _SAMPLE_PER_10K.items():
+        rate = F.when(F.col("source") == src, r).otherwise(rate)
+    return d.filter(slot < rate).select(
+        "doc_id", "source", slot.alias("sample_slot")
+    )
+
+
+_STRAT_SQL = f"""
+SELECT doc_id, source,
+  (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 10000 AS sample_slot
+FROM documents
+WHERE (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 10000 <
+  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE {_SAMPLE_DEFAULT} END
+"""
+
+register(QuerySpec(
+    "stratified_sample_lcg", _stratified, _STRAT_SQL,
+    "deterministic per-source stratified sampling via exact LCG slots "
+    "(applies mixing weights without sampler state)",
+    ("mixing", "sampling"),
+))
+
+
+# --- doc_pii_scrub: deterministic redaction with audit counts -------------
+# The pre-training privacy pass: regex redaction of emails/phones with
+# per-document counts. The synthetic corpus has no PII, so it is
+# PLANTED deterministically (same arithmetic on both engines) —
+# redaction then has known ground truth. ASCII-only patterns chosen to
+# mean the same thing in Java regex and RE2. The scrubbed text is
+# md5-fingerprinted so the gate verifies the full output without
+# hauling documents through the compare.
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+225 [0-9]{2} [0-9]{2} [0-9]{2} [0-9]{2}"
+
+
+def _pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    planted = d.withColumn(
+        "ptext",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" tel +225 01 02 03 "), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        F.regexp_count(F.col("ptext"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("ptext"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("ptext", _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE, "[PHONE]",
+            )
+        ).alias("scrubbed_md5"),
+    )
+    return scrubbed
+
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' tel +225 01 02 03 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE '' END AS ptext
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(ptext, '{_PHONE_RE}')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+register(QuerySpec(
+    "doc_pii_scrub", _pii_scrub, _PII_SQL,
+    "regex PII redaction (emails/phones) with audit counts and an md5 "
+    "fingerprint of the scrubbed text — planted ground truth",
+    ("mixing", "privacy", "regex"),
+))
+
+
+# --- doc_sequence_packing: greedy context-window packing ------------------
+# Assigns documents to fixed-size training bins per source: a window
+# cumsum of token counts (partitioned by source, ordered by doc id —
+# never global) and bin = floor(start_offset / bin_size). This is the
+# deterministic first-come packing used to build fixed-length
+# pretraining sequences; at 100 TB each source packs independently.
+
+_BIN_TOKENS = 2048
+
+
+def _packing(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    per_doc = d.select(
+        "doc_id", "source",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return per_doc.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(start / _BIN_TOKENS).cast("long").alias("bin_idx"),
+    )
+
+
+_PACKING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({{toks}}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, source, n_tokens,
+  CAST(floor(CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+    / {_BIN_TOKENS}) AS BIGINT) AS bin_idx
+FROM tok
+"""
+
+register(QuerySpec(
+    "doc_sequence_packing", _packing,
+    _PACKING_SQL.format(toks=_SQL_TOKS),
+    "per-source greedy packing of documents into fixed token bins "
+    "(pretraining sequence construction; windows never global)",
+    ("mixing", "window", "bench"),
 ))

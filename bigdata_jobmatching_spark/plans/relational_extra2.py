@@ -188,3 +188,153 @@ register(QuerySpec(
     "volumes (TPC-H Q7 shape)",
     ("relational", "join", "agg"),
 ))
+
+
+# --- large_volume_customers: semi-join on an aggregate (Q18 shape) --------
+# The candidate order set comes from a HAVING over the lineitem agg;
+# joining it back through orders/customer is a semi-join on an
+# aggregate — at scale the agg output (rare hot orders) is tiny, so it
+# broadcasts and the fact table is touched exactly twice, never
+# shuffled on a composite key.
+
+_Q18_MIN_QTY = 250
+
+
+def _q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty")
+    ).filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) > {_Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+register(QuerySpec(
+    "large_volume_customers", _q18, _Q18_SQL,
+    "semi-join on a HAVING aggregate: customers behind outsized orders "
+    "(TPC-H Q18 shape)",
+    ("relational", "join", "agg"),
+))
+
+
+# --- customer_spend_percentiles: distribution ranks within segments --------
+# percent_rank + cume_dist partitioned by market segment — never a
+# global single-partition sort; the (spend, custkey) order key makes
+# every rank deterministic.
+
+def _spend_pct(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("spend")
+    )
+    j = spend.join(c, spend.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_mktsegment", "spend"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    return j.select(
+        "c_custkey", "c_mktsegment", "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_SPEND_PCT_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS {MONEY})) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment, spend,
+  round(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY spend, c_custkey), 6) AS pct_rank,
+  round(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY spend, c_custkey), 6) AS cume
+FROM spend JOIN customer ON o_custkey = c_custkey
+"""
+
+register(QuerySpec(
+    "customer_spend_percentiles", _spend_pct, _SPEND_PCT_SQL,
+    "percent_rank/cume_dist of customer spend within market segments "
+    "(partitioned distribution ranks, no global sort)",
+    ("relational", "window"),
+))
+
+
+# --- parts_never_bulk_ordered: EXCEPT set difference -----------------------
+# The remaining set operator after union+distinct (U1): EXCEPT
+# DISTINCT of two key sets, then a join back for the payload. Both
+# sides prune to one column before the distinct, so the exchanges
+# carry keys only.
+
+def _never_bulk_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    all_parts = li.select("l_partkey")
+    bulk = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    keys = all_parts.subtract(bulk)
+    return keys.join(p, keys.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+_NEVER_DISC_SQL = """
+WITH keys AS (
+  SELECT l_partkey FROM lineitem
+  EXCEPT
+  SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+)
+SELECT p_partkey, p_name, p_brand
+FROM keys JOIN part ON l_partkey = p_partkey
+"""
+
+register(QuerySpec(
+    "parts_never_bulk_ordered", _never_bulk_ordered, _NEVER_DISC_SQL,
+    "EXCEPT DISTINCT of key sets (parts never ordered in bulk) joined back for payload",
+    ("relational", "setop", "join"),
+))
+
+
+# --- suppliers_with_bulk_shipments: explicit left-semi join ---------------
+# The semi-join counterpart of the anti-join (customers_without_orders):
+# existence check without payload duplication. The probe side prunes
+# to the join key before the exchange; no row from the fact table
+# survives past the join.
+
+def _bulk_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    bulk = li.filter(F.col("l_quantity") > 49).select("l_suppkey")
+    return s.join(
+        bulk, s.s_suppkey == bulk.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_BULK_SUPP_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+"""
+
+register(QuerySpec(
+    "suppliers_with_bulk_shipments", _bulk_suppliers, _BULK_SUPP_SQL,
+    "left-semi existence join (suppliers with at least one max-quantity shipment)",
+    ("relational", "join", "semi"),
+))

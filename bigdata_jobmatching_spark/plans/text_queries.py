@@ -278,3 +278,141 @@ register(QuerySpec(
     "stopword evidence, capped bigram repetition; arXiv:2112.11446 Table A1)",
     ("text", "quality"),
 ))
+
+
+# --- tfidf_top_terms: native TF-IDF without MLlib --------------------------
+# Classic smooth-idf (sklearn formula: ln((N+1)/(df+1)) + 1) built
+# from two aggregations: tf at (doc, term) grain, df at term grain.
+# The df side is tiny (vocabulary-sized) and broadcasts; N rides in as
+# a broadcast scalar — the fact-sized tf table is shuffled exactly
+# once. Ranking uses the 6dp-rounded score with a term tie-break, so
+# the window is engine-reproducible.
+
+_TFIDF_K = 3
+
+
+def _tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY doc_id, t
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_TFIDF_K}
+"""
+
+register(QuerySpec(
+    "tfidf_top_terms", _tfidf, _TFIDF_SQL,
+    "per-document top-k TF-IDF terms (smooth idf) from two aggregations "
+    "and a broadcast vocabulary join — no MLlib, no UDFs",
+    ("text", "agg", "topk", "bench"),
+))
+
+
+# --- doc_repetition_stats: repetition signals for quality filtering --------
+# The Gopher-family repetition measures at token grain: distinct-token
+# ratio, hottest-token share, hottest-bigram share. One explode +
+# two-level aggregation; every ratio is exact-integer arithmetic
+# rounded at the end, so the oracle agrees bit-for-bit.
+
+def _repetition(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("t"))
+    per_tok = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    toks = X.tokens(F.col("text"))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    big = d.select("doc_id", F.explode(zipped).alias("p")).select(
+        "doc_id", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bg")
+    )
+    per_big = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    big_stats = per_big.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg_c")
+    )
+    j = tok_stats.join(big_stats, "doc_id", "left")
+    return j.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_share"),
+        F.round(F.coalesce(F.col("top_bg_c") / F.col("n_bigrams"), F.lit(0.0)), 6).alias("top_bigram_share"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+flat AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+per_tok AS (SELECT doc_id, t, COUNT(*) AS c FROM flat GROUP BY doc_id, t),
+tok_stats AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM per_tok GROUP BY doc_id
+),
+bg_flat AS (
+  SELECT doc_id, p[1] || ' ' || p[2] AS bg
+  FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+        FROM tok WHERE len(toks) >= 2)
+),
+per_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg_flat GROUP BY doc_id, bg),
+bg_stats AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg_c FROM per_bg GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+  round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS distinct_ratio,
+  round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_share,
+  round(COALESCE(CAST(b.top_bg_c AS DOUBLE) / b.n_bigrams, 0.0), 6) AS top_bigram_share
+FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
+"""
+
+register(QuerySpec(
+    "doc_repetition_stats", _repetition, _REPETITION_SQL,
+    "token/bigram repetition shares per document (Gopher-family "
+    "repetition signals for corpus filtering)",
+    ("text", "agg", "quality"),
+))

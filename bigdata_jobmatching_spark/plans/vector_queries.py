@@ -96,7 +96,7 @@ FROM embeddings GROUP BY label
 register(QuerySpec(
     "embedding_centroids", _centroids, _CENTROID_SQL,
     "per-label element-wise centroid (exact decimal aggregation of float dims)",
-    ("vector", "agg"),
+    ("vector", "agg", "bench"),
 ))
 
 
@@ -244,4 +244,64 @@ register(QuerySpec(
     "scores and ranks all value-verified (expression-level twin of the "
     "operator path)",
     ("vector", "ann", "lsh"),
+))
+
+
+# --- embedding_dim_stats: per-dimension moments over the whole corpus -----
+# posexplode -> one shuffle keyed on the 64 dimension ids; sums are
+# exact decimals (the centroid discipline extended to second moments)
+# and mean/std are assembled in double at the end, so both engines
+# agree bit-for-bit. The 100 TB shape: map-side partial aggregation
+# reduces every partition to <=64 rows before the exchange.
+
+def _dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.io import fan_out
+
+    e = fan_out(load_table(spark, sf, "embeddings"))
+    d = e.select(F.posexplode("embedding").alias("dim", "v"))
+    x = F.col("v").cast("double").cast("decimal(18,9)")
+    m = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast("decimal(38,18)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / n
+    var = sxx / n - (sx / n) * (sx / n)
+    return m.select(
+        "dim",
+        F.col("n"),
+        F.round(mean, 6).alias("dim_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("dim_std"),
+    )
+
+
+_DIM_STATS_SQL = """
+WITH flat AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT dim, COUNT(*) AS n,
+    SUM(CAST(v AS DECIMAL(18,9))) AS sx,
+    SUM(CAST(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9)) AS DECIMAL(38,18))) AS sxx
+  FROM flat GROUP BY dim
+)
+SELECT dim, n,
+  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dim_mean,
+  round(sqrt(greatest(
+    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+    0.0)), 6) AS dim_std
+FROM m
+"""
+
+register(QuerySpec(
+    "embedding_dim_stats", _dim_stats, _DIM_STATS_SQL,
+    "per-dimension mean/std of the embedding corpus via posexplode + "
+    "exact-decimal moments (feature-normalization statistics)",
+    ("vector", "agg"),
 ))
