@@ -436,3 +436,44 @@ register(QuerySpec(
     "epoch millis (physical-time window, peer-inclusive)",
     ("events", "window"),
 ))
+
+
+# --- events_retention_cohorts: cohort x offset retention matrix -----------
+# Users are cohorted by first-activity week; each (cohort_week,
+# week_offset) cell counts distinct users active that many weeks
+# later. Two aggregations plus a broadcast join of the (small) cohort
+# dim — the classic retention matrix without any driver-side loop.
+
+def _retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT c.cohort_week,
+  CAST(floor(date_diff('day', c.cohort_week, e.week) / 7) AS INT) AS week_offset,
+  COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "events_retention_cohorts", _retention, _RETENTION_SQL,
+    "weekly cohort retention matrix (first-activity cohort x week offset, "
+    "distinct-user counts)",
+    ("events", "agg", "cohort"),
+))

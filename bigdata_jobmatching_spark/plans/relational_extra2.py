@@ -338,3 +338,113 @@ register(QuerySpec(
     "left-semi existence join (suppliers with at least one max-quantity shipment)",
     ("relational", "join", "semi"),
 ))
+
+
+# --- nation_revenue_share: share-of-total over an aggregate ---------------
+# Ratio-to-report: each nation's revenue share of the global total via
+# an unpartitioned window over the 25-row AGGREGATE (windowing the
+# tiny post-agg result, never the fact table — the global window is
+# safe exactly because it runs after the reduction).
+
+def _nation_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY)
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev_dec") / F.sum("rev_dec").over(w)).cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+_NATION_SHARE_SQL = f"""
+WITH per_nation AS (
+  SELECT n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS {MONEY})) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+  round(CAST(rev_dec / SUM(rev_dec) OVER () AS DOUBLE), 6) AS revenue_share
+FROM per_nation
+"""
+
+register(QuerySpec(
+    "nation_revenue_share", _nation_share, _NATION_SHARE_SQL,
+    "ratio-to-report: per-nation revenue share via a window over the "
+    "post-aggregation rows (exact decimal division)",
+    ("relational", "window", "agg"),
+))
+
+
+# --- customers_inactive_1998: anti join with a correlated predicate -------
+# NOT EXISTS with a condition beyond the key (no orders IN 1998) — the
+# anti join carries the year predicate into the join itself, which
+# Catalyst pushes to the orders scan.
+
+def _inactive_98(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.year("o_orderdate") == 1998)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_INACTIVE_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND EXTRACT(year FROM o.o_orderdate) = 1998
+)
+"""
+
+register(QuerySpec(
+    "customers_inactive_1998", _inactive_98, _INACTIVE_SQL,
+    "NOT EXISTS anti join with a correlated year predicate pushed into "
+    "the scan",
+    ("relational", "join", "anti"),
+))
+
+
+# --- user_top_event: native argmax aggregation ----------------------------
+# max_by / arg_max with a composite (value, event_id) order key: the
+# single-pass argmax — no self-join, no window — and the unique id in
+# the key makes the winner deterministic on both engines.
+
+def _user_top_event(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct(F.col("value"), F.col("event_id"))).alias("top_event_type"),
+        F.max(F.struct(F.col("value"), F.col("event_id"))).getField("value").alias("top_value"),
+    )
+
+
+_TOP_EVENT_SQL = """
+SELECT user_id, event_type AS top_event_type, value AS top_value FROM (
+  SELECT user_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+register(QuerySpec(
+    "user_top_event", _user_top_event, _TOP_EVENT_SQL,
+    "single-pass argmax (max_by/arg_max) with a composite order key — "
+    "deterministic winner, no window or self-join",
+    ("relational", "agg", "argmax"),
+))
