@@ -206,3 +206,147 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "mime_type", "frame_ts_ms")
     )
+
+
+# ------------------------------------------------ audio/video headers --
+# Same zero-codec principle for the other two modalities: WAV stores
+# stream parameters in the RIFF fmt chunk; MP4 stores timescale and
+# duration in the mvhd box. Parsing these is real metadata extraction
+# — only SAMPLE decode needs codec libs.
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int] | None:
+    """(channels, sample_rate, duration_ms) from RIFF/WAVE headers, or
+    None. Walks chunks: 'fmt ' carries channels/rate/byte-rate, 'data'
+    carries the payload size that determines duration."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or rate is None or not byte_rate:
+        return None
+    dur_ms = (data_size * 1000) // byte_rate if data_size is not None else 0
+    return (channels, rate, dur_ms)
+
+
+def parse_mp4_header(b: bytes) -> int | None:
+    """duration_ms from the mvhd box (inside moov), or None.
+
+    Walks top-level boxes; mvhd version 0 carries 32-bit timescale and
+    duration at fixed offsets after the box header."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    i = 0
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i:i + 4], "big")
+        btype = b[i + 4:i + 8]
+        if size < 8:
+            return None
+        if btype == b"moov":
+            j = i + 8
+            end = min(i + size, len(b))
+            while j + 8 <= end:
+                csize = int.from_bytes(b[j:j + 4], "big")
+                ctype = b[j + 4:j + 8]
+                if csize < 8:
+                    return None
+                if ctype == b"mvhd" and j + 28 <= len(b):
+                    timescale = int.from_bytes(b[j + 20:j + 24], "big")
+                    duration = int.from_bytes(b[j + 24:j + 28], "big")
+                    if not timescale:
+                        return None
+                    return (duration * 1000) // timescale
+                j += csize
+            return None
+        i += size
+    return None
+
+
+def make_wav(channels: int, sample_rate: int, n_samples: int) -> bytes:
+    """Structurally-valid WAV header (fmt + data chunk header, 16-bit
+    PCM) with a declared-but-absent data payload — enough for the
+    header parser, no samples needed."""
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data_size = n_samples * block_align
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt + b"data" + data_size.to_bytes(4, "little")
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + body
+
+
+def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal ftyp + moov(mvhd v0) carrying the duration."""
+    ftyp = b"ftyp" + b"isom" + (0).to_bytes(4, "big") + b"isomiso2"
+    ftyp_box = (8 + len(ftyp) - 4).to_bytes(4, "big") + ftyp
+    duration = (duration_ms * timescale) // 1000
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"          # version+flags
+        + (0).to_bytes(4, "big") * 2  # ctime/mtime
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + b"\x00" * 80
+    )
+    mvhd = (8 + len(mvhd_payload)).to_bytes(4, "big") + b"mvhd" + mvhd_payload
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp_box + moov
+
+
+def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append (media_format, channels, sample_rate, duration_ms, width,
+    height) from container headers across all three modalities —
+    PNG/JPEG dims, WAV stream params, MP4 duration. One Arrow pass,
+    pure Python, payloads never shuffle."""
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("media_format", T.StringType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("hdr_width", T.IntegerType()),
+            T.StructField("hdr_height", T.IntegerType()),
+        ]
+    )
+
+    def sniff_one(raw) -> tuple:
+        b = bytes(raw) if raw is not None else None
+        if not b:
+            return (None, None, None, None, None, None)
+        img = sniff_header(b)
+        if img[0] is not None:
+            return (img[0], None, None, None, img[1], img[2])
+        wav = parse_wav_header(b)
+        if wav is not None:
+            return ("wav", wav[0], wav[1], wav[2], None, None)
+        mp4 = parse_mp4_header(b)
+        if mp4 is not None:
+            return ("mp4", None, None, mp4, None, None)
+        return (None, None, None, None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sniffed = pdf[payload_col].apply(sniff_one)
+            out = pdf.copy()
+            out["media_format"] = sniffed.str[0]
+            out["channels"] = sniffed.str[1].astype("Int32")
+            out["sample_rate"] = sniffed.str[2].astype("Int32")
+            out["duration_ms"] = sniffed.str[3].astype("Int64")
+            out["hdr_width"] = sniffed.str[4].astype("Int32")
+            out["hdr_height"] = sniffed.str[5].astype("Int32")
+            yield out
+
+    return df.mapInPandas(batches, schema)

@@ -62,3 +62,60 @@ register(QuerySpec(
     "(mapInPandas, pure Python, no codec libs)",
     ("multimodal",),
 ))
+
+
+# --- media_header_meta: all three modalities in one pass ------------------
+# Payload synthesis cycles image/audio/video per key; the unified
+# sniffer extracts the modality-appropriate metadata and the oracle
+# recomputes every planted value arithmetically.
+
+
+def _synth_mixed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def one(k: int) -> bytes:
+        m = k % 3
+        if m == 0:
+            return MM.make_png(k % 512 + 1, k % 256 + 16)
+        if m == 1:
+            return MM.make_wav(k % 2 + 1, 8000 + (k % 5) * 8000, (k % 100 + 1) * 1600)
+        return MM.make_mp4((k % 300 + 1) * 100)
+
+    for pdf in it:
+        keys = pdf["p_partkey"]
+        yield pd.DataFrame({
+            "p_partkey": keys,
+            "payload": [one(int(k)) for k in keys],
+        })
+
+
+def _media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+    media = p.mapInPandas(_synth_mixed, _PAYLOAD_SCHEMA)
+    return MM.sniff_media_meta(media).select(
+        "p_partkey", "media_format", "channels", "sample_rate",
+        "duration_ms", "hdr_width", "hdr_height",
+    )
+
+
+# WAV duration ground truth: n_samples / sample_rate * 1000 with the
+# parser's integer floor — data_size*1000 // byte_rate where
+# data_size = n_samples*block_align and byte_rate = rate*block_align,
+# i.e. floor(n_samples*1000 / rate).
+_MEDIA_SQL = """
+SELECT p_partkey,
+  CASE p_partkey % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS media_format,
+  CASE WHEN p_partkey % 3 = 1 THEN CAST(p_partkey % 2 + 1 AS INT) END AS channels,
+  CASE WHEN p_partkey % 3 = 1 THEN CAST(8000 + (p_partkey % 5) * 8000 AS INT) END AS sample_rate,
+  CASE p_partkey % 3
+    WHEN 1 THEN CAST(floor(((p_partkey % 100 + 1) * 1600) * 1000.0 / (8000 + (p_partkey % 5) * 8000)) AS BIGINT)
+    WHEN 2 THEN CAST((p_partkey % 300 + 1) * 100 AS BIGINT) END AS duration_ms,
+  CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey % 512 + 1 AS INT) END AS hdr_width,
+  CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey % 256 + 16 AS INT) END AS hdr_height
+FROM part
+"""
+
+register(QuerySpec(
+    "media_header_meta", _media_meta, _MEDIA_SQL,
+    "unified image/audio/video container-header metadata (PNG dims, WAV "
+    "stream params, MP4 mvhd duration) — real parsing, no codec libs",
+    ("multimodal",),
+))

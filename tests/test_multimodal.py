@@ -78,3 +78,34 @@ def test_frame_sampling(spark, media):
     # vid1: 3500ms -> samples at 0,1000,2000,3000
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
     assert all(f.media_id == "vid1" for f in frames)
+
+
+def test_wav_mp4_header_parsers():
+    # round-trip: synthesized containers parse back to planted values
+    assert MM.parse_wav_header(MM.make_wav(2, 44100, 44100)) == (2, 44100, 1000)
+    assert MM.parse_wav_header(MM.make_wav(1, 8000, 4000)) == (1, 8000, 500)
+    assert MM.parse_mp4_header(MM.make_mp4(2500)) == 2500
+    # malformed inputs must return None, never raise
+    assert MM.parse_wav_header(b"RIFFxxxx") is None
+    assert MM.parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt chunk
+    assert MM.parse_mp4_header(b"\x00\x00\x00\x08ftyp") is None  # no moov
+    assert MM.parse_mp4_header(b"junk") is None
+    # a WAV is not an image and vice versa
+    assert MM.sniff_header(MM.make_wav(1, 8000, 100)) == (None, None, None)
+    assert MM.parse_wav_header(MM.make_png(10, 10)) is None
+
+
+def test_sniff_media_meta_mixed(spark):
+    rows = [
+        ("img", MM.make_png(300, 200)),
+        ("aud", MM.make_wav(2, 16000, 16000)),
+        ("vid", MM.make_mp4(7300)),
+        ("bad", b"not media"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r.media_id: r for r in MM.sniff_media_meta(df).collect()}
+    assert (out["img"].media_format, out["img"].hdr_width) == ("png", 300)
+    assert (out["aud"].media_format, out["aud"].channels,
+            out["aud"].sample_rate, out["aud"].duration_ms) == ("wav", 2, 16000, 1000)
+    assert (out["vid"].media_format, out["vid"].duration_ms) == ("mp4", 7300)
+    assert out["bad"].media_format is None

@@ -107,3 +107,48 @@ def test_ngram_shingles_never_crash_and_bound(spark, texts):
         n = len([w for w in t.split() if w])
         assert r.n3 == max(n - 2, 0)
         assert r.fp is not None and len(r.fp) == 32  # md5 hex, even for short docs
+
+
+_words = st.sampled_from(["senior", "chef", "agent", "dev", "ing"])
+_suffixes = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@given(
+    pairs=st.lists(st.tuples(_words, _suffixes, _suffixes), min_size=4, max_size=16),
+)
+@settings(**_SETTINGS)
+def test_levenshtein_composite_blocking_is_lossless(spark, pairs):
+    # PROPERTY: the composite (first-token, length-bucket) blocking
+    # returns EXACTLY the pairs that same-first-token brute force
+    # finds within max_distance — the length dimension never loses a
+    # qualifying pair (levenshtein >= |len diff|), for any bucket size.
+    import itertools
+
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    rows = [(i, f"{w} {s1}x{s2}") for i, (w, s1, s2) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, title string")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in D.levenshtein_pairs(
+            df, "id", "title", max_distance=3, length_bucket=4
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        if ta.split(" ")[0] == tb.split(" ")[0]:
+            d = lev(ta, tb)
+            if d <= 3:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                expect.add((lo, hi, d))
+    assert got == expect
