@@ -287,3 +287,80 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    k: int = 10,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """IVF ANN with PRECOMPUTED centroids (the production pattern:
+    train the quantizer offline, assign online). Assignment is argmax
+    cosine to centroid literals — computed per row in codegen, no ML
+    model object — with the (6dp-rounded cosine, centroid id) pair as
+    the order key so the assignment is engine-reproducible. With
+    :func:`lcg_planes`-derived rational centroids the whole result is
+    SQL-oracle-verifiable, unlike the KMeans path.
+
+    Scale: identical to :func:`ivf_topk` — the corpus partitions by
+    cell, each query reads ~n_probe/n_cells of it.
+    """
+    def cell_scores(vec: Column) -> list[Column]:
+        out = []
+        for ci, cent in enumerate(centroids):
+            lit = F.array(*[F.lit(x) for x in cent])
+            out.append(F.struct(
+                F.round(S.cosine(vec, lit), 6).alias("cos"),
+                # NEGATED id: array_max orders by (cos, id) and we want
+                # the LOWEST cell id to win cosine ties
+                F.lit(-ci).alias("negid"),
+            ))
+        return out
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    best = F.array_max(F.array(*[s for s in cell_scores(vec_d)]))
+    c = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        vec_d.alias("c_vec"),
+        (-best.getField("negid")).cast("int").alias("cell"),
+    )
+
+    ranked = F.array_sort(
+        F.array(*cell_scores(vec_d)),
+        lambda a, b: F.when(a.getField("cos") > b.getField("cos"), -1)
+        .when(a.getField("cos") < b.getField("cos"), 1)
+        .otherwise(F.signum(b.getField("negid") - a.getField("negid")).cast("int")),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec_d.alias("q_vec"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: (-s.getField("negid")).cast("int"))
+        ).alias("cell"),
+    )
+
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    if score_decimals is not None:
+        cand = cand.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def lcg_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic rational centroids from the shared LCG family."""
+    return lcg_planes(1, n_cells, dim)[0]

@@ -305,3 +305,73 @@ register(QuerySpec(
     "exact-decimal moments (feature-normalization statistics)",
     ("vector", "agg"),
 ))
+
+
+# --- ann_ivf_topk: fixed-centroid IVF, fully value-verified ---------------
+# The KMeans IVF path can't be oracled (trained state); this variant
+# uses precomputed LCG-rational centroids — the production
+# offline-trained-quantizer pattern — so cell assignment, probe sets,
+# scores and ranks are all reproducible in SQL.
+
+_IVF_CELLS, _IVF_PROBE, _IVF_DIM, _IVF_K = 8, 2, 64, 10
+
+
+def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ANN.ivf_topk_fixed(
+        e, queries, "vec_id", "embedding",
+        centroids=ANN.lcg_centroids(_IVF_CELLS, _IVF_DIM),
+        n_probe=_IVF_PROBE, k=_IVF_K, score_decimals=6,
+    ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+def _ivf_oracle_sql(n_cells: int, n_probe: int, dim: int, k: int) -> str:
+    cents = ANN.lcg_centroids(n_cells, dim)
+    values = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent(cell, c) AS (VALUES {values}),
+scores AS (
+  SELECT vec_id, cell, round(list_cosine_similarity(e, c), 6) AS cos
+  FROM v CROSS JOIN cent
+),
+ranked AS (
+  SELECT vec_id, cell,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM scores
+),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE rn <= {n_probe} AND vec_id % 50 = 0
+),
+cand AS (
+  SELECT DISTINCT probes.query_id, assign.neighbor_id
+  FROM probes JOIN assign USING (cell)
+  WHERE assign.neighbor_id != probes.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(list_cosine_similarity(qa.e, ca.e), 6) AS score
+  FROM cand
+  JOIN v qa ON qa.vec_id = cand.query_id
+  JOIN v ca ON ca.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+register(QuerySpec(
+    "ann_ivf_topk", _ann_ivf,
+    _ivf_oracle_sql(_IVF_CELLS, _IVF_PROBE, _IVF_DIM, _IVF_K),
+    "fixed-centroid IVF ANN (offline-quantizer pattern): cell "
+    "assignment, probes, scores and ranks all value-verified",
+    ("vector", "ann", "ivf"),
+))

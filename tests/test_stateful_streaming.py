@@ -72,3 +72,60 @@ def test_apply_in_pandas_with_state(spark, sf_dir, tmp_path):
         o = out[uid]
         assert o.n_events == t.n_events
         assert o.first_ms == t.first_ms and o.last_ms == t.last_ms
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    # streaming attribution must produce EXACTLY the batch interval
+    # join's matches once both streams drain (availableNow)
+    from bigdata_jobmatching_spark.streaming.joins import stream_click_purchase_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    q = (
+        stream_click_purchase_join(clicks, purchases, horizon="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+
+    b = spark.read.parquet(src)
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    expect = {
+        (r.purchase_id, r.click_id)
+        for r in bp.join(
+            bc,
+            (F.col("user_id") == F.col("bu"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("ts")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
