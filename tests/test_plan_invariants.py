@@ -133,3 +133,45 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_tfidf_vocab_broadcast_no_sortmerge(spark, sf_dir):
+    # the vocabulary (df) side must broadcast; the (doc,term) fact is
+    # never sort-merge joined
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_volume_customers_agg_broadcast(spark, sf_dir):
+    # the HAVING aggregate (rare hot orders) broadcasts; orders and
+    # customer never shuffle on a composite key
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_capped_matching_still_single_hint(spark, sf_dir):
+    # the fractional-cap variant must keep the scale discipline: only
+    # the CV dim is force-broadcast (plus the scalar total ride-along);
+    # the offer dim stays AQE-decided
+    df = REGISTRY["job_cv_matching_capped"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # broadcast hints: freq keep-set, scalar total, CV dim = 3; never
+    # the offer dim (which would die at 100x)
+    assert analyzed.count("ResolvedHint") == 3
+    plan = _plan(spark, sf_dir, "job_cv_matching_capped")
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_window_partitioned(spark, sf_dir):
+    # the packing cumsum must partition by source — a global
+    # single-partition window would be a 100 TB deadlock
+    plan = _plan(spark, sf_dir, "doc_sequence_packing")
+    assert re.search(r"Window .*partitionBy.*source|Window \[.*source", plan), plan[:2000]
+
+
+def test_retention_cohort_dim_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_retention_cohorts")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
