@@ -129,3 +129,44 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_incremental_rollup_foreachbatch(spark, sf_dir, tmp_path):
+    # the continuously-maintained rollup must equal the batch GROUP BY
+    # after draining, and a RESTART over the same source must leave the
+    # table unchanged (exactly-once via checkpoint + dynamic partition
+    # overwrite)
+    from bigdata_jobmatching_spark.streaming.rollup import stream_rollup_to_warehouse
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    src = str(tmp_path / "ev_src_ru")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, ck = str(tmp_path / "rollup_tbl"), str(tmp_path / "ck_ru")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_rollup_to_warehouse(spark, stream, out, ck)
+        q.awaitTermination(180)
+
+    run()
+    got1 = {(str(r.day), r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()}
+    expect = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(src)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got1 == expect and len(got1) > 0
+    # restart over the same checkpoint: no duplicate work, table stable
+    run()
+    got2 = {(str(r.day), r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == got1
