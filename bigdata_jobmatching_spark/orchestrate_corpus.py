@@ -1,0 +1,153 @@
+"""Staged training-corpus pipeline: the end-to-end driver that turns a
+raw document lake into packed, split, deduplicated training data.
+
+The domain chain (orchestrate.py) mirrors the reference's job-offer
+DAG; this is the same staged-landing discipline applied to the
+LLM-data operators this engine adds: quality filter -> exact dedup ->
+near-dup dedup (MinHash keep-best) -> PII scrub -> train/val split ->
+sequence packing -> partitioned corpus landing, with a strict
+count-monotonicity gate (every filter stage can only shrink the
+corpus, and nothing required may be empty).
+
+Each stage lands as parquet, so a 100 TB run resumes from the last
+good directory; every stage is one narrow pass or one bounded
+shuffle (the dedup joins are banded — see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as X
+from .operators import dedup as D
+from .sources.io import write_stage
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{2,3}([ .-][0-9]{2,4}){3,4}"
+
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
+
+CORPUS_STAGES: tuple[str, ...] = (
+    "filtered", "exact_deduped", "near_deduped", "scrubbed", "packed",
+)
+
+
+def quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    return docs.filter(X.quality_score(F.col("text")) >= min_quality)
+
+
+def exact_dedup_docs(docs: DataFrame) -> DataFrame:
+    return D.exact_dedup(
+        docs,
+        key=X.fingerprint(F.col("text")),
+        order_cols=[F.length("text").desc(), F.col("doc_id")],
+        id_col="doc_id",
+    )
+
+
+def near_dedup_docs(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=jaccard_threshold
+    ).select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"))
+    return D.keep_best(
+        docs, pairs, "doc_id",
+        order_cols=[F.length("text").desc(), F.col("doc_id")],
+    )
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.withColumn("text", clean)
+
+
+def split_and_pack(docs: DataFrame, bin_tokens: int = 2048, val_pct: int = 10) -> DataFrame:
+    h = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M
+    tagged = docs.withColumn(
+        "split",
+        F.when(h < _LCG_M * val_pct // 100, F.lit("val")).otherwise(F.lit("train")),
+    ).withColumn("n_tokens", X.token_count(F.col("text")).cast("long"))
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return tagged.withColumn(
+        "bin_idx", F.floor(start / bin_tokens).cast("long")
+    )
+
+
+def corpus_gate(spark: SparkSession, out_dir: str, strict: bool = True) -> dict:
+    """Row counts per stage; strict mode enforces that every stage is
+    non-empty AND that the filter/dedup stages are monotone
+    non-increasing (a dedup that GREW the corpus is a bug)."""
+    stats: dict[str, dict] = {}
+    problems: list[str] = []
+    rows_seq: list[int] = []
+    for name in CORPUS_STAGES:
+        d = Path(out_dir) / name
+        files = len(list(d.rglob("*.parquet"))) if d.exists() else 0
+        rows = spark.read.parquet(str(d)).count() if files else 0
+        stats[name] = {"files": files, "rows": rows}
+        if rows == 0:
+            problems.append(f"{name} empty")
+        rows_seq.append(rows)
+    for prev, cur, name in zip(rows_seq, rows_seq[1:], CORPUS_STAGES[1:]):
+        if name in ("exact_deduped", "near_deduped") and cur > prev:
+            problems.append(f"{name} grew the corpus ({prev} -> {cur})")
+    if strict and problems:
+        raise ValueError(f"corpus gate: {problems}")
+    return stats
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    strict: bool = True,
+    min_quality: float = 0.5,
+) -> dict:
+    write_stage(quality_filter(docs, min_quality), f"{out_dir}/filtered", ("source",))
+
+    exact = exact_dedup_docs(spark.read.parquet(f"{out_dir}/filtered"))
+    write_stage(exact, f"{out_dir}/exact_deduped", ("source",))
+
+    near = near_dedup_docs(spark.read.parquet(f"{out_dir}/exact_deduped"))
+    write_stage(near, f"{out_dir}/near_deduped", ("source",))
+
+    scrubbed = scrub_pii(spark.read.parquet(f"{out_dir}/near_deduped"))
+    write_stage(scrubbed, f"{out_dir}/scrubbed", ("source",))
+
+    packed = split_and_pack(spark.read.parquet(f"{out_dir}/scrubbed"))
+    write_stage(packed, f"{out_dir}/packed", ("split", "source"))
+
+    return corpus_gate(spark, out_dir, strict=strict)
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from .session import get_spark
+    from .sources.io import load_table
+
+    ap = argparse.ArgumentParser(description="staged corpus pipeline driver")
+    ap.add_argument("sf_dir", help="test-lake directory with documents.parquet")
+    ap.add_argument("out_dir", help="stage output directory")
+    ap.add_argument("--no-strict", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("corpus-pipeline")
+    docs = load_table(spark, args.sf_dir, "documents")
+    stats = run_corpus_pipeline(spark, docs, args.out_dir, strict=not args.no_strict)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -261,3 +261,46 @@ def test_staged_pipeline_driver_and_quality_gate(spark, raw, tmp_path):
 
     with _pytest.raises(ValueError, match="quality gate"):
         O.quality_check(spark, str(tmp_path / "nowhere"), strict=True)
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    # the training-corpus chain: filter -> exact dedup -> near dedup ->
+    # scrub -> split+pack, with planted exact and near duplicates that
+    # must disappear, and the monotone count gate green
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact_twin = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    docs = base.unionByName(exact_twin)
+    stats = OC.run_corpus_pipeline(spark, docs, str(tmp_path / "corpus"))
+
+    n0 = docs.count()
+    assert stats["filtered"]["rows"] <= n0
+    # exact dedup removes AT LEAST every surviving planted twin (the
+    # base corpus also has natural same-token-set duplicates), and the
+    # output must contain no fingerprint collisions at all
+    n_planted_survivors = OC.quality_filter(exact_twin).count()
+    assert stats["exact_deduped"]["rows"] <= stats["filtered"]["rows"] - n_planted_survivors
+    from bigdata_jobmatching_spark.functions import text as X
+
+    deduped = spark.read.parquet(str(tmp_path / "corpus/exact_deduped"))
+    n_fp = deduped.select(X.fingerprint(F.col("text")).alias("fp")).distinct().count()
+    assert n_fp == stats["exact_deduped"]["rows"]
+    assert stats["near_deduped"]["rows"] <= stats["exact_deduped"]["rows"]
+    # scrub and packing preserve the row count
+    assert stats["scrubbed"]["rows"] == stats["near_deduped"]["rows"]
+    assert stats["packed"]["rows"] == stats["scrubbed"]["rows"]
+
+    packed = spark.read.parquet(str(tmp_path / "corpus/packed"))
+    assert set(r.split for r in packed.select("split").distinct().collect()) <= {"train", "val"}
+    # bins are contiguous from 0 within each (split, source)
+    bins = packed.groupBy("split", "source").agg(
+        F.min("bin_idx").alias("lo"), F.max("bin_idx").alias("hi"),
+        F.countDistinct("bin_idx").alias("n"),
+    )
+    for r in bins.collect():
+        assert r.lo == 0 and r.n == r.hi + 1
