@@ -137,3 +137,40 @@ def test_ivf_ann_recall(spark, sf_dir):
         full.select("query_id", "neighbor_id")
     ).count()
     assert miss == 0
+
+
+def test_ivf_fixed_full_probe_equals_brute_force(spark, sf_dir):
+    # PROPERTY: probing every cell makes fixed-centroid IVF exact —
+    # the candidate set becomes the whole corpus, so (query, neighbor,
+    # rnk) must match brute force row for row.
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    cents = ANN.lcg_centroids(4, 64)
+    ivf = ANN.ivf_topk_fixed(
+        e, q, "vec_id", "embedding", centroids=cents,
+        n_probe=4, k=5, score_decimals=6,
+    ).select("query_id", "neighbor_id", "rnk")
+    bf = ANN.brute_force_topk(
+        e, q, "vec_id", "embedding", k=5, score_decimals=6
+    ).select("query_id", "neighbor_id", "rnk")
+    assert ivf.exceptAll(bf).count() == 0 and bf.exceptAll(ivf).count() == 0
+
+
+def test_ivf_fixed_partial_probe_recall(spark, sf_dir):
+    # with 2 of 4 cells probed, recall against brute force stays
+    # useful (>= 0.3 on random vectors; real clustered data is higher)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    cents = ANN.lcg_centroids(4, 64)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ANN.ivf_topk_fixed(
+            e, q, "vec_id", "embedding", centroids=cents, n_probe=2, k=5
+        ).collect()
+    }
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in ANN.brute_force_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    assert len(bf) > 0
+    assert len(ivf & bf) / len(bf) >= 0.3
