@@ -348,3 +348,52 @@ register(QuerySpec(
     "(pretraining sequence construction; windows never global)",
     ("mixing", "window", "bench"),
 ))
+
+
+# --- benchmark_decontamination: n-gram overlap vs a held-out set ----------
+# The eval-set decontamination pass every training pipeline needs:
+# any document sharing a 3-token shingle with a benchmark document is
+# flagged (with the shared-shingle count as evidence). The benchmark
+# shingle set is small and broadcasts; the corpus side is one explode
+# + one shuffle on the flagged ids — never a doc x doc join.
+
+_DECON_N = 3
+
+
+def _decontam(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions import similarity as S
+
+    d = fan_out(load_table(spark, sf, "documents"))
+    is_bench = F.col("doc_id") % 97 == 0
+    sh = S.word_ngrams(F.col("text"), _DECON_N)
+    bench_sh = d.filter(is_bench).select(F.explode(sh).alias("sh")).distinct()
+    doc_sh = d.filter(~is_bench).select("doc_id", F.explode(sh).alias("sh"))
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+_DECON_SQL = """
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+doc_sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 != 0)
+SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+FROM doc_sh JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+register(QuerySpec(
+    "benchmark_decontamination", _decontam,
+    _DECON_SQL.format(toks=_SQL_TOKS),
+    "flag training documents sharing 3-token shingles with a held-out "
+    "benchmark set (broadcast shingle join — eval decontamination)",
+    ("mixing", "decontamination"),
+))
