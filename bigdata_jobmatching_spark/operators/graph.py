@@ -85,3 +85,38 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def degrees(edges: DataFrame, src: str = "m", dst: str = "n") -> DataFrame:
+    """(node, degree) over an undirected edge set (each edge stored
+    once, any orientation). One symmetric union + one shuffle."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def triangle_count(edges: DataFrame, src: str = "m", dst: str = "n") -> DataFrame:
+    """Global triangle count over an undirected edge set.
+
+    Edges are canonicalized to a < b, so each triangle a<b<c is found
+    exactly once by the classic two-join enumeration: (a,b) joins
+    (b,c) to form a wedge, closed by (a,c). Both joins are equi-joins
+    Catalyst can shuffle-partition on the wedge midpoint/endpoints —
+    the standard distributed formulation; degeneracy-order or
+    high-degree-vertex splitting are the levers if a 100 TB graph has
+    celebrity nodes.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -448,3 +448,66 @@ register(QuerySpec(
     "deterministic winner, no window or self-join",
     ("relational", "agg", "argmax"),
 ))
+
+
+# --- copurchase_triangles: graph analytics over a derived edge set --------
+# Parts co-occurring in the same (sampled) order form an undirected
+# co-purchase graph; the query reports edge count, triangle count and
+# max degree in one result row. Triangle enumeration is the classic
+# two-equi-join formulation over canonicalized a<b edges (see
+# operators/graph.py); the joins shuffle on wedge endpoints, never
+# materializing anything wider than the wedge set.
+
+def _copurchase_graph(spark: SparkSession, sf: str):
+    from ..operators.graph import degrees, triangle_count
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    pairs = (
+        li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("pb")),
+            "l_orderkey",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return pairs, degrees(pairs, "pa", "pb"), triangle_count(pairs, "pa", "pb")
+
+
+def _copurchase_stats(spark: SparkSession, sf: str) -> DataFrame:
+    pairs, deg, tri = _copurchase_graph(spark, sf)
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    max_deg = deg.agg(F.max("degree").alias("max_degree"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(max_deg))
+        .select("n_edges", "n_triangles", "max_degree")
+    )
+
+
+_TRIANGLE_SQL = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       (SELECT MAX(degree) FROM deg) AS max_degree
+"""
+
+register(QuerySpec(
+    "copurchase_triangles", _copurchase_stats, _TRIANGLE_SQL,
+    "co-purchase graph analytics: edge count, triangle count (two-join "
+    "wedge closure) and max degree in one row",
+    ("relational", "graph", "join"),
+))

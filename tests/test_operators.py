@@ -270,3 +270,18 @@ def test_md5_minhash_agrees_with_exact_jaccard(spark, sf_dir):
         a, b = sh[r.id_a], sh[r.id_b]
         want = round(len(a & b) / len(a | b), 6)
         assert abs(r.jaccard - want) < 1e-9
+
+
+def test_triangle_count_hand_graph(spark):
+    # K4 on {1,2,3,4} has 4 triangles; an extra pendant edge adds none;
+    # duplicate/reversed edges must not double-count
+    from bigdata_jobmatching_spark.operators.graph import degrees, triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (2, 1), (5, 4)]  # reversed + duplicate noise
+    df = spark.createDataFrame(edges, "m long, n long")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    deg = {r.node: r.degree for r in degrees(df.distinct(), "m", "n").collect()}
+    # degrees computed over the raw (noisy) edge multiset after distinct
+    # on stored orientation: 1-2 appears both ways -> count both
+    assert deg[5] == 2 and deg[3] == 3
