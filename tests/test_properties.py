@@ -152,3 +152,39 @@ def test_levenshtein_composite_blocking_is_lossless(spark, pairs):
                 lo, hi = (ia, ib) if ia < ib else (ib, ia)
                 expect.add((lo, hi, d))
     assert got == expect
+
+
+_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=1, max_size=40), min_size=3, max_size=8
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_similarity_kernel_invariants(spark, texts):
+    # PROPERTIES on generated text: jaccard is symmetric, bounded in
+    # [0,1], and 1.0 on identical non-empty shingle sets; cosine of a
+    # vector with itself is 1 (or 0 for the zero vector) and bounded.
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sh = df.select(
+        "id", S.word_ngrams(F.col("text"), 2).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("ia"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("ib"), F.col("sh").alias("sb"))
+    pairs = a.crossJoin(b).withColumn("j", S.jaccard(F.col("sa"), F.col("sb")))
+    got = pairs.collect()
+    byid = {(r.ia, r.ib): r.j for r in got}
+    for r in got:
+        assert 0.0 <= r.j <= 1.0
+        assert byid[(r.ia, r.ib)] == byid[(r.ib, r.ia)]
+        if r.ia == r.ib and r.sa:
+            assert r.j == 1.0
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)]) for i in range(4)],
+        "id long, v array<double>",
+    )
+    self_cos = vecs.withColumn("c", S.cosine(F.col("v"), F.col("v"))).collect()
+    for r in self_cos:
+        assert abs(r.c - 1.0) < 1e-9 or r.c == 0.0
