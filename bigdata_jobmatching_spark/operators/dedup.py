@@ -76,9 +76,19 @@ def keep_best(df: DataFrame, dup_pairs: DataFrame, id_col: str, order_cols: list
     """
     from .graph import connected_components
 
-    edges = dup_pairs.select(
-        F.col(f"{id_col}_a").alias("m"), F.col(f"{id_col}_b").alias("n")
-    )
+    # accept both pair namings: pairwise_candidates emits {id_col}_a/_b,
+    # the LSH/simhash/levenshtein operators emit generic id_a/id_b
+    cols = set(dup_pairs.columns)
+    if f"{id_col}_a" in cols:
+        a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+    elif "id_a" in cols:
+        a_col, b_col = "id_a", "id_b"
+    else:
+        raise ValueError(
+            f"dup_pairs needs ({id_col}_a, {id_col}_b) or (id_a, id_b) "
+            f"columns; got {sorted(cols)}"
+        )
+    edges = dup_pairs.select(F.col(a_col).alias("m"), F.col(b_col).alias("n"))
     rep = connected_components(edges).withColumnRenamed("node", id_col).withColumnRenamed("component", "grp")
     joined = df.join(rep, id_col, "left").withColumn(
         "grp", F.coalesce(F.col("grp"), F.col(id_col))

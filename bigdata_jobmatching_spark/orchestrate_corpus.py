@@ -52,7 +52,7 @@ def exact_dedup_docs(docs: DataFrame) -> DataFrame:
 def near_dedup_docs(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", jaccard_threshold=jaccard_threshold
-    ).select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"))
+    )
     return D.keep_best(
         docs, pairs, "doc_id",
         order_cols=[F.length("text").desc(), F.col("doc_id")],
