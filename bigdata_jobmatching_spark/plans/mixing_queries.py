@@ -397,3 +397,90 @@ register(QuerySpec(
     "benchmark set (broadcast shingle join — eval decontamination)",
     ("mixing", "decontamination"),
 ))
+
+
+# --- corpus_stage_counts: the pipeline arithmetic, value-verified ---------
+# One row of per-stage corpus counts: raw -> quality-filtered ->
+# exact-deduped (keep-best survivor per fingerprint) -> train/val.
+# This gate-verifies the COMPOSITION the corpus pipeline driver runs
+# (orchestrate_corpus.py), not just each kernel: the oracle recomputes
+# filter score, md5 fingerprint grouping, the keep-best survivor
+# choice and the LCG split from scratch in SQL.
+
+def _stage_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = fan_out(load_table(spark, sf, "documents"))
+    filtered = d.filter(X.quality_score(F.col("text")) >= 0.5)
+    exact = D.exact_dedup(
+        filtered,
+        key=X.fingerprint(F.col("text")),
+        order_cols=[F.length("text").desc(), F.col("doc_id")],
+        id_col="doc_id",
+    )
+    h = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M
+    split = exact.withColumn(
+        "split",
+        F.when(h < _LCG_M * _VAL_PCT // 100, F.lit("val")).otherwise(F.lit("train")),
+    )
+    n_raw = d.agg(F.count(F.lit(1)).alias("n_raw"))
+    n_filtered = filtered.agg(F.count(F.lit(1)).alias("n_filtered"))
+    n_split = split.agg(
+        F.count(F.lit(1)).alias("n_exact_deduped"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+    )
+    return (
+        n_raw.crossJoin(F.broadcast(n_filtered)).crossJoin(F.broadcast(n_split))
+        .select("n_raw", "n_filtered", "n_exact_deduped", "n_train", "n_val")
+    )
+
+
+_STAGE_COUNTS_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {{toks}} AS toks FROM documents),
+sig AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tok,
+    CASE WHEN len(toks) > 0
+         THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, t -> t IN ({{en}}))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS swr,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS pr
+  FROM tok
+),
+filtered AS (
+  SELECT doc_id, text, toks FROM sig
+  WHERE ((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0 >= 0.5
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    PARTITION BY md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+    ORDER BY length(text) DESC, doc_id) AS rn
+  FROM filtered
+),
+survivors AS (
+  SELECT doc_id,
+    CASE WHEN (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} < {_LCG_M * _VAL_PCT // 100}
+         THEN 'val' ELSE 'train' END AS split
+  FROM ranked WHERE rn = 1
+)
+SELECT (SELECT COUNT(*) FROM tok) AS n_raw,
+       (SELECT COUNT(*) FROM filtered) AS n_filtered,
+       (SELECT COUNT(*) FROM survivors) AS n_exact_deduped,
+       (SELECT COUNT(*) FROM survivors WHERE split = 'train') AS n_train,
+       (SELECT COUNT(*) FROM survivors WHERE split = 'val') AS n_val
+"""
+
+register(QuerySpec(
+    "corpus_stage_counts", _stage_counts,
+    _STAGE_COUNTS_SQL.format(toks=_SQL_TOKS, en=_EN),
+    "per-stage corpus counts (raw -> filter -> exact dedup keep-best -> "
+    "train/val) — the pipeline composition itself value-verified",
+    ("mixing", "pipeline"),
+))
