@@ -477,3 +477,41 @@ register(QuerySpec(
     "distinct-user counts)",
     ("events", "agg", "cohort"),
 ))
+
+
+# --- events_props_typed: strict-schema from_json parsing ------------------
+# The typed counterpart of events_json_props: props parses into a
+# STRUCT under an explicit schema (the reference's no-inference
+# discipline, consume_jobs.py:39-75, applied to batch JSON columns);
+# malformed rows become NULL structs and are counted, never dropped
+# silently.
+
+def _props_typed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy(
+            "event_type",
+            (F.col("p.k") % 10).alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("p").isNull() | F.col("p.k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+        )
+    )
+
+
+_PROPS_TYPED_SQL = """
+SELECT event_type, CAST(props->>'k' AS INT) % 10 AS k_bucket,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS n_unparsed
+FROM events
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "events_props_typed", _props_typed, _PROPS_TYPED_SQL,
+    "strict-schema from_json struct parsing with unparsed-row audit "
+    "(typed twin of the scalar get_json_object path)",
+    ("events", "json", "agg"),
+))
