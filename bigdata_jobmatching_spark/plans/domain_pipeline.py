@@ -205,11 +205,27 @@ _HTML_ENTITIES: tuple[tuple[str, str], ...] = (
 
 def _strip_tags(c: Column) -> Column:
     """get_text(strip=True) analog: drop tags, decode entities,
-    squeeze whitespace."""
+    squeeze whitespace. U+FFFD replacement characters (mojibake from
+    ISO-8859-1 bytes force-read as UTF-8 upstream — bs4's
+    UnicodeDammit would have re-decoded the raw bytes, but a string
+    column has already lost them) are removed rather than leaked into
+    extracted fields."""
     txt = F.regexp_replace(c, r"<[^>]+>", "")
     for ent, ch in _HTML_ENTITIES:
         txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    txt = F.regexp_replace(txt, "�", "")
     return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+
+def _drop_comments(c: Column) -> Column:
+    """Remove HTML comments and CDATA sections the way bs4's get_text
+    does (both are excluded from text, and a commented-out hook must
+    not win a cascade). Unterminated openers comment out the rest of
+    the page, exactly like html.parser."""
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, r"(?s)<!\[CDATA\[.*?\]\]>", "")
+    c = F.regexp_replace(c, r"(?s)<!--.*$", "")
+    return F.regexp_replace(c, r"(?s)<!\[CDATA\[.*$", "")
 
 
 def parse_html_fields(df: DataFrame) -> DataFrame:
@@ -222,17 +238,19 @@ def parse_html_fields(df: DataFrame) -> DataFrame:
     projection, no Python). Hardened against real markup: attribute
     reorder, single quotes, multi-class attributes, nested inline
     tags, and whitespace all extract correctly (see the adversarial
-    fixtures in tests)."""
-    out = df
+    fixtures in tests). Comments/CDATA are dropped up front so a
+    commented-out hook never wins a cascade and comment text never
+    leaks into fields."""
+    out = df.withColumn("__html", _drop_comments(F.col("html")))
     for name, steps in HTML_FIELD_CASCADES.items():
         candidates = []
         for pat, grp, mn in steps:
-            txt = _strip_tags(F.regexp_extract("html", pat, grp))
+            txt = _strip_tags(F.regexp_extract("__html", pat, grp))
             cond = (F.length(txt) > mn) if mn else (txt != "")
             candidates.append(F.when(cond, txt))
         out = out.withColumn(name, F.coalesce(*candidates))
     # location city-list fallback + country default (parse_jobs.py:209-221)
-    low = F.lower(F.col("html"))
+    low = F.lower(F.col("__html"))
     city_fb = F.coalesce(
         *[F.when(low.contains(c.lower()), F.lit(c)) for c in CI_CITIES]
     )
@@ -241,7 +259,7 @@ def parse_html_fields(df: DataFrame) -> DataFrame:
     # first 2000 (parse_jobs.py:138-145)
     page_txt = _strip_tags(
         F.regexp_replace(
-            F.col("html"),
+            F.col("__html"),
             r"(?s)<(script|style|nav|header|footer|aside)\b.*?</\1\s*>",
             " ",
         )
@@ -272,7 +290,7 @@ def parse_html_fields(df: DataFrame) -> DataFrame:
         + F.when(F.col("description").isNotNull(), 1.0).otherwise(0.0)
         + F.when(F.col("location").isNotNull(), 1.0).otherwise(0.0)
     ) / F.lit(4.0)
-    return out.withColumn("parsing_quality_score", quality)
+    return out.withColumn("parsing_quality_score", quality).drop("__html")
 
 
 # ------------------------------------------------------------ enrichment --

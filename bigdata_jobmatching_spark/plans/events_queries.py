@@ -479,39 +479,217 @@ register(QuerySpec(
 ))
 
 
-# --- events_props_typed: strict-schema from_json parsing ------------------
-# The typed counterpart of events_json_props: props parses into a
-# STRUCT under an explicit schema (the reference's no-inference
-# discipline, consume_jobs.py:39-75, applied to batch JSON columns);
-# malformed rows become NULL structs and are counted, never dropped
-# silently.
+# --- events_props_typed: typed JSON field extraction with audit -----------
+# The typed counterpart of events_json_props: the reference's
+# no-inference discipline (consume_jobs.py:39-75) applied to batch JSON
+# columns. Semantics are pinned engine-independently: extract the field
+# as text, accept it ONLY if it matches a strict bounded-integer
+# pattern, cast, and audit everything else as unparsed. This sidesteps
+# the from_json-vs-JSON-extract coercion divergence (round-3 driver
+# fail): Spark's from_json('k int') nulls quoted/decimal values that
+# SQL CAST(props->>'k') coerces, so no SQL oracle can predict from_json
+# on non-canonical payloads. from_json's strictness itself is pinned by
+# tests/test_functions.py::test_from_json_strict_schema with
+# adversarial payloads ("7", 7.5, {}, junk).
+
+_K_INT_RE = r"^-?[0-9]{1,9}$"  # bounded: CAST never overflows INT
+
 
 def _props_typed(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    parsed = ev.withColumn("p", F.from_json("props", "k int"))
+    raw = F.get_json_object("props", "$.k")
+    typed = ev.withColumn(
+        "k", F.when(raw.rlike(_K_INT_RE), raw.cast("int"))
+    )
     return (
-        parsed.groupBy(
+        typed.groupBy(
             "event_type",
-            (F.col("p.k") % 10).alias("k_bucket"),
+            (F.col("k") % 10).alias("k_bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(F.col("p").isNull() | F.col("p.k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
         )
     )
 
 
-_PROPS_TYPED_SQL = """
-SELECT event_type, CAST(props->>'k' AS INT) % 10 AS k_bucket,
+_PROPS_TYPED_SQL = f"""
+WITH ex AS (
+  SELECT event_type,
+    CASE WHEN json_valid(props) THEN props->>'k' END AS raw
+  FROM events
+),
+typed AS (
+  SELECT event_type,
+    CASE WHEN regexp_matches(raw, '{_K_INT_RE}') THEN CAST(raw AS INT) END AS k
+  FROM ex
+)
+SELECT event_type, k % 10 AS k_bucket,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS n_unparsed
-FROM events
+  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_unparsed
+FROM typed
 GROUP BY 1, 2
 """
 
 register(QuerySpec(
     "events_props_typed", _props_typed, _PROPS_TYPED_SQL,
-    "strict-schema from_json struct parsing with unparsed-row audit "
-    "(typed twin of the scalar get_json_object path)",
+    "typed JSON field extraction (strict bounded-integer pattern, "
+    "engine-pinned) with unparsed-row audit",
     ("events", "json", "agg"),
+))
+
+
+# --- event_path_counts: sessionized funnel paths --------------------------
+# The "what do users actually do in a session" query: sessionize by
+# 30-min gap (same rule as events_sessionization), take each
+# session's first 8 event types in time order, and count sessions per
+# path. The path string is built from an array_sort over
+# (ts, event_id, event_type) structs so ordering is total and
+# engine-reproducible (unique event_id tie-break).
+
+def _paths(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = 30 * 60 * 1000
+    flagged = ev.withColumn(
+        "prev_ms", F.lag(F.unix_millis("ts")).over(wl)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ms").isNull()
+            | ((F.unix_millis("ts") - F.col("prev_ms")) > gap_ms),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1, 8,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_sess.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_id,
+    array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path,
+    COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions, SUM(n_events) AS total_events
+FROM per_sess GROUP BY path
+"""
+
+register(QuerySpec(
+    "event_path_counts", _paths, _PATHS_SQL,
+    "sessionized funnel paths: first-8 event-type sequences per "
+    "session, counted per distinct path",
+    ("events", "window", "session"),
+))
+
+
+# --- events_hourly_anomalies: exact-arithmetic z-score outliers -----------
+# Anomaly detection over the (event_type, hour-of-day) seasonal
+# profile: each (type, day, hour) cell's value total is z-scored
+# against the same (type, hour) across days. Determinism: totals are
+# quantized to integer micro-units with floor (a single
+# correctly-rounded IEEE multiply + exact floor — no round()), the
+# moment sums are exact BIGINT/DECIMAL, and the final mean/std/z
+# chain is the identical sequence of correctly-rounded double ops on
+# both engines. Two narrow aggregations + an equi-join — scales.
+
+def _hourly_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cell = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias("total_u")
+    )
+    stats = cell.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("total_u").alias("s1"),
+        F.sum(
+            F.expr("CAST(total_u AS DECIMAL(18,0)) * CAST(total_u AS DECIMAL(18,0))")
+        ).alias("s2"),
+    )
+    j = cell.join(stats, ["event_type", "hr"]).filter(F.col("n_days") >= 5)
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    ex2 = F.col("s2").cast("double") / F.col("n_days")
+    std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+    z = (F.col("total_u").cast("double") - mean) / std
+    return (
+        j.filter(std > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type", "day", "hr",
+            F.col("total_u").alias("total_micro"), "z",
+        )
+    )
+
+
+_HOURLY_ANOM_SQL = """
+WITH cell AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+    SUM(CAST(floor(value * 1000000) AS BIGINT)) AS total_u
+  FROM events GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT event_type, hr, COUNT(*) AS n_days,
+    SUM(total_u) AS s1,
+    SUM(CAST(total_u AS DECIMAL(18,0)) * CAST(total_u AS DECIMAL(18,0))) AS s2
+  FROM cell GROUP BY 1, 2
+),
+j AS (
+  SELECT c.event_type, c.day, c.hr, c.total_u,
+    CAST(s.s1 AS DOUBLE) / s.n_days AS mean,
+    CAST(s.s2 AS DOUBLE) / s.n_days AS ex2
+  FROM cell c JOIN stats s ON c.event_type = s.event_type AND c.hr = s.hr
+  WHERE s.n_days >= 5
+),
+scored AS (
+  SELECT event_type, day, hr, total_u,
+    sqrt(greatest(ex2 - mean * mean, 0.0)) AS std,
+    (CAST(total_u AS DOUBLE) - mean) AS dev
+  FROM j
+)
+SELECT event_type, day, hr, total_u AS total_micro, dev / std AS z
+FROM scored
+WHERE std > 0 AND abs(dev / std) >= 2.0
+"""
+
+register(QuerySpec(
+    "events_hourly_anomalies", _hourly_anomalies, _HOURLY_ANOM_SQL,
+    "z-score anomaly flags per (event_type, day, hour) vs the "
+    "(type, hour) seasonal profile — exact integer moments, "
+    "deterministic double chain",
+    ("events", "agg", "anomaly"),
 ))

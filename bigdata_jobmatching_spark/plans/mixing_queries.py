@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..sources.io import fan_out, load_table
-from .catalog import QuerySpec, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
 from .text_queries import _EN, _SQL_TOKS
 
 # LCG constants (Numerical Recipes, public) — a hash both engines can
@@ -149,37 +149,49 @@ register(QuerySpec(
 # sources in pretraining mixes) — one tiny groupBy + broadcast scalar.
 
 def _weights(spark: SparkSession, sf: str) -> DataFrame:
+    # sqrt weights are quantized to integer micro-units BEFORE the sum:
+    # summing raw doubles is partition-merge-order dependent (the round-3
+    # driver-gate failure), while an int64 sum is exact and order-free.
+    # floor(sqrt(x)*1e6) is deterministic cross-engine: sqrt and * are
+    # single correctly-rounded IEEE ops, floor takes the double as-is.
     d = fan_out(load_table(spark, sf, "documents"))
     src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(X.token_count(F.col("text")).cast("long")).alias("tokens"),
+    ).withColumn(
+        "sq6",
+        F.expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT)"),
     )
     tot = src.agg(
-        F.sum(F.sqrt(F.col("tokens"))).alias("sum_sqrt"),
+        F.sum(F.col("sq6")).alias("sum_sq6"),
         F.count(F.lit(1)).alias("k"),
     )
     return (
         src.crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs", "tokens",
-            F.round(F.lit(1.0) / F.col("k"), 6).alias("weight_uniform"),
-            F.round(F.sqrt(F.col("tokens")) / F.col("sum_sqrt"), 6).alias("weight_sqrt"),
+            ratio6("CAST(1 AS BIGINT)", "k").alias("weight_uniform"),
+            ratio6("sq6", "sum_sq6").alias("weight_sqrt"),
         )
     )
 
 
-_WEIGHTS_SQL = """
-WITH tok AS (SELECT source, {toks} AS toks FROM documents),
+_WEIGHTS_SQL = f"""
+WITH tok AS (SELECT source, {{toks}} AS toks FROM documents),
 src AS (
   SELECT source, count(*) AS n_docs,
     sum(CAST(len(toks) AS BIGINT)) AS tokens
   FROM tok GROUP BY source
 ),
-tot AS (SELECT sum(sqrt(CAST(tokens AS DOUBLE))) AS sum_sqrt, count(*) AS k FROM src)
+sq AS (
+  SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sq6
+  FROM src
+),
+tot AS (SELECT sum(sq6) AS sum_sq6, count(*) AS k FROM sq)
 SELECT source, n_docs, tokens,
-  round(CAST(1.0 AS DOUBLE) / k, 6) AS weight_uniform,
-  round(sqrt(CAST(tokens AS DOUBLE)) / sum_sqrt, 6) AS weight_sqrt
-FROM src, tot
+  {ratio6_sql('CAST(1 AS BIGINT)', 'k')} AS weight_uniform,
+  {ratio6_sql('sq6', 'sum_sq6')} AS weight_sqrt
+FROM sq, tot
 """
 
 
@@ -296,7 +308,7 @@ register(QuerySpec(
     "doc_pii_scrub", _pii_scrub, _PII_SQL,
     "regex PII redaction (emails/phones) with audit counts and an md5 "
     "fingerprint of the scrubbed text — planted ground truth",
-    ("mixing", "privacy", "regex"),
+    ("mixing", "privacy", "regex", "bench"),
 ))
 
 

@@ -117,5 +117,5 @@ register(QuerySpec(
     "media_header_meta", _media_meta, _MEDIA_SQL,
     "unified image/audio/video container-header metadata (PNG dims, WAV "
     "stream params, MP4 mvhd duration) — real parsing, no codec libs",
-    ("multimodal",),
+    ("multimodal", "bench"),
 ))

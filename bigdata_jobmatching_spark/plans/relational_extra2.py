@@ -509,5 +509,5 @@ register(QuerySpec(
     "copurchase_triangles", _copurchase_stats, _TRIANGLE_SQL,
     "co-purchase graph analytics: edge count, triangle count (two-join "
     "wedge closure) and max degree in one row",
-    ("relational", "graph", "join"),
+    ("relational", "graph", "join", "bench"),
 ))

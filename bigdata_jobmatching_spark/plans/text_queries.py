@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..sources.io import fan_out, load_table
-from .catalog import QuerySpec, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
 
 # DuckDB twin of functions.text.normalize_text / tokens
 _SQL_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -380,9 +380,9 @@ def _repetition(spark: SparkSession, sf: str) -> DataFrame:
     j = tok_stats.join(big_stats, "doc_id", "left")
     return j.select(
         "doc_id", "n_tokens",
-        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
-        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_share"),
-        F.round(F.coalesce(F.col("top_bg_c") / F.col("n_bigrams"), F.lit(0.0)), 6).alias("top_bigram_share"),
+        ratio6("n_distinct", "n_tokens").alias("distinct_ratio"),
+        ratio6("top_c", "n_tokens").alias("top_token_share"),
+        F.coalesce(ratio6("top_bg_c", "n_bigrams"), F.lit(0.0)).alias("top_bigram_share"),
     )
 
 
@@ -404,9 +404,9 @@ bg_stats AS (
   SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg_c FROM per_bg GROUP BY doc_id
 )
 SELECT t.doc_id, t.n_tokens,
-  round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS distinct_ratio,
-  round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_share,
-  round(COALESCE(CAST(b.top_bg_c AS DOUBLE) / b.n_bigrams, 0.0), 6) AS top_bigram_share
+  {ratio6_sql('t.n_distinct', 't.n_tokens')} AS distinct_ratio,
+  {ratio6_sql('t.top_c', 't.n_tokens')} AS top_token_share,
+  COALESCE({ratio6_sql('b.top_bg_c', 'b.n_bigrams')}, 0.0) AS top_bigram_share
 FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
 """
 
@@ -414,5 +414,76 @@ register(QuerySpec(
     "doc_repetition_stats", _repetition, _REPETITION_SQL,
     "token/bigram repetition shares per document (Gopher-family "
     "repetition signals for corpus filtering)",
+    ("text", "agg", "quality"),
+))
+
+
+# --- doc_repetition_ngram: higher-order Gopher repetition shares ----------
+# Extends doc_repetition_stats to trigram/4-gram grain (the Gopher
+# filter uses top-n-gram shares for n=2..4). Shares are exact-integer
+# ratio6 arithmetic — no raw double rounding (the round-3 failure
+# class). Docs with fewer than 3 tokens have no trigrams and are
+# excluded on both engines.
+
+def _rep_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = X.tokens(F.col("text"))
+
+    def grams(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def stats(n: int, label: str) -> DataFrame:
+        g = d.select("doc_id", F.explode(grams(n)).alias("g"))
+        per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.sum("c").alias(f"n_{label}"), F.max("c").alias(f"top_{label}")
+        )
+
+    j = stats(3, "tri").join(stats(4, "four"), "doc_id", "left")
+    return j.select(
+        "doc_id", "n_tri",
+        ratio6("top_tri", "n_tri").alias("top_trigram_share"),
+        F.coalesce(ratio6("top_four", "n_four"), F.lit(0.0)).alias("top_fourgram_share"),
+    )
+
+
+_REP_NGRAM_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS g
+  FROM tok WHERE len(toks) >= 3
+),
+tstat AS (
+  SELECT doc_id, SUM(c) AS n_tri, MAX(c) AS top_tri FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
+  ) GROUP BY 1
+),
+four AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+    i -> array_to_string(toks[i:i+3], ' '))) AS g
+  FROM tok WHERE len(toks) >= 4
+),
+fstat AS (
+  SELECT doc_id, SUM(c) AS n_four, MAX(c) AS top_four FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM four GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT t.doc_id, t.n_tri,
+  {ratio6_sql('t.top_tri', 't.n_tri')} AS top_trigram_share,
+  COALESCE({ratio6_sql('f.top_four', 'f.n_four')}, 0.0) AS top_fourgram_share
+FROM tstat t LEFT JOIN fstat f ON t.doc_id = f.doc_id
+"""
+
+register(QuerySpec(
+    "doc_repetition_ngram", _rep_ngram, _REP_NGRAM_SQL,
+    "top trigram/4-gram repetition shares per document (Gopher n-gram "
+    "family, exact-integer ratios)",
     ("text", "agg", "quality"),
 ))

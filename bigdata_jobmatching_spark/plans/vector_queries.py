@@ -375,3 +375,42 @@ register(QuerySpec(
     "assignment, probes, scores and ranks all value-verified",
     ("vector", "ann", "ivf"),
 ))
+
+
+# --- ann_cosine_range: threshold range search (broadcast queries) ---------
+# The range-query sibling of ann_cosine_topk: ALL corpus vectors with
+# rounded cosine above a threshold per query (radius search — the
+# shape dedup-by-embedding and retrieval filtering use). The corpus
+# never shuffles (broadcast query set, narrow scan). The threshold
+# 0.200001 sits strictly between 6-dp grid points so the comparison
+# can never land on a rounding boundary.
+
+def _ann_range(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(S.cosine(F.col("qe"), F.col("embedding")), 6))
+        .filter(F.col("score") >= 0.200001)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score")
+    )
+
+
+_ANN_RANGE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0)
+SELECT q.query_id, c.vec_id AS neighbor_id,
+  round(list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+FROM embeddings c CROSS JOIN q
+WHERE c.vec_id != q.query_id
+  AND round(list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.200001
+"""
+
+register(QuerySpec(
+    "ann_cosine_range", _ann_range, _ANN_RANGE_SQL,
+    "cosine range search: every neighbor above the threshold per "
+    "query (broadcast query set, corpus never shuffles)",
+    ("vector", "ann"),
+))

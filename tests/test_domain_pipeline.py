@@ -304,3 +304,65 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     )
     for r in bins.collect():
         assert r.lo == 0 and r.n == r.hi + 1
+
+
+def test_html_cascade_comments_cdata_mojibake(spark):
+    # Third hostile round (bs4 tolerances, parse_jobs.py:41-230):
+    # commented-out hooks must not win a cascade, comments inside
+    # element content vanish from text (even with '>' in the comment),
+    # CDATA sections are excluded like html.parser does, an unclosed
+    # comment swallows the rest of the page, and U+FFFD mojibake
+    # (ISO-8859-1 bytes force-read as UTF-8 upstream) never leaks into
+    # extracted fields.
+    commented_decoys = """<html><body>
+    <!-- <h1 class="job-title">Ancienne offre archivee</h1> -->
+    <!-- <b class="salary">1 FCFA</b> -->
+    <h1 class="job-title">Dev<!-- inline note with > inside -->Ops Lead</h1>
+    <div class="company-name">SIFCA<!--suffix--> Group</div>
+    <div class="job-description">Pilotage des deploiements continus et de la
+    fiabilite des plateformes pour toutes les filiales du groupe.</div>
+    <span class="location"><!-- hq -->Abidjan</span>
+    <b class="salary">900 000 FCFA</b>
+    </body></html>"""
+    cdata_unclosed_comment = """<html><body>
+    <h1 class="job-title">Data<![CDATA[ <div class="company-name">Fake Co</div> ]]> Analyst</h1>
+    <div class="company-name">Nestle CI</div>
+    <p class="qualifications">SQL et <![CDATA[junk]]>tableurs avances exiges</p>
+    <div class="job-description">Analyse des ventes regionales, production de
+    rapports et suivi des indicateurs pour la direction commerciale.</div>
+    <!-- footer starts here and the comment never closes
+    <em class="city">Bouaké</em>
+    <b class="salary">2 FCFA</b>
+    </body></html>"""
+    mojibake = """<html><body>
+    <h1 class="job-title">Ing�nieur G�nie Civil</h1>
+    <div class="company-name">Bollor� Logistics</div>
+    <div class="job-description">Suivi des chantiers c�tiers, coordination
+    des �quipes terrain et reporting hebdomadaire aux parties prenantes.</div>
+    <span class="location">San-P�dro</span>
+    <b class="salary">750�000 FCFA</b>
+    </body></html>"""
+    df = spark.createDataFrame(
+        [("{}", commented_decoys), ("{}", cdata_unclosed_comment), ("{}", mojibake)],
+        "metadata string, html string",
+    )
+    a, b, c = P.parse_html_fields(df).collect()
+    # commented-out hooks lose; inline comments spliced out of content
+    assert a.title == "DevOps Lead"
+    assert a.company == "SIFCA Group"
+    assert a.location == "Abidjan"
+    assert a.salary_text == "900 000 FCFA"
+    assert a.description.startswith("Pilotage des deploiements")
+    # CDATA excluded from text AND its embedded fake hook never matches;
+    # everything inside the unclosed comment is dead to the cascade
+    assert b.title == "Data Analyst"
+    assert b.company == "Nestle CI"
+    assert b.requirements == "SQL et tableurs avances exiges"
+    assert b.salary_text is None or "2 FCFA" not in b.salary_text
+    assert b.location != "Bouaké"  # city only occurs inside the dead comment
+    # U+FFFD stripped, fields still extracted and validated
+    assert c.title == "Ingnieur Gnie Civil"
+    assert c.company == "Bollor Logistics"
+    assert c.location == "San-Pdro"
+    # the FFFD here was a latin-1 NBSP: the digit grouping collapses
+    assert c.salary_text == "750000 FCFA"

@@ -251,3 +251,34 @@ def test_gopher_stats_rules(spark):
     assert not out["nostop"].passes and out["nostop"].stop_hits == 0
     assert not out["empty"].passes and out["empty"].n_words == 0
     assert out["empty"].top_bigram_frac is None
+
+
+def test_from_json_strict_schema(spark):
+    """Pin Spark's from_json strictness on adversarial payloads.
+
+    events_props_typed deliberately does NOT use from_json (its
+    coercion rules are not SQL-oracle-predictable — round-3 driver
+    fail); this test keeps the strict-schema parsing claim verified:
+    quoted ints ARE coerced by from_json, decimals/objects/junk null
+    out, malformed JSON nulls the whole struct.
+    """
+    rows = [
+        ("int", '{"k": 7}'),
+        ("quoted", '{"k": "7"}'),
+        ("decimal", '{"k": 7.5}'),
+        ("object", '{"k": {}}'),
+        ("missing", "{}"),
+        ("junk", "not json at all"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, props string")
+    parsed = df.select("id", F.from_json("props", "k int").alias("p"))
+    out = {r.id: (r.p is not None, r.p.k if r.p is not None else None)
+           for r in parsed.collect()}
+    assert out["int"] == (True, 7)
+    assert out["quoted"] == (True, None)   # NO coercion of "7" (strict)
+    assert out["decimal"] == (True, None)  # no rounding of 7.5
+    assert out["object"] == (True, None)
+    assert out["missing"] == (True, None)
+    assert out["junk"] == (True, None)     # malformed -> null field
+    assert out["null"] == (False, None)

@@ -109,3 +109,18 @@ def test_sniff_media_meta_mixed(spark):
             out["aud"].sample_rate, out["aud"].duration_ms) == ("wav", 2, 16000, 1000)
     assert (out["vid"].media_format, out["vid"].duration_ms) == ("mp4", 7300)
     assert out["bad"].media_format is None
+
+
+def test_mp4_mvhd_version1_and_unknown():
+    # ADVICE r3: a version-1 mvhd (64-bit ctime/mtime) must parse via
+    # the shifted offsets, not read creation-time bytes as duration;
+    # unknown versions return None instead of garbage.
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    assert MM.parse_mp4_header(MM.make_mp4(4500, version=0)) == 4500
+    assert MM.parse_mp4_header(MM.make_mp4(4500, version=1)) == 4500
+    assert MM.parse_mp4_header(MM.make_mp4(7, timescale=90000, version=1)) == 7
+
+    b = bytearray(MM.make_mp4(4500))
+    b[b.index(b"mvhd") + 4] = 2  # unsupported version
+    assert MM.parse_mp4_header(bytes(b)) is None

@@ -285,3 +285,20 @@ def test_triangle_count_hand_graph(spark):
     # degrees computed over the raw (noisy) edge multiset after distinct
     # on stored orientation: 1-2 appears both ways -> count both
     assert deg[5] == 2 and deg[3] == 3
+
+
+def test_levenshtein_oversized_block_symmetric_exclusion(spark):
+    # ADVICE r3: rows of an oversized block must not surface as the
+    # a-side of boundary-straddling pairs either. id 0 (inside the
+    # 200-row hot block, len 16 -> bucket 4) is 1 edit from id 1001
+    # (len 15 -> bucket 3, kept); with only b-side capping the pair
+    # (0, 1001) leaked via the a-side bucket explode.
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    hot = [(i, f"senior agent {i:03d}") for i in range(200)]
+    edge = [(1001, "senior agent 00")]
+    df = spark.createDataFrame(hot + edge, "id long, title string")
+    pairs = D.levenshtein_pairs(
+        df, "id", "title", max_distance=3, length_bucket=4, max_block=50
+    ).collect()
+    assert pairs == []

@@ -188,3 +188,40 @@ def test_similarity_kernel_invariants(spark, texts):
     self_cos = vecs.withColumn("c", S.cosine(F.col("v"), F.col("v"))).collect()
     for r in self_cos:
         assert abs(r.c - 1.0) < 1e-9 or r.c == 0.0
+
+
+@given(
+    kind=st.sampled_from(["wav", "mp4", "mp4v1", "png", "jpeg"]),
+    cut=st.integers(min_value=0, max_value=400),
+    flips=st.lists(
+        st.tuples(st.integers(0, 399), st.integers(0, 255)), max_size=8
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_container_parsers_never_crash(kind, cut, flips):
+    """Malformed-bytes fuzz for the pure-Python container walkers:
+    random truncations of valid files + random byte flips must parse
+    to a structured result or None — never raise, never loop."""
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    base = {
+        "wav": lambda: MM.make_wav(2, 16000, 3200),
+        "mp4": lambda: MM.make_mp4(4500),
+        "mp4v1": lambda: MM.make_mp4(4500, version=1),
+        "png": lambda: MM.make_png(33, 44),
+        "jpeg": lambda: MM.make_jpeg(33, 44),
+    }[kind]()
+    b = bytearray(base[:min(cut, len(base))])
+    for pos, val in flips:
+        if b:
+            b[pos % len(b)] = val
+    data = bytes(b)
+    if kind == "wav":
+        out = MM.parse_wav_header(data)
+        assert out is None or (isinstance(out, tuple) and len(out) == 3)
+    elif kind.startswith("mp4"):
+        out = MM.parse_mp4_header(data)
+        assert out is None or isinstance(out, int)
+    else:
+        out = (MM.parse_png_header if kind == "png" else MM.parse_jpeg_header)(data)
+        assert out is None or (isinstance(out, tuple) and len(out) == 2)

@@ -142,3 +142,80 @@ def test_kafka_source_invocation_documented(spark):
             .option("maxOffsetsPerTrigger", 10000)
             .load()
         )
+
+
+def test_interval_join_e2e_drops_late_click(spark, tmp_path):
+    """Two-source stream-stream interval join e2e with out-of-order
+    arrival, proving WATERMARK STATE EXPIRY (for an inner interval
+    join Spark does not filter late input rows — the watermark's
+    guarantee is that buffered state older than the bound is evicted,
+    so a late row can no longer find an already-expired counterpart).
+
+    Batch 1: purchase P2 (17:10) is buffered unmatched; watermark
+    advances to 20:00 - 2h = 18:00. Batch 2 (on-time fillers only)
+    runs with wm=18:00, whose end-of-batch state cleanup evicts P2
+    (17:10 < 18:00: no non-late click can match it anymore). Batch 3:
+    the very late click B (16:30) arrives — it satisfies the interval
+    condition against P2, but P2's state is gone, so (P2, B) must NOT
+    appear. Control: on-time click C (18:10, batch 2) is still
+    retained (click bound = wm - horizon = 17:00) and must match
+    purchase P3 (18:30, batch 3)."""
+    import os
+
+    from bigdata_jobmatching_spark.streaming.joins import stream_click_purchase_join
+
+    def wf(d: Path, name: str, rows: list[dict], mtime: int) -> None:
+        d.mkdir(parents=True, exist_ok=True)
+        p = d / name
+        with open(p, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    D = "2024-01-01T"
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    wf(cdir, "f1.json", [
+        {"c_user_id": "u1", "click_id": "A", "click_ts": D + "10:00:00"},
+        {"c_user_id": "wmc", "click_id": "W", "click_ts": D + "20:00:00"},
+    ], 1_000_000)
+    wf(pdir, "f1.json", [
+        {"user_id": "u1", "purchase_id": "P1", "ts": D + "10:30:00"},
+        {"user_id": "u2", "purchase_id": "P2", "ts": D + "17:10:00"},
+        {"user_id": "wmp", "purchase_id": "PW", "ts": D + "20:00:00"},
+    ], 1_000_000)
+    wf(cdir, "f2.json", [
+        {"c_user_id": "u3", "click_id": "C", "click_ts": D + "18:10:00"},
+    ], 2_000_000)
+    wf(pdir, "f2.json", [
+        {"user_id": "fill", "purchase_id": "P4", "ts": D + "19:00:00"},
+    ], 2_000_000)
+    wf(cdir, "f3.json", [
+        {"c_user_id": "u2", "click_id": "B", "click_ts": D + "16:30:00"},
+    ], 3_000_000)
+    wf(pdir, "f3.json", [
+        {"user_id": "u3", "purchase_id": "P3", "ts": D + "18:30:00"},
+    ], 3_000_000)
+
+    clicks = (
+        spark.readStream
+        .schema("c_user_id string, click_id string, click_ts timestamp")
+        .option("maxFilesPerTrigger", "1").json(str(cdir))
+    )
+    purch = (
+        spark.readStream
+        .schema("user_id string, purchase_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1").json(str(pdir))
+    )
+    out = stream_click_purchase_join(clicks, purch, horizon="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.purchase_id, r.click_id) for r in spark.sql("SELECT * FROM ij_out").collect()}
+    # the late pair (P2, B) joins under the interval condition but both
+    # rows are beyond the watermark bounds — it must be expired
+    assert got == {("P1", "A"), ("P3", "C")}

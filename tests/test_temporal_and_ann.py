@@ -174,3 +174,16 @@ def test_ivf_fixed_partial_probe_recall(spark, sf_dir):
     }
     assert len(bf) > 0
     assert len(ivf & bf) / len(bf) >= 0.3
+
+
+def test_lsh_plane_literal_guard():
+    # dim=512 at default tables/bits crosses MAX_PLANE_LITERALS: the
+    # codegen LSH path must fail fast with routing guidance instead of
+    # building a plan whose analysis dwarfs the query.
+    import pytest
+
+    from bigdata_jobmatching_spark.operators import similarity_search as SS
+
+    assert 4 * 8 * 512 > SS.MAX_PLANE_LITERALS
+    with pytest.raises(ValueError, match="plane literals"):
+        SS.lsh_ann_topk(None, None, "id", "vec", dim=512, tables=4, bits=8)
