@@ -321,5 +321,5 @@ register(QuerySpec(
     "customer_rfm_scores", _rfm, _RFM_SQL,
     "RFM quartile segmentation (recency/frequency/monetary ntiles, "
     "exact-decimal monetary, total-order tie-breaks)",
-    ("analytics", "window", "segmentation"),
+    ("analytics", "window", "segmentation", "bench"),
 ))

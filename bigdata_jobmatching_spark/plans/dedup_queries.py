@@ -511,3 +511,75 @@ register(QuerySpec(
     "duplicates Jaccard misses; per-block window, no global sort",
     ("dedup", "join", "ngram"),
 ))
+
+
+# --- docs_dedup_cluster_sizes: duplicate-cluster size histogram -----------
+# The corpus-health metric behind every dedup run: how big are the
+# duplicate clusters (connected components of the >=0.9-Jaccard pair
+# graph, singletons included)? Output (cluster_size, n_clusters,
+# n_docs) — a ~10-row histogram whose values cover the whole CC
+# result, making it a strong oracle for the iterative component
+# labeling (the DuckDB twin recomputes components with a recursive
+# CTE, same as the keep_best oracle).
+
+def _cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = (
+        fan_out(load_table(spark, sf, "documents"))
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
+    )
+    cand = D.pairwise_candidates(
+        d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
+    )
+    dup_pairs = cand.withColumn(
+        "jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b"))
+    ).filter(F.col("jaccard") >= 0.9)
+    comp = connected_components(
+        dup_pairs.select(F.col("doc_id_a").alias("m"), F.col("doc_id_b").alias("n"))
+    )
+    labeled = d.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("grp")
+    )
+    sizes = labeled.groupBy("grp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, {_SQL_TOKSET} AS ts FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS m, b.doc_id AS n
+  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+),
+sym AS (SELECT m AS a, n AS b FROM pairs UNION ALL SELECT n, m FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+),
+rep AS (SELECT node AS doc_id, MIN(label) AS grp FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(r.grp, d.doc_id) AS grp
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+),
+sizes AS (SELECT grp, COUNT(*) AS cluster_size FROM grouped GROUP BY grp)
+SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster_size) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+register(QuerySpec(
+    "docs_dedup_cluster_sizes", _cluster_sizes, _CLUSTER_SIZES_SQL,
+    "duplicate-cluster size histogram over >=0.9-Jaccard connected "
+    "components (singletons included) — corpus-health dedup metric",
+    ("dedup", "graph", "agg", "bench"),
+))

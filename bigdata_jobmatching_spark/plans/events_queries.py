@@ -612,7 +612,7 @@ register(QuerySpec(
     "event_path_counts", _paths, _PATHS_SQL,
     "sessionized funnel paths: first-8 event-type sequences per "
     "session, counted per distinct path",
-    ("events", "window", "session"),
+    ("events", "window", "session", "bench"),
 ))
 
 
@@ -691,5 +691,47 @@ register(QuerySpec(
     "z-score anomaly flags per (event_type, day, hour) vs the "
     "(type, hour) seasonal profile — exact integer moments, "
     "deterministic double chain",
+    ("events", "agg", "anomaly"),
+))
+
+
+# --- events_rate_outliers: superhuman-rate (bot) detection ----------------
+# Per user: the busiest minute (max events within any calendar
+# minute) and total volume; flag users whose peak exceeds the
+# threshold. Calendar-minute bucketing keeps it two map-side
+# aggregations (no self-join, no sliding state); the streaming twin
+# would be a 1-minute tumbling window + threshold filter.
+
+def _rate_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_min = ev.groupBy(
+        "user_id", (F.unix_millis("ts") / F.lit(60000)).cast("bigint").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.max("c").alias("peak_per_minute"),
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("active_minutes"),
+        )
+        .filter(F.col("peak_per_minute") >= 2)
+    )
+
+
+_RATE_OUTLIERS_SQL = """
+WITH per_min AS (
+  SELECT user_id, CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, MAX(c) AS peak_per_minute, SUM(c) AS n_events,
+  COUNT(*) AS active_minutes
+FROM per_min GROUP BY user_id
+HAVING MAX(c) >= 2
+"""
+
+register(QuerySpec(
+    "events_rate_outliers", _rate_outliers, _RATE_OUTLIERS_SQL,
+    "bot detection: per-user peak events-per-calendar-minute + volume, "
+    "thresholded — two map-side aggregations, no self-join",
     ("events", "agg", "anomaly"),
 ))

@@ -511,3 +511,79 @@ register(QuerySpec(
     "wedge closure) and max degree in one row",
     ("relational", "graph", "join", "bench"),
 ))
+
+
+# --- copurchase_jaccard_recs: item-item collaborative filtering -----------
+# "Customers who bought X also bought Y": item-item Jaccard over
+# co-purchase order sets, top-3 recommendations per part. All
+# cardinalities are exact integers (co-count + per-item order counts
+# via one pair aggregation), so the Jaccard division and its ordering
+# are engine-identical; the ranking window partitions by item.
+
+def _copurchase_recs(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    item_orders = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = item_orders.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    pairs = (
+        item_orders.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        .join(
+            item_orders.select("l_orderkey", F.col("l_partkey").alias("pb")),
+            "l_orderkey",
+        )
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    j = (
+        pairs
+        .join(n_orders.select(F.col("l_partkey").alias("pa"), F.col("n_ord").alias("na")), "pa")
+        .join(n_orders.select(F.col("l_partkey").alias("pb"), F.col("n_ord").alias("nb")), "pb")
+        .withColumn(
+            "jaccard",
+            F.col("co").cast("double") / (F.col("na") + F.col("nb") - F.col("co")),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("jaccard"), F.asc("pb"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("pa").alias("part"), F.col("pb").alias("rec"),
+            "jaccard", F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_RECS_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+),
+n_ord AS (SELECT l_partkey, COUNT(*) AS n_ord FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.pa, p.pb,
+    CAST(p.co AS DOUBLE) / (na.n_ord + nb.n_ord - p.co) AS jaccard
+  FROM pairs p
+  JOIN n_ord na ON na.l_partkey = p.pa
+  JOIN n_ord nb ON nb.l_partkey = p.pb
+)
+SELECT pa AS part, pb AS rec, jaccard, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pa ORDER BY jaccard DESC, pb ASC) AS rnk
+  FROM j
+) WHERE rnk <= 3
+"""
+
+register(QuerySpec(
+    "copurchase_jaccard_recs", _copurchase_recs, _RECS_SQL,
+    "item-item Jaccard top-3 recommendations over co-purchase sets "
+    "(exact-integer similarity, per-item ranking window)",
+    ("relational", "graph", "topk"),
+))

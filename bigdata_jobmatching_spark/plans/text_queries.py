@@ -487,3 +487,138 @@ register(QuerySpec(
     "family, exact-integer ratios)",
     ("text", "agg", "quality"),
 ))
+
+
+# --- doc_duplicate_ngram_frac: duplicated n-gram fractions ----------------
+# The second half of the Gopher repetition family: the FRACTION of
+# n-grams that are repeats (1 - distinct/total) for n=5 and n=8 —
+# high values mean templated/boilerplate text. Exact-integer ratio6
+# arithmetic throughout; docs with fewer than 5 tokens are excluded
+# (no 5-grams) on both engines.
+
+def _dup_ngram_frac(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = X.tokens(F.col("text"))
+
+    def grams(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def stats(n: int, label: str) -> DataFrame:
+        g = d.select("doc_id", grams(n).alias("gs")).filter(F.size("gs") > 0)
+        return g.select(
+            "doc_id",
+            F.size("gs").alias(f"n_{label}"),
+            F.size(F.array_distinct("gs")).alias(f"d_{label}"),
+        )
+
+    j = stats(5, "g5").join(stats(8, "g8"), "doc_id", "left")
+    return j.select(
+        "doc_id",
+        ratio6(f"n_g5 - d_g5", "n_g5").alias("dup_5gram_frac"),
+        F.coalesce(ratio6("n_g8 - d_g8", "n_g8"), F.lit(0.0)).alias("dup_8gram_frac"),
+    )
+
+
+_DUP_NGRAM_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g5 AS (
+  SELECT doc_id, len(gs) AS n_g5, len(list_distinct(gs)) AS d_g5 FROM (
+    SELECT doc_id, list_transform(range(1, len(toks) - 3),
+      i -> array_to_string(toks[i:i+4], ' ')) AS gs
+    FROM tok WHERE len(toks) >= 5
+  )
+),
+g8 AS (
+  SELECT doc_id, len(gs) AS n_g8, len(list_distinct(gs)) AS d_g8 FROM (
+    SELECT doc_id, list_transform(range(1, len(toks) - 6),
+      i -> array_to_string(toks[i:i+7], ' ')) AS gs
+    FROM tok WHERE len(toks) >= 8
+  )
+)
+SELECT a.doc_id,
+  {ratio6_sql('a.n_g5 - a.d_g5', 'a.n_g5')} AS dup_5gram_frac,
+  COALESCE({ratio6_sql('b.n_g8 - b.d_g8', 'b.n_g8')}, 0.0) AS dup_8gram_frac
+FROM g5 a LEFT JOIN g8 b ON a.doc_id = b.doc_id
+"""
+
+register(QuerySpec(
+    "doc_duplicate_ngram_frac", _dup_ngram_frac, _DUP_NGRAM_SQL,
+    "duplicated 5-gram/8-gram fractions per document (Gopher "
+    "dup-ngram family, exact-integer ratios)",
+    ("text", "agg", "quality"),
+))
+
+
+# --- source_lang_mismatch: label-vs-detected language audit ---------------
+# Corpus-health: per (source, labeled lang), how often does the
+# stopword-profile detector disagree with the label? High mismatch
+# rates localize mislabeled slices before training. Rates are
+# exact-integer ratio6.
+
+def _lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    det = X.detect_language(F.col("text"))
+    return (
+        d.select("source", F.col("lang").alias("labeled"), det.alias("detected"))
+        .groupBy("source", "labeled")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("detected") != F.col("labeled"))
+                    & (F.col("detected") != "und"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch"),
+            F.sum(
+                F.when(F.col("detected") == "und", 1).otherwise(0)
+            ).alias("n_undetected"),
+        )
+        .select(
+            "source", "labeled", "n_docs", "n_mismatch", "n_undetected",
+            ratio6("n_mismatch", "n_docs").alias("mismatch_rate"),
+        )
+    )
+
+
+_LANG_MISMATCH_SQL = f"""
+WITH tok AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id, source, lang,
+    {_sql_hits('en')} AS h_en, {_sql_hits('fr')} AS h_fr,
+    {_sql_hits('es')} AS h_es, {_sql_hits('de')} AS h_de,
+    len(toks) AS n
+  FROM tok
+),
+det AS (
+  SELECT source, lang AS labeled,
+    CASE WHEN n = 0 OR greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+         WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en'
+         WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+         WHEN h_es >= h_de THEN 'es'
+         ELSE 'de' END AS detected
+  FROM hits
+),
+agg AS (
+  SELECT source, labeled, COUNT(*) AS n_docs,
+    SUM(CASE WHEN detected != labeled AND detected != 'und' THEN 1 ELSE 0 END) AS n_mismatch,
+    SUM(CASE WHEN detected = 'und' THEN 1 ELSE 0 END) AS n_undetected
+  FROM det GROUP BY 1, 2
+)
+SELECT source, labeled, n_docs, n_mismatch, n_undetected,
+  {ratio6_sql('n_mismatch', 'n_docs')} AS mismatch_rate
+FROM agg
+"""
+
+register(QuerySpec(
+    "source_lang_mismatch", _lang_mismatch, _LANG_MISMATCH_SQL,
+    "per-(source, labeled-lang) detector disagreement rates — "
+    "mislabeled-slice audit before training",
+    ("text", "langid", "quality"),
+))

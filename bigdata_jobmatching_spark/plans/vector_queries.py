@@ -414,3 +414,66 @@ register(QuerySpec(
     "query (broadcast query set, corpus never shuffles)",
     ("vector", "ann"),
 ))
+
+
+# --- embedding_quantization_stats: int8 quantization error audit ----------
+# The vector-compression pre-check a 100 TB embedding store needs:
+# per-dimension symmetric int8 scale (max|x|/127) and the mean
+# floor-quantization reconstruction error. Error sums are quantized
+# to integer nano-units BEFORE aggregation (sum of raw doubles is
+# partition-order dependent); every double step (max, /, floor, *)
+# is a single correctly-rounded IEEE op, identical on both engines.
+# The 64-row scale table is broadcast — the corpus never shuffles.
+
+def _quant_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    el = e.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    sc = el.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / 127).alias("scale"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    err = (
+        el.join(F.broadcast(sc), "dim")
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "eu",
+            F.expr(
+                "CAST(floor((x - floor(x / scale) * scale) * 1000000000) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        err.groupBy("dim", "scale", "n")
+        .agg(F.sum("eu").alias("s"))
+        .withColumn("mae_nano", F.col("s").cast("double") / F.col("n"))
+        .select("dim", "scale", "n", "mae_nano")
+    )
+
+
+_QUANT_SQL = """
+WITH el AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+sc AS (
+  SELECT dim, MAX(abs(x)) / 127 AS scale, COUNT(*) AS n FROM el GROUP BY dim
+),
+err AS (
+  SELECT e.dim, s.scale, s.n,
+    CAST(floor((e.x - floor(e.x / s.scale) * s.scale) * 1000000000) AS BIGINT) AS eu
+  FROM el e JOIN sc s ON e.dim = s.dim
+  WHERE s.scale > 0
+)
+SELECT dim, scale, n, CAST(SUM(eu) AS DOUBLE) / n AS mae_nano
+FROM err GROUP BY dim, scale, n
+"""
+
+register(QuerySpec(
+    "embedding_quantization_stats", _quant_stats, _QUANT_SQL,
+    "per-dimension int8 quantization scales + exact-integer mean "
+    "reconstruction error (vector-compression audit)",
+    ("vector", "agg", "bench"),
+))

@@ -175,3 +175,38 @@ def test_retention_cohort_dim_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_retention_cohorts")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_range_query_set_broadcast(spark, sf_dir):
+    # range search must broadcast the query set: the corpus side never
+    # shuffles (same invariant as ann_cosine_topk)
+    plan = _plan(spark, sf_dir, "ann_cosine_range")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan.split("Broadcast")[0]
+
+
+def test_containment_window_is_per_block(spark, sf_dir):
+    # the top-5 ranking must partition by block — a global (empty
+    # partition spec) window would single-thread 100 TB of pairs
+    df = REGISTRY["docs_containment_pairs"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(blk" in analyzed
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_path_counts_window_partitioned_by_user(spark, sf_dir):
+    # sessionization windows partition by user_id, never global
+    df = REGISTRY["event_path_counts"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(user_id" in analyzed
+
+
+def test_hourly_anomalies_two_narrow_aggs(spark, sf_dir):
+    # the z-score plan is two hash aggregations + one equi-join on the
+    # (type, hr) profile — no window, no crossJoin
+    plan = _plan(spark, sf_dir, "events_hourly_anomalies")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
