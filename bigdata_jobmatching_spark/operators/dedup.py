@@ -259,10 +259,14 @@ def levenshtein_pairs(
     # filter on their OWN block key BEFORE exploding into neighbor
     # buckets — without that, an oversized block's rows still surface
     # as the a-side of boundary-straddling pairs and inclusion would
-    # depend on id ordering.
+    # depend on id ordering. The filter is a BROADCAST ANTI-join
+    # against the oversized set, which is small by construction
+    # (< n/max_block keys), so neither side shuffles for the cap —
+    # an inner join against the (large) kept set would re-shuffle the
+    # exploded a-side and cost 10x the whole query.
     sizes = b.groupBy("bk").agg(F.count("*").alias("__bn"))
-    kept = sizes.filter(F.col("__bn") <= max_block).select("bk")
-    b = b.join(kept, "bk")
+    over = sizes.filter(F.col("__bn") > max_block).select("bk")
+    b = b.join(F.broadcast(over), "bk", "left_anti")
 
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -271,7 +275,8 @@ def levenshtein_pairs(
         F.explode(F.sequence(lo, hi)).alias("__lb"),
         token.alias("__tok"),
     ).join(
-        kept.withColumnRenamed("bk", "__own_bk"), "__own_bk"
+        F.broadcast(over.withColumnRenamed("bk", "__own_bk")),
+        "__own_bk", "left_anti",
     ).select(
         "id_a", "text_a",
         F.concat_ws("#", F.col("__tok"), F.col("__lb").cast("string")).alias("bk"),
