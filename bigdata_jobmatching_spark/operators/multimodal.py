@@ -134,16 +134,78 @@ def parse_jpeg_header(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_gif_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the GIF logical screen descriptor, or None.
+
+    Layout: 'GIF87a'/'GIF89a' signature, then canvas width/height as
+    2-byte little-endian ints."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    return (
+        int.from_bytes(b[6:8], "little"),
+        int.from_bytes(b[8:10], "little"),
+    )
+
+
+def parse_webp_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WebP container, or None.
+
+    RIFF....WEBP, then the first chunk: VP8X carries the canvas size
+    as 24-bit little-endian minus-one at payload bytes 4-9; VP8L packs
+    14-bit minus-one fields after a 0x2F signature byte."""
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    ctype = b[12:16]
+    if ctype == b"VP8X":
+        if len(b) < 30:
+            return None
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return (w, h)
+    if ctype == b"VP8L":
+        if len(b) < 25 or b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    return None
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a header + logical screen descriptor."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + b"\x00\x00\x00"  # flags, bg index, aspect
+    )
+
+
+def make_webp(width: int, height: int) -> bytes:
+    """Minimal RIFF/WEBP container with a VP8X chunk carrying the
+    canvas size (payload only — enough for the header parser)."""
+    payload = (
+        b"\x00\x00\x00\x00"  # VP8X flags + reserved
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + len(payload).to_bytes(4, "little") + payload
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def sniff_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
-    """(format, width, height) for PNG/JPEG payloads, (None,)*3 else."""
+    """(format, width, height) for PNG/JPEG/GIF/WebP payloads,
+    (None,)*3 else."""
     if not b:
         return (None, None, None)
-    dims = parse_png_header(b)
-    if dims is not None:
-        return ("png", dims[0], dims[1])
-    dims = parse_jpeg_header(b)
-    if dims is not None:
-        return ("jpeg", dims[0], dims[1])
+    for fmt, parse in (
+        ("png", parse_png_header),
+        ("jpeg", parse_jpeg_header),
+        ("gif", parse_gif_header),
+        ("webp", parse_webp_header),
+    ):
+        dims = parse(b)
+        if dims is not None:
+            return (fmt, dims[0], dims[1])
     return (None, None, None)
 
 

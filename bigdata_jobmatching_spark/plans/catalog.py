@@ -11,7 +11,14 @@ Determinism conventions (SURVEY §5):
 - Aggregates over floating columns cast per-row to DECIMAL first,
   so the sum is exact and order-independent; final outputs cast back
   to DOUBLE (same exact value -> same double on both engines).
-- Ratios/scores derived from exact integers are rounded to 6 dp.
+- Ratios/scores derived from exact integers go through :func:`ratio6`
+  (pure int64 half-up rescaling) — never ``round()`` on a raw double,
+  whose tie behavior differs between engines (round-3 lesson).
+- Derived floats (sqrt, quantization error) are quantized to integer
+  micro/nano-units with ``floor`` BEFORE any sum.
+- Single correctly-rounded IEEE ops (sqrt, *, /, floor, max) on
+  identical inputs are safe cross-engine; multi-term double sums and
+  ``round()`` are not.
 - Every top-k imposes a total order (unique-key tie-break).
 - Array outputs are sorted before comparison.
 """
@@ -40,16 +47,16 @@ def ratio6(num_sql: str, den_sql: str) -> Column:
     ``num * 2_000_000`` inside int64 — holds for all count/share ratios.
     """
     return F.expr(
-        f"CAST((({num_sql}) * 2000000 + ({den_sql})) div (2 * ({den_sql})) "
-        f"AS DOUBLE) / 1000000.0"
+        f"CAST((CAST(({num_sql}) AS BIGINT) * 2000000 + CAST(({den_sql}) AS BIGINT)) "
+        f"div (2 * CAST(({den_sql}) AS BIGINT)) AS DOUBLE) / 1000000.0"
     )
 
 
 def ratio6_sql(num_sql: str, den_sql: str) -> str:
     """DuckDB twin of :func:`ratio6` — identical integer arithmetic."""
     return (
-        f"CAST((({num_sql}) * 2000000 + ({den_sql})) // (2 * ({den_sql})) "
-        f"AS DOUBLE) / 1000000.0"
+        f"CAST((CAST(({num_sql}) AS BIGINT) * 2000000 + CAST(({den_sql}) AS BIGINT)) "
+        f"// (2 * CAST(({den_sql}) AS BIGINT)) AS DOUBLE) / 1000000.0"
     )
 
 

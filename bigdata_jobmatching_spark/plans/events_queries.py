@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from .catalog import QuerySpec, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
 
 MONEY = "decimal(18,6)"
 
@@ -734,4 +734,47 @@ register(QuerySpec(
     "bot detection: per-user peak events-per-calendar-minute + volume, "
     "thresholded — two map-side aggregations, no self-join",
     ("events", "agg", "anomaly"),
+))
+
+
+# --- events_dau_wau: activity stickiness -----------------------------------
+# DAU, the containing ISO week's WAU, and the DAU/WAU stickiness
+# ratio per day. Two distinct-count aggregations + an equi-join on
+# the week key; the week timestamp stays internal (Spark date_trunc
+# returns TIMESTAMP, DuckDB DATE — exporting it would hash-mismatch
+# on representation, not value).
+
+def _dau_wau(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    d = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    w = (
+        ev.withColumn("wk", F.date_trunc("week", F.col("day")))
+        .groupBy("wk")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        d.withColumn("wk", F.date_trunc("week", F.col("day")))
+        .join(F.broadcast(w), "wk")
+        .select("day", "dau", "wau", ratio6("dau", "wau").alias("stickiness"))
+    )
+
+
+_DAU_WAU_SQL = f"""
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+d AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY 1),
+w AS (
+  SELECT date_trunc('week', day) AS wk, COUNT(DISTINCT user_id) AS wau
+  FROM e GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau, {ratio6_sql('d.dau', 'w.wau')} AS stickiness
+FROM d JOIN w ON date_trunc('week', d.day) = w.wk
+"""
+
+register(QuerySpec(
+    "events_dau_wau", _dau_wau, _DAU_WAU_SQL,
+    "DAU / weekly-WAU stickiness per day (two distinct-count aggs + "
+    "broadcast week join)",
+    ("events", "agg", "engagement"),
 ))

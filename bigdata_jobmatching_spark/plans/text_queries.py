@@ -622,3 +622,56 @@ register(QuerySpec(
     "mislabeled-slice audit before training",
     ("text", "langid", "quality"),
 ))
+
+
+# --- doc_tokenizer_fertility: subword-per-word ratio per source -----------
+# Tokenizer fertility (BPE-ish subword count / whitespace word count)
+# per source — the pretraining metric that decides token budgets per
+# slice. Both counts are exact integers; the ratio is ratio6.
+
+def _fertility(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    t = F.col("text")
+    return (
+        d.select(
+            "source",
+            X.token_count(t).alias("ws"),
+            X.bpe_ish_token_count(t).alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("n_words"),
+            F.sum("bpe").alias("n_subwords"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "source", "n_docs", "n_words", "n_subwords",
+            ratio6("n_subwords", "n_words").alias("fertility"),
+        )
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH tok AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+per AS (
+  SELECT source,
+    CAST(len(toks) AS BIGINT) AS ws,
+    CAST(COALESCE(list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe
+  FROM tok
+),
+agg AS (
+  SELECT source, SUM(ws) AS n_words, SUM(bpe) AS n_subwords, COUNT(*) AS n_docs
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_words, n_subwords,
+  {ratio6_sql('n_subwords', 'n_words')} AS fertility
+FROM agg WHERE n_words > 0
+"""
+
+register(QuerySpec(
+    "doc_tokenizer_fertility", _fertility, _FERTILITY_SQL,
+    "tokenizer fertility (subwords per word) per source — token-budget "
+    "planning metric, exact-integer ratio",
+    ("text", "agg", "mixing"),
+))

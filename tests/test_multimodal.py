@@ -124,3 +124,22 @@ def test_mp4_mvhd_version1_and_unknown():
     b = bytearray(MM.make_mp4(4500))
     b[b.index(b"mvhd") + 4] = 2  # unsupported version
     assert MM.parse_mp4_header(bytes(b)) is None
+
+
+def test_gif_webp_header_parsers():
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    assert MM.parse_gif_header(MM.make_gif(320, 200)) == (320, 200)
+    assert MM.parse_webp_header(MM.make_webp(1024, 768)) == (1024, 768)
+    # VP8L variant: 0x2F signature + packed 14-bit minus-one dims
+    bits = (99 - 1) | ((44 - 1) << 14)
+    vp8l = (b"RIFF" + (13).to_bytes(4, "little") + b"WEBP"
+            + b"VP8L" + (5).to_bytes(4, "little")
+            + b"\x2f" + bits.to_bytes(4, "little"))
+    assert MM.parse_webp_header(vp8l) == (99, 44)
+    # sniff_header routes all four image formats
+    assert MM.sniff_header(MM.make_gif(7, 9)) == ("gif", 7, 9)
+    assert MM.sniff_header(MM.make_webp(7, 9)) == ("webp", 7, 9)
+    assert MM.sniff_header(MM.make_png(7, 9))[0] == "png"
+    assert MM.sniff_header(b"GIF12a junk") == (None, None, None)
+    assert MM.parse_webp_header(b"RIFF\x00\x00\x00\x00WEBPABCD") is None

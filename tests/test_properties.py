@@ -191,7 +191,7 @@ def test_similarity_kernel_invariants(spark, texts):
 
 
 @given(
-    kind=st.sampled_from(["wav", "mp4", "mp4v1", "png", "jpeg"]),
+    kind=st.sampled_from(["wav", "mp4", "mp4v1", "png", "jpeg", "gif", "webp"]),
     cut=st.integers(min_value=0, max_value=400),
     flips=st.lists(
         st.tuples(st.integers(0, 399), st.integers(0, 255)), max_size=8
@@ -210,6 +210,8 @@ def test_container_parsers_never_crash(kind, cut, flips):
         "mp4v1": lambda: MM.make_mp4(4500, version=1),
         "png": lambda: MM.make_png(33, 44),
         "jpeg": lambda: MM.make_jpeg(33, 44),
+        "gif": lambda: MM.make_gif(33, 44),
+        "webp": lambda: MM.make_webp(33, 44),
     }[kind]()
     b = bytearray(base[:min(cut, len(base))])
     for pos, val in flips:
@@ -223,5 +225,43 @@ def test_container_parsers_never_crash(kind, cut, flips):
         out = MM.parse_mp4_header(data)
         assert out is None or isinstance(out, int)
     else:
-        out = (MM.parse_png_header if kind == "png" else MM.parse_jpeg_header)(data)
+        parse = {"png": MM.parse_png_header, "jpeg": MM.parse_jpeg_header,
+                 "gif": MM.parse_gif_header, "webp": MM.parse_webp_header}[kind]
+        out = parse(data)
         assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(1, 10**9)),
+        min_size=1, max_size=40,
+    ).map(lambda ps: [(min(a, b), max(a, b) or 1) for a, b in ps])
+)
+@settings(max_examples=20, deadline=None)
+def test_ratio6_matches_exact_fraction_rounding(spark, pairs):
+    """ratio6's int64 rescaling must equal exact rational half-up
+    rounding to 6 dp (Fraction ground truth), and Spark and DuckDB
+    must produce identical doubles for it."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from bigdata_jobmatching_spark.plans.catalog import ratio6, ratio6_sql
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.r
+        for r in df.select("a", "b", ratio6("a", "b").alias("r")).collect()
+    }
+    con = duckdb.connect()
+    for (a, b), r_spark in got.items():
+        # ground truth: round-half-up(a/b, 6) as an exact rational
+        fr = Fraction(a, b) * 10**6
+        expect = float((fr.numerator // fr.denominator
+                        + (1 if 2 * (fr.numerator % fr.denominator) >= fr.denominator else 0))
+                       ) / 1e6
+        assert r_spark == expect, (a, b, r_spark, expect)
+        r_duck = con.execute(
+            f"SELECT {ratio6_sql(str(a), str(b))}"
+        ).fetchone()[0]
+        assert r_duck == r_spark, (a, b, r_duck, r_spark)
