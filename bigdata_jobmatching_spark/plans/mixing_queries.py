@@ -496,3 +496,94 @@ register(QuerySpec(
     "train/val) — the pipeline composition itself value-verified",
     ("mixing", "pipeline"),
 ))
+
+
+# --- doc_chunk_spans: fixed-size training windows with overlap ------------
+# The chunking step before sequence packing: each document yields
+# windows of CHUNK tokens with STRIDE overlap (start positions
+# 1, 1+STRIDE, ... while start <= n_tokens). Pure per-row arithmetic
+# from the token count — embarrassingly parallel, no shuffle at all.
+
+_CHUNK = 128
+_STRIDE = 96
+
+
+def _chunk_spans(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    n = X.token_count(F.col("text"))
+    doc = d.select("doc_id", n.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        (F.floor((F.col("n_tokens") - 1) / _STRIDE) * _STRIDE + 1).cast("bigint"),
+        F.lit(_STRIDE),
+    )
+    return doc.select(
+        "doc_id", "n_tokens", F.explode(starts).alias("start_tok")
+    ).select(
+        "doc_id",
+        F.expr(f"(start_tok - 1) div {_STRIDE}").alias("chunk_id"),
+        "start_tok",
+        F.least(
+            F.col("start_tok") + _CHUNK - 1, F.col("n_tokens")
+        ).alias("end_tok"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len({{toks}}) AS BIGINT) AS n_tokens FROM documents
+),
+doc AS (SELECT * FROM tok WHERE n_tokens > 0)
+SELECT doc_id,
+  (start_tok - 1) // {_STRIDE} AS chunk_id,
+  start_tok,
+  least(start_tok + {_CHUNK} - 1, n_tokens) AS end_tok
+FROM (
+  SELECT doc_id, n_tokens,
+    unnest(range(1, ((n_tokens - 1) // {_STRIDE}) * {_STRIDE} + 2, {_STRIDE})) AS start_tok
+  FROM doc
+)
+"""
+
+register(QuerySpec(
+    "doc_chunk_spans", _chunk_spans,
+    _CHUNK_SQL.format(toks=_SQL_TOKS),
+    "fixed-size training windows (128 tokens, stride 96) per document "
+    "— pure per-row arithmetic, zero shuffle",
+    ("mixing", "projection"),
+))
+
+
+# --- label_class_weights: inverse-frequency training weights --------------
+# Class balancing over the embeddings labels: per-class counts and
+# inverse-frequency weights (total/(k*count)), the standard loss
+# reweighting. Exact integers + one ratio6-scaled weight.
+
+def _class_weights(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    per = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label", "n", "total",
+            ratio6("total", "k * n").alias("weight"),
+        )
+    )
+
+
+_CLASS_WEIGHTS_SQL = f"""
+WITH per AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM per)
+SELECT label, n, total, {ratio6_sql('total', 'k * n')} AS weight
+FROM per, tot
+"""
+
+register(QuerySpec(
+    "label_class_weights", _class_weights, _CLASS_WEIGHTS_SQL,
+    "inverse-frequency class weights over embedding labels "
+    "(loss-reweighting prep)",
+    ("mixing", "vector", "agg"),
+))

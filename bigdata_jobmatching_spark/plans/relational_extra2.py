@@ -587,3 +587,60 @@ register(QuerySpec(
     "(exact-integer similarity, per-item ranking window)",
     ("relational", "graph", "topk"),
 ))
+
+
+# --- customer_spend_cumedist: cume_dist within market segment -------------
+# The remaining classic window shape (cume_dist + partition-level
+# min/max frames) not yet in the registry: each customer's spend
+# percentile position within their market segment. Exact-decimal
+# spend; cume_dist ties share a value by definition, so the output is
+# order-free. Window partitions by segment — never global.
+
+def _spend_cumedist(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("spend_d"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend_d")
+    wall = Window.partitionBy("c_mktsegment")
+    return spend.select(
+        "c_mktsegment",
+        F.col("o_custkey").alias("custkey"),
+        F.col("spend_d").cast("double").alias("spend"),
+        F.cume_dist().over(w).alias("spend_cume"),
+        F.min(F.col("spend_d")).over(wall).cast("double").alias("seg_min"),
+        F.max(F.col("spend_d")).over(wall).cast("double").alias("seg_max"),
+    )
+
+
+_SPEND_CUMEDIST_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS {MONEY})) AS spend_d
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment, s.o_custkey AS custkey, s.spend_d
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, custkey,
+  CAST(spend_d AS DOUBLE) AS spend,
+  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY spend_d) AS spend_cume,
+  CAST(MIN(spend_d) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS seg_min,
+  CAST(MAX(spend_d) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS seg_max
+FROM j
+"""
+
+register(QuerySpec(
+    "customer_spend_cumedist", _spend_cumedist, _SPEND_CUMEDIST_SQL,
+    "cume_dist spend percentile within market segment + segment "
+    "min/max window frames (exact-decimal ordering)",
+    ("relational", "window"),
+))
