@@ -35,15 +35,18 @@ def main() -> None:
     # registry's (gate-driven) ordering changes.
     bench_specs = {n: registry[n] for n in sorted(registry) if BENCH_TAG in registry[n].tags}
 
-    # Warmup: a trivial plan for JVM startup, then three representative
+    # Warmup: a trivial plan for JVM startup, then four representative
     # plans at the smoke SF (join+agg+broadcast; regex/text projection;
-    # vector higher-order functions) so codegen, the parquet reader and
-    # Arrow paths are hot before the first timed query instead of
-    # inflating it. embedding_norm_stats covers the array/aggregate
-    # codegen the name-sorted loop otherwise pays for inside
-    # ann_cosine_topk (~2.5 s artifact in BENCH_r03).
+    # vector higher-order functions; Arrow mapInPandas) so codegen, the
+    # parquet reader, the Python workers and the Arrow channel are hot
+    # before the first timed query instead of inflating it.
+    # embedding_norm_stats covers the array/aggregate codegen the
+    # name-sorted loop otherwise pays for inside ann_cosine_topk
+    # (~2.5 s artifact in BENCH_r03); media_header_meta covers Python
+    # worker spawn + Arrow serialization (~5 s artifact otherwise).
     spark.range(1000).selectExpr("sum(id)").collect()
-    for wq in ("q5_region_revenue", "doc_stats", "embedding_norm_stats"):
+    for wq in ("q5_region_revenue", "doc_stats", "embedding_norm_stats",
+               "media_header_meta"):
         registry[wq].spark(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

