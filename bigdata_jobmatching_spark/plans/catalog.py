@@ -71,17 +71,18 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Queries already value-verified by a driver correctness gate
-# (CORRECTNESS_r02.json ∪ hash-green rows of CORRECTNESS_r03.json).
+# Queries already value-verified by a driver correctness gate.
 # The driver samples the FIRST 50 entries of ``queries()``, so
-# ``load_all`` orders not-yet-driver-verified queries first — newly
-# added queries and the three round-3 hash-fail fixes
+# ``load_all`` orders (1) not-yet-driver-verified queries first —
+# newly added queries and the three round-3 hash-fail fixes
 # (doc_repetition_stats, events_props_typed, source_mixing_weights —
 # deliberately NOT listed here) automatically land inside the sampling
-# window, and the rest keep their standing evidence.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
+# window — then (2) proven queries by EVIDENCE AGE, oldest first, so
+# the window's remaining slots rotate re-verification through the
+# queries whose green row is most stale.
+_DRIVER_VERIFIED_R03: frozenset[str] = frozenset(
     {
-        # --- r03 hash-green (CORRECTNESS_r03.json) ---
+        # hash-green rows of CORRECTNESS_r03.json
         "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_exact", "ann_lsh_topk",
         "benchmark_decontamination", "big_spenders_no_orders",
         "copurchase_triangles", "corpus_stage_counts",
@@ -102,7 +103,12 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "small_quantity_revenue", "stratified_sample_lcg",
         "suppliers_with_bulk_shipments", "tfidf_top_terms",
         "token_budget_selection", "top_supplier_revenue", "user_top_event",
-        # --- r02 (CORRECTNESS_r02.json) ---
+    }
+)
+
+_DRIVER_VERIFIED_R02: frozenset[str] = frozenset(
+    {
+        # CORRECTNESS_r02.json (oldest standing evidence)
         "doc_stats", "doc_language_id", "doc_quality", "keyword_catalog_tags",
         "doc_fingerprints", "doc_gopher_filter", "customer_order_history",
         "doc_bigrams", "skill_cooccurrence", "avg_price_by_segment_priority",
@@ -125,6 +131,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "promo_revenue_share",
     }
 )
+
+_DRIVER_VERIFIED: frozenset[str] = _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
 
 
 def register(spec: QuerySpec) -> QuerySpec:
@@ -153,5 +161,11 @@ def load_all() -> dict[str, QuerySpec]:
     unproven = {
         n: s for n, s in REGISTRY.items() if n not in _DRIVER_VERIFIED
     }
-    proven = {n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED}
-    return {**unproven, **proven}
+    proven_r02 = {
+        n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED_R02
+    }
+    proven_r03 = {
+        n: s for n, s in REGISTRY.items()
+        if n in _DRIVER_VERIFIED_R03 and n not in _DRIVER_VERIFIED_R02
+    }
+    return {**unproven, **proven_r02, **proven_r03}

@@ -95,3 +95,21 @@ def windowed_offer_counts(offers: DataFrame, window: str = "1 day", watermark: s
         .agg(F.count(F.lit(1)).alias("n_offers"))
         .select(F.col("w.start").alias("window_start"), "source", "n_offers")
     )
+
+
+def streaming_rate_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the batch ``events_rate_outliers`` bucketing:
+    per-user counts over 1-minute tumbling event-time windows. The
+    batch query takes max-per-user over the same buckets; here the
+    windowed counts stream out as the watermark closes each minute,
+    and the threshold filter runs downstream (alerting sink).
+
+    State is one counter per (user, open window) — bounded by the
+    watermark horizon times the active-user rate.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("minute_start"), "user_id", "c")
+    )

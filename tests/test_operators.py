@@ -302,3 +302,22 @@ def test_levenshtein_oversized_block_symmetric_exclusion(spark):
         df, "id", "title", max_distance=3, length_bucket=4, max_block=50
     ).collect()
     assert pairs == []
+
+
+def test_write_stage_schema_evolution(spark, sf_dir, tmp_path):
+    """Schema evolution on the staged lake: a writer that adds a
+    column must not break existing readers (mergeSchema read yields
+    the union schema with nulls for old files) — the parquet-lake
+    contract a long-lived 100 TB warehouse needs."""
+    from bigdata_jobmatching_spark.sources.io import load_table, write_stage
+
+    v1 = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    write_stage(v1, str(tmp_path / "st"), mode="overwrite")
+    v2 = v1.withColumn("ingest_round", F.lit(4))
+    write_stage(v2, str(tmp_path / "st"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "st"))
+    assert set(merged.columns) == {"r_regionkey", "r_name", "ingest_round"}
+    assert merged.count() == v1.count() * 2
+    # old files surface NULL for the new column; new files carry it
+    n_null = merged.filter(F.col("ingest_round").isNull()).count()
+    assert n_null == v1.count()

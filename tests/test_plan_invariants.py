@@ -210,3 +210,24 @@ def test_hourly_anomalies_two_narrow_aggs(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_chunk_spans_no_shuffle(spark, sf_dir):
+    # chunking is pure per-row arithmetic: no Exchange other than the
+    # fan_out round-robin, no join, no aggregation
+    plan = _plan(spark, sf_dir, "doc_chunk_spans")
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # fan_out only
+
+
+def test_dau_wau_week_join_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_dau_wau")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_spend_cumedist_window_partitioned(spark, sf_dir):
+    df = REGISTRY["customer_spend_cumedist"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(c_mktsegment" in analyzed

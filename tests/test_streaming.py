@@ -219,3 +219,59 @@ def test_interval_join_e2e_drops_late_click(spark, tmp_path):
     # the late pair (P2, B) joins under the interval condition but both
     # rows are beyond the watermark bounds — it must be expired
     assert got == {("P1", "A"), ("P3", "C")}
+
+
+def test_streaming_rate_counts_match_batch(spark, tmp_path):
+    """Batch/stream parity for the bot-detection bucketing: the same
+    1-minute-bucket counts come out of the streaming aggregation
+    (availableNow drain, watermark-closed windows) as from the batch
+    groupBy that events_rate_outliers uses."""
+    from bigdata_jobmatching_spark.streaming.ingest import streaming_rate_counts
+
+    D = "2024-01-01T10:0"
+    rows = [
+        {"event_id": i, "user_id": u, "ts": f"{D}{m}:{s:02d}"}
+        for i, (u, m, s) in enumerate([
+            (1, 0, 5), (1, 0, 30), (1, 0, 55),   # burst: 3 in minute 0
+            (1, 1, 10),
+            (2, 0, 20), (2, 2, 40), (2, 2, 50),  # burst: 2 in minute 2
+        ])
+    ] + [{"event_id": 99, "user_id": 9, "ts": "2024-01-01T11:00:00"}]  # advances watermark
+    src = tmp_path / "ev"
+    src.mkdir()
+    with open(src / "f1.json", "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        streaming_rate_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rate_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.minute_start)): r.c
+        for r in spark.sql("SELECT * FROM rate_counts").collect()
+    }
+    # all 10:0x windows are closed by the 11:00 row (watermark 10 min)
+    assert got[(1, "2024-01-01 10:00:00")] == 3
+    assert got[(1, "2024-01-01 10:01:00")] == 1
+    assert got[(2, "2024-01-01 10:00:00")] == 1
+    assert got[(2, "2024-01-01 10:02:00")] == 2
+    # batch twin over the same data and buckets agrees
+    batch = spark.read.schema(schema).json(str(src))
+    b = {
+        (r.user_id, str(r.minute_start)): r.c
+        for r in batch.groupBy(
+            F.window("ts", "1 minute").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("minute_start"), "user_id", "c")
+        .collect()
+    }
+    for k, v in got.items():
+        assert b[k] == v
