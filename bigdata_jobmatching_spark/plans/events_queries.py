@@ -691,7 +691,7 @@ register(QuerySpec(
     "z-score anomaly flags per (event_type, day, hour) vs the "
     "(type, hour) seasonal profile — exact integer moments, "
     "deterministic double chain",
-    ("events", "agg", "anomaly"),
+    ("events", "agg", "anomaly", "bench"),
 ))
 
 

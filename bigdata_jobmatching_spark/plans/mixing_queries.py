@@ -407,7 +407,7 @@ register(QuerySpec(
     _DECON_SQL.format(toks=_SQL_TOKS),
     "flag training documents sharing 3-token shingles with a held-out "
     "benchmark set (broadcast shingle join — eval decontamination)",
-    ("mixing", "decontamination"),
+    ("mixing", "decontamination", "bench"),
 ))
 
 
@@ -550,7 +550,7 @@ register(QuerySpec(
     _CHUNK_SQL.format(toks=_SQL_TOKS),
     "fixed-size training windows (128 tokens, stride 96) per document "
     "— pure per-row arithmetic, zero shuffle",
-    ("mixing", "projection"),
+    ("mixing", "projection", "bench"),
 ))
 
 

@@ -234,7 +234,7 @@ register(QuerySpec(
     "LSH-bucketed approximate top-k via the operator path — hyperplanes "
     "from the shared LCG rational family, so the approximate result is "
     "itself fully value-verified",
-    ("vector", "ann", "lsh"),
+    ("vector", "ann", "lsh", "bench"),
 ))
 
 register(QuerySpec(

@@ -231,3 +231,38 @@ def test_spend_cumedist_window_partitioned(spark, sf_dir):
     df = REGISTRY["customer_spend_cumedist"].spark(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "windowspecdefinition(c_mktsegment" in analyzed
+
+
+def test_no_new_unvetted_float_rounding():
+    """Determinism lint: round() on a raw double is the round-3
+    driver-gate failure class (plans/catalog.py conventions). Every
+    existing F.round call site is either a ratio of exact integers, a
+    score produced by an identical correctly-rounded double chain on
+    both engines, or an exact-grid value — all carrying green driver
+    evidence. A NEW F.round in the plans layer fails here: use
+    ratio6/integer quantization, or consciously extend this allowlist
+    with the same justification bar.
+    """
+    from pathlib import Path
+
+    allow = {
+        "analytics_queries.py": 1,   # pearson_r: identical exact-moment chain
+        "dedup_queries.py": 3,       # jaccard/cosine of exact-int or identical chains
+        "domain_queries.py": 4,      # money-grid rounds + matching percents (r02 green)
+        "events_queries.py": 1,      # exact-grid conditional sum
+        "mixing_queries.py": 1,      # quality band on exact quarters
+        "relational_extra2.py": 3,   # share/percent of exact decimal sums
+        "skills_queries.py": 1,      # confidence grid (r03 green)
+        "text_queries.py": 1,        # tf-idf score chain (r03 green)
+        "vector_queries.py": 6,      # cosine score_decimals precedent (r03 green)
+    }
+    plans = Path("bigdata_jobmatching_spark/plans")
+    got = {
+        p.name: p.read_text().count("F.round(")
+        for p in sorted(plans.glob("*.py"))
+        if p.read_text().count("F.round(")
+    }
+    assert got == allow, (
+        f"F.round inventory drifted: {got} vs allowlist {allow} — "
+        "new float rounding must go through ratio6 or be justified here"
+    )
