@@ -583,3 +583,65 @@ register(QuerySpec(
     "components (singletons included) — corpus-health dedup metric",
     ("dedup", "graph", "agg", "bench"),
 ))
+
+
+# --- cross_source_duplication: who copies whom ----------------------------
+# The corpus-construction diagnostic the per-source mixing weights
+# need: how much near-duplicate mass flows BETWEEN sources (blocks
+# span sources here — language only — unlike the within-block dedup
+# queries). Output is the (source_a, source_b) matrix of >=0.5-max-
+# containment pairs. At 100 TB the language-only block is too wide
+# for an exact self-join — this query is the audit-grain twin of the
+# MinHash path, which would produce the same matrix from banded
+# candidates; the exact form stays oracle-verifiable.
+
+def _cross_source_dup(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        fan_out(load_table(spark, sf, "documents"))
+        .withColumn("sh", S.word_ngrams(F.col("text"), 3))
+        .filter(F.size("sh") > 0)
+        .select(F.col("lang").alias("blk"), "doc_id", "source", "sh")
+    )
+    pairs = D.pairwise_candidates(d, "blk", "doc_id", ["source", "sh"])
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = F.greatest(
+        inter.cast("double") / F.size("sh_a"),
+        inter.cast("double") / F.size("sh_b"),
+    )
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.5)
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_x"),
+            F.greatest("source_a", "source_b").alias("src_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {_SQL_SHINGLES} AS sh FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+scored AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    greatest(
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+    ) AS containment
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT least(source_a, source_b) AS src_x,
+  greatest(source_a, source_b) AS src_y,
+  COUNT(*) AS n_dup_pairs
+FROM scored WHERE containment >= 0.5
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "cross_source_duplication", _cross_source_dup, _CROSS_SOURCE_SQL,
+    "near-duplicate mass between sources (containment >= 0.5 pair "
+    "matrix) — the mixing-weights contamination audit",
+    ("dedup", "mixing", "join"),
+))

@@ -778,3 +778,38 @@ register(QuerySpec(
     "broadcast week join)",
     ("events", "agg", "engagement"),
 ))
+
+
+# --- event_type_transitions: first-order Markov transition counts ---------
+# The behavioral-model input: counts of consecutive (prev_type ->
+# next_type) transitions within each user's event stream (lag window
+# per user, total order by (ts, event_id)).
+
+def _transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH lagged AS (
+  SELECT event_type AS next_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "event_type_transitions", _transitions, _TRANSITIONS_SQL,
+    "first-order event-type transition counts per user stream "
+    "(Markov behavioral model input)",
+    ("events", "window", "agg"),
+))
