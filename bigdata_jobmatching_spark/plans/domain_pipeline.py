@@ -94,21 +94,29 @@ BLOB_META_PATTERNS = {
     "scraped_at": r'"scraped_at"\s*:\s*"([^"]+)"',
 }
 
+# Inside an open tag, skip attribute junk without crossing the real
+# tag close: quoted values may contain '>' (title="a > b"), so the
+# scan consumes quoted strings whole — the bs4/browser tolerance a
+# bare [^>]* lacks.
+_ATTRS = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+
+
 def _hook(cls: str, tag: str = "[a-z][a-z0-9]*") -> tuple[str, int]:
     """Class-selector pattern tolerant of real-world markup: any
     attribute order, single or double quotes, multiple classes in the
-    attribute, whitespace around '='; the closing tag is backref'd to
-    whatever tag actually opened. Content is capture group 2."""
+    attribute, whitespace around '=', '>' inside quoted attribute
+    values; the closing tag is backref'd to whatever tag actually
+    opened. Content is capture group 2."""
     return (
-        rf'(?s)<({tag})\b[^>]*class\s*=\s*["\'][^"\']*'
+        rf'(?s)<({tag})\b{_ATTRS}?class\s*=\s*["\'][^"\']*'
         rf'(?<![\w-]){cls}(?![\w-])'
-        rf'[^"\']*["\'][^>]*>\s*(.*?)\s*</\1\s*>',
+        rf'[^"\']*["\']{_ATTRS}>\s*(.*?)\s*</\1\s*>',
         2,
     )
 
 
 def _plain(tag: str) -> tuple[str, int]:
-    return (rf"(?s)<({tag})\b[^>]*>\s*(.*?)\s*</\1\s*>", 2)
+    return (rf"(?s)<({tag})\b{_ATTRS}>\s*(.*?)\s*</\1\s*>", 2)
 
 
 # Selector cascades mirroring the reference's BeautifulSoup lists —
@@ -210,7 +218,7 @@ def _strip_tags(c: Column) -> Column:
     UnicodeDammit would have re-decoded the raw bytes, but a string
     column has already lost them) are removed rather than leaked into
     extracted fields."""
-    txt = F.regexp_replace(c, r"<[^>]+>", "")
+    txt = F.regexp_replace(c, rf"<{_ATTRS}>", "")
     for ent, ch in _HTML_ENTITIES:
         txt = F.replace(txt, F.lit(ent), F.lit(ch))
     txt = F.regexp_replace(txt, "�", "")

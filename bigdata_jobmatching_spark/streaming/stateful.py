@@ -83,3 +83,60 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSION_OUT = (
+    "user_id bigint, n_events bigint, total_value double, closed boolean"
+)
+_SESSION_STATE = "n bigint, total double, last_ms bigint"
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_emit(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total, _last = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": user_id, "n_events": n,
+            "total_value": total, "closed": True,
+        }])
+        return
+    n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_ms = max(last_ms, int(pdf["ms"].max()))
+    state.update((n, total, last_ms))
+    # close the session once the event-time watermark passes
+    # last-activity + gap: the state store, not the caller, decides
+    # when a session is final.
+    state.setTimeoutTimestamp(last_ms + _SESSION_GAP_MS)
+    yield pd.DataFrame([{
+        "user_id": user_id, "n_events": n,
+        "total_value": total, "closed": False,
+    }])
+
+
+def stateful_sessions_with_ttl(events: DataFrame) -> DataFrame:
+    """Session aggregation with EVENT-TIME TTL: per-user counters that
+    EMIT a final ``closed=true`` row when the watermark passes
+    last-activity + 30 min (GroupStateTimeout.EventTimeTimeout). This
+    is the custom-operator form of session_window for session logic
+    the built-in cannot express (e.g. emit-on-close side effects);
+    state size tracks active users, bounded by the watermark."""
+    prepped = events.select(
+        "user_id", F.unix_millis("ts").alias("ms"), "value", "ts"
+    ).withWatermark("ts", "1 hour")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _session_emit,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

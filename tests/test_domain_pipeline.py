@@ -366,3 +366,23 @@ def test_html_cascade_comments_cdata_mojibake(spark):
     assert c.location == "San-Pdro"
     # the FFFD here was a latin-1 NBSP: the digit grouping collapses
     assert c.salary_text == "750000 FCFA"
+
+
+def test_html_cascade_interleaved_and_stray_closes(spark):
+    # bs4 tolerances continued: inline tags interleaved across the
+    # hook close (<b><i>..</b></i>), a stray close tag before the hook
+    # closes, and an attribute value containing '>' — the cascade must
+    # still extract and strip cleanly.
+    interleaved = """<html><body>
+    <h1 class="job-title">Chef de <b><i>Projet</b></i> Digital</h1>
+    <div class="company-name">MTN </span>Cote d'Ivoire</div>
+    <div class="job-description" title="a > b">Coordination des projets de
+    transformation digitale et gestion des parties prenantes du programme.</div>
+    <span class="location">Abidjan</span>
+    </body></html>"""
+    df = spark.createDataFrame([("{}", interleaved)], "metadata string, html string")
+    a = P.parse_html_fields(df).collect()[0]
+    assert a.title == "Chef de Projet Digital"
+    assert a.company == "MTN Cote d'Ivoire"  # stray </span> stripped
+    assert a.description.startswith("Coordination des projets")
+    assert a.location == "Abidjan"

@@ -170,3 +170,56 @@ def test_incremental_rollup_foreachbatch(spark, sf_dir, tmp_path):
     got2 = {(str(r.day), r.event_type): (r.n_events, r.total_value)
             for r in spark.read.parquet(out).collect()}
     assert got2 == got1
+
+
+def test_stateful_session_ttl_emits_on_close(spark, tmp_path):
+    """EventTimeTimeout e2e: batch 1 builds user 1's session (2 events
+    at ~10:00) and advances the watermark far past last-activity+gap
+    via a 13:00 row (wm = 12:00); batch 2 triggers the timeout path,
+    which must emit the final closed=true row with the full
+    accumulated counters and drop the state."""
+    import json as _json
+    import os
+
+    from bigdata_jobmatching_spark.streaming.stateful import stateful_sessions_with_ttl
+
+    def wf(name, rows, mtime):
+        d = tmp_path / "ev"
+        d.mkdir(exist_ok=True)
+        p = d / name
+        with open(p, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    D = "2024-01-01T"
+    wf("f1.json", [
+        {"user_id": 1, "ts": D + "10:00:00", "value": 2.0},
+        {"user_id": 1, "ts": D + "10:05:00", "value": 3.0},
+        {"user_id": 7, "ts": D + "13:00:00", "value": 1.0},  # wm -> 12:00
+    ], 1_000_000)
+    wf("f2.json", [
+        {"user_id": 8, "ts": D + "13:10:00", "value": 1.0},  # drives batch 2
+    ], 2_000_000)
+
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(tmp_path / "ev"))
+    )
+    q = (
+        stateful_sessions_with_ttl(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("ttl_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ttl_sessions").collect()
+    closed = [r for r in rows if r.closed and r.user_id == 1]
+    assert len(closed) == 1
+    assert closed[0].n_events == 2 and closed[0].total_value == 5.0
+    # user 7 (13:00) is within gap of the final watermark: never closed
+    assert not any(r.closed for r in rows if r.user_id == 7)
