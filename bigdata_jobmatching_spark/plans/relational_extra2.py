@@ -644,3 +644,105 @@ register(QuerySpec(
     "min/max window frames (exact-decimal ordering)",
     ("relational", "window"),
 ))
+
+
+# --- orders_fulfillment_lag: ship-lag day histogram -----------------------
+# Operational latency distribution: days between order date and each
+# line's ship date, bucketed weekly. Date arithmetic is exact integer
+# day counts on both engines; one fact-fact equi-join + a tiny-key
+# aggregation.
+
+def _fulfillment_lag(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lag_days")
+    )
+    # floor(x/7.0) rather than integer div: Spark's div truncates
+    # toward zero while DuckDB's // floors, which diverges on negative
+    # lags — floor of an identical double division is engine-identical
+    # for any sign.
+    return (
+        lag.groupBy(
+            F.expr("CAST(floor(lag_days / 7.0) AS BIGINT)").alias("lag_week")
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_FULFILLMENT_SQL = """
+SELECT CAST(floor(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) / 7.0) AS BIGINT) AS lag_week,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+register(QuerySpec(
+    "orders_fulfillment_lag", _fulfillment_lag, _FULFILLMENT_SQL,
+    "order-to-ship lag histogram in weeks (exact day arithmetic, "
+    "fact-fact join + tiny-key aggregation)",
+    ("relational", "agg", "join"),
+))
+
+
+# --- supplier_market_concentration: Herfindahl index per part type --------
+# Market-concentration audit: per part type, the Herfindahl-Hirschman
+# index of supplier shares of available quantity. Shares and the HHI
+# sum run in exact integer arithmetic (micro-share per supplier, then
+# sum of squared micro-shares as DECIMAL) — no double sums anywhere.
+
+def _concentration(spark: SparkSession, sf: str) -> DataFrame:
+    # partsupp is not in the test lake; supplier shares come from
+    # lineitem volume joined to part type (same grain, same math).
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    per_supp = j.groupBy("p_type", "l_suppkey").agg(F.sum("q").alias("sq"))
+    per_type = per_supp.groupBy("p_type").agg(F.sum("sq").alias("tq"))
+    shares = per_supp.join(per_type, "p_type").withColumn(
+        "share6", F.expr("(sq * 1000000) div tq")
+    )
+    return (
+        shares.groupBy("p_type", "tq")
+        .agg(
+            F.sum(
+                F.expr("CAST(share6 AS DECIMAL(18,0)) * CAST(share6 AS DECIMAL(18,0))")
+            ).alias("hhi_sq"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .select(
+            "p_type", "n_suppliers",
+            F.col("tq").alias("total_qty"),
+            (F.col("hhi_sq").cast("double") / F.lit(1e12)).alias("hhi"),
+        )
+    )
+
+
+_CONCENTRATION_SQL = """
+WITH j AS (
+  SELECT p.p_type, l.l_suppkey, CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+per_supp AS (
+  SELECT p_type, l_suppkey, SUM(q) AS sq FROM j GROUP BY 1, 2
+),
+per_type AS (SELECT p_type, SUM(sq) AS tq FROM per_supp GROUP BY 1),
+shares AS (
+  SELECT s.p_type, t.tq, (s.sq * 1000000) // t.tq AS share6
+  FROM per_supp s JOIN per_type t ON s.p_type = t.p_type
+)
+SELECT p_type, COUNT(*) AS n_suppliers, tq AS total_qty,
+  CAST(SUM(CAST(share6 AS DECIMAL(18,0)) * CAST(share6 AS DECIMAL(18,0))) AS DOUBLE) / 1e12 AS hhi
+FROM shares GROUP BY p_type, tq
+"""
+
+register(QuerySpec(
+    "supplier_market_concentration", _concentration, _CONCENTRATION_SQL,
+    "Herfindahl supplier-concentration index per part type — exact "
+    "integer micro-shares, decimal square sum",
+    ("relational", "agg", "analytics"),
+))

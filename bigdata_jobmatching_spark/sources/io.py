@@ -154,3 +154,26 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def read_csv_stage(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingest with an explicit schema and a malformed-row audit
+    column (the no-inference discipline applied to CSV): PERMISSIVE
+    mode parks unparseable lines in ``_corrupt_record`` instead of
+    dropping them silently or failing the job — the caller decides
+    whether to quarantine or abort. Schema inference is deliberately
+    not offered: at 100 TB an inference pass is a full extra scan and
+    a correctness hazard (type flapping between files)."""
+    full = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

@@ -321,3 +321,25 @@ def test_write_stage_schema_evolution(spark, sf_dir, tmp_path):
     # old files surface NULL for the new column; new files carry it
     n_null = merged.filter(F.col("ingest_round").isNull()).count()
     assert n_null == v1.count()
+
+
+def test_read_csv_stage_corrupt_record_audit(spark, tmp_path):
+    """CSV source contract: explicit schema, PERMISSIVE parse, and
+    malformed lines parked in _corrupt_record (never silently dropped,
+    never a job abort)."""
+    from bigdata_jobmatching_spark.sources.io import read_csv_stage
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alpha,10.5\n"
+        "2,beta,not_a_number\n"   # malformed numeric
+        "3,gamma,7.25\n"
+    )
+    df = read_csv_stage(spark, str(p), "id int, name string, amount double")
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].amount == 10.5 and rows[1]._corrupt_record is None
+    assert rows[3].amount == 7.25
+    bad = [r for r in df.collect() if r._corrupt_record is not None]
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+    assert bad[0].amount is None
