@@ -42,3 +42,43 @@ def salted_agg(
     refold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase2 = [refold[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()]
     return partial.groupBy(*group_cols).agg(*phase2)
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_key_threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Differentiated skew join: route HOT keys through a broadcast
+    join and the cold tail through the normal shuffle join, then
+    union. This is the explicit form of what AQE's skew-split does at
+    runtime, for when you know the skew in advance (celebrity users,
+    null-ish default keys) or need it on a join AQE can't split
+    (e.g. under a required output ordering).
+
+    ``fact`` is the large skewed side; ``dim`` must be joinable from
+    both branches (it is filtered to hot keys for the broadcast
+    branch, so only the hot slice is collected to the driver-side
+    broadcast, never the whole dim). Hot keys are detected with one
+    count aggregation over the fact side — at 100 TB that scan is
+    map-side combinable and far cheaper than one straggler reducer.
+
+    Result equality with the plain join holds for inner/left joins
+    because the hot/cold split partitions the fact rows: each fact
+    row joins in exactly one branch.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how}")
+    hot = (
+        fact.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_key_threshold)
+        .select(key)
+    )
+    fact_hot = fact.join(F.broadcast(hot), key, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot), key, "left_anti")
+    dim_hot = dim.join(F.broadcast(hot), key, "left_semi")
+    joined_hot = fact_hot.join(F.broadcast(dim_hot), key, how)
+    joined_cold = fact_cold.join(dim, key, how)
+    return joined_hot.unionByName(joined_cold)

@@ -746,3 +746,41 @@ register(QuerySpec(
     "integer micro-shares, decimal square sum",
     ("relational", "agg", "analytics"),
 ))
+
+
+# --- skew_split_brand_volumes: differentiated skew join, oracled ----------
+# Same pattern as salted_event_type_stats (r03): the skew-mitigation
+# operator must produce BIT-IDENTICAL results to the plain formulation
+# — the oracle is the ordinary join+agg SQL, so the driver hash
+# proves the hot/cold split loses and duplicates nothing.
+
+def _skew_split_volumes(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import skew_split_join
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    p = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = skew_split_join(li, p, "l_partkey", hot_key_threshold=20)
+    return j.groupBy("p_brand").agg(
+        F.sum("q").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SKEW_SPLIT_SQL = """
+SELECT p.p_brand, SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+register(QuerySpec(
+    "skew_split_brand_volumes", _skew_split_volumes, _SKEW_SPLIT_SQL,
+    "brand volumes through the differentiated skew join (hot keys "
+    "broadcast, cold shuffled) — oracle is the plain join, proving "
+    "exact equivalence",
+    ("relational", "skew", "join"),
+))

@@ -362,3 +362,33 @@ def test_compact_stage_merges_small_files(spark, sf_dir, tmp_path):
     out = spark.read.parquet(p)
     assert out.count() == before
     assert set(out.columns) == set(src.columns)
+
+
+def test_skew_split_join_equals_plain_join(spark, sf_dir):
+    """The differentiated skew join must produce exactly the plain
+    join's rows (hot/cold branches partition the fact side), with the
+    hot slice routed through a broadcast."""
+    from bigdata_jobmatching_spark.operators.skew import skew_split_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    # force a hot key: threshold low enough that some parts are "hot"
+    out = skew_split_join(li, p, "l_partkey", hot_key_threshold=5)
+    plain = li.join(p, "l_partkey")
+    assert out.count() == plain.count()
+    a = out.groupBy("l_partkey").count().collect()
+    b = plain.groupBy("l_partkey").count().collect()
+    assert {(r.l_partkey, r["count"]) for r in a} == {(r.l_partkey, r["count"]) for r in b}
+    # both branches exist in the plan (a broadcast join + a union)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Union" in plan
+
+    # left join: fact rows with no dim match survive in either branch
+    li_extra = li.unionByName(
+        spark.createDataFrame([(99, -1, 1.0)], "l_orderkey long, l_partkey long, l_quantity double")
+    )
+    left = skew_split_join(li_extra, p, "l_partkey", hot_key_threshold=5, how="left")
+    assert left.count() == li_extra.count()
+    assert left.filter(F.col("l_partkey") == -1).count() == 1
