@@ -44,9 +44,15 @@ def main() -> None:
     # name-sorted loop otherwise pays for inside ann_cosine_topk
     # (~2.5 s artifact in BENCH_r03); media_header_meta covers Python
     # worker spawn + Arrow serialization (~5 s artifact otherwise).
+    # ann_cosine_topk warms the broadcast-nested-loop + window codegen
+    # its family pays first-position (13.8 s vs 1.3 s steady in r04);
+    # docs_dedup_cluster_sizes warms the iterative connected-components
+    # machinery (localCheckpoint, per-iteration job setup: 24 s cold vs
+    # 5 s steady).
     spark.range(1000).selectExpr("sum(id)").collect()
     for wq in ("q5_region_revenue", "doc_stats", "embedding_norm_stats",
-               "media_header_meta"):
+               "media_header_meta", "ann_cosine_topk",
+               "docs_dedup_cluster_sizes"):
         registry[wq].spark(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

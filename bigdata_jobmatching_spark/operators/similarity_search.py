@@ -29,11 +29,6 @@ from ..sources.io import fan_out
 
 _LCG_M = 2_147_483_648  # 2^31
 
-# Hard plane-literal budget for the codegen LSH path: 4*8*256 leaves
-# headroom over the verified dim=64 gate shape while refusing widths
-# (dim≈512+) where plan analysis time exceeds the query itself.
-MAX_PLANE_LITERALS = 8_192
-
 
 def lcg_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     """``tables x bits`` hyperplanes of ``dim`` components in
@@ -52,20 +47,31 @@ def lcg_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     ]
 
 
-def _hyperplane_sig(vec: Column, planes: list[list[float]], table: int) -> Column:
-    """<bits>-bit random-hyperplane signature of a vector as a string
-    key. The sign is taken on the 6dp-rounded projection so a
-    last-bit double difference between engines can never flip a
-    bucket bit."""
-    bit_vals = []
-    for plane in planes:
-        lit = F.array(*[F.lit(p) for p in plane])
+def _plane_signatures(vec: Column, planes_col: Column) -> Column:
+    """Array of per-table ``'t<i>:<bits>'`` signature keys computed
+    against a *column* of planes (``array<array<array<double>>>``),
+    not literal expression trees: ``tables*bits*dim`` literal nodes
+    made plan analysis/codegen dwarf the query itself (57 s at dim=64
+    on 5k rows), while a 1-row broadcast carrying the same doubles
+    keeps the plan O(1) and the arithmetic — sequential index-order
+    multiply-add, identical IEEE values — unchanged, so bucket keys
+    still match the SQL oracle bit-for-bit. The sign is taken on the
+    6dp-rounded projection so a last-bit double difference between
+    engines can never flip a bucket bit."""
+    def one_bit(plane: Column) -> Column:
         proj = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda acc, x: acc + x,
         )
-        bit_vals.append(F.when(F.round(proj, 6) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(F.lit(f"t{table}:"), *bit_vals)
+        return F.when(F.round(proj, 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.transform(
+        planes_col,
+        lambda tplanes, t: F.concat(
+            F.lit("t"), t.cast("string"), F.lit(":"),
+            F.array_join(F.transform(tplanes, one_bit), ""),
+        ),
+    )
 
 
 def brute_force_topk(
@@ -257,31 +263,27 @@ def lsh_ann_topk(
 
     Hyperplanes come from the shared :func:`lcg_planes` rational
     family, so the full result (buckets, candidates, scores, ranks)
-    is reproducible by an external SQL oracle. Plane literals cost
-    ``tables*bits*dim`` plan nodes — fine to dim≈128; for very wide
-    embeddings compute signatures in an Arrow batch instead. Above
-    ``MAX_PLANE_LITERALS`` this raises instead of silently building a
-    plan whose analysis/codegen time dwarfs the query.
+    is reproducible by an external SQL oracle. The planes travel as a
+    1-row broadcast (``array<array<array<double>>>``) rather than
+    literal expression trees, so the plan stays O(1) nodes at any
+    ``tables*bits*dim`` — wide embeddings (dim 512+) plan as fast as
+    dim=64, and the signature arithmetic is byte-identical either way.
     """
-    n_literals = tables * bits * dim
-    if n_literals > MAX_PLANE_LITERALS:
-        raise ValueError(
-            f"lsh_ann_topk would embed {n_literals} plane literals "
-            f"(tables={tables} * bits={bits} * dim={dim}) > "
-            f"{MAX_PLANE_LITERALS}: codegen cost dwarfs the query at this "
-            "width. Use brute_force_topk_arrow (batch matmul) or lower "
-            "tables/bits."
-        )
     planes = lcg_planes(tables, bits, dim)
+    planes_df = corpus.sparkSession.createDataFrame(
+        [(planes,)], "planes array<array<array<double>>>"
+    )
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        sigs = F.array(*[
-            _hyperplane_sig(F.col(vec_col), planes[t], t) for t in range(tables)
-        ])
-        return fan_out(df.select(id_col, vec_col)).select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.explode(sigs).alias("bucket"),
+        sigs = _plane_signatures(F.col(vec_col), F.col("planes"))
+        return (
+            fan_out(df.select(id_col, vec_col))
+            .crossJoin(F.broadcast(planes_df))
+            .select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                F.explode(sigs).alias("bucket"),
+            )
         )
 
     cb = with_buckets(corpus, "neighbor_id", "c_vec")
@@ -317,8 +319,10 @@ def ivf_topk_fixed(
 ) -> DataFrame:
     """IVF ANN with PRECOMPUTED centroids (the production pattern:
     train the quantizer offline, assign online). Assignment is argmax
-    cosine to centroid literals — computed per row in codegen, no ML
-    model object — with the (6dp-rounded cosine, centroid id) pair as
+    cosine against a 1-row broadcast centroid table — no ML model
+    object, no literal trees (``n_cells*dim`` literal nodes made plan
+    analysis dominate; the broadcast carries the same doubles with an
+    O(1) plan) — with the (6dp-rounded cosine, centroid id) pair as
     the order key so the assignment is engine-reproducible. With
     :func:`lcg_planes`-derived rational centroids the whole result is
     SQL-oracle-verifiable, unlike the KMeans path.
@@ -326,34 +330,41 @@ def ivf_topk_fixed(
     Scale: identical to :func:`ivf_topk` — the corpus partitions by
     cell, each query reads ~n_probe/n_cells of it.
     """
-    def cell_scores(vec: Column) -> list[Column]:
-        out = []
-        for ci, cent in enumerate(centroids):
-            lit = F.array(*[F.lit(x) for x in cent])
-            out.append(F.struct(
-                F.round(S.cosine(vec, lit), 6).alias("cos"),
-                # NEGATED id: array_max orders by (cos, id) and we want
-                # the LOWEST cell id to win cosine ties
-                F.lit(-ci).alias("negid"),
-            ))
-        return out
+    cents_df = corpus.sparkSession.createDataFrame(
+        [(centroids,)], "cents array<array<double>>"
+    )
+
+    def cell_scores(vec: Column) -> Column:
+        # NEGATED id: array_max orders by (cos, id) and we want the
+        # LOWEST cell id to win cosine ties
+        return F.transform(
+            F.col("cents"),
+            lambda cent, i: F.struct(
+                F.round(S.cosine(vec, cent), 6).alias("cos"),
+                (-i).alias("negid"),
+            ),
+        )
 
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    best = F.array_max(F.array(*[s for s in cell_scores(vec_d)]))
-    c = fan_out(corpus.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        vec_d.alias("c_vec"),
-        (-best.getField("negid")).cast("int").alias("cell"),
+    best = F.array_max(cell_scores(vec_d))
+    c = (
+        fan_out(corpus.select(id_col, vec_col))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            vec_d.alias("c_vec"),
+            (-best.getField("negid")).cast("int").alias("cell"),
+        )
     )
 
     ranked = F.array_sort(
-        F.array(*cell_scores(vec_d)),
+        cell_scores(vec_d),
         lambda a, b: F.when(a.getField("cos") > b.getField("cos"), -1)
         .when(a.getField("cos") < b.getField("cos"), 1)
         .otherwise(F.signum(b.getField("negid") - a.getField("negid")).cast("int")),
     )
-    q = queries.select(
+    q = queries.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("query_id"),
         vec_d.alias("q_vec"),
         F.explode(

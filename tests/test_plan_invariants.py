@@ -266,3 +266,82 @@ def test_no_new_unvetted_float_rounding():
         f"F.round inventory drifted: {got} vs allowlist {allow} — "
         "new float rounding must go through ratio6 or be justified here"
     )
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    # The 100 TB pattern static pruning can't reach: the fact-side
+    # partition filter only exists at runtime, derived from the dim
+    # side of a join (classic star-schema "last month's hot days"
+    # shape). The fact scan must carry a dynamicpruning expression in
+    # its PartitionFilters — without it, a 100 TB fact table is read
+    # in full before the join drops 97% of it.
+    from bigdata_jobmatching_spark.sources.io import load_table, write_stage
+
+    # NOTE the dim predicate must be a comparison: Spark's
+    # PartitionPruning rule gates on isLikelySelective(), which
+    # accepts comparisons/IN/LIKE but not a bare boolean attribute
+    # (a `WHERE is_hot` flag filter silently disables DPP).
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    write_stage(ev, str(tmp_path / "fact"), partition_by=("day",))
+    write_stage(
+        ev.select("day").distinct().withColumn(
+            "hotness", F.dayofmonth("day")
+        ),
+        str(tmp_path / "dim"),
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    j = (
+        fact.join(dim.filter("hotness = 5"), "day")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() > 0
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    # The non-partition-column twin of DPP: a selective dim-side
+    # predicate builds a runtime bloom filter applied to the fact side
+    # BEFORE its shuffle, cutting exchange volume ~6x here (1-of-5
+    # order priorities). Local thresholds are lowered to mirror the
+    # cluster-scale sizes that enable injection; the assertion is on
+    # the optimized plan carrying bloom_filter_might_contain on the
+    # lineitem side.
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        # creation side: bloom_filter_agg over the filtered orders keys;
+        # application side: a might_contain probe guarding the lineitem scan
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        assert j.count() == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

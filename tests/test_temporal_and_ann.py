@@ -176,14 +176,24 @@ def test_ivf_fixed_partial_probe_recall(spark, sf_dir):
     assert len(ivf & bf) / len(bf) >= 0.3
 
 
-def test_lsh_plane_literal_guard():
-    # dim=512 at default tables/bits crosses MAX_PLANE_LITERALS: the
-    # codegen LSH path must fail fast with routing guidance instead of
-    # building a plan whose analysis dwarfs the query.
-    import pytest
+def test_lsh_wide_dim_plans_fast(spark):
+    # dim=512 used to cross the plane-literal budget (4*8*512 literal
+    # nodes -> analysis dwarfed the query; the operator raised). With
+    # the planes shipped as a 1-row broadcast column the plan is O(1)
+    # nodes at any width: building AND executing the dim=512 plan on a
+    # small frame must finish in seconds, not choke on analysis.
+    import time
 
     from bigdata_jobmatching_spark.operators import similarity_search as SS
 
-    assert 4 * 8 * 512 > SS.MAX_PLANE_LITERALS
-    with pytest.raises(ValueError, match="plane literals"):
-        SS.lsh_ann_topk(None, None, "id", "vec", dim=512, tables=4, bits=8)
+    rng = [
+        (i, [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(512)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rng, "id long, vec array<double>")
+    t0 = time.time()
+    out = SS.lsh_ann_topk(
+        df, df.filter("id = 0"), "id", "vec", dim=512, tables=4, bits=8, k=3
+    ).collect()
+    assert time.time() - t0 < 60
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
