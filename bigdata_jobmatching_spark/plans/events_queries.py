@@ -813,3 +813,58 @@ register(QuerySpec(
     "(Markov behavioral model input)",
     ("events", "window", "agg"),
 ))
+
+
+# --- events_props_variant: VARIANT-typed JSON extraction ------------------
+# The same engine-pinned extraction discipline as events_props_typed,
+# driven through Spark's VARIANT type (try_parse_json + variant_get)
+# instead of string-path extraction: the binary VARIANT encoding is
+# parsed once and fields are read without re-tokenizing the JSON —
+# the 100 TB answer to repeated get_json_object calls over the same
+# column. Extraction surfaces the field as TEXT, accepts it only
+# under the strict bounded-integer pattern, then casts — so the
+# DuckDB oracle (which has no VARIANT) predicts every value exactly.
+
+def _props_variant(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    raw = F.expr("variant_get(try_parse_json(props), '$.k', 'string')")
+    typed = ev.withColumn(
+        "k", F.when(raw.rlike(_K_INT_RE), raw.cast("int"))
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_PROPS_VARIANT_SQL = f"""
+WITH ex AS (
+  SELECT event_type,
+    CASE WHEN json_valid(props) THEN props->>'k' END AS raw
+  FROM events
+),
+typed AS (
+  SELECT event_type,
+    CASE WHEN regexp_matches(raw, '{_K_INT_RE}') THEN CAST(raw AS INT) END AS k
+  FROM ex
+)
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_unparsed,
+  SUM(CAST(k AS BIGINT)) AS sum_k,
+  MIN(k) AS min_k,
+  MAX(k) AS max_k
+FROM typed
+GROUP BY 1
+"""
+
+register(QuerySpec(
+    "events_props_variant", _props_variant, _PROPS_VARIANT_SQL,
+    "VARIANT-typed JSON field extraction (parse once, extract without "
+    "re-tokenizing) with the strict bounded-integer discipline and "
+    "unparsed-row audit",
+    ("events", "json", "variant", "agg"),
+))

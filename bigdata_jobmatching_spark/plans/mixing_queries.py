@@ -587,3 +587,31 @@ register(QuerySpec(
     "(loss-reweighting prep)",
     ("mixing", "vector", "agg"),
 ))
+
+
+# --- doc_ffd_packing: first-fit-decreasing pack assignment ----------------
+# The tighter (imperative) counterpart of doc_sequence_packing: FFD
+# bin packing per source via the grouped-map applyInPandas operator
+# (operators/packing.py). Mutable per-pack state is not
+# SQL-expressible, so this is a rows-only registry entry; its
+# correctness contract lives in the invariant suite
+# (tests/test_packing.py: budget bound, coverage, determinism under
+# repartitioning, pack-count lower bound).
+
+def _ffd(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import ffd_pack
+
+    d = fan_out(load_table(spark, sf, "documents")).select(
+        "source", "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return ffd_pack(d, ["source"], "doc_id", "n_tokens", budget=512)
+
+
+register(QuerySpec(
+    "doc_ffd_packing", _ffd, None,
+    "first-fit-decreasing training-batch packing per source "
+    "(grouped-map applyInPandas; imperative per-pack state, so "
+    "rows-only + invariant tests)",
+    ("mixing", "imperative"),
+))

@@ -784,3 +784,40 @@ register(QuerySpec(
     "exact equivalence",
     ("relational", "skew", "join"),
 ))
+
+
+# --- nation_top2_acctbal_lateral: correlated LATERAL subquery -------------
+# The lateral-join operator shape (SQL `, LATERAL (...)`) — per outer
+# row, an ordered+limited correlated subquery. Semantically a top-k
+# per group, but planned through Spark's DecorrelateInnerQuery path
+# rather than a window, exercising the correlated-subquery operator
+# surface the window queries never touch. At scale Spark rewrites the
+# decorrelated limit into a partitioned window — same shuffle shape
+# as the window form, no per-row re-execution.
+
+def _lateral_top2(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf, "nation").createOrReplaceTempView("lat_nation")
+    return spark.sql("""
+      SELECT n.n_name, x.c_custkey, x.c_acctbal
+      FROM lat_nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM lat_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x
+    """)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, x.c_custkey, x.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x
+"""
+
+register(QuerySpec(
+    "nation_top2_acctbal_lateral", _lateral_top2, _LATERAL_SQL,
+    "top-2 customers per nation through a correlated LATERAL subquery "
+    "with ORDER BY + LIMIT (decorrelated join plan, not a window)",
+    ("relational", "lateral", "join"),
+))
