@@ -53,7 +53,18 @@ def pairwise_candidates(df: DataFrame, block_col: str, id_col: str, payload_cols
     """Self-join within blocking groups: the idiomatic replacement for
     the reference's groupBy+collect_list+O(n²)-UDF+explode pattern
     (deduplicate.py:207-281). ``id_a < id_b`` keeps each unordered
-    pair once. Returns columns suffixed _a/_b."""
+    pair once. Returns columns suffixed _a/_b.
+
+    The repartition on the block key is a deliberate materialization
+    barrier: payload columns are usually expensive expressions
+    (tokenize -> shingle -> hash chains), and without a barrier
+    Catalyst re-evaluates them per PAIR in downstream scoring/window
+    operators instead of per DOC (measured 8x on the containment
+    query). The exchange computes them once per row and ships bytes;
+    both join sides read the SAME shuffle (ReuseExchange dedups the
+    identical subplans), which is also the co-partitioned self-join
+    shape a 100 TB block join wants."""
+    df = df.repartition(F.col(block_col))
     left = df.select(
         F.col(block_col),
         F.col(id_col).alias(f"{id_col}_a"),

@@ -21,6 +21,21 @@ from .text_queries import _SQL_TOKS
 
 _SQL_TOKSET = f"list_distinct({_SQL_TOKS})"
 
+# Hashed variants for the pairwise-heavy queries: intersecting arrays
+# of ~40-char shingle strings dominates the O(block²) scoring loops,
+# while the engine-exact 60-bit md5 ints (same family as
+# minhash_md5_near_dups) intersect several times faster. Both engines
+# hash the identical strings to the identical ints, so every count —
+# and with it every containment/jaccard value — is unchanged even if
+# a (cosmically unlikely) collision merged two shingles: it would
+# merge them identically on both sides.
+_SQL_HASH_TK = "CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)"
+_SQL_TOKSET_H = f"list_transform({_SQL_TOKSET}, tk -> {_SQL_HASH_TK})"
+
+
+def _hashed(arr: F.Column) -> F.Column:
+    return F.transform(arr, S.md5_token_hash_raw)
+
 
 # --- docs_exact_dedup: keep-best per canonical fingerprint ----------------
 
@@ -60,7 +75,7 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
-        .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
+        .withColumn("tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
         .select("blk", "doc_id", "tokset")
     )
     pairs = D.pairwise_candidates(d, "blk", "doc_id", ["tokset"])
@@ -76,7 +91,7 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _JACCARD_SQL = f"""
-WITH t AS (SELECT doc_id, lang, source, {_SQL_TOKSET} AS ts FROM documents)
+WITH t AS (SELECT doc_id, lang, source, {_SQL_TOKSET_H} AS ts FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
     / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
@@ -98,7 +113,7 @@ def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
-        .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
+        .withColumn("tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
     )
     cand = D.pairwise_candidates(
         d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
@@ -118,7 +133,7 @@ def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
 # (A~B~C without A~C) must land in ONE group on both engines.
 _KEEP_BEST_SQL = f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id, n_chars, lang, source, {_SQL_TOKSET} AS ts FROM documents
+  SELECT doc_id, n_chars, lang, source, {_SQL_TOKSET_H} AS ts FROM documents
 ),
 pairs AS (
   SELECT a.doc_id AS m, b.doc_id AS n
@@ -160,6 +175,8 @@ _SQL_SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - 1, 1)), "
     f"i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')))"
 )
+
+_SQL_SHINGLES_H = f"list_transform({_SQL_SHINGLES}, tk -> {_SQL_HASH_TK})"
 
 
 def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -457,7 +474,7 @@ def _containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
-        .withColumn("sh", S.word_ngrams(F.col("text"), 3))
+        .withColumn("sh", _hashed(S.word_ngrams(F.col("text"), 3)))
         .filter(F.size("sh") > 0)
         .select("blk", "doc_id", "sh")
     )
@@ -486,7 +503,7 @@ def _containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 _CONTAINMENT_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang || '|' || source AS blk, {_SQL_SHINGLES} AS sh FROM documents
+  SELECT doc_id, lang || '|' || source AS blk, {_SQL_SHINGLES_H} AS sh FROM documents
   WHERE len({_SQL_SHINGLES}) > 0
 ),
 scored AS (
@@ -528,7 +545,7 @@ def _cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
-        .withColumn("tokset", F.array_distinct(X.tokens(F.col("text"))))
+        .withColumn("tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
     )
     cand = D.pairwise_candidates(
         d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
@@ -553,7 +570,7 @@ def _cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
 
 _CLUSTER_SIZES_SQL = f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id, lang, source, {_SQL_TOKSET} AS ts FROM documents
+  SELECT doc_id, lang, source, {_SQL_TOKSET_H} AS ts FROM documents
 ),
 pairs AS (
   SELECT a.doc_id AS m, b.doc_id AS n
@@ -598,7 +615,7 @@ register(QuerySpec(
 def _cross_source_dup(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         fan_out(load_table(spark, sf, "documents"))
-        .withColumn("sh", S.word_ngrams(F.col("text"), 3))
+        .withColumn("sh", _hashed(S.word_ngrams(F.col("text"), 3)))
         .filter(F.size("sh") > 0)
         .select(F.col("lang").alias("blk"), "doc_id", "source", "sh")
     )
@@ -621,7 +638,7 @@ def _cross_source_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 _CROSS_SOURCE_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, source, {_SQL_SHINGLES} AS sh FROM documents
+  SELECT doc_id, lang, source, {_SQL_SHINGLES_H} AS sh FROM documents
   WHERE len({_SQL_SHINGLES}) > 0
 ),
 scored AS (
