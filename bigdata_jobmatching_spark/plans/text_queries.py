@@ -675,3 +675,32 @@ register(QuerySpec(
     "planning metric, exact-integer ratio",
     ("text", "agg", "mixing"),
 ))
+
+
+# --- doc_sentence_spans: sentence segmentation via Python UDTF ------------
+# The table-function surface (§2.8 UDTF): an imperative
+# abbreviation/decimal-aware sentence scanner fanning each document
+# into exact covering spans through a correlated LATERAL call.
+# Rows-only by nature (the state machine is the point — no SQL twin);
+# its correctness contract is the invariant suite in
+# tests/test_segment.py (lossless abutting coverage, determinism,
+# abbreviation/decimal/mid-token-dot behavior).
+
+def _sentence_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.segment import register_sentence_udtf
+
+    register_sentence_udtf(spark)
+    load_table(spark, sf, "documents").createOrReplaceTempView("seg_docs")
+    return spark.sql("""
+      SELECT doc_id, sent_idx, start, end, length(sentence) AS n_chars
+      FROM seg_docs, LATERAL split_sentences(text)
+    """)
+
+
+register(QuerySpec(
+    "doc_sentence_spans", _sentence_spans, None,
+    "abbreviation/decimal-aware sentence spans per document via a "
+    "Python UDTF in a correlated LATERAL join (imperative scanner; "
+    "rows-only + invariant suite)",
+    ("text", "imperative", "udtf"),
+))
