@@ -471,6 +471,11 @@ def _copurchase_graph(spark: SparkSession, sf: str):
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
+        # three consumers (edge count, degrees, triangles) would each
+        # re-run the self-join+distinct (13 exchanges total, caught by
+        # tools/plan_audit.py); the lazy checkpoint materializes the
+        # edge set once and every branch reads the persisted copy
+        .localCheckpoint(eager=False)
     )
     return pairs, degrees(pairs, "pa", "pb"), triangle_count(pairs, "pa", "pb")
 

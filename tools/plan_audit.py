@@ -1,0 +1,90 @@
+"""Physical-plan census over the whole query registry.
+
+For every registered query, builds the plan (nothing is executed) and
+counts the operators that dominate cost at scale: shuffle exchanges,
+broadcast exchanges, sort-merge vs hash joins, nested-loop/cartesian
+joins, Python evaluation nodes, and global (unpartitioned) windows.
+Prints one line per query plus a summary, and exits non-zero if a
+query trips a scale red flag:
+
+- a CartesianProduct (non-broadcast cross join) anywhere;
+- a window/sort with no partitioning over a non-aggregated input
+  (single-partition funnels) — detected as `Window [...]` whose
+  partition spec is empty, excluding final ORDER BY of tiny outputs
+  is not detectable statically, so this is a warn-only heuristic;
+- more than MAX_EXCHANGES shuffle exchanges (deep shuffle chains).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+MAX_EXCHANGES = 8
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from bigdata_jobmatching_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    qs = entry_mod.queries()
+
+    rows = []
+    flags: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - audit must not die mid-sweep
+            rows.append((name, f"PLAN ERROR: {str(e)[:80]}"))
+            flags.append(f"{name}: plan build failed")
+            continue
+        # SinglePartition gathers (final scalar aggregates, global
+        # limits) move a handful of pre-aggregated rows — counted
+        # separately, never red-flagged
+        n_shuffle = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+        n_gather = plan.count("Exchange SinglePartition")
+        n_bcast = plan.count("BroadcastExchange")
+        n_smj = plan.count("SortMergeJoin")
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        n_cart = plan.count("CartesianProduct")
+        n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") \
+            + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas") \
+            + plan.count("PythonUDTF")
+        n_gwin = len(re.findall(r"Window \[[^\]]*\], \[\]", plan))
+        rows.append((
+            name,
+            f"shuffle={n_shuffle} gather={n_gather} bcast={n_bcast} smj={n_smj} "
+            f"bhj={n_bhj} bnlj={n_bnlj} cart={n_cart} py={n_py} "
+            f"global_window={n_gwin}",
+        ))
+        if n_cart:
+            flags.append(f"{name}: CartesianProduct in plan")
+        if n_shuffle > MAX_EXCHANGES:
+            flags.append(f"{name}: {n_shuffle} shuffle exchanges > {MAX_EXCHANGES}")
+
+    w = max(len(n) for n, _ in rows) if rows else 0
+    for name, desc in sorted(rows):
+        print(f"{name:<{w}}  {desc}")
+    print(f"\n{len(rows)} queries audited")
+    if flags:
+        print("RED FLAGS:")
+        for f in flags:
+            print(" -", f)
+        return 1
+    print("no red flags")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
