@@ -329,6 +329,10 @@ def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.size("ts") > 0)
         .withColumn("sig", S.md5_minhash_signature(F.col("ts"), _MMH_HASHES))
+        # four consumers (band explode + both sides of the verify
+        # join) would each re-run the tokenize->shingle->md5->minhash
+        # chain; materialize it once
+        .localCheckpoint(eager=False)
     )
     band_cells = F.array(*[
         F.struct(

@@ -119,6 +119,25 @@ def _plain(tag: str) -> tuple[str, int]:
     return (rf"(?s)<({tag})\b{_ATTRS}>\s*(.*?)\s*</\1\s*>", 2)
 
 
+def _hook_nested(cls: str, tag: str = "[a-z][a-z0-9]*") -> tuple[str, int]:
+    """:func:`_hook` variant tolerating ONE level of same-tag nesting
+    (`<div class="job-description"> ... <div>inner</div> tail </div>`):
+    the lazy `.*?</tag>` form stops at the INNER close and silently
+    truncates the tail — the bs4 tolerance (parse_jobs.py builds a
+    tree, so nesting is free) hardest to reproduce with regex.
+    Content pieces are either non-boundary characters, a tag that
+    isn't this element, or one COMPLETE nested same-tag element
+    (itself nesting-free). Deeper nesting falls through to the next
+    cascade step / page-text fallback via the min-length gate."""
+    piece = rf"(?:[^<]+|<(?!/?\1\b)|<\1\b{_ATTRS}>(?:[^<]+|<(?!/?\1\b))*</\1\s*>)*?"
+    return (
+        rf'(?s)<({tag})\b{_ATTRS}?class\s*=\s*["\'][^"\']*'
+        rf'(?<![\w-]){cls}(?![\w-])'
+        rf'[^"\']*["\']{_ATTRS}>\s*({piece})\s*</\1\s*>',
+        2,
+    )
+
+
 # Selector cascades mirroring the reference's BeautifulSoup lists —
 # same order, same min-length validation (parse_jobs.py: title 50-58
 # len>5, company 83-89 len>2, description 124-131 len>50,
@@ -142,6 +161,9 @@ HTML_FIELD_CASCADES: dict[str, tuple[tuple[str, int, int], ...]] = {
     ),
     "description": tuple(
         (p, g, 50) for p, g in (
+            # nesting-aware first: description is the one block-level
+            # field where real pages nest same-name containers
+            _hook_nested("job-description"), _hook_nested("description"),
             _hook("job-description"), _hook("description"), _hook("offer-description"),
             _hook("job-content"), _hook("content"), _hook("main-content"),
         )

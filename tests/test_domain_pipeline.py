@@ -410,3 +410,39 @@ def test_corpus_pipeline_rerun_is_idempotent(spark, tmp_path):
     a = {tuple(r) for r in packed.select(*sorted(key)).collect()}
     b = {tuple(r) for r in packed2.select(*sorted(key)).collect()}
     assert a == b
+
+
+def test_html_cascade_nested_same_tag_containers(spark):
+    # Fourth hostile round: same-name containers NESTED inside the
+    # description hook. The lazy `.*?</div>` form stops at the INNER
+    # close and silently drops the tail; the nesting-aware first
+    # cascade step must return the full content (bs4 parity - the
+    # reference gets nesting for free from the tree).
+    tail = ("apres la section interne nous continuons la description "
+            "avec les responsabilites principales du poste et l'equipe.")
+    nested = f"""<html><body>
+    <div class="job-description">
+      Nous recrutons un ingenieur logiciel distribue confirme.
+      <div class="note">Bloc interne important</div>
+      {tail}
+    </div></body></html>"""
+    # deeper nesting (2 levels) exceeds the regex tolerance: the
+    # min-length gate must reject the truncation and fall through to
+    # the page-text fallback rather than emit a silently-cut field
+    deep = """<html><body>
+    <div class="job-description">x
+      <div>a<div>b</div>c</div>
+    </div>
+    <p>Page de secours suffisamment longue pour le fallback de texte:
+    developpement backend, tests, deploiement continu, mentorat.</p>
+    </body></html>"""
+    df = spark.createDataFrame(
+        [("{}", nested), ("{}", deep)], "metadata string, html string"
+    )
+    a, b = P.parse_html_fields(df).collect()
+    assert a.description.startswith("Nous recrutons un ingenieur")
+    assert "Bloc interne important" in a.description
+    assert a.description.endswith("l'equipe.")
+    # deep: either the whole-page fallback or nothing - never a
+    # truncated fragment ending mid-element
+    assert b.description is None or "fallback de texte" in b.description
