@@ -866,5 +866,5 @@ register(QuerySpec(
     "VARIANT-typed JSON field extraction (parse once, extract without "
     "re-tokenizing) with the strict bounded-integer discipline and "
     "unparsed-row audit",
-    ("events", "json", "variant", "agg"),
+    ("events", "json", "variant", "agg", "bench"),
 ))

@@ -613,5 +613,5 @@ register(QuerySpec(
     "first-fit-decreasing training-batch packing per source "
     "(grouped-map applyInPandas; imperative per-pack state, so "
     "rows-only + invariant tests)",
-    ("mixing", "imperative"),
+    ("mixing", "imperative", "bench"),
 ))
