@@ -345,3 +345,15 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_constant_families_stay_out_of_the_plan(spark, sf_dir):
+    # Regression guard for the round-4 fix: LSH hyperplanes / IVF
+    # centroids must ride a 1-row broadcast, never literal expression
+    # trees (4*8*64 literal nodes made analysis+codegen take 57 s and
+    # bloated the JVM for every later query). A literal-tree relapse
+    # multiplies the plan string by ~100x - pin a generous ceiling.
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert len(plan) < 100_000, f"{name} plan exploded: {len(plan)} chars"
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
