@@ -120,3 +120,75 @@ def triangle_count(edges: DataFrame, src: str = "m", dst: str = "n") -> DataFram
     closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = wedges.join(closing, ["x", "z"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "m",
+    dst: str = "n",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge set in EXACT
+    int64 arithmetic, so an external SQL engine unrolling the same
+    iterations reproduces every rank bit-for-bit (no float drift, no
+    partition-order dependence — the catalog's determinism rules).
+
+    Ranks live in integer units of ``1/scale``: r0 = scale div n;
+    each iteration r' = tele + (damping_pct * sum_in(r div deg)) div 100
+    with tele = ((100-damping_pct) * (scale div n)) div 100. Every op
+    is integer division/multiplication/sum — identical on any engine.
+    Bounds: damping_pct * total_rank <= 85 * scale ~ 8.5e13 << int64.
+
+    Scale: per iteration = one equi-join (contrib flow along edges) +
+    one groupBy sum — two shuffles on node id; the symmetric edge set
+    and degree table are materialized once (lazy checkpoint) instead
+    of re-deriving the upstream pair-generation every iteration.
+    Iteration count is fixed (power-method truncation), not
+    data-dependent, so the plan depth is bounded by construction.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            "node", "degree",
+            F.expr(f"{scale} div n_nodes").alias("rank"),
+            F.expr(
+                f"({100 - damping_pct} * ({scale} div n_nodes)) div 100"
+            ).alias("tele"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = base
+    for _ in range(iterations):
+        contrib = ranks.select(
+            F.col("node").alias("a"), F.expr("rank div degree").alias("contrib")
+        )
+        inflow = (
+            sym.join(contrib, "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            base.select("node", "degree", "tele")
+            .join(inflow, "node", "left")
+            .select(
+                "node", "degree", "tele",
+                (
+                    F.col("tele")
+                    + F.expr(f"({damping_pct} * coalesce(inflow, 0)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "rank")

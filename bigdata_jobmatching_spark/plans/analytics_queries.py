@@ -323,3 +323,73 @@ register(QuerySpec(
     "exact-decimal monetary, total-order tie-breaks)",
     ("analytics", "window", "segmentation", "bench"),
 ))
+
+
+# --- event_value_gini: weekly inequality of the value signal --------------
+# Gini coefficient per (event_type, week) from the rank formula
+# G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending x —
+# every term an exact int64 (half-up cents, row_number ranks), the
+# final division ratio6's half-up rescaling, so both engines agree
+# bit-for-bit (ties contribute identically whatever their rank
+# order). The ranking window partitions by (type, week) — group
+# sizes stay calendar-bounded at any corpus scale; a 100 TB variant
+# with giant groups would swap exact ranks for a fixed histogram
+# binning (same two-shuffle shape).
+
+def _value_gini(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "week").orderBy("cents", "event_id")
+    ranked = ev.withColumn("i", F.row_number().over(w).cast("bigint"))
+    from .catalog import ratio6
+
+    return (
+        ranked.groupBy("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s0"),
+            F.sum(F.expr("i * cents")).alias("s1"),
+        )
+        .select(
+            "event_type", "week", "n",
+            ratio6("2 * s1 - (n + 1) * s0", "NULLIF(n * s0, 0)").alias("gini"),
+        )
+    )
+
+
+_VALUE_GINI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+    CAST(date_trunc('week', ts) AS DATE) AS week,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY event_type, week ORDER BY cents, event_id) AS BIGINT) AS i
+  FROM ev
+),
+g AS (
+  SELECT event_type, week, COUNT(*) AS n,
+    SUM(cents) AS s0, SUM(i * cents) AS s1
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type, week, n,
+  {{r}} AS gini
+FROM g
+"""
+
+from .catalog import ratio6_sql as _r6s
+
+register(QuerySpec(
+    "event_value_gini", _value_gini,
+    _VALUE_GINI_SQL.format(r=_r6s("2 * s1 - (n + 1) * s0", "NULLIF(n * s0, 0)")),
+    "weekly Gini coefficient of event value per type (exact-integer "
+    "rank formula, half-up cent quantization)",
+    ("analytics", "window", "agg"),
+))

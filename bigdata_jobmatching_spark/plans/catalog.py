@@ -148,10 +148,12 @@ def load_all() -> dict[str, QuerySpec]:
     from . import dedup_queries  # noqa: F401
     from . import domain_queries  # noqa: F401
     from . import events_queries  # noqa: F401
+    from . import graph_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
     from . import mixing_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
+    from . import profiling_queries  # noqa: F401
     from . import relational_extra2  # noqa: F401
     from . import skills_queries  # noqa: F401
     from . import temporal_queries  # noqa: F401

@@ -868,3 +868,65 @@ register(QuerySpec(
     "unparsed-row audit",
     ("events", "json", "variant", "agg", "bench"),
 ))
+
+
+# --- user_status_intervals: SCD2-style change capture ----------------------
+# Build slowly-changing-dimension validity intervals from an event
+# log: per user, collapse consecutive same-type events into one
+# [valid_from, valid_to) interval per status run — the change-capture
+# -> interval materialization every warehouse does for point-in-time
+# joins. Timestamps compare at exact microsecond grain on both
+# engines (unix micros); ties break on event_id, so run boundaries
+# are fully deterministic. Per-user windows keep partitions bounded.
+
+def _status_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changes.withColumn("next_us", F.lead("us").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.timestamp_micros(F.col("us")).alias("valid_from"),
+            F.timestamp_micros(F.col("next_us")).alias("valid_to"),
+        )
+    )
+
+
+_STATUS_INTERVALS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+marked AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         AS prev_type
+  FROM ev
+),
+changes AS (
+  SELECT * FROM marked
+  WHERE prev_type IS NULL OR prev_type != event_type
+)
+SELECT user_id, event_type AS status,
+  make_timestamp(us) AS valid_from,
+  make_timestamp(LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+    AS valid_to
+FROM changes
+"""
+
+register(QuerySpec(
+    "user_status_intervals", _status_intervals, _STATUS_INTERVALS_SQL,
+    "SCD2 validity intervals from event change capture (consecutive "
+    "same-status runs collapsed, microsecond-exact boundaries)",
+    ("events", "window", "scd"),
+))

@@ -97,15 +97,17 @@ def _budget(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BUDGET_SQL = f"""
-WITH tok AS (SELECT doc_id, text, {{toks}} AS toks FROM documents),
+# tok/sig/per_doc CTE chain shared by every band-based oracle
+# (token_budget_selection, curriculum_schedule): per-doc quality band
+# + exact token count, the DuckDB twin of X.quality_score banding.
+_BAND_CTES = """tok AS (SELECT doc_id, text, {toks} AS toks FROM documents),
 sig AS (
   SELECT doc_id, len(toks) AS n_tok,
     CASE WHEN len(toks) > 0
          THEN CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE) / len(toks)
          ELSE 0.0 END AS mwl,
     CASE WHEN len(toks) > 0
-         THEN CAST(len(list_filter(toks, t -> t IN ({{en}}))) AS DOUBLE) / len(toks)
+         THEN CAST(len(list_filter(toks, t -> t IN ({en}))) AS DOUBLE) / len(toks)
          ELSE 0.0 END AS swr,
     CASE WHEN length(text) > 0
          THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
@@ -120,7 +122,10 @@ per_doc AS (
      + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS band,
     CAST(n_tok AS BIGINT) AS n_tokens
   FROM sig
-),
+)"""
+
+_BUDGET_SQL = f"""
+WITH {{band_ctes}},
 bands AS (
   SELECT band, sum(n_tokens) AS band_tokens FROM per_doc GROUP BY band
 ),
@@ -137,7 +142,7 @@ WHERE c.cum_tokens <= {TOKEN_BUDGET}
 
 register(QuerySpec(
     "token_budget_selection", _budget,
-    _BUDGET_SQL.format(toks=_SQL_TOKS, en=_EN),
+    _BUDGET_SQL.format(band_ctes=_BAND_CTES.format(toks=_SQL_TOKS, en=_EN)),
     "greedy quality-band fill to a token budget — banded cumsum "
     "(~100 rows) + broadcast cutoff join, never a global per-doc window",
     ("mixing", "bench"),
@@ -614,4 +619,130 @@ register(QuerySpec(
     "(grouped-map applyInPandas; imperative per-pack state, so "
     "rows-only + invariant tests)",
     ("mixing", "imperative", "bench"),
+))
+
+
+# --- curriculum_schedule: phase table for curriculum training -------------
+# Orders quality bands best-first into training phases and assigns
+# each phase its cumulative token offsets [start_token, end_token) —
+# the schedule a curriculum loader consumes. Same banded-cumsum
+# discipline as token_budget_selection: the window-ish cumulative sum
+# is a broadcast triangle join over the ~5 band rows, never a global
+# per-document window; all offsets are exact int64.
+
+def _curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    per_doc = d.select(
+        "doc_id",
+        F.round(X.quality_score(F.col("text")), 2).alias("band"),
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    bands = per_doc.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("phase_tokens"),
+    )
+    better = bands.select(
+        F.col("band").alias("b_band"), F.col("phase_tokens").alias("b_tokens")
+    )
+    cum = (
+        bands.join(F.broadcast(better), F.col("b_band") >= F.col("band"))
+        .groupBy("band", "n_docs", "phase_tokens")
+        .agg(
+            F.sum("b_tokens").alias("end_token"),
+            F.count(F.lit(1)).alias("phase"),
+        )
+    )
+    return cum.select(
+        F.col("phase").cast("int").alias("phase"),
+        "band", "n_docs", "phase_tokens",
+        (F.col("end_token") - F.col("phase_tokens")).alias("start_token"),
+        "end_token",
+    )
+
+
+_CURRICULUM_SQL = """
+WITH {band_ctes},
+bands AS (
+  SELECT band, COUNT(*) AS n_docs, SUM(n_tokens) AS phase_tokens
+  FROM per_doc GROUP BY band
+),
+cum AS (
+  SELECT b.band, b.n_docs, b.phase_tokens,
+    SUM(o.phase_tokens) AS end_token,
+    COUNT(*) AS phase
+  FROM bands b JOIN bands o ON o.band >= b.band
+  GROUP BY b.band, b.n_docs, b.phase_tokens
+)
+SELECT CAST(phase AS INT) AS phase, band, n_docs, phase_tokens,
+  end_token - phase_tokens AS start_token, end_token
+FROM cum
+"""
+
+register(QuerySpec(
+    "curriculum_schedule", _curriculum,
+    _CURRICULUM_SQL.format(band_ctes=_BAND_CTES.format(toks=_SQL_TOKS, en=_EN)),
+    "curriculum phase table: quality bands best-first with exact "
+    "cumulative token offsets (triangle cumsum over band rows)",
+    ("mixing", "curriculum"),
+))
+
+
+# --- epoch_mixture_plan: per-source epoch counts to hit a budget ----------
+# Given a per-source uniform token target, how many epochs (full
+# passes) of each source are needed, and how much over-sampling does
+# the last partial epoch imply? Pure integer ceil-division on exact
+# token counts — the planning arithmetic behind "repeat small
+# high-quality sources, subsample big ones".
+
+_EPOCH_BUDGET = 1_000_000
+
+
+def _epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(F.col("text")).cast("long")).alias("tokens"),
+    )
+    k = src.agg(F.count(F.lit(1)).alias("k"))
+    return (
+        src.crossJoin(F.broadcast(k))
+        .select(
+            "source", "n_docs", "tokens",
+            F.expr(f"{_EPOCH_BUDGET} div k").alias("target_tokens"),
+            F.expr(
+                f"CASE WHEN tokens > 0 THEN (({_EPOCH_BUDGET} div k) + tokens - 1) div tokens "
+                "ELSE 0 END"
+            ).alias("n_epochs"),
+        )
+        .withColumn("planned_tokens", F.expr("n_epochs * tokens"))
+        .withColumn(
+            "oversample",
+            ratio6("planned_tokens", "NULLIF(target_tokens, 0)"),
+        )
+    )
+
+
+_EPOCH_SQL = f"""
+WITH tok AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+src AS (
+  SELECT source, COUNT(*) AS n_docs,
+    SUM(CAST(len(toks) AS BIGINT)) AS tokens
+  FROM tok GROUP BY source
+),
+k AS (SELECT COUNT(*) AS k FROM src)
+SELECT source, n_docs, tokens,
+  {_EPOCH_BUDGET} // k AS target_tokens,
+  CASE WHEN tokens > 0 THEN (({_EPOCH_BUDGET} // k) + tokens - 1) // tokens
+       ELSE 0 END AS n_epochs,
+  (CASE WHEN tokens > 0 THEN (({_EPOCH_BUDGET} // k) + tokens - 1) // tokens
+        ELSE 0 END) * tokens AS planned_tokens,
+  {ratio6_sql("(CASE WHEN tokens > 0 THEN (({b} // k) + tokens - 1) // tokens ELSE 0 END) * tokens".format(b=_EPOCH_BUDGET), "NULLIF({b} // k, 0)".format(b=_EPOCH_BUDGET))} AS oversample
+FROM src, k
+"""
+
+register(QuerySpec(
+    "epoch_mixture_plan", _epoch_plan, _EPOCH_SQL,
+    "per-source epoch counts + oversampling factors to hit a uniform "
+    "token target (exact integer ceil-division planning)",
+    ("mixing", "planning"),
 ))

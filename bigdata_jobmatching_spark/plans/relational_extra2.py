@@ -458,11 +458,14 @@ register(QuerySpec(
 # operators/graph.py); the joins shuffle on wedge endpoints, never
 # materializing anything wider than the wedge set.
 
-def _copurchase_graph(spark: SparkSession, sf: str):
-    from ..operators.graph import degrees, triangle_count
-
-    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
-    pairs = (
+def copurchase_pairs(spark: SparkSession, sf: str, modulo: int = 20) -> DataFrame:
+    """Canonical (pa < pb) distinct co-purchase edges over a sampled
+    order set — shared by the triangle, recommendation and PageRank
+    queries. Materialized once per query (lazy checkpoint): multiple
+    consumers would each re-run the self-join+distinct otherwise
+    (caught by tools/plan_audit.py)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % modulo == 0)
+    return (
         li.select("l_orderkey", F.col("l_partkey").alias("pa"))
         .join(
             li.select("l_orderkey", F.col("l_partkey").alias("pb")),
@@ -471,12 +474,14 @@ def _copurchase_graph(spark: SparkSession, sf: str):
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
-        # three consumers (edge count, degrees, triangles) would each
-        # re-run the self-join+distinct (13 exchanges total, caught by
-        # tools/plan_audit.py); the lazy checkpoint materializes the
-        # edge set once and every branch reads the persisted copy
         .localCheckpoint(eager=False)
     )
+
+
+def _copurchase_graph(spark: SparkSession, sf: str):
+    from ..operators.graph import degrees, triangle_count
+
+    pairs = copurchase_pairs(spark, sf)
     return pairs, degrees(pairs, "pa", "pb"), triangle_count(pairs, "pa", "pb")
 
 

@@ -147,3 +147,150 @@ register(QuerySpec(
     "two-phase salted aggregation for hot keys — identical result to plain GROUP BY",
     ("skew", "agg"),
 ))
+
+
+# --- open_orders_by_month: interval tiling instead of a range join --------
+# "How many order lines were ordered but not yet shipped on each
+# month-start?" — the classic interval-overlap query. The naive plan
+# is a broadcast-nested-loop range join of every line against an
+# 84-row date grid (84x the scan width); the scalable formulation
+# tiles each [o_orderdate, l_shipdate) interval into the month-starts
+# it covers (bounded fan-out: transit times are months, not years)
+# and then it is a plain map-side explode + one groupBy — no nested
+# loop, no grid broadcast, survives a 100x scale-up untouched.
+# Month generation is pure date arithmetic, identical cross-engine.
+
+def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "o_orderdate", "l_shipdate"
+    )
+    start = F.expr(
+        "CASE WHEN date_trunc('month', o_orderdate) = o_orderdate "
+        "THEN o_orderdate "
+        "ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END"
+    )
+    last = F.expr("date_trunc('month', l_shipdate - INTERVAL 1 SECOND)")
+    months = F.when(
+        start <= last,
+        F.expr(
+            "sequence(CASE WHEN date_trunc('month', o_orderdate) = o_orderdate "
+            "THEN o_orderdate "
+            "ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END, "
+            "date_trunc('month', l_shipdate - INTERVAL 1 SECOND), "
+            "INTERVAL 1 MONTH)"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<TIMESTAMP>)"))
+    return (
+        j.select("o_orderkey", F.explode(months).alias("m"))
+        .groupBy(F.col("m").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_open_lines"),
+            F.countDistinct("o_orderkey").alias("n_open_orders"),
+        )
+    )
+
+
+_OPEN_ORDERS_SQL = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_orderdate, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+tiled AS (
+  SELECT o_orderkey, unnest(
+    CASE WHEN (CASE WHEN date_trunc('month', o_orderdate) = o_orderdate
+                    THEN o_orderdate
+                    ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END)
+              <= date_trunc('month', l_shipdate - INTERVAL 1 SECOND)
+         THEN generate_series(
+           CASE WHEN date_trunc('month', o_orderdate) = o_orderdate
+                THEN o_orderdate
+                ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END,
+           date_trunc('month', l_shipdate - INTERVAL 1 SECOND),
+           INTERVAL 1 MONTH)
+         ELSE [] END) AS m
+  FROM j
+)
+SELECT CAST(m AS DATE) AS month,
+       COUNT(*) AS n_open_lines,
+       COUNT(DISTINCT o_orderkey) AS n_open_orders
+FROM tiled GROUP BY 1
+"""
+
+register(QuerySpec(
+    "open_orders_by_month", _open_orders, _OPEN_ORDERS_SQL,
+    "order lines in flight at each month-start via interval tiling "
+    "(bounded explode + groupBy — no nested-loop range join)",
+    ("temporal", "interval", "bench"),
+))
+
+
+# --- user_value_twa: time-weighted average ---------------------------------
+# The time-series-engine staple: average of a sampled signal weighted
+# by how long each sample was current. Durations are exact integer
+# milliseconds (unix_millis on both engines), values are half-up
+# integer cents, and the final average is a half-up integer-cent
+# division — no float accumulation anywhere, so the result is
+# engine-identical. Per-user window (lead over ts, event_id) keeps
+# partitions user-bounded at scale.
+
+def _twa(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_millis("ts").alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seg = (
+        ev.withColumn("next_ms", F.lead("ms").over(w))
+        .filter(F.col("next_ms").isNotNull())
+        .select(
+            "user_id",
+            (F.col("next_ms") - F.col("ms")).alias("dur_ms"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            F.sum(F.expr("cents * dur_ms")).alias("wsum"),
+        )
+        .select(
+            "user_id", "n_segments", "total_dur_ms",
+            F.expr(
+                "CAST((2 * wsum + total_dur_ms) div (2 * total_dur_ms) AS DOUBLE)"
+                " / 100.0"
+            ).alias("twa_value"),
+        )
+    )
+
+
+_TWA_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+),
+seg AS (
+  SELECT user_id,
+    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS dur_ms,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM ev
+)
+SELECT user_id,
+  COUNT(*) AS n_segments,
+  SUM(dur_ms) AS total_dur_ms,
+  CAST((2 * SUM(cents * dur_ms) + SUM(dur_ms)) // (2 * SUM(dur_ms)) AS DOUBLE)
+    / 100.0 AS twa_value
+FROM seg WHERE dur_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+register(QuerySpec(
+    "user_value_twa", _twa, _TWA_SQL,
+    "per-user time-weighted average of the event value signal "
+    "(exact integer ms-weighted cents, half-up cent division)",
+    ("temporal", "window"),
+))

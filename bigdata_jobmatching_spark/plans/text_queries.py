@@ -704,3 +704,136 @@ register(QuerySpec(
     "rows-only + invariant suite)",
     ("text", "imperative", "udtf"),
 ))
+
+
+# --- doc_charclass_audit: encoding / character-class sanity profile -------
+# The corpus-ingest gate before any text op: per source, exact counts
+# of character classes (letters / digits / spaces / other) plus how
+# many documents contain anything outside the expected classes —
+# mojibake, control bytes and non-ASCII junk all land in ``other``.
+# Counting is length-difference arithmetic (len(text) minus len with
+# the class stripped) — pure integers, identical on both engines; a
+# narrow projection + one tiny groupBy at any scale.
+
+def _charclass(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    t = F.col("text")
+
+    def n_of(pattern: str) -> F.Column:
+        return F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+
+    per_doc = d.select(
+        "source",
+        F.length(t).alias("n_chars"),
+        n_of("[a-z]").alias("n_lower"),
+        n_of("[A-Z]").alias("n_upper"),
+        n_of("[0-9]").alias("n_digit"),
+        n_of(" ").alias("n_space"),
+    ).withColumn(
+        "n_other",
+        F.col("n_chars") - F.col("n_lower") - F.col("n_upper")
+        - F.col("n_digit") - F.col("n_space"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_lower").alias("lower_chars"),
+        F.sum("n_upper").alias("upper_chars"),
+        F.sum("n_digit").alias("digit_chars"),
+        F.sum("n_space").alias("space_chars"),
+        F.sum("n_other").alias("other_chars"),
+        F.sum(F.when(F.col("n_other") > 0, 1).otherwise(0)).alias("n_suspect_docs"),
+    )
+
+
+_CHARCLASS_SQL = """
+WITH per_doc AS (
+  SELECT source,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_lower,
+    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+  FROM documents
+),
+aug AS (
+  SELECT *, n_chars - n_lower - n_upper - n_digit - n_space AS n_other
+  FROM per_doc
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  SUM(n_lower) AS lower_chars,
+  SUM(n_upper) AS upper_chars,
+  SUM(n_digit) AS digit_chars,
+  SUM(n_space) AS space_chars,
+  SUM(n_other) AS other_chars,
+  SUM(CASE WHEN n_other > 0 THEN 1 ELSE 0 END) AS n_suspect_docs
+FROM aug GROUP BY source
+"""
+
+register(QuerySpec(
+    "doc_charclass_audit", _charclass, _CHARCLASS_SQL,
+    "per-source character-class profile (encoding sanity gate: "
+    "letters/digits/spaces/other + suspect-doc counts, exact "
+    "length-difference counting)",
+    ("text", "quality", "audit"),
+))
+
+
+# --- doc_bigram_commonness: phrase-level stereotypy vs the corpus LM ------
+# A count-based stand-in for LM scoring: how common are a document's
+# bigrams in the whole corpus? Global bigram frequencies are built
+# once (one groupBy) and joined back to each document's bigram
+# stream; the per-doc mean corpus-frequency is exact-integer ratio6.
+# High = boilerplate phrasing, low = unusual text — the cheap
+# distributed proxy for perplexity filtering. The frequency table is
+# vocabulary-bounded (tiny vs the corpus), so Spark broadcasts it; at
+# 100 TB you'd cap it to the top-K bigrams and route the tail to a
+# default count.
+
+def _bigram_commonness(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = X.tokens(F.col("text"))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    bg = d.select("doc_id", F.explode(zipped).alias("p")).select(
+        "doc_id", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bg")
+    )
+    global_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("gc"))
+    joined = bg.join(F.broadcast(global_counts), "bg")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("gc").alias("sum_gc"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            ratio6("sum_gc", "n_bigrams").alias("mean_bigram_freq"),
+        )
+    )
+
+
+_BG_COMMON_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, p[1] || ' ' || p[2] AS bg
+  FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+        FROM tok WHERE len(toks) >= 2)
+),
+gc AS (SELECT bg, COUNT(*) AS gc FROM bg GROUP BY bg)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+  {ratio6_sql('SUM(g.gc)', 'COUNT(*)')} AS mean_bigram_freq
+FROM bg b JOIN gc g ON b.bg = g.bg
+GROUP BY b.doc_id
+"""
+
+register(QuerySpec(
+    "doc_bigram_commonness", _bigram_commonness, _BG_COMMON_SQL,
+    "per-document mean corpus-frequency of its bigrams (count-based "
+    "perplexity proxy; broadcast frequency table, exact ratio6)",
+    ("text", "lm", "join", "bench"),
+))

@@ -1,0 +1,145 @@
+"""Semantic unit tests for the round-4 additions: exact-int64
+PageRank, interval tiling, TWA, SCD2 intervals, Gini, profiling.
+Each pins hand-computed expectations on tiny inputs — the value-level
+engine-vs-oracle check lives in tools/check_oracle.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.operators.graph import pagerank_exact
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # path graph 1-2-3: deg 1,2,1; scale 1e12, n=3
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["m", "n"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_exact(edges, iterations=1).collect()
+    }
+    # r0 = 1e12 div 3 = 333333333333; tele = (15*333333333333) div 100
+    # = 49999999999; inflow(1)=inflow(3)=333333333333 div 2,
+    # inflow(2) = 2*333333333333
+    assert got == {
+        1: 49999999999 + (85 * 166666666666) // 100,
+        2: 49999999999 + (85 * 666666666666) // 100,
+        3: 49999999999 + (85 * 166666666666) // 100,
+    }
+
+
+def test_pagerank_mass_conservation_and_symmetry(spark):
+    # star graph: hub 0 to leaves 1..4 — leaves must tie exactly
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], ["m", "n"])
+    rows = pagerank_exact(edges, iterations=5).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    leaf_ranks = {ranks[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert ranks[0] > ranks[1]
+    # integer truncation only ever loses mass, never creates it
+    assert sum(ranks.values()) <= 10**12
+
+
+def test_open_orders_interval_tiling(spark):
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    REG = load_all()
+    df = REG["open_orders_by_month"].spark(spark, "/root/testdata/sf0.001")
+    rows = {r["month"]: r for r in df.collect()}
+    # spot-check one month against a direct range-predicate count
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    d = "1997-06-01"
+    expect = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_orderdate") <= d) & (F.col("l_shipdate") > d))
+        .count()
+    )
+    assert rows[dt.date(1997, 6, 1)]["n_open_lines"] == expect
+
+
+def test_twa_hand_computed(spark):
+    from bigdata_jobmatching_spark.plans import temporal_queries as T
+
+    # one user, values 1.00 for 10s then 3.00 for 30s -> twa 2.50
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, base, "click", 1.00, "{}"),
+            (2, 10, base + dt.timedelta(seconds=10), "click", 3.00, "{}"),
+            (3, 10, base + dt.timedelta(seconds=40), "click", 9.99, "{}"),
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    tmp = "/tmp/twa_test_events"
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = T._twa(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_segments"] == 2
+    assert r["total_dur_ms"] == 40_000
+    # (100*10000 + 300*30000) / 40000 = 250 cents
+    assert r["twa_value"] == 2.50
+
+
+def test_status_intervals_collapse_runs(spark):
+    from bigdata_jobmatching_spark.plans import events_queries as E
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base, "a", 0.0, "{}"),
+        (2, 7, base + dt.timedelta(minutes=1), "a", 0.0, "{}"),
+        (3, 7, base + dt.timedelta(minutes=2), "b", 0.0, "{}"),
+        (4, 7, base + dt.timedelta(minutes=3), "a", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    tmp = "/tmp/scd_test_events"
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = E._status_intervals(spark, tmp).orderBy("valid_from").collect()
+    assert [r["status"] for r in out] == ["a", "b", "a"]
+    assert out[0]["valid_from"] == base
+    assert out[0]["valid_to"] == base + dt.timedelta(minutes=2)
+    assert out[2]["valid_to"] is None
+
+
+def test_gini_extremes(spark):
+    from bigdata_jobmatching_spark.plans import analytics_queries as A
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = (
+        # perfectly equal values -> gini 0
+        [(i, 1, base, "eq", 5.0, "{}") for i in range(4)]
+        # maximal concentration: one holder of everything
+        + [(10 + i, 1, base, "max", 0.0, "{}") for i in range(3)]
+        + [(20, 1, base, "max", 100.0, "{}")]
+    )
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    tmp = "/tmp/gini_test_events"
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = {r["event_type"]: r for r in A._value_gini(spark, tmp).collect()}
+    assert out["eq"]["gini"] == 0.0
+    # n=4, one holder: G = (n-1)/n = 0.75
+    assert out["max"]["gini"] == 0.75
+
+
+def test_orders_profile_shape(spark):
+    from bigdata_jobmatching_spark.plans import profiling_queries as P
+
+    out = {
+        r["col_name"]: r
+        for r in P._orders_profile(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(out) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    ok = out["o_orderkey"]
+    assert ok["n_null"] == 0
+    assert ok["n_distinct"] == ok["n_rows"]  # primary key
+    n = ok["n_rows"]
+    assert all(r["n_rows"] == n for r in out.values())  # single source scan
