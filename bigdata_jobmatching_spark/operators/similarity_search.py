@@ -391,3 +391,101 @@ def ivf_topk_fixed(
 def lcg_centroids(n_cells: int, dim: int) -> list[list[float]]:
     """Deterministic rational centroids from the shared LCG family."""
     return lcg_planes(1, n_cells, dim)[0]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as ONE sequential fold over the zipped
+    diff (acc + d*d in index order) — the same op sequence DuckDB's
+    list_dot_product(diff, diff) performs, so both engines produce
+    the identical double."""
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Exact L2 (squared-distance) top-k — the metric twin of
+    :func:`brute_force_topk`: broadcast query set, corpus never
+    shuffles, nearest-first ordering with neighbor-id tie-break."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = fan_out(corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist_sq", _l2sq(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_sq"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist_sq", "rnk")
+    )
+    if score_decimals is not None:
+        out = out.withColumn("dist_sq", F.round("dist_sq", score_decimals))
+    return out
+
+
+def lcg_codebooks(n_sub: int, n_codes: int, sub_dim: int) -> list[list[list[float]]]:
+    """Product-quantization codebooks from the shared LCG rational
+    family — [subspace][code][component], engine-exact doubles."""
+    return lcg_planes(n_sub, n_codes, sub_dim)
+
+
+def pq_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    ``len(codebooks)`` contiguous subvectors and snap each to its
+    nearest codebook entry (squared L2, 6dp-rounded, lowest code id
+    on ties via first-position argmin). Returns one row per
+    (vector, subspace): (id, subspace, code, err).
+
+    The codebooks ride a 1-row broadcast (same rationale as
+    ivf_topk_fixed: literal trees of n_sub*n_codes*sub_dim nodes make
+    analysis/codegen dominate). Assignment is a narrow projection —
+    no shuffle at all; the downstream histogram groupBy touches
+    (n_sub * n_codes) keys. With :func:`lcg_codebooks` rationals the
+    whole assignment is SQL-oracle-reproducible.
+    """
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cb_df = corpus.sparkSession.createDataFrame(
+        [(codebooks,)], "cb array<array<array<double>>>"
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def one_sub(s: int) -> Column:
+        sub = F.slice(vec_d, s * sub_dim + 1, sub_dim)
+        dists = F.transform(
+            F.col("cb").getItem(s),
+            lambda c: F.round(_l2sq(sub, c), 6),
+        )
+        return F.struct(
+            F.lit(s).alias("subspace"),
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias("code"),
+            F.array_min(dists).alias("err"),
+        )
+
+    cells = F.array(*[one_sub(s) for s in range(n_sub)])
+    return (
+        fan_out(corpus.select(id_col, vec_col))
+        .crossJoin(F.broadcast(cb_df))
+        .select(F.col(id_col), F.explode(cells).alias("pq"))
+        .select(id_col, "pq.subspace", "pq.code", "pq.err")
+    )

@@ -16,7 +16,7 @@ from ..functions import similarity as S
 from ..functions import text as X
 from ..operators import dedup as D
 from ..sources.io import fan_out, load_table
-from .catalog import QuerySpec, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
 from .text_queries import _SQL_TOKS
 
 _SQL_TOKSET = f"list_distinct({_SQL_TOKS})"
@@ -320,7 +320,10 @@ _MMH_HASHES, _MMH_BANDS, _MMH_ROWS = 16, 4, 4
 _MMH_THRESHOLD = 0.8
 
 
-def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+def _mmh_base_and_candidates(spark: SparkSession, sf: str):
+    """(base, cand): the materialized shingle->md5->minhash chain and
+    its banded candidate pairs — shared by the near-dup query and the
+    estimate-error audit."""
     d = fan_out(load_table(spark, sf, "documents"))
     base = (
         d.select(
@@ -358,6 +361,11 @@ def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    return base, cand
+
+
+def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    base, cand = _mmh_base_and_candidates(spark, sf)
     ts = base.select("doc_id", "ts")
     return (
         cand.join(ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
@@ -665,4 +673,111 @@ register(QuerySpec(
     "near-duplicate mass between sources (containment >= 0.5 pair "
     "matrix) — the mixing-weights contamination audit",
     ("dedup", "mixing", "join"),
+))
+
+
+# --- minhash_estimate_error: sketch-accuracy audit -------------------------
+# For every banded candidate pair, compare the MinHash ESTIMATE of
+# Jaccard (matching signature positions / num hashes) with the exact
+# shingle-set Jaccard — the audit that tells you whether 16 hashes
+# are enough before you trust the sketch at corpus scale. Both
+# quantities are exact-integer ratios (ratio6), and the md5+LCG hash
+# family is engine-exact, so estimates, truths and errors all
+# value-verify. Reuses the materialized minhash chain.
+
+def _minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
+    base, cand = _mmh_base_and_candidates(spark, sf)
+    side = base.select("doc_id", "ts", "sig")
+    j = (
+        cand
+        .join(
+            side.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("ts").alias("ts_a"), F.col("sig").alias("sig_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("ts").alias("ts_b"), F.col("sig").alias("sig_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("bigint").alias("n_match"),
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("bigint").alias("n_inter"),
+            F.size(F.array_distinct(F.concat("ts_a", "ts_b"))).cast("bigint").alias("n_union"),
+        )
+    )
+    est = ratio6("n_match", str(_MMH_HASHES))
+    true = ratio6("n_inter", "n_union")
+    return j.select(
+        "id_a", "id_b",
+        est.alias("est_jaccard"),
+        true.alias("jaccard"),
+        F.abs(est - true).alias("abs_err"),
+    )
+
+
+def _build_minhash_est_error_oracle() -> str:
+    p = S.MINHASH_P
+    mins = ",\n      ".join(
+        f"COALESCE(list_min(list_transform(hv, x -> (x * {a} + {b}) % {p})), {p})"
+        for a, b in S.lcg_seeds(_MMH_HASHES)
+    )
+    est = ratio6_sql("len(list_filter(list_zip(sa.sig, sb.sig), q -> q[1] = q[2]))", str(_MMH_HASHES))
+    true = ratio6_sql(
+        "len(list_intersect(sa.ts, sb.ts))",
+        "len(list_distinct(list_concat(sa.ts, sb.ts)))",
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS ts FROM documents
+),
+nz AS (SELECT * FROM t WHERE len(ts) > 0),
+h AS (
+  SELECT doc_id, ts,
+    list_transform(ts, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % {p}) AS hv
+  FROM nz
+),
+s AS (
+  SELECT doc_id, ts, [
+      {mins}
+    ] AS sig
+  FROM h
+),
+b AS (
+  SELECT doc_id, band_idx,
+    array_to_string(list_transform(
+      list_slice(sig, band_idx * {_MMH_ROWS} + 1, band_idx * {_MMH_ROWS} + {_MMH_ROWS}),
+      x -> CAST(x AS VARCHAR)), '_') AS k
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band_idx = b2.band_idx AND a.k = b2.k AND a.doc_id < b2.doc_id
+)
+SELECT c.id_a, c.id_b,
+  {est} AS est_jaccard,
+  {true} AS jaccard,
+  abs({est} - {true}) AS abs_err
+FROM cand c
+JOIN s sa ON sa.doc_id = c.id_a
+JOIN s sb ON sb.doc_id = c.id_b
+"""
+
+
+register(QuerySpec(
+    "minhash_estimate_error", _minhash_est_error,
+    _build_minhash_est_error_oracle(),
+    "per-candidate-pair MinHash-estimate vs exact Jaccard with "
+    "absolute error (sketch-accuracy audit, exact-integer ratios)",
+    ("dedup", "minhash", "audit"),
 ))

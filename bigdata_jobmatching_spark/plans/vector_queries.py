@@ -477,3 +477,116 @@ register(QuerySpec(
     "reconstruction error (vector-compression audit)",
     ("vector", "agg", "bench"),
 ))
+
+
+# --- ann_l2_topk: exact L2 nearest neighbors (metric twin) ----------------
+# Same broadcast-query / corpus-never-shuffles plan as ann_cosine_topk
+# with squared-L2 ordering — squared distance avoids the sqrt (same
+# ordering, one less float op to diverge on). The fold is the
+# sequential diff-square sum both engines execute identically.
+
+def _ann_l2(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ANN.brute_force_topk_l2(
+        e, queries, "vec_id", "embedding", k=10, score_decimals=6
+    ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+_ANN_L2_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(
+      list_transform(list_zip(q.qe, c.embedding::DOUBLE[]), p -> p[1] - p[2]),
+      list_transform(list_zip(q.qe, c.embedding::DOUBLE[]), p -> p[1] - p[2])
+    ) AS d
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+register(QuerySpec(
+    "ann_l2_topk", _ann_l2, _ANN_L2_SQL,
+    "brute-force squared-L2 top-k per query (broadcast query set, "
+    "nearest-first with id tie-break)",
+    ("vector", "ann"),
+))
+
+
+# --- embedding_pq_codes: product-quantization code histogram --------------
+# The vector-compression staple: 64-dim vectors split into 4
+# subspaces of 16 dims, each snapped to the nearest of 16 LCG-
+# rational codebook entries. The query reports the per-(subspace,
+# code) population and the summed 6dp quantization error in exact
+# integer micro-units — codebook balance + distortion in one result,
+# fully value-verified because assignment is engine-reproducible.
+
+_PQ_SUB, _PQ_CODES, _PQ_SUBDIM = 4, 16, 16
+_PQ_CODEBOOKS = ANN.lcg_codebooks(_PQ_SUB, _PQ_CODES, _PQ_SUBDIM)
+
+
+def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    assigned = ANN.pq_assign(e, "vec_id", "embedding", _PQ_CODEBOOKS)
+    return (
+        assigned.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.expr("CAST(floor(err * 1000000 + 0.5) AS BIGINT)")
+            ).alias("err6_sum"),
+        )
+    )
+
+
+def _pq_sql() -> str:
+    cb = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(
+                "[" + ", ".join(repr(x) for x in code) + "]"
+                for code in sub
+            ) + "]"
+            for sub in _PQ_CODEBOOKS
+        )
+        + "]"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+subv AS (
+  SELECT vec_id, s.s AS subspace,
+    e[s.s * {_PQ_SUBDIM} + 1 : s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS v
+  FROM base, (SELECT unnest([0, 1, 2, 3]) AS s) s
+),
+dists AS (
+  SELECT vec_id, subspace,
+    list_transform(({cb})[subspace + 1], c ->
+      round(list_dot_product(
+        list_transform(list_zip(v, c), p -> p[1] - p[2]),
+        list_transform(list_zip(v, c), p -> p[1] - p[2])), 6)) AS ds
+  FROM subv
+),
+sel AS (
+  SELECT vec_id, subspace,
+    CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS code,
+    list_min(ds) AS err
+  FROM dists
+)
+SELECT subspace, code, COUNT(*) AS n_vectors,
+  SUM(CAST(floor(err * 1000000 + 0.5) AS BIGINT)) AS err6_sum
+FROM sel GROUP BY 1, 2
+"""
+
+
+register(QuerySpec(
+    "embedding_pq_codes", _pq_codes, _pq_sql(),
+    "product-quantization assignment histogram + exact-integer "
+    "distortion per (subspace, code) (16x4 LCG-rational codebooks, "
+    "broadcast codebook, shuffle-free assignment)",
+    ("vector", "quantization"),
+))

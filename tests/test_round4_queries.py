@@ -143,3 +143,51 @@ def test_orders_profile_shape(spark):
     assert ok["n_distinct"] == ok["n_rows"]  # primary key
     n = ok["n_rows"]
     assert all(r["n_rows"] == n for r in out.values())  # single source scan
+
+
+def test_pq_assign_ties_and_shapes(spark):
+    from bigdata_jobmatching_spark.operators.similarity_search import (
+        pq_assign,
+    )
+
+    # 4-dim vectors, 2 subspaces of 2 dims, 2 codes each; vector sits
+    # exactly between code 0 and code 1 in subspace 1 -> tie must
+    # resolve to the LOWEST code id
+    cbs = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[-1.0, 0.0], [1.0, 0.0]],
+    ]
+    df = spark.createDataFrame([(1, [0.1, 0.1, 0.0, 5.0])], ["vec_id", "embedding"])
+    out = {
+        (r["subspace"], ): (r["code"], r["err"])
+        for r in pq_assign(df, "vec_id", "embedding", cbs).collect()
+    }
+    assert out[(0,)][0] == 0          # nearer to origin
+    assert out[(1,)][0] == 0          # exact tie -> lowest code id
+    assert abs(out[(0,)][1] - 0.02) < 1e-9
+
+
+def test_l2_topk_orders_nearest_first(spark):
+    from bigdata_jobmatching_spark.operators.similarity_search import (
+        brute_force_topk_l2,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [2.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = brute_force_topk_l2(df, q, "vec_id", "embedding", k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 3, 2]
+
+
+def test_minhash_estimate_error_bounds(spark):
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    REG = load_all()
+    rows = REG["minhash_estimate_error"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "banded candidates must exist in the test lake"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["abs_err"] <= 1.0
