@@ -489,3 +489,37 @@ def pq_assign(
         .select(F.col(id_col), F.explode(cells).alias("pq"))
         .select(id_col, "pq.subspace", "pq.code", "pq.err")
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Cell assignment only — the index-build half of
+    :func:`ivf_topk_fixed`, exposed for index-health audits:
+    (id, cell, cos6) per vector, argmax 6dp-rounded cosine with
+    lowest-cell-id tie-break, centroids on a 1-row broadcast. Narrow
+    projection, no shuffle."""
+    cents_df = corpus.sparkSession.createDataFrame(
+        [(centroids,)], "cents array<array<double>>"
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = F.transform(
+        F.col("cents"),
+        lambda cent, i: F.struct(
+            F.round(S.cosine(vec_d, cent), 6).alias("cos"),
+            (-i).alias("negid"),
+        ),
+    )
+    best = F.array_max(scores)
+    return (
+        fan_out(corpus.select(id_col, vec_col))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            F.col(id_col),
+            (-best.getField("negid")).cast("int").alias("cell"),
+            best.getField("cos").alias("cos6"),
+        )
+    )

@@ -930,3 +930,126 @@ register(QuerySpec(
     "same-status runs collapsed, microsecond-exact boundaries)",
     ("events", "window", "scd"),
 ))
+
+
+# --- events_ewma_daily: exact dyadic EWMA over the daily series -----------
+# An exponentially-weighted moving average with dyadic weights
+# 2^(7-k) over the last 8 daily totals (row-based series per type).
+# Weights and totals are exact integers, so the smoothed value is an
+# exact ratio — no sequential float recurrence, which would be
+# engine-order fragile. Eight bounded lags (not a growing state)
+# keep the window frame O(1); per-type daily series are tiny at any
+# corpus scale (aggregation happens FIRST).
+
+_EWMA_LAGS = 8
+
+
+def _ewma_daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("day_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = {k: F.lag("day_cents", k).over(w) for k in range(_EWMA_LAGS)}
+    num = None
+    den = None
+    for k in range(_EWMA_LAGS):
+        wt = 2 ** (_EWMA_LAGS - 1 - k)
+        term = F.coalesce(lags[k], F.lit(0)) * F.lit(wt)
+        present = F.when(lags[k].isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return daily.select(
+        "event_type", "day", "day_cents",
+        num.alias("_n"),
+        den.alias("_d"),
+    ).select(
+        "event_type", "day", "day_cents",
+        ratio6("_n", "_d").alias("ewma_cents"),
+    )
+
+
+def _ewma_sql() -> str:
+    terms = []
+    present = []
+    for k in range(_EWMA_LAGS):
+        wt = 2 ** (_EWMA_LAGS - 1 - k)
+        lag = (
+            "day_cents" if k == 0
+            else f"LAG(day_cents, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+        )
+        terms.append(f"COALESCE({lag}, 0) * {wt}")
+        present.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(terms)
+    den = " + ".join(present)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, day_cents,
+    {num} AS num, {den} AS den
+  FROM daily
+)
+SELECT event_type, day, day_cents,
+  {ratio6_sql("num", "den")} AS ewma_cents
+FROM lagged
+"""
+
+
+register(QuerySpec(
+    "events_ewma_daily", _ewma_daily, _ewma_sql(),
+    "8-day dyadic-weight EWMA of daily value totals per event type "
+    "(exact integer weights/lags, leading-edge renormalization)",
+    ("events", "window", "timeseries"),
+))
+
+
+# --- events_value_log2_histogram: power-of-two value histogram ------------
+# The log-scale histogram every monitoring pipeline wants, computed
+# exactly: bucket = bit-length of the half-up integer cents (both
+# engines expose the binary string; its length is floor(log2)+1).
+# No log() calls, no float bucketing — integer in, integer out.
+
+def _log2_hist(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    bucket = F.when(F.col("cents") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("cents")))
+    ).cast("int")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+_LOG2_HIST_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+  CAST(CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS INT) AS bucket,
+  COUNT(*) AS n_events,
+  MIN(cents) AS min_cents,
+  MAX(cents) AS max_cents
+FROM ev GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "events_value_log2_histogram", _log2_hist, _LOG2_HIST_SQL,
+    "power-of-two value histogram per event type via integer "
+    "bit-length bucketing (no float log anywhere)",
+    ("events", "histogram", "agg"),
+))

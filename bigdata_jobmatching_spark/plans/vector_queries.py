@@ -590,3 +590,59 @@ register(QuerySpec(
     "broadcast codebook, shuffle-free assignment)",
     ("vector", "quantization"),
 ))
+
+
+# --- embedding_ivf_balance: index-health audit of the IVF quantizer -------
+# Cell population + mean centroid affinity per cell — the check that
+# tells you whether the inverted index is balanced BEFORE you build
+# it over 100 TB (one hot cell = one hot partition at query time).
+# Assignment reuses the engine-reproducible fixed-centroid argmax;
+# affinities aggregate as exact micro-unit integers.
+
+def _ivf_balance(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    assigned = ANN.ivf_assign(
+        e, "vec_id", "embedding", ANN.lcg_centroids(_IVF_CELLS, _IVF_DIM)
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.expr("CAST(floor(cos6 * 1000000 + 0.5) AS BIGINT)")
+            ).alias("cos6_sum"),
+        )
+    )
+
+
+def _ivf_balance_sql() -> str:
+    cents = ANN.lcg_centroids(_IVF_CELLS, _IVF_DIM)
+    values = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent(cell, c) AS (VALUES {values}),
+scores AS (
+  SELECT vec_id, cell, round(list_cosine_similarity(e, c), 6) AS cos
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT cell, COUNT(*) AS n_vectors,
+  SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS cos6_sum
+FROM assign GROUP BY cell
+"""
+
+
+register(QuerySpec(
+    "embedding_ivf_balance", _ivf_balance, _ivf_balance_sql(),
+    "IVF index-health audit: per-cell population and exact-integer "
+    "mean-affinity sums over the fixed-centroid assignment",
+    ("vector", "ivf", "audit"),
+))

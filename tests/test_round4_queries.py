@@ -191,3 +191,47 @@ def test_minhash_estimate_error_bounds(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert 0.0 <= r["jaccard"] <= 1.0
         assert r["abs_err"] <= 1.0
+
+
+def test_ewma_daily_hand_computed(spark):
+    from bigdata_jobmatching_spark.plans import events_queries as E
+
+    base = dt.datetime(2024, 1, 1)
+    # three days of totals 100, 200, 400 cents for one type
+    rows = [
+        (1, 1, base, "t", 1.00, "{}"),
+        (2, 1, base + dt.timedelta(days=1), "t", 2.00, "{}"),
+        (3, 1, base + dt.timedelta(days=2), "t", 4.00, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    tmp = "/tmp/ewma_test_events"
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = {r["day"]: r["ewma_cents"] for r in E._ewma_daily(spark, tmp).collect()}
+    # day0: only lag0 present -> 100*128/128 = 100
+    assert out[dt.date(2024, 1, 1)] == 100.0
+    # day1: (200*128 + 100*64) / (128+64) = 32000/192 = 166.666667
+    assert out[dt.date(2024, 1, 2)] == 166.666667
+    # day2: (400*128 + 200*64 + 100*32) / (128+64+32) = 67200/224 = 300
+    assert out[dt.date(2024, 1, 3)] == 300.0
+
+
+def test_log2_histogram_buckets(spark):
+    from bigdata_jobmatching_spark.plans import events_queries as E
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, "t", 0.00, "{}"),    # cents 0 -> bucket 0
+        (2, 1, base, "t", 0.01, "{}"),    # cents 1 -> bucket 1
+        (3, 1, base, "t", 0.08, "{}"),    # cents 8 -> bucket 4
+        (4, 1, base, "t", 0.15, "{}"),    # cents 15 -> bucket 4
+        (5, 1, base, "t", 0.16, "{}"),    # cents 16 -> bucket 5
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    tmp = "/tmp/log2_test_events"
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = {r["bucket"]: r["n_events"] for r in E._log2_hist(spark, tmp).collect()}
+    assert out == {0: 1, 1: 1, 4: 2, 5: 1}
