@@ -265,3 +265,93 @@ def test_ratio6_matches_exact_fraction_rounding(spark, pairs):
             f"SELECT {ratio6_sql(str(a), str(b))}"
         ).fetchone()[0]
         assert r_duck == r_spark, (a, b, r_duck, r_spark)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda t: t[0] != t[1]),
+        min_size=1, max_size=25,
+    ),
+    iters=st.integers(1, 4),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_invariants_random_graphs(spark, edges, iters):
+    """Exact-int64 PageRank invariants on arbitrary graphs: every rank
+    is at least the teleport floor, total mass never exceeds scale
+    (integer division only loses), and a python-side replay of the
+    same integer recurrence reproduces every rank exactly."""
+    from bigdata_jobmatching_spark.operators.graph import pagerank_exact
+
+    df = spark.createDataFrame(edges, ["m", "n"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_exact(df, iterations=iters).collect()
+    }
+
+    # python replay of the identical integer recurrence
+    sym: dict[int, list[int]] = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    nodes = sorted(sym)
+    n = len(nodes)
+    scale = 10**12
+    init = scale // n
+    tele = (15 * init) // 100
+    ranks = {v: init for v in nodes}
+    deg = {v: len(sym[v]) for v in nodes}
+    for _ in range(iters):
+        contrib = {v: ranks[v] // deg[v] for v in nodes}
+        inflow = {v: sum(contrib[u] for u in sym[v]) for v in nodes}
+        ranks = {v: tele + (85 * inflow[v]) // 100 for v in nodes}
+
+    assert got == ranks
+    assert all(r >= tele for r in got.values())
+    assert sum(got.values()) <= scale
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 700), st.integers(1, 500)),
+        min_size=1, max_size=20,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_tiling_equals_range_join(spark, spans):
+    """The month-tiling rewrite must agree with the naive range-join
+    count for every month, on arbitrary [order, ship) day spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(1995, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + d))
+        for i, (s, d) in enumerate(spans)
+    ]
+    j = spark.createDataFrame(rows, ["o_orderkey", "o_orderdate", "l_shipdate"])
+
+    months = F.when(
+        F.expr(
+            "CASE WHEN date_trunc('month', o_orderdate) = o_orderdate THEN o_orderdate "
+            "ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END"
+        )
+        <= F.expr("date_trunc('month', l_shipdate - INTERVAL 1 SECOND)"),
+        F.expr(
+            "sequence(CASE WHEN date_trunc('month', o_orderdate) = o_orderdate "
+            "THEN o_orderdate "
+            "ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END, "
+            "date_trunc('month', l_shipdate - INTERVAL 1 SECOND), INTERVAL 1 MONTH)"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<TIMESTAMP>)"))
+    tiled = (
+        j.select(F.explode(months).alias("m"))
+        .groupBy("m").count()
+        .collect()
+    )
+    tiled_counts = {r["m"]: r["count"] for r in tiled}
+
+    grid = [dt.datetime(1995 + y, mo, 1) for y in range(0, 5) for mo in range(1, 13)]
+    for g in grid:
+        expect = sum(1 for _, od, sd in rows if od <= g < sd)
+        assert tiled_counts.get(g, 0) == expect
