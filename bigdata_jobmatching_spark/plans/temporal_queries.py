@@ -149,46 +149,87 @@ register(QuerySpec(
 ))
 
 
-# --- open_orders_by_month: interval tiling instead of a range join --------
+# --- open_orders_by_month: sweep-line interval aggregation ----------------
 # "How many order lines were ordered but not yet shipped on each
-# month-start?" — the classic interval-overlap query. The naive plan
-# is a broadcast-nested-loop range join of every line against an
-# 84-row date grid (84x the scan width); the scalable formulation
-# tiles each [o_orderdate, l_shipdate) interval into the month-starts
-# it covers (bounded fan-out: transit times are months, not years)
-# and then it is a plain map-side explode + one groupBy — no nested
-# loop, no grid broadcast, survives a 100x scale-up untouched.
-# Month generation is pure date arithmetic, identical cross-engine.
+# month-start?" — the classic interval-overlap query. Three plans,
+# worst to best at 100 TB:
+#   (1) nested-loop range join of every line against the date grid
+#       (grid x the scan width);
+#   (2) tile each interval into the month-starts it covers + groupBy
+#       (fan-out = interval length — 8.5M exploded rows here, long
+#       transit intervals make "bounded" fan-out 14x);
+#   (3) THIS: the sweep-line / difference-array formulation — each
+#       interval emits exactly TWO integer deltas (+1 at its first
+#       open month, -1 at its first closed month), deltas partial-
+#       aggregate map-side to ~100 month rows, and a broadcast
+#       triangle cumsum turns deltas into running open counts.
+# Cost is 2 tiny rows per input row regardless of interval length —
+# immune to both grid size and interval duration. Month indexes are
+# pure integer arithmetic (year*12+month), identical cross-engine;
+# the DuckDB oracle deliberately keeps formulation (2), so the gate
+# cross-checks two INDEPENDENT algorithms for the same semantics.
+# Order-grain counts ride the same sweep over per-order intervals
+# [o_orderdate, max(l_shipdate)).
+
+# first month-start index >= ts (month index = year*12 + month-1)
+_M_IDX = (
+    "(year({c}) * 12 + month({c}) - 1"
+    " + CASE WHEN date_trunc('month', {c}) = {c} THEN 0 ELSE 1 END)"
+)
+
 
 def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "o_orderkey", "o_orderdate", "l_shipdate"
-    )
-    start = F.expr(
-        "CASE WHEN date_trunc('month', o_orderdate) = o_orderdate "
-        "THEN o_orderdate "
-        "ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END"
-    )
-    last = F.expr("date_trunc('month', l_shipdate - INTERVAL 1 SECOND)")
-    months = F.when(
-        start <= last,
-        F.expr(
-            "sequence(CASE WHEN date_trunc('month', o_orderdate) = o_orderdate "
-            "THEN o_orderdate "
-            "ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH END, "
-            "date_trunc('month', l_shipdate - INTERVAL 1 SECOND), "
-            "INTERVAL 1 MONTH)"
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<TIMESTAMP>)"))
-    return (
-        j.select("o_orderkey", F.explode(months).alias("m"))
-        .groupBy(F.col("m").cast("date").alias("month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_open_lines"),
-            F.countDistinct("o_orderkey").alias("n_open_orders"),
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.expr(_M_IDX.format(c="o_orderdate")).alias("s_idx"),
+            F.expr(_M_IDX.format(c="l_shipdate")).alias("e_idx"),
         )
+    )
+
+    def deltas(df: DataFrame, col: str) -> DataFrame:
+        cells = F.array(
+            F.struct(F.col("s_idx").alias("idx"), F.lit(1).alias("d")),
+            F.struct(F.col("e_idx").alias("idx"), F.lit(-1).alias("d")),
+        )
+        return (
+            df.filter(F.col("s_idx") < F.col("e_idx"))
+            .select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.idx").alias("idx"))
+            .agg(F.sum("c.d").alias(col))
+        )
+
+    line_d = deltas(j, "ld")
+    order_d = deltas(
+        j.groupBy("o_orderkey", "s_idx").agg(F.max("e_idx").alias("e_idx")),
+        "od",
+    )
+    d = (
+        line_d.join(order_d, "idx", "full")
+        .select(
+            "idx",
+            F.coalesce("ld", F.lit(0)).alias("ld"),
+            F.coalesce("od", F.lit(0)).alias("od"),
+        )
+    )
+    earlier = d.select(
+        F.col("idx").alias("e_i"), F.col("ld").alias("e_ld"), F.col("od").alias("e_od")
+    )
+    cum = (
+        d.join(F.broadcast(earlier), F.col("e_i") <= F.col("idx"))
+        .groupBy("idx")
+        .agg(
+            F.sum("e_ld").alias("n_open_lines"),
+            F.sum("e_od").alias("n_open_orders"),
+        )
+        .filter(F.col("n_open_lines") > 0)
+    )
+    return cum.select(
+        F.expr("make_date(idx div 12, idx % 12 + 1, 1)").alias("month"),
+        "n_open_lines", "n_open_orders",
     )
 
 
@@ -220,8 +261,9 @@ FROM tiled GROUP BY 1
 
 register(QuerySpec(
     "open_orders_by_month", _open_orders, _OPEN_ORDERS_SQL,
-    "order lines in flight at each month-start via interval tiling "
-    "(bounded explode + groupBy — no nested-loop range join)",
+    "order lines/orders in flight at each month-start via sweep-line "
+    "integer deltas (2 rows per interval, immune to interval length; "
+    "oracle cross-checks the independent tiling formulation)",
     ("temporal", "interval", "bench"),
 ))
 

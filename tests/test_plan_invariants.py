@@ -250,7 +250,8 @@ def test_no_new_unvetted_float_rounding():
         "dedup_queries.py": 3,       # jaccard/cosine of exact-int or identical chains
         "domain_queries.py": 4,      # money-grid rounds + matching percents (r02 green)
         "events_queries.py": 1,      # exact-grid conditional sum
-        "mixing_queries.py": 1,      # quality band on exact quarters
+        "mixing_queries.py": 2,      # quality band on exact quarters
+                                     # (budget + curriculum, same banding)
         "relational_extra2.py": 3,   # share/percent of exact decimal sums
         "skills_queries.py": 1,      # confidence grid (r03 green)
         "text_queries.py": 1,        # tf-idf score chain (r03 green)
