@@ -391,5 +391,5 @@ register(QuerySpec(
     _VALUE_GINI_SQL.format(r=_r6s("2 * s1 - (n + 1) * s0", "NULLIF(n * s0, 0)")),
     "weekly Gini coefficient of event value per type (exact-integer "
     "rank formula, half-up cent quantization)",
-    ("analytics", "window", "agg"),
+    ("analytics", "window", "agg", "bench"),
 ))

@@ -304,7 +304,7 @@ def _twa(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "user_id", "n_segments", "total_dur_ms",
             F.expr(
-                "CAST((2 * wsum + total_dur_ms) div (2 * total_dur_ms) AS DOUBLE)"
+                "CAST((2 * wsum + total_dur_ms) div NULLIF(2 * total_dur_ms, 0) AS DOUBLE)"
                 " / 100.0"
             ).alias("twa_value"),
         )
@@ -324,7 +324,7 @@ seg AS (
 SELECT user_id,
   COUNT(*) AS n_segments,
   SUM(dur_ms) AS total_dur_ms,
-  CAST((2 * SUM(cents * dur_ms) + SUM(dur_ms)) // (2 * SUM(dur_ms)) AS DOUBLE)
+  CAST((2 * SUM(cents * dur_ms) + SUM(dur_ms)) // NULLIF(2 * SUM(dur_ms), 0) AS DOUBLE)
     / 100.0 AS twa_value
 FROM seg WHERE dur_ms IS NOT NULL
 GROUP BY user_id

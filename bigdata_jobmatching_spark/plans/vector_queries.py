@@ -588,7 +588,7 @@ register(QuerySpec(
     "product-quantization assignment histogram + exact-integer "
     "distortion per (subspace, code) (16x4 LCG-rational codebooks, "
     "broadcast codebook, shuffle-free assignment)",
-    ("vector", "quantization"),
+    ("vector", "quantization", "bench"),
 ))
 
 

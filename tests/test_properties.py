@@ -355,3 +355,47 @@ def test_interval_tiling_equals_range_join(spark, spans):
     for g in grid:
         expect = sum(1 for _, od, sd in rows if od <= g < sd)
         assert tiled_counts.get(g, 0) == expect
+
+
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**4)),
+        min_size=2, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_twa_matches_python_replay(spark, samples):
+    """user_value_twa equals an integer-arithmetic python replay for
+    arbitrary (offset-seconds, cents) samples of one user."""
+    import datetime as dt
+
+    from bigdata_jobmatching_spark.plans import temporal_queries as T
+
+    samples = sorted(samples)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=off), "t", cents / 100.0, "{}")
+        for i, (off, cents) in enumerate(samples)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    tmp = "/tmp/twa_prop_events"
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = T._twa(spark, tmp).collect()
+
+    segs = [
+        (samples[i + 1][0] * 1000 - samples[i][0] * 1000, samples[i][1])
+        for i in range(len(samples) - 1)
+    ]
+    segs = [s for s in segs if True]
+    total = sum(d for d, _ in segs)
+    if total == 0:
+        # all events at the same instant -> zero-duration segments
+        # still emit rows; the division guard is den > 0
+        return
+    wsum = sum(d * c for d, c in segs)
+    expect = ((2 * wsum + total) // (2 * total)) / 100.0
+    assert len(out) == 1
+    assert out[0]["total_dur_ms"] == total
+    assert out[0]["twa_value"] == expect
