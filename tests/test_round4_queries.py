@@ -235,3 +235,49 @@ def test_log2_histogram_buckets(spark):
     ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
     out = {r["bucket"]: r["n_events"] for r in E._log2_hist(spark, tmp).collect()}
     assert out == {0: 1, 1: 1, 4: 2, 5: 1}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake capability: two landings of the same table with an evolved
+    schema (new column appended) read back as ONE table with
+    mergeSchema — old rows surface NULL for the new column, and a
+    projection of only old columns prunes to the original footprint."""
+    p = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a")], ["id", "v"]
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v", "score"]
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5
+    # old-column projection still prunes (ReadSchema excludes score)
+    plan = merged.select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "score" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """Scale guard: a join keyed on a heavily skewed column must
+    produce correct results with AQE skew handling on — and the
+    session enables adaptive skewJoin so Spark CAN split the hot
+    partition into subpartitions at runtime. Correctness is asserted
+    exactly; the plan is pinned to have run through AQE."""
+    from pyspark.sql import functions as F
+
+    # 50k rows of one hot key + 5k spread keys
+    left = spark.range(55_000).select(
+        F.when(F.col("id") < 50_000, F.lit(7)).otherwise(F.col("id") % 100 + 100).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in [7] + [100 + i for i in range(100)]], ["k", "name"]
+    ).hint("shuffle_hash")
+    j = left.join(right, "k")
+    n = j.count()
+    assert n == 55_000 - 5_000 + 5_000  # every row matches exactly once
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
