@@ -781,3 +781,61 @@ register(QuerySpec(
     "absolute error (sketch-accuracy audit, exact-integer ratios)",
     ("dedup", "minhash", "audit"),
 ))
+
+
+# --- docs_prefix_filter_pairs: set-similarity join via prefix filtering ---
+# The third candidate-generation strategy after blocking and
+# MinHash-LSH: prefix filtering is EXACT (provably no pair above the
+# threshold is missed — see operators/dedup.prefix_filter_pairs) yet
+# joins only on each set's rarest few tokens. Ordering, prefix
+# lengths and the threshold compare are all integer arithmetic over
+# the engine-exact md5 shingle hashes, so the whole pipeline —
+# df table, canonical order, prefixes, candidates, verified pairs —
+# value-verifies against DuckDB.
+
+_PF_NUM, _PF_DEN = 4, 5  # Jaccard >= 0.8
+
+
+def _prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents")).select(
+        "doc_id",
+        _hashed(F.array_distinct(S.word_ngrams(F.col("text"), 3))).alias("sh"),
+    )
+    return D.prefix_filter_pairs(d, "doc_id", "sh", _PF_NUM, _PF_DEN)
+
+
+_PREFIX_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_SHINGLES_H} AS ts FROM documents),
+nz AS (SELECT * FROM t WHERE len(ts) > 0),
+tok AS (SELECT doc_id, unnest(ts) AS tk FROM nz),
+dftbl AS (SELECT tk, COUNT(*) AS df FROM tok GROUP BY tk),
+ordered AS (
+  SELECT doc_id, list(tk ORDER BY df, tk) AS st
+  FROM tok JOIN dftbl USING (tk) GROUP BY doc_id
+),
+pre AS (
+  SELECT doc_id,
+    unnest(st[1 : len(st) - (({_PF_NUM} * len(st) + {_PF_DEN} - 1) // {_PF_DEN}) + 1]) AS tk
+  FROM ordered
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS i,
+    CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS BIGINT) AS u
+  FROM cand c JOIN nz ta ON ta.doc_id = c.id_a JOIN nz tb ON tb.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard
+FROM v WHERE i * {_PF_DEN} >= u * {_PF_NUM}
+"""
+
+register(QuerySpec(
+    "docs_prefix_filter_pairs", _prefix_filter, _PREFIX_FILTER_SQL,
+    "exact set-similarity join via rare-token prefix filtering "
+    "(SSJoin/PPJoin family): provably lossless candidates from an "
+    "equi-join on each set's rarest tokens, integer-exact throughout",
+    ("dedup", "join", "prefix-filter", "bench"),
+))

@@ -281,3 +281,37 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
     assert n == 55_000 - 5_000 + 5_000  # every row matches exactly once
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    """Prefix filtering must find EXACTLY the pairs an all-pairs
+    threshold join finds (the SSJoin completeness theorem,
+    empirically pinned on the test lake)."""
+    from bigdata_jobmatching_spark.functions import similarity as S
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.array_distinct(S.word_ngrams(F.col("text"), 3)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in D.prefix_filter_pairs(d, "doc_id", "sh", 4, 5).collect()
+    }
+
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("i", F.size(F.array_intersect("sa", "sb")).cast("bigint"))
+            .withColumn("u", F.size(F.array_distinct(F.concat("sa", "sb"))).cast("bigint"))
+            .filter(F.col("i") * 5 >= F.col("u") * 4)
+            .collect()
+        )
+    }
+    assert fast == brute
+    assert brute, "test lake must contain at least one planted near-dup pair"
