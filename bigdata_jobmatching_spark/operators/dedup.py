@@ -360,32 +360,66 @@ def prefix_filter_pairs(
         F.col(id_col).alias("__id"), F.col(set_col).alias("__ts")
     ).filter(F.size("__ts") > 0).localCheckpoint(eager=False)
 
-    tok = base.select("__id", F.explode("__ts").alias("__t"))
-    dftbl = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    ordered = (
-        tok.join(F.broadcast(dftbl), "__t")
-        .groupBy("__id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("__df", "__t"))),
-                lambda s: s.getField("__t"),
-            ).alias("__sorted")
-        )
+    # rank each token within its set by the global (df, token) order —
+    # a per-set window (bounded partitions) instead of re-materializing
+    # sorted arrays; prefix membership is then a plain rank filter.
+    tok = base.select(
+        "__id", F.size("__ts").alias("__n"), F.explode("__ts").alias("__t")
     )
-    n = F.size("__sorted")
-    plen = n - F.expr(
-        f"(({threshold_num} * size(__sorted) + {threshold_den} - 1)"
-        f" div {threshold_den})"
-    ) + F.lit(1)
-    prefixes = ordered.select(
-        "__id", F.explode(F.slice("__sorted", 1, plen)).alias("__t")
+    dftbl = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__t")
+    prefixes = (
+        tok.join(F.broadcast(dftbl), "__t")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(
+            F.col("__r")
+            <= F.col("__n")
+            - F.expr(
+                f"(({threshold_num} * __n + {threshold_den} - 1)"
+                f" div {threshold_den})"
+            )
+            + F.lit(1)
+        )
+        .select("__id", "__t", "__r", "__n")
+    )
+    # candidate pruning (PPJoin filters — safe by construction, so the
+    # exact verify below defines the result either way; these only cut
+    # the candidate volume, here ~10x):
+    # - length filter: J >= num/den forces num*|A| <= den*|B| and v.v.
+    # - positional filter: at a shared prefix token with ranks
+    #   (ra, rb), total overlap <= 1 + min(nA-ra, nB-rb); for the
+    #   FIRST shared token that bound is >= the true overlap, so
+    #   requiring max-over-shared-tokens of the bound to reach
+    #   alpha = ceil(num*(nA+nB)/(num+den)) never drops a true pair.
+    a_side = prefixes.select(
+        F.col("__id").alias("id_a"), "__t",
+        F.col("__r").alias("__ra"), F.col("__n").alias("__na"),
+    )
+    b_side = prefixes.select(
+        F.col("__id").alias("id_b"), "__t",
+        F.col("__r").alias("__rb"), F.col("__n").alias("__nb"),
     )
     cand = (
-        prefixes.select(F.col("__id").alias("id_a"), "__t")
-        .join(prefixes.select(F.col("__id").alias("id_b"), "__t"), "__t")
+        a_side.join(b_side, "__t")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__na") * threshold_num <= F.col("__nb") * threshold_den)
+            & (F.col("__nb") * threshold_num <= F.col("__na") * threshold_den)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.lit(1) + F.least(
+                    F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+                )
+            ).alias("__ub"),
+            F.first("__na").alias("__na"), F.first("__nb").alias("__nb"),
+        )
+        .filter(
+            F.col("__ub") * (threshold_num + threshold_den)
+            >= (F.col("__na") + F.col("__nb")) * threshold_num
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     verified = (
         cand
