@@ -49,10 +49,16 @@ def main() -> None:
     # docs_dedup_cluster_sizes warms the iterative connected-components
     # machinery (localCheckpoint, per-iteration job setup: 24 s cold vs
     # 5 s steady).
+    # copurchase_pagerank warms the iterative join+checkpoint loop,
+    # docs_prefix_filter_pairs the md5-shingle + rank-window chain,
+    # doc_bigram_commonness the arrays_zip bigram explode,
+    # open_orders_by_month the sweep-line date arithmetic.
     spark.range(1000).selectExpr("sum(id)").collect()
     for wq in ("q5_region_revenue", "doc_stats", "embedding_norm_stats",
                "media_header_meta", "ann_cosine_topk",
-               "docs_dedup_cluster_sizes"):
+               "docs_dedup_cluster_sizes", "copurchase_pagerank",
+               "docs_prefix_filter_pairs", "doc_bigram_commonness",
+               "open_orders_by_month"):
         registry[wq].spark(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
