@@ -399,3 +399,38 @@ def test_twa_matches_python_replay(spark, samples):
     assert len(out) == 1
     assert out[0]["total_dur_ms"] == total
     assert out[0]["twa_value"] == expect
+
+
+@given(
+    sets=st.lists(
+        st.lists(st.integers(0, 40), min_size=1, max_size=12),
+        min_size=2, max_size=14,
+    ),
+    th=st.sampled_from([(1, 2), (4, 5), (9, 10)]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_lossless_on_random_sets(spark, sets, th):
+    """SSJoin completeness on arbitrary skewed token sets and several
+    thresholds: prefix filtering + PPJoin pruning must equal the
+    brute-force threshold join exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    num, den = th
+    rows = [(i, sorted(set(s))) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "id long, ts array<long>")
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.prefix_filter_pairs(df, "id", "ts", num, den).collect()
+    }
+    brute = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j or not a or not b:
+                continue
+            inter = len(set(a) & set(b))
+            union = len(set(a) | set(b))
+            if inter * den >= union * num:
+                brute.add((i, j, inter / union))
+    assert fast == brute
