@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 MAX_EXCHANGES = 8
+PRUNE_MAX = 8  # widest legitimate projection (profile reads 6 of orders' 6)
 
 
 def main() -> int:
@@ -62,16 +63,48 @@ def main() -> int:
             + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas") \
             + plan.count("PythonUDTF")
         n_gwin = len(re.findall(r"Window \[[^\]]*\], \[\]", plan))
+        # column-pruning census: ReadSchema width per parquet scan.
+        # A scan that reads every column of a wide table for a narrow
+        # query defeats pruning — the widest scan is reported and
+        # red-flagged above PRUNE_MAX columns (the widest legitimate
+        # projection in the registry; the fact tables have 11).
+        def top_level_fields(s: str) -> int:
+            # commas inside decimal(18,6) / nested struct<...> are not
+            # field separators — count only depth-0 commas
+            if not s:
+                return 0
+            depth, n = 0, 1
+            for ch in s:
+                if ch in "<(":
+                    depth += 1
+                elif ch in ">)":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    n += 1
+            return n
+
+        # plan strings hard-truncate long lines with '...', so widths
+        # are a lower bound for very wide scans — still enough to flag
+        # an unpruned wide-table read
+        scan_widths = [
+            top_level_fields(s.rstrip(">").rstrip("."))
+            for s in re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+        ]
+        max_scan = max(scan_widths, default=0)
         rows.append((
             name,
             f"shuffle={n_shuffle} gather={n_gather} bcast={n_bcast} smj={n_smj} "
             f"bhj={n_bhj} bnlj={n_bnlj} cart={n_cart} py={n_py} "
-            f"global_window={n_gwin}",
+            f"global_window={n_gwin} max_scan_cols={max_scan}",
         ))
         if n_cart:
             flags.append(f"{name}: CartesianProduct in plan")
         if n_shuffle > MAX_EXCHANGES:
             flags.append(f"{name}: {n_shuffle} shuffle exchanges > {MAX_EXCHANGES}")
+        if max_scan > PRUNE_MAX:
+            flags.append(
+                f"{name}: scan reads {max_scan} columns — pruning defeated?"
+            )
 
     w = max(len(n) for n, _ in rows) if rows else 0
     for name, desc in sorted(rows):
