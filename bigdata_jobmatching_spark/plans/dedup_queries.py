@@ -839,3 +839,94 @@ register(QuerySpec(
     "equi-join on each set's rarest tokens, integer-exact throughout",
     ("dedup", "join", "prefix-filter", "bench"),
 ))
+
+
+# --- simhash_md5_hamming_pairs: value-verified SimHash near-dup JOIN ------
+# Completes the SimHash family: simhash_md5_signatures value-verifies
+# the SIGNATURES; this query value-verifies the PAIRING — banded
+# Hamming-distance join over the same engine-exact md5 signature.
+# The 32-bit signature splits into 4 disjoint 8-bit bands; by
+# pigeonhole, any pair within Hamming distance <= 3 agrees on at
+# least one band, so the band equi-join is LOSSLESS for the
+# threshold — never an all-pairs compare. Verification is
+# bit_count(xor) — pure integer ops on both engines.
+
+_SH_BANDS, _SH_BITS, _SH_MAXDIST = 4, 8, 3
+
+
+def _simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # 3-gram shingles, not tokens: the test lake's ~31-token vocabulary
+    # makes token-level signatures near-identical across documents
+    # (every doc votes with the same hashes); shingles discriminate —
+    # same choice as the minhash_md5 family for the same reason.
+    d = fan_out(load_table(spark, sf, "documents"))
+    sh3 = F.array_distinct(S.word_ngrams(F.col("text"), 3))
+    sig = d.select(
+        "doc_id", S.simhash_md5(sh3, 32).alias("sh")
+    ).filter(F.size(sh3) > 0).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(sh, {b * _SH_BITS}) & 255").alias("key"),
+            )
+            for b in range(_SH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _SH_MAXDIST)
+    )
+
+
+def _build_simhash_pairs_oracle() -> str:
+    cells = "\n    + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hv, "
+        f"h -> CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {bit}) ELSE 0 END"
+        for bit in range(32)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_SHINGLES} AS ts FROM documents),
+nz AS (SELECT * FROM t WHERE len(ts) > 0),
+h AS (
+  SELECT doc_id,
+    list_transform(ts, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS hv
+  FROM nz
+),
+s AS (SELECT doc_id, ({cells}) AS sh FROM h),
+b AS (
+  SELECT doc_id, sh, band, (sh >> (band * {_SH_BITS})) & 255 AS key
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+    CAST(bit_count(xor(a.sh, b2.sh)) AS INT) AS hamming
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+   AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_SH_MAXDIST}
+"""
+
+
+register(QuerySpec(
+    "simhash_md5_hamming_pairs", _simhash_pairs,
+    _build_simhash_pairs_oracle(),
+    "banded Hamming-distance SimHash join (pigeonhole-lossless for "
+    "dist <= 3 over 4 bands) — the pairing half of the SimHash "
+    "family, value-verified end to end",
+    ("dedup", "simhash", "join"),
+))

@@ -315,3 +315,37 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark):
     }
     assert fast == brute
     assert brute, "test lake must contain at least one planted near-dup pair"
+
+
+def test_simhash_banded_join_is_lossless(spark):
+    """Pigeonhole completeness: the 4-band equi-join must surface
+    every pair with Hamming distance <= 3, compared against an
+    all-pairs scan of the same signatures."""
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    REG = load_all()
+    fast = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in REG["simhash_md5_hamming_pairs"]
+        .spark(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    from bigdata_jobmatching_spark.functions import similarity as S
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh3 = F.array_distinct(S.word_ngrams(F.col("text"), 3))
+    sig = d.select("doc_id", S.simhash_md5(sh3, 32).alias("sh")).filter(
+        F.size(sh3) > 0
+    )
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert fast == brute
+    assert brute, "test lake must contain at least one simhash near-dup"
