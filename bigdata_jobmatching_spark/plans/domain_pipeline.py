@@ -248,14 +248,18 @@ def _strip_tags(c: Column) -> Column:
 
 
 def _drop_comments(c: Column) -> Column:
-    """Remove HTML comments and CDATA sections the way bs4's get_text
-    does (both are excluded from text, and a commented-out hook must
-    not win a cascade). Unterminated openers comment out the rest of
-    the page, exactly like html.parser."""
+    """Remove the page's DEAD ZONES the way html.parser/bs4 do before
+    any selector can see them: comments, CDATA sections, and raw-text
+    elements (<script>/<style>, whose content is character data, not
+    markup — a hook inside a JS template string must never win a
+    cascade). Unterminated openers kill the rest of the page, exactly
+    like html.parser's tokenizer."""
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
     c = F.regexp_replace(c, r"(?s)<!\[CDATA\[.*?\]\]>", "")
     c = F.regexp_replace(c, r"(?s)<!--.*$", "")
-    return F.regexp_replace(c, r"(?s)<!\[CDATA\[.*$", "")
+    c = F.regexp_replace(c, r"(?s)<!\[CDATA\[.*$", "")
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    return F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*$", " ")
 
 
 def parse_html_fields(df: DataFrame) -> DataFrame:

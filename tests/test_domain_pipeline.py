@@ -446,3 +446,50 @@ def test_html_cascade_nested_same_tag_containers(spark):
     # deep: either the whole-page fallback or nothing - never a
     # truncated fragment ending mid-element
     assert b.description is None or "fallback de texte" in b.description
+
+
+def test_html_cascade_script_style_are_raw_text(spark):
+    # Fourth hostile round: <script>/<style> content is CHARACTER
+    # DATA to html.parser — a hook inside a JS template string or a
+    # CSS rule must never win a cascade, an unterminated <script>
+    # swallows the rest of the page, and tag-name case must not
+    # matter. bs4 semantics, parse_jobs.py:41-230.
+    js_decoys = """<html><head>
+    <SCRIPT type="text/javascript">
+      var tpl = '<h1 class="job-title">JS Fake Title</h1>';
+      var s = "<b class='salary'>1 FCFA</b>";
+    </SCRIPT>
+    <style>.job-title::before { content: "<span class='location'>Paris</span>"; }</style>
+    </head><body>
+    <h1 class="job-title">Responsable Qualite</h1>
+    <div class="company-name">Cargill CI</div>
+    <div class="job-description">Mise en place du systeme qualite, audits
+    fournisseurs et formation des equipes de production du site.</div>
+    <span class="location">Yamoussoukro</span>
+    <b class="salary">650 000 FCFA</b>
+    </body></html>"""
+    unterminated_script = """<html><body>
+    <h1 class="job-title">Comptable Senior</h1>
+    <div class="company-name">PwC CI</div>
+    <div class="job-description">Tenue de la comptabilite generale, revues
+    analytiques mensuelles et preparation des etats financiers annuels.</div>
+    <script>
+      // this script never closes; everything below is script data
+      var x = 1;
+    <span class="location">Korhogo</span>
+    <b class="salary">3 FCFA</b>
+    </body></html>"""
+    df = spark.createDataFrame(
+        [("{}", js_decoys), ("{}", unterminated_script)],
+        "metadata string, html string",
+    )
+    a, b = P.parse_html_fields(df).collect()
+    assert a.title == "Responsable Qualite"
+    assert a.company == "Cargill CI"
+    assert a.location == "Yamoussoukro"
+    assert a.salary_text == "650 000 FCFA"
+    assert b.title == "Comptable Senior"
+    assert b.company == "PwC CI"
+    # the city/salary after the unterminated <script> are dead
+    assert b.location != "Korhogo"
+    assert b.salary_text is None or "3 FCFA" not in b.salary_text
