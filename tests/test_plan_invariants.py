@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_jobmatching_spark.plans.catalog import load_all
@@ -358,3 +359,43 @@ def test_ann_constant_families_stay_out_of_the_plan(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert len(plan) < 100_000, f"{name} plan exploded: {len(plan)} chars"
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("name", [
+    # one representative per risk family: float-derived scores, window
+    # ties, iterative integer flows, sketch chains, sweep-line deltas
+    "source_mixing_weights", "doc_repetition_stats", "event_value_gini",
+    "ann_cosine_topk", "copurchase_pagerank", "minhash_estimate_error",
+    "open_orders_by_month", "user_value_twa",
+])
+def test_partition_order_determinism(spark, sf_dir, name):
+    """The round-3 failure class as a permanent guard: each
+    representative query must produce identical value-hash multisets
+    under two different partitioning regimes (32 reducers/default
+    splits vs 5 reducers/64k splits — maximally different merge
+    orders). The full-registry sweep lives in
+    tools/determinism_check.py."""
+    import hashlib
+
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    spec = load_all()[name]
+
+    def hashes(shuffle: str, split: str) -> list[str]:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        try:
+            df = spec.spark(spark, sf_dir)
+            cols = df.columns
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            out = []
+            for r in df.collect():
+                t = tuple(r)
+                s = "|".join(repr(t[i]) for i in order)
+                out.append(hashlib.md5(s.encode()).hexdigest())
+            return sorted(out)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    assert hashes("8", "134217728") == hashes("3", "65536")
