@@ -192,3 +192,31 @@ def pagerank_exact(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
+
+
+def triangles_per_node(edges: DataFrame, src: str = "m", dst: str = "n") -> DataFrame:
+    """(node, n_tri): triangles incident to each node.
+
+    Same canonical a<b<c two-join enumeration as
+    :func:`triangle_count`; each triangle (x, y, z) then credits all
+    three corners via a 3-wide inline explode (no extra shuffle beyond
+    the final count). Nodes in no triangle are absent — callers join
+    against the degree table and coalesce to 0.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

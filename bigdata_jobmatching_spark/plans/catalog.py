@@ -60,6 +60,33 @@ def ratio6_sql(num_sql: str, den_sql: str) -> str:
     )
 
 
+def sratio6(num_sql: str, den_sql: str) -> Column:
+    """Signed :func:`ratio6`: ``num`` may be negative, ``den`` > 0.
+
+    Rounds half-AWAY-FROM-ZERO to 6 dp: the magnitude goes through the
+    same exact non-negative int64 rescaling as ratio6, the sign is
+    reapplied with a CASE (``sign()`` return types differ between
+    engines; a comparison does not). Requires ``abs(num) * 2_000_000``
+    inside int64.
+    """
+    n = f"CAST(({num_sql}) AS BIGINT)"
+    d = f"CAST(({den_sql}) AS BIGINT)"
+    mag = f"((abs({n}) * 2000000 + {d}) div (2 * {d}))"
+    return F.expr(
+        f"CAST((CASE WHEN {n} < 0 THEN -{mag} ELSE {mag} END) AS DOUBLE) / 1000000.0"
+    )
+
+
+def sratio6_sql(num_sql: str, den_sql: str) -> str:
+    """DuckDB twin of :func:`sratio6` — identical integer arithmetic."""
+    n = f"CAST(({num_sql}) AS BIGINT)"
+    d = f"CAST(({den_sql}) AS BIGINT)"
+    mag = f"((abs({n}) * 2000000 + {d}) // (2 * {d}))"
+    return (
+        f"CAST((CASE WHEN {n} < 0 THEN -{mag} ELSE {mag} END) AS DOUBLE) / 1000000.0"
+    )
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

@@ -324,8 +324,22 @@ def _mmh_base_and_candidates(spark: SparkSession, sf: str):
     """(base, cand): the materialized shingle->md5->minhash chain and
     its banded candidate pairs — shared by the near-dup query and the
     estimate-error audit."""
+    base = _mmh_base(spark, sf)
+    bands = _mmh_bands(base)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_idx", "k")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_idx", "k")
+    cand = (
+        a.join(b, ["band_idx", "k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return base, cand
+
+
+def _mmh_base(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    base = (
+    return (
         d.select(
             "doc_id",
             F.array_distinct(S.word_ngrams(F.col("text"), 3)).alias("ts"),
@@ -337,6 +351,10 @@ def _mmh_base_and_candidates(spark: SparkSession, sf: str):
         # chain; materialize it once
         .localCheckpoint(eager=False)
     )
+
+
+def _mmh_bands(base: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, k): the exploded band keys of the signature."""
     band_cells = F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -350,18 +368,9 @@ def _mmh_base_and_candidates(spark: SparkSession, sf: str):
         )
         for b in range(_MMH_BANDS)
     ])
-    bands = base.select("doc_id", F.explode(band_cells).alias("bk")).select(
+    return base.select("doc_id", F.explode(band_cells).alias("bk")).select(
         "doc_id", "bk.band_idx", "bk.k"
     )
-    a = bands.select(F.col("doc_id").alias("id_a"), "band_idx", "k")
-    b = bands.select(F.col("doc_id").alias("id_b"), "band_idx", "k")
-    cand = (
-        a.join(b, ["band_idx", "k"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return base, cand
 
 
 def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
@@ -929,4 +938,79 @@ register(QuerySpec(
     "dist <= 3 over 4 bands) — the pairing half of the SimHash "
     "family, value-verified end to end",
     ("dedup", "simhash", "join"),
+))
+
+
+# --- minhash_band_load: LSH bucket-skew audit ------------------------------
+# The scale question for any banded LSH join is bucket skew: one hot
+# band bucket (boilerplate text, empty-ish docs) turns the band
+# equi-join quadratic. This audit reports, per band, the bucket-size
+# profile — bucket count, singleton count (docs that can never pair in
+# that band), the largest bucket, and the exact candidate-pair load
+# sum(c*(c-1)/2) the verify join will pay. All pure integers over the
+# engine-exact md5+LCG signatures, so every cell value-verifies. At
+# corpus scale this is the cheap pre-flight you run BEFORE the
+# near-dup join to decide band-size caps (the max_block lever in
+# operators/dedup.minhash_lsh_candidates).
+
+def _band_load(spark: SparkSession, sf: str) -> DataFrame:
+    bands = _mmh_bands(_mmh_base(spark, sf))
+    buckets = bands.groupBy("band_idx", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.max("c").alias("max_bucket"),
+        F.sum(F.expr("(c * (c - 1)) div 2")).alias("candidate_pairs"),
+    )
+
+
+def _build_band_load_oracle() -> str:
+    p = S.MINHASH_P
+    mins = ",\n      ".join(
+        f"COALESCE(list_min(list_transform(hv, x -> (x * {a} + {b}) % {p})), {p})"
+        for a, b in S.lcg_seeds(_MMH_HASHES)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS ts FROM documents
+),
+nz AS (SELECT * FROM t WHERE len(ts) > 0),
+h AS (
+  SELECT doc_id,
+    list_transform(ts, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % {p}) AS hv
+  FROM nz
+),
+s AS (
+  SELECT doc_id, [
+      {mins}
+    ] AS sig
+  FROM h
+),
+b AS (
+  SELECT doc_id, band_idx,
+    array_to_string(list_transform(
+      list_slice(sig, band_idx * {_MMH_ROWS} + 1, band_idx * {_MMH_ROWS} + {_MMH_ROWS}),
+      x -> CAST(x AS VARCHAR)), '_') AS k
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+),
+buckets AS (
+  SELECT band_idx, k, COUNT(*) AS c FROM b GROUP BY 1, 2
+)
+SELECT band_idx,
+  COUNT(*) AS n_buckets,
+  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_singletons,
+  MAX(c) AS max_bucket,
+  SUM((c * (c - 1)) // 2) AS candidate_pairs
+FROM buckets GROUP BY 1
+"""
+
+
+register(QuerySpec(
+    "minhash_band_load", _band_load, _build_band_load_oracle(),
+    "per-band LSH bucket-size profile (buckets, singletons, max bucket, "
+    "exact candidate-pair load) — the pre-flight skew audit for the "
+    "banded near-dup join",
+    ("dedup", "minhash", "audit", "agg"),
 ))

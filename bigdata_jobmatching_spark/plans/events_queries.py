@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from .catalog import QuerySpec, ratio6, ratio6_sql, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register, sratio6, sratio6_sql
 
 MONEY = "decimal(18,6)"
 
@@ -1052,4 +1052,87 @@ register(QuerySpec(
     "power-of-two value histogram per event type via integer "
     "bit-length bucketing (no float log anywhere)",
     ("events", "histogram", "agg"),
+))
+
+
+# --- event_type_trend_slope: exact OLS slope of daily counts --------------
+# Per-event-type linear trend of daily event counts: the least-squares
+# slope over points (x = day index, y = daily count), computed from
+# the closed form n*Sxy - Sx*Sy over n*Sxx - Sx^2. Every sum is pure
+# int64 (day indices and counts), so numerator and denominator are
+# exact on both engines; the final slope goes through sratio6 (signed
+# half-away-from-zero int64 rescaling) — no double accumulation
+# anywhere, per the catalog determinism conventions. At corpus scale
+# this is a two-level map-side-combinable aggregation over a handful
+# of event types: the daily rollup shrinks the data to (types x days)
+# rows before the moment sums.
+
+_SLOPE_ANCHOR = "2024-01-01"  # test-lake epoch; any fixed literal works
+
+
+def _trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    pts = daily.select(
+        "event_type",
+        F.datediff("day", F.lit(_SLOPE_ANCHOR).cast("date"))
+        .cast("long").alias("x"),
+        "y",
+    )
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("slope_den"),
+    )
+    return d.select(
+        "event_type", "n_days", "slope_num", "slope_den",
+        F.when(
+            F.col("slope_den") > 0, sratio6("slope_num", "slope_den")
+        ).alias("slope_per_day"),
+    )
+
+
+_TREND_SLOPE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, CAST(day - DATE '{_SLOPE_ANCHOR}' AS BIGINT) AS x, y
+  FROM daily
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts GROUP BY 1
+),
+d AS (
+  SELECT event_type, n AS n_days,
+    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+  FROM agg
+)
+SELECT event_type, n_days, slope_num, slope_den,
+  CASE WHEN slope_den > 0
+    THEN {sratio6_sql('slope_num', 'slope_den')} END AS slope_per_day
+FROM d
+"""
+
+register(QuerySpec(
+    "event_type_trend_slope", _trend_slope, _TREND_SLOPE_SQL,
+    "per-event-type least-squares trend slope of daily counts — exact "
+    "int64 moment sums, signed half-away-from-zero 6dp division",
+    ("events", "agg", "regression", "bench"),
 ))

@@ -85,3 +85,73 @@ register(QuerySpec(
     "edge/degree tables materialized once)",
     ("graph", "iterative", "bench"),
 ))
+
+
+# --- copurchase_clustering: local clustering coefficients -----------------
+# Per-node local clustering coefficient over the co-purchase graph:
+# cc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)) for deg >= 2 — the
+# classic transitivity measure (triangle enumeration reused from
+# operators/graph.triangles_per_node, degree-2+ nodes only so the
+# denominator is always positive). Triangle credit and degree are pure
+# integers; the coefficient goes through ratio6. At scale the cost is
+# the same wedge join as the triangle count (degeneracy-order split is
+# the lever for celebrity nodes); the coefficient itself adds one
+# broadcast-sized join on the node id.
+
+def _clustering(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import degrees, triangles_per_node
+    from .catalog import ratio6
+
+    pairs = copurchase_pairs(spark, sf)
+    deg = degrees(pairs, "pa", "pb").filter(F.col("degree") >= 2)
+    tpn = triangles_per_node(pairs, "pa", "pb")
+    j = deg.join(tpn, "node", "left").select(
+        "node", "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+    return j.select(
+        "node", "degree", "n_tri",
+        ratio6("2 * n_tri", "degree * (CAST(degree AS BIGINT) - 1)")
+        .alias("clustering"),
+    )
+
+
+def _build_clustering_sql() -> str:
+    from .catalog import ratio6_sql
+
+    cc = ratio6_sql("2 * COALESCE(t.n_tri, 0)", "d.degree * (d.degree - 1)")
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node
+),
+tri AS (
+  SELECT w.x, w.y, w.z
+  FROM (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+  JOIN e c ON c.a = w.x AND c.b = w.z
+),
+tpn AS (
+  SELECT node, COUNT(*) AS n_tri
+  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+  {cc} AS clustering
+FROM deg d LEFT JOIN tpn t ON d.node = t.node
+WHERE d.degree >= 2
+"""
+
+
+register(QuerySpec(
+    "copurchase_clustering", _clustering, _build_clustering_sql(),
+    "local clustering coefficient per node over the co-purchase graph "
+    "(exact triangle credit / degree pairs, ratio6 division)",
+    ("graph", "join", "agg", "bench"),
+))

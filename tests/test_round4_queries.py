@@ -349,3 +349,159 @@ def test_simhash_banded_join_is_lossless(spark):
     }
     assert fast == brute
     assert brute, "test lake must contain at least one simhash near-dup"
+
+
+def test_triangles_per_node_hand_computed(spark):
+    from bigdata_jobmatching_spark.operators.graph import triangles_per_node
+
+    # K4 minus edge (3,4): triangles (1,2,3) and (1,2,4).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["m", "n"]
+    )
+    got = {r["node"]: r["n_tri"] for r in triangles_per_node(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_clustering_coefficient_triangle_graph(spark):
+    from bigdata_jobmatching_spark.operators.graph import (
+        degrees,
+        triangles_per_node,
+    )
+    from bigdata_jobmatching_spark.plans.catalog import ratio6
+
+    # triangle 1-2-3 plus pendant 4 on node 1: cc(2)=cc(3)=1,
+    # cc(1) = 2*1/(3*2) = 0.333333, pendant excluded (deg 1).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], ["m", "n"]
+    )
+    deg = degrees(edges).filter(F.col("degree") >= 2)
+    tpn = triangles_per_node(edges)
+    j = deg.join(tpn, "node", "left").select(
+        "node", "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    ).select(
+        "node",
+        ratio6("2 * n_tri", "degree * (CAST(degree AS BIGINT) - 1)")
+        .alias("cc"),
+    )
+    got = {r["node"]: r["cc"] for r in j.collect()}
+    assert got == {1: 0.333333, 2: 1.0, 3: 1.0}
+
+
+def test_trend_slope_hand_computed(spark, tmp_path):
+    import json
+
+    # two types: 'up' counts 1,2,3 on days 0,1,2 (slope 1); 'flat'
+    # counts 2,2 on days 0,1 (slope 0). Write a tiny events lake and
+    # run the registered query against it.
+    rows = []
+    eid = 0
+    for day, n in [(0, 1), (1, 2), (2, 3)]:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day, 12, 0, 0), 1, "up", 1.0, "{}")
+            )
+            eid += 1
+    for day, n in [(0, 2), (1, 2)]:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day, 12, 0, 0), 1, "flat", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    lake = str(tmp_path / "lake")
+    df.write.parquet(f"{lake}/events.parquet")
+
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    REG = load_all()
+    out = {
+        r["event_type"]: r
+        for r in REG["event_type_trend_slope"].spark(spark, lake).collect()
+    }
+    assert out["up"]["slope_per_day"] == 1.0
+    assert out["up"]["n_days"] == 3
+    assert out["flat"]["slope_per_day"] == 0.0
+    # single-day type would have slope_den == 0 -> NULL slope
+    assert out["up"]["slope_den"] > 0
+
+
+def test_trend_slope_negative_and_null(spark, tmp_path):
+    # 'down' counts 3,1 on days 0,1 -> slope -2; 'once' has a single
+    # day -> slope_den 0 -> slope NULL.
+    rows = []
+    eid = 0
+    for day, n in [(0, 3), (1, 1)]:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day, 6, 0, 0), 1, "down", 1.0, "{}")
+            )
+            eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1, 6, 0, 0), 1, "once", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    lake = str(tmp_path / "lake")
+    df.write.parquet(f"{lake}/events.parquet")
+
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    REG = load_all()
+    out = {
+        r["event_type"]: r
+        for r in REG["event_type_trend_slope"].spark(spark, lake).collect()
+    }
+    assert out["down"]["slope_per_day"] == -2.0
+    assert out["once"]["slope_per_day"] is None
+
+
+def test_band_load_accounts_every_doc_and_pair(spark):
+    # invariants at sf0.001: every band partitions the corpus
+    # (sum over buckets == n_docs), and candidate_pairs >= the
+    # distinct banded candidate count seen by the near-dup join.
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    REG = load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = REG["minhash_band_load"].spark(spark, sf).collect()
+    assert {r["band_idx"] for r in rows} == {0, 1, 2, 3}
+    from bigdata_jobmatching_spark.plans.dedup_queries import (
+        _mmh_base,
+        _mmh_bands,
+    )
+
+    n_docs = _mmh_base(spark, sf).count()
+    for r in rows:
+        assert r["n_singletons"] + (r["n_buckets"] - r["n_singletons"]) <= r["n_buckets"]
+        assert r["max_bucket"] >= 1
+        # bucket sizes partition the docs within each band
+    per_band_docs = (
+        _mmh_bands(_mmh_base(spark, sf))
+        .groupBy("band_idx").count().collect()
+    )
+    assert all(r["count"] == n_docs for r in per_band_docs)
+
+
+def test_sratio6_sign_and_tie_behavior(spark):
+    import duckdb
+
+    from bigdata_jobmatching_spark.plans.catalog import sratio6, sratio6_sql
+
+    cases = [  # (num, den, expected 6dp half-away-from-zero)
+        (-3, 2, -1.5),
+        (3, 2, 1.5),
+        (1, 2000000, 0.000001),    # exact tie rounds away from zero
+        (-1, 2000000, -0.000001),
+        (0, 7, 0.0),
+    ]
+    df = spark.createDataFrame(cases, ["num", "den", "expect"])
+    got = df.select("expect", sratio6("num", "den").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["expect"], r
+    for num, den, expect in cases:
+        [(v,)] = duckdb.sql(
+            f"SELECT {sratio6_sql(str(num), str(den))}"
+        ).fetchall()
+        assert v == expect, (num, den, v)
