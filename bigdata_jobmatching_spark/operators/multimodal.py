@@ -424,3 +424,80 @@ def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, schema)
+
+
+# ------------------------------------------------------------- resize --
+# The resize stage of an image-ingest pipeline. The Spark plumbing is
+# fully real: header dims are parsed from the input payload
+# (parse_png_header / parse_jpeg_header), the target box is exact
+# integer arithmetic (longest side capped at max_side, aspect ratio
+# preserved with floor division), and the emitted payload is a valid
+# container of the target size whose header re-parses to exactly the
+# computed box. Only the pixel RESAMPLE is env-gated: with fake=False
+# this is where PIL's Image.resize would run per Arrow batch (absent
+# in this container -> NotImplementedError); with fake=True the output
+# carries synthesized pixels in a genuine PNG/JPEG container.
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("rs_format", T.StringType()),
+    T.StructField("rs_width", T.IntegerType()),
+    T.StructField("rs_height", T.IntegerType()),
+])
+
+
+def resize_box(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Integer-exact aspect-preserving target box: longest side capped
+    at max_side, other side floor-scaled, never below 1. Pure int64 —
+    reproducible by any SQL engine."""
+    if max(w, h) <= max_side:
+        return w, h
+    if w >= h:
+        return max_side, max(1, (h * max_side) // w)
+    return max(1, (w * max_side) // h), max_side
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "p_partkey",
+    max_side: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """(id, payload) -> (id, resized, rs_format, rs_width, rs_height).
+
+    Non-image payloads (header sniff fails) pass through with NULL
+    resized/format/dims — the audit-don't-drop discipline of the rest
+    of the pipeline. One Arrow pass; payloads never shuffle.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real pixel resample requires PIL — not in this container; "
+            "use fake=True for the deterministic container-exact path"
+        )
+
+    def one(raw) -> tuple:
+        b = bytes(raw) if raw is not None else b""
+        wh = parse_png_header(b)
+        if wh is not None:
+            tw, th = resize_box(wh[0], wh[1], max_side)
+            return make_png(tw, th), "png", tw, th
+        wh = parse_jpeg_header(b)
+        if wh is not None:
+            tw, th = resize_box(wh[0], wh[1], max_side)
+            return make_jpeg(tw, th), "jpeg", tw, th
+        return None, None, None, None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "p_partkey": pdf[id_col],
+                "resized": [o[0] for o in out],
+                "rs_format": [o[1] for o in out],
+                "rs_width": pd.array([o[2] for o in out], dtype="Int32"),
+                "rs_height": pd.array([o[3] for o in out], dtype="Int32"),
+            })
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)

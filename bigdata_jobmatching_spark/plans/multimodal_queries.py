@@ -131,3 +131,54 @@ register(QuerySpec(
     "stream params, MP4 mvhd duration) — real parsing, no codec libs",
     ("multimodal", "bench"),
 ))
+
+
+# --- image_resize_dims: resize stage, container-exact round trip ----------
+# The resize leg of an image-ingest pipeline (decode -> resize ->
+# re-encode), value-verified end to end: payloads are synthesized with
+# planted dims, operators/multimodal.resize_images REALLY parses each
+# header, computes the integer-exact aspect-preserving target box
+# (longest side capped at 64), and emits a genuine container of the
+# target size; the query then RE-SNIFFS the emitted payload — so the
+# reported dims prove the round trip, not just the arithmetic. Pixel
+# resampling itself is the documented env-gated stub (PIL absent);
+# everything Spark-side (two Arrow passes, schema, no payload shuffle)
+# is real. The oracle recomputes the box from the planted dims.
+
+_RESIZE_MAX_SIDE = 64
+
+
+def _resize_dims(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+    media = p.mapInPandas(_synth, _PAYLOAD_SCHEMA)
+    resized = MM.resize_images(media, max_side=_RESIZE_MAX_SIDE)
+    return (
+        MM.sniff_image_dims(resized, payload_col="resized")
+        .select("p_partkey", "rs_format", "hdr_width", "hdr_height")
+    )
+
+
+_RESIZE_SQL = f"""
+WITH planted AS (
+  SELECT p_partkey,
+    CAST(p_partkey % 512 + 1 AS BIGINT) AS w,
+    CAST(p_partkey % 256 + 16 AS BIGINT) AS h
+  FROM part
+)
+SELECT p_partkey,
+  CASE WHEN p_partkey % 2 = 0 THEN 'png' ELSE 'jpeg' END AS rs_format,
+  CAST(CASE WHEN greatest(w, h) <= {_RESIZE_MAX_SIDE} THEN w
+       WHEN w >= h THEN {_RESIZE_MAX_SIDE}
+       ELSE greatest(1, (w * {_RESIZE_MAX_SIDE}) // h) END AS INT) AS hdr_width,
+  CAST(CASE WHEN greatest(w, h) <= {_RESIZE_MAX_SIDE} THEN h
+       WHEN w >= h THEN greatest(1, (h * {_RESIZE_MAX_SIDE}) // w)
+       ELSE {_RESIZE_MAX_SIDE} END AS INT) AS hdr_height
+FROM planted
+"""
+
+register(QuerySpec(
+    "image_resize_dims", _resize_dims, _RESIZE_SQL,
+    "aspect-preserving image resize round trip: parse planted header, "
+    "integer-exact target box, re-encode, re-sniff the emitted container",
+    ("multimodal",),
+))

@@ -143,3 +143,50 @@ def test_gif_webp_header_parsers():
     assert MM.sniff_header(MM.make_png(7, 9))[0] == "png"
     assert MM.sniff_header(b"GIF12a junk") == (None, None, None)
     assert MM.parse_webp_header(b"RIFF\x00\x00\x00\x00WEBPABCD") is None
+
+
+def test_resize_box_integer_exact():
+    from bigdata_jobmatching_spark.operators.multimodal import resize_box
+
+    assert resize_box(512, 256, 64) == (64, 32)
+    assert resize_box(256, 512, 64) == (32, 64)
+    assert resize_box(40, 30, 64) == (40, 30)      # under cap: untouched
+    assert resize_box(64, 64, 64) == (64, 64)
+    assert resize_box(1000, 3, 64) == (64, 1)      # floor never hits 0
+    assert resize_box(3, 1000, 64) == (1, 64)
+
+
+def test_resize_images_round_trip_and_passthrough(spark):
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    rows = [
+        (0, MM.make_png(512, 256)),
+        (1, MM.make_jpeg(100, 40)),
+        (2, MM.make_png(10, 20)),       # under cap
+        (3, b"not an image"),           # audit-don't-drop: NULLs
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, payload binary")
+    out = {r["p_partkey"]: r for r in MM.resize_images(df, max_side=64).collect()}
+    assert (out[0]["rs_width"], out[0]["rs_height"], out[0]["rs_format"]) == (64, 32, "png")
+    assert (out[1]["rs_width"], out[1]["rs_height"], out[1]["rs_format"]) == (64, 25, "jpeg")
+    assert (out[2]["rs_width"], out[2]["rs_height"]) == (10, 20)
+    assert out[3]["resized"] is None and out[3]["rs_format"] is None
+    assert out[4]["resized"] is None
+    # the emitted container genuinely carries the computed box
+    for k, fmt in ((0, "png"), (1, "jpeg"), (2, "png")):
+        b = bytes(out[k]["resized"])
+        parsed = (
+            MM.parse_png_header(b) if fmt == "png" else MM.parse_jpeg_header(b)
+        )
+        assert parsed == (out[k]["rs_width"], out[k]["rs_height"])
+
+
+def test_resize_images_real_path_env_gated(spark):
+    import pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(0, MM.make_png(8, 8))], "p_partkey long, payload binary")
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(df, fake=False)
