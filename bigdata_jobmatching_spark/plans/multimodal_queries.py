@@ -88,7 +88,12 @@ def _synth_mixed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if m == 0:
             return _png(k % 512 + 1, k % 256 + 16)
         if m == 1:
-            return _wav(k % 2 + 1, 8000 + (k % 5) * 8000, (k % 100 + 1) * 1600)
+            # (k % 100 + 1) * 16 samples: enough to vary duration_ms
+            # per key while keeping payloads header-scale — the parser
+            # reads only the RIFF chunk headers, and the full-size
+            # variant was pushing ~2 GB of PCM through Arrow twice per
+            # bench run for zero extra coverage.
+            return _wav(k % 2 + 1, 8000 + (k % 5) * 8000, (k % 100 + 1) * 16)
         return _mp4((k % 300 + 1) * 100)
 
     for pdf in it:
@@ -118,7 +123,7 @@ SELECT p_partkey,
   CASE WHEN p_partkey % 3 = 1 THEN CAST(p_partkey % 2 + 1 AS INT) END AS channels,
   CASE WHEN p_partkey % 3 = 1 THEN CAST(8000 + (p_partkey % 5) * 8000 AS INT) END AS sample_rate,
   CASE p_partkey % 3
-    WHEN 1 THEN CAST(floor(((p_partkey % 100 + 1) * 1600) * 1000.0 / (8000 + (p_partkey % 5) * 8000)) AS BIGINT)
+    WHEN 1 THEN CAST(floor(((p_partkey % 100 + 1) * 16) * 1000.0 / (8000 + (p_partkey % 5) * 8000)) AS BIGINT)
     WHEN 2 THEN CAST((p_partkey % 300 + 1) * 100 AS BIGINT) END AS duration_ms,
   CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey % 512 + 1 AS INT) END AS hdr_width,
   CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey % 256 + 16 AS INT) END AS hdr_height
