@@ -182,14 +182,24 @@ def load_all() -> dict[str, QuerySpec]:
     from . import multimodal_queries  # noqa: F401
     from . import profiling_queries  # noqa: F401
     from . import relational_extra2  # noqa: F401
+    from . import relational_extra4  # noqa: F401
     from . import skills_queries  # noqa: F401
     from . import temporal_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import vector_queries  # noqa: F401
 
+    # Within the unproven block, oracled queries come first: a rows-only
+    # query gets the same weak check whether sampled this round or next,
+    # while an oracled query outside the window loses a full value
+    # verification — so rows-only entries yield their window slots.
     unproven = {
-        n: s for n, s in REGISTRY.items() if n not in _DRIVER_VERIFIED
+        n: s for n, s in REGISTRY.items()
+        if n not in _DRIVER_VERIFIED and s.oracle is not None
     }
+    unproven.update(
+        (n, s) for n, s in REGISTRY.items()
+        if n not in _DRIVER_VERIFIED and s.oracle is None
+    )
     proven_r02 = {
         n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED_R02
     }

@@ -10,6 +10,9 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from bigdata_jobmatching_spark.operators.graph import pagerank_exact
+from bigdata_jobmatching_spark.plans.catalog import load_all
+
+REGISTRY = load_all()
 
 
 def test_pagerank_one_iteration_hand_computed(spark):
@@ -505,3 +508,63 @@ def test_sratio6_sign_and_tie_behavior(spark):
             f"SELECT {sratio6_sql(str(num), str(den))}"
         ).fetchall()
         assert v == expect, (num, den, v)
+
+
+# --- relational_extra4: Q21-shape rewrite semantics -----------------------
+
+def test_last_shippers_rewrite_hand_computed(spark, tmp_path):
+    """The window rewrite must reproduce the EXISTS/NOT-EXISTS logic on
+    a micro graph covering: a single-supplier order (excluded by the
+    EXISTS arm), a clear last shipper, and a shipdate TIE at the order
+    max (both tied suppliers count, per NOT-EXISTS-strictly-later)."""
+    import datetime as dt
+
+    from bigdata_jobmatching_spark.plans.relational_extra4 import _q21
+
+    d = dt.datetime
+    li = spark.createDataFrame(
+        [
+            # order 1: supplier 10 alone -> excluded (no other supplier)
+            (1, 10, d(1997, 1, 1)),
+            (1, 10, d(1997, 5, 1)),
+            # order 2: 10 ships last -> only 10 counts
+            (2, 10, d(1997, 3, 1)),
+            (2, 20, d(1997, 2, 1)),
+            # order 3: 10 and 20 tie at the max, 30 earlier -> 10 and 20
+            (3, 10, d(1997, 4, 1)),
+            (3, 20, d(1997, 4, 1)),
+            (3, 30, d(1997, 1, 1)),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(10, "S10"), (20, "S20"), (30, "S30")],
+        "s_suppkey long, s_name string",
+    )
+    sf = str(tmp_path)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    supp.write.parquet(f"{sf}/supplier.parquet")
+    out = {r["s_name"]: r["numwait"] for r in _q21(spark, sf).collect()}
+    assert out == {"S10": 2, "S20": 1}
+
+
+def test_last_shippers_single_lineitem_scan(spark, sf_dir):
+    """The rewrite's point is one pass over the fact table: the join
+    formulation planned two lineitem scans, the window one."""
+    df = REGISTRY["last_shippers_by_supplier"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    li_scans = [s for s in scans if "lineitem" in s]
+    assert len(li_scans) == 1, plan
+
+
+def test_returned_revenue_topk_deterministic_selection(spark, sf_dir):
+    """Top-20 must impose a total order (revenue desc, then the unique
+    custkey) so the LIMIT is engine-stable."""
+    df = REGISTRY["returned_revenue_topk"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) <= 20
+    keys = [(-r["revenue"], r["c_custkey"]) for r in rows]
+    assert keys == sorted(keys)
