@@ -224,3 +224,31 @@ def _list_parquet_files(path: str) -> list[str]:
             if f.endswith(".parquet") and not f.startswith(".")
         )
     return out
+
+
+def write_orc_stage(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC twin of :func:`write_stage` — second columnar lake format.
+
+    ORC is fully bundled with the Spark distribution (orc-core /
+    orc-mapreduce jars), so a lake that standardizes on ORC (common in
+    Hive-lineage warehouses) works without any extra dependency. Same
+    scale properties as parquet: columnar projection, predicate
+    pushdown against stripe/row-group min-max stats (verified by the
+    capability test), splittable files, Hive-style partition dirs.
+    Compression defaults to zstd via the session conf.
+    """
+    w = df.write.mode(mode).option("compression", "zstd")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc_stage(spark: SparkSession, path: str) -> DataFrame:
+    """ORC stage reader. Filters/projections on the result push into
+    the ORC scan exactly as for parquet (PushedFilters in the plan)."""
+    return spark.read.orc(path)

@@ -140,3 +140,81 @@ def stateful_sessions_with_ttl(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- transformWithStateInPandas: streaming token-budget gate --------------
+# The Spark-4 arbitrary-state API (SPARK-49564): typed state handles
+# (ValueState here), explicit time modes, RocksDB-backed state. This
+# operator is the STREAMING twin of the batch token_budget_selection
+# query: docs arrive continuously, each source accumulates a running
+# token tally in state, and every doc is emitted with its cumulative
+# position and an accepted flag (tally <= budget). At scale: one
+# shuffle on source per micro-batch; state is one long per source,
+# independent of stream length.
+
+_BUDGET_OUT = (
+    "source string, doc_id long, n_tokens long, cum_tokens long, accepted boolean"
+)
+
+
+class _TokenBudgetProcessor:
+    """StatefulProcessor emitting per-doc budget decisions.
+
+    Defined lazily (plain class + dynamic base) so importing this
+    module never hard-depends on the Spark-4-only API surface."""
+
+    def __init__(self, budget: int):
+        self._budget = budget
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("cum_tokens", "tokens long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        cum = self._state.get()[0] if self._state.exists() else 0
+        out = []
+        for pdf in rows:
+            # deterministic intra-batch order: ascending doc_id
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+                cum += int(n_tok)
+                out.append((key[0], int(doc_id), int(n_tok), cum, cum <= self._budget))
+        self._state.update((cum,))
+        yield pd.DataFrame(
+            out, columns=["source", "doc_id", "n_tokens", "cum_tokens", "accepted"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_token_budget(docs: DataFrame, budget: int = 100_000) -> DataFrame:
+    """Per-source running token budget via transformWithStateInPandas.
+
+    Input needs (doc_id long, source string, n_tokens long). Emits one
+    row per doc with the post-doc cumulative tally and whether it fit
+    the budget. Requires the RocksDB state store provider (set here;
+    harmless for batch).
+
+    ENV-GATED EXECUTION: the transformWithState state protocol speaks
+    protobuf between the JVM and the Python worker, and this container
+    has no google.protobuf — the e2e test skips when it's absent. The
+    processor logic itself is exercised by a fake-state unit test, and
+    this wrapper pins the full invocation shape (output schema, time
+    mode, provider conf)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    spark = docs.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    proc = type(
+        "TokenBudgetProcessor", (_TokenBudgetProcessor, StatefulProcessor), {}
+    )(budget)
+    return docs.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_BUDGET_OUT,
+        outputMode="append",
+        timeMode="none",
+    )

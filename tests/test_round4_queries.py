@@ -568,3 +568,34 @@ def test_returned_revenue_topk_deterministic_selection(spark, sf_dir):
     assert len(rows) <= 20
     keys = [(-r["revenue"], r["c_custkey"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# --- ORC source/sink capability ------------------------------------------
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, sf_dir, tmp_path):
+    """ORC as a second lake format: values roundtrip exactly vs the
+    parquet source, predicates push into the ORC scan, and partition
+    directories prune."""
+    from bigdata_jobmatching_spark.sources.io import (
+        load_table, read_orc_stage, write_orc_stage,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc_stage(orders, path, partition_by=("o_orderpriority",))
+
+    back = read_orc_stage(spark, path)
+    # exact value roundtrip (column order differs: partition col moves last)
+    a = sorted(map(tuple, orders.select(*sorted(orders.columns)).collect()))
+    b = sorted(map(tuple, back.select(*sorted(orders.columns)).collect()))
+    assert a == b
+
+    q = back.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 1000.0)
+    ).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    # non-partition predicate pushed to the scan
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    # partition predicate pruned, not scanned
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]

@@ -223,3 +223,102 @@ def test_stateful_session_ttl_emits_on_close(spark, tmp_path):
     assert closed[0].n_events == 2 and closed[0].total_value == 5.0
     # user 7 (13:00) is within gap of the final watermark: never closed
     assert not any(r.closed for r in rows if r.user_id == 7)
+
+
+def test_transform_with_state_token_budget(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark-4 arbitrary state): cumulative
+    per-source token tallies persist ACROSS micro-batches and the
+    budget flag flips exactly at the boundary.
+
+    ENV-GATED: the transformWithState wire protocol needs
+    google.protobuf, which this container lacks — skipped when absent
+    (the processor logic itself is covered by the fake-state unit
+    test below)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from bigdata_jobmatching_spark.streaming.stateful import streaming_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tokens")
+    )
+    src = str(tmp_path / "docs_src")
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches, so the
+    # tally must survive a state round-trip
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    budget = 30_000
+    q = (
+        streaming_token_budget(stream, budget=budget)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("budget_out")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM budget_out").collect()
+    batch = docs.collect()
+    assert len(out) == len(batch)
+    # per-source: tallies are consistent with SOME processing order of
+    # the docs (cum = sum of a prefix including the doc), the final
+    # tally equals the source total, and accepted <=> cum <= budget
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for r in batch:
+        totals[r.source] += r.n_tokens
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r.source].append(r)
+        assert r.accepted == (r.cum_tokens <= budget)
+    for s, rows in by_src.items():
+        assert max(r.cum_tokens for r in rows) == totals[s]
+        # cum values are distinct and each equals previous + n_tokens
+        # under ascending-cum order within the source
+        rows.sort(key=lambda r: r.cum_tokens)
+        prev = 0
+        for r in rows:
+            assert r.cum_tokens == prev + r.n_tokens
+            prev = r.cum_tokens
+
+
+def test_token_budget_processor_logic_fake_state():
+    """The StatefulProcessor's per-batch contract, driven directly with
+    a fake ValueState: carry-over across calls, intra-batch doc_id
+    ordering, budget flag at the exact boundary."""
+    import pandas as pd
+
+    from bigdata_jobmatching_spark.streaming.stateful import _TokenBudgetProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, t):
+            self.v = t
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    proc = _TokenBudgetProcessor(budget=100)
+    proc.init(FakeHandle())
+    b1 = pd.DataFrame({"doc_id": [2, 1], "n_tokens": [40, 30]})
+    out1 = pd.concat(proc.handleInputRows(("srcA",), [b1], None))
+    # ordered by doc_id: doc 1 first (cum 30), doc 2 second (cum 70)
+    assert out1["doc_id"].tolist() == [1, 2]
+    assert out1["cum_tokens"].tolist() == [30, 70]
+    assert out1["accepted"].tolist() == [True, True]
+    # second micro-batch continues from persisted 70
+    b2 = pd.DataFrame({"doc_id": [3, 4], "n_tokens": [30, 1]})
+    out2 = pd.concat(proc.handleInputRows(("srcA",), [b2], None))
+    assert out2["cum_tokens"].tolist() == [100, 101]
+    assert out2["accepted"].tolist() == [True, False]
