@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as X
 from .operators import dedup as D
-from .sources.io import write_stage
+from .sources.io import write_stage, write_stage_observed
 
 _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PHONE_RE = "\\+?[0-9]{2,3}([ .-][0-9]{2,4}){3,4}"
@@ -83,10 +83,20 @@ def split_and_pack(docs: DataFrame, bin_tokens: int = 2048, val_pct: int = 10) -
     )
 
 
-def corpus_gate(spark: SparkSession, out_dir: str, strict: bool = True) -> dict:
+def corpus_gate(
+    spark: SparkSession,
+    out_dir: str,
+    strict: bool = True,
+    observed: dict[str, dict] | None = None,
+) -> dict:
     """Row counts per stage; strict mode enforces that every stage is
     non-empty AND that the filter/dedup stages are monotone
-    non-increasing (a dedup that GREW the corpus is a bug)."""
+    non-increasing (a dedup that GREW the corpus is a bug).
+
+    ``observed`` carries the in-flight ``df.observe()`` metrics from
+    the write pass; the gate cross-checks them against the landed
+    parquet counts, so a partial/lost write (observed N, landed < N)
+    fails loudly instead of silently shipping a truncated corpus."""
     stats: dict[str, dict] = {}
     problems: list[str] = []
     rows_seq: list[int] = []
@@ -95,6 +105,14 @@ def corpus_gate(spark: SparkSession, out_dir: str, strict: bool = True) -> dict:
         files = len(list(d.rglob("*.parquet"))) if d.exists() else 0
         rows = spark.read.parquet(str(d)).count() if files else 0
         stats[name] = {"files": files, "rows": rows}
+        if observed and name in observed:
+            obs_rows = observed[name]["n_rows"]
+            stats[name]["observed_rows"] = obs_rows
+            if obs_rows != rows:
+                problems.append(
+                    f"{name} landed {rows} rows but the write pass "
+                    f"observed {obs_rows}"
+                )
         if rows == 0:
             problems.append(f"{name} empty")
         rows_seq.append(rows)
@@ -113,21 +131,47 @@ def run_corpus_pipeline(
     strict: bool = True,
     min_quality: float = 0.5,
 ) -> dict:
-    write_stage(quality_filter(docs, min_quality), f"{out_dir}/filtered", ("source",))
+    obs: dict[str, dict] = {}
+    obs["filtered"] = write_stage_observed(
+        quality_filter(docs, min_quality), f"{out_dir}/filtered", ("source",)
+    )
 
     exact = exact_dedup_docs(spark.read.parquet(f"{out_dir}/filtered"))
-    write_stage(exact, f"{out_dir}/exact_deduped", ("source",))
+    obs["exact_deduped"] = write_stage_observed(
+        exact, f"{out_dir}/exact_deduped", ("source",)
+    )
 
     near = near_dedup_docs(spark.read.parquet(f"{out_dir}/exact_deduped"))
-    write_stage(near, f"{out_dir}/near_deduped", ("source",))
+    obs["near_deduped"] = write_stage_observed(
+        near, f"{out_dir}/near_deduped", ("source",)
+    )
 
     scrubbed = scrub_pii(spark.read.parquet(f"{out_dir}/near_deduped"))
-    write_stage(scrubbed, f"{out_dir}/scrubbed", ("source",))
+    obs["scrubbed"] = write_stage_observed(
+        scrubbed, f"{out_dir}/scrubbed", ("source",),
+        metrics={
+            # free in-flight PII audit: residual raw emails after the
+            # scrub must be zero
+            "residual_emails": F.sum(
+                F.when(F.col("text").rlike(_EMAIL_RE), 1).otherwise(0)
+            ),
+        },
+    )
 
     packed = split_and_pack(spark.read.parquet(f"{out_dir}/scrubbed"))
-    write_stage(packed, f"{out_dir}/packed", ("split", "source"))
+    obs["packed"] = write_stage_observed(
+        packed, f"{out_dir}/packed", ("split", "source"),
+        metrics={"total_tokens": F.sum("n_tokens")},
+    )
 
-    return corpus_gate(spark, out_dir, strict=strict)
+    stats = corpus_gate(spark, out_dir, strict=strict, observed=obs)
+    if strict and obs["scrubbed"].get("residual_emails"):
+        raise ValueError(
+            f"corpus gate: {obs['scrubbed']['residual_emails']} docs "
+            "still match the email pattern after the scrub"
+        )
+    stats["packed"]["total_tokens"] = obs["packed"]["total_tokens"]
+    return stats
 
 
 def main(argv: list[str] | None = None) -> int:

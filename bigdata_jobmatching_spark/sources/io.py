@@ -252,3 +252,29 @@ def read_orc_stage(spark: SparkSession, path: str) -> DataFrame:
     """ORC stage reader. Filters/projections on the result push into
     the ORC scan exactly as for parquet (PushedFilters in the plan)."""
     return spark.read.orc(path)
+
+
+def write_stage_observed(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    metrics: dict[str, "F.Column"] | None = None,
+) -> dict:
+    """:func:`write_stage` + ``df.observe()``: land the stage AND
+    collect row counts / custom aggregate metrics in the SAME pass.
+
+    At 100 TB, "write, then re-read to count" doubles the IO of every
+    pipeline stage; an Observation rides the write job for free (the
+    metrics are accumulated executor-side during the scan that feeds
+    the writer). Returns the observed metric dict — always including
+    ``n_rows``; pass extra named aggregate Columns via ``metrics``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cols = [F.count(F.lit(1)).alias("n_rows")]
+    for k, c in (metrics or {}).items():
+        cols.append(c.alias(k))
+    write_stage(df.observe(obs, *cols), path, partition_by, mode)
+    return dict(obs.get)
