@@ -501,3 +501,73 @@ def resize_images(
             })
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def parse_wav_stream_info(b: bytes) -> tuple[int, int, int] | None:
+    """(channels, sample_rate, n_samples) from RIFF/WAVE headers, or
+    None. Same chunk walk as :func:`parse_wav_header`, but exposes the
+    EXACT sample count (data_size // block_align) that frame/window
+    planning needs — duration_ms floors away sub-millisecond samples."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = block_align = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            block_align = int.from_bytes(b[i + 20:i + 22], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if channels is None or rate is None or not block_align or data_size is None:
+        return None
+    return (channels, rate, data_size // block_align)
+
+
+def wav_frame_plan(df: DataFrame, window: int, hop: int, payload_col: str = "payload") -> DataFrame:
+    """STFT/feature-frame planning over WAV payloads: parse the stream
+    info in one Arrow pass, then compute frame counts with EXACT
+    integer column arithmetic JVM-side.
+
+    Appends (channels, sample_rate, n_samples, n_frames,
+    n_frames_padded): n_frames is the strict count of full windows
+    ((n - window) div hop + 1, 0 when n < window); n_frames_padded is
+    the pad-to-cover count (ceil(n / hop)). Non-WAV / unparseable
+    payloads yield NULLs. Scale: payloads never shuffle; the
+    arithmetic stays in whole-stage codegen."""
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            info = pdf[payload_col].apply(
+                lambda raw: parse_wav_stream_info(bytes(raw)) if raw is not None else None
+            )
+            out = pdf.copy()
+            out["channels"] = info.apply(lambda t: t[0] if t else None).astype("Int32")
+            out["sample_rate"] = info.apply(lambda t: t[1] if t else None).astype("Int32")
+            out["n_samples"] = info.apply(lambda t: t[2] if t else None).astype("Int64")
+            yield out
+
+    parsed = df.mapInPandas(batches, schema)
+    n = F.col("n_samples")
+    return parsed.withColumn(
+        "n_frames",
+        F.when(n.isNull(), None)
+        .when(n < window, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"(n_samples - {window}) div {hop} + 1")),
+    ).withColumn(
+        "n_frames_padded",
+        F.when(n.isNull(), None).otherwise(
+            F.expr(f"(n_samples + {hop} - 1) div {hop}")
+        ),
+    )

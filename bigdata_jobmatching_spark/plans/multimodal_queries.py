@@ -187,3 +187,59 @@ register(QuerySpec(
     "integer-exact target box, re-encode, re-sniff the emitted container",
     ("multimodal",),
 ))
+
+
+# --- audio_frame_plan: STFT frame planning from parsed WAV headers --------
+# The audio-pipeline planning step (how many feature frames will this
+# corpus yield at window/hop X?): WAV payloads are synthesized with
+# planted sample counts, parse_wav_stream_info REALLY reads
+# channels/rate/block_align/data_size back from the RIFF chunks, and
+# the frame arithmetic is exact-integer column math. The oracle
+# recomputes every value from the planted parameters — a parser or
+# synthesis drift fails the hash.
+
+_FRAME_WINDOW, _FRAME_HOP = 400, 160
+
+
+def _synth_wav_only(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        keys = pdf["p_partkey"]
+        yield pd.DataFrame({
+            "p_partkey": keys,
+            "payload": [
+                _wav(int(k) % 2 + 1, 8000 + (int(k) % 5) * 8000, (int(k) % 100 + 1) * 16)
+                for k in keys
+            ],
+        })
+
+
+def _audio_frames(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+    media = p.mapInPandas(_synth_wav_only, _PAYLOAD_SCHEMA)
+    return MM.wav_frame_plan(media, _FRAME_WINDOW, _FRAME_HOP).select(
+        "p_partkey", "channels", "sample_rate", "n_samples",
+        "n_frames", "n_frames_padded",
+    )
+
+
+_FRAMES_SQL = f"""
+WITH planted AS (
+  SELECT p_partkey, CAST((p_partkey % 100 + 1) * 16 AS BIGINT) AS n
+  FROM part
+)
+SELECT p_partkey,
+  CAST(p_partkey % 2 + 1 AS INT) AS channels,
+  CAST(8000 + (p_partkey % 5) * 8000 AS INT) AS sample_rate,
+  n AS n_samples,
+  CASE WHEN n < {_FRAME_WINDOW} THEN 0
+       ELSE (n - {_FRAME_WINDOW}) // {_FRAME_HOP} + 1 END AS n_frames,
+  (n + {_FRAME_HOP} - 1) // {_FRAME_HOP} AS n_frames_padded
+FROM planted
+"""
+
+register(QuerySpec(
+    "audio_frame_plan", _audio_frames, _FRAMES_SQL,
+    "STFT frame planning from REAL RIFF stream info (exact sample "
+    "counts, strict + padded frame arithmetic)",
+    ("multimodal",),
+))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from .catalog import QuerySpec, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
 
 # (column, engine-identical string canonicalization) — doubles go to
 # half-up integer cents (double->decimal casts round differently per
@@ -78,4 +78,89 @@ register(QuerySpec(
     "single-pass per-column profile of orders (null counts, exact "
     "distincts, canonical-string min/max via explode + one groupBy)",
     ("profiling", "agg", "bench"),
+))
+
+
+# --- join_key_skew_audit: is this key safe to shuffle on? -----------------
+# The pre-flight every 100 TB join needs: per candidate join key, the
+# cardinality, the heaviest key's row count, the hot-key census (keys
+# holding > 2x the mean load) and the share of rows they carry — the
+# numbers that decide between a plain shuffle join, AQE skew handling,
+# or an explicit salted/differentiated join (operators/skew.py). Per
+# key: one map-side-combinable aggregate to key grain, a 1-row stats
+# aggregate, and a broadcast-scalar crossJoin back over the key-grain
+# rows for the hot census (no driver collect). The hot-key rule is
+# integer cross-multiplication (cnt * n_keys > 2 * n_rows) — no float
+# averages anywhere; shares are exact-integer ratio6.
+
+_SKEW_KEYS: tuple[tuple[str, str], ...] = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # one unioned key-grain aggregate for ALL audited keys (keys are
+    # uniformly cast to long), then 3-row stats and the hot census as
+    # broadcast joins: 3 bounded shuffles total for any number of keys.
+    per_key = None
+    for table, key in _SKEW_KEYS:
+        part = load_table(spark, sf, table).select(
+            F.lit(f"{table}.{key}").alias("join_key"),
+            F.col(key).cast("long").alias("k"),
+        )
+        per_key = part if per_key is None else per_key.unionByName(part)
+    per_key = per_key.groupBy("join_key", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.groupBy("join_key").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    hot = (
+        per_key.join(F.broadcast(stats), "join_key")
+        .filter(F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .groupBy("join_key")
+        .agg(
+            F.count(F.lit(1)).alias("hot_keys"),
+            F.sum("cnt").alias("hot_rows"),
+        )
+    )
+    return (
+        stats.join(F.broadcast(hot), "join_key", "left")
+        .select(
+            "join_key", "n_keys", "n_rows", "max_key_rows",
+            F.coalesce("hot_keys", F.lit(0)).alias("hot_keys"),
+            F.coalesce("hot_rows", F.lit(0)).alias("hot_rows"),
+            ratio6("max_key_rows", "n_rows").alias("max_key_share"),
+            ratio6("coalesce(hot_rows, 0)", "n_rows").alias("hot_row_share"),
+        )
+    )
+
+
+def _one_key_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS join_key, n_keys, n_rows, max_key_rows,
+  hot_keys, hot_rows,
+  {ratio6_sql('max_key_rows', 'n_rows')} AS max_key_share,
+  {ratio6_sql('hot_rows', 'n_rows')} AS hot_row_share
+FROM (
+  SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_key_rows,
+    SUM(CASE WHEN cnt * n_keys_w > 2 * n_rows_w THEN 1 ELSE 0 END) AS hot_keys,
+    COALESCE(SUM(CASE WHEN cnt * n_keys_w > 2 * n_rows_w THEN cnt END), 0) AS hot_rows
+  FROM (
+    SELECT cnt, COUNT(*) OVER () AS n_keys_w, SUM(cnt) OVER () AS n_rows_w
+    FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+  )
+)"""
+
+
+_SKEW_SQL = " UNION ALL ".join(_one_key_sql(t, k) for t, k in _SKEW_KEYS)
+
+register(QuerySpec(
+    "join_key_skew_audit", _skew_audit, _SKEW_SQL,
+    "join-key skew pre-flight: cardinality, heaviest key, hot-key "
+    "census (integer 2x-mean rule) and exact load shares per candidate "
+    "shuffle key",
+    ("profiling", "agg", "skew"),
 ))
