@@ -1,0 +1,130 @@
+"""Versioned stage tables on plain parquet: atomic publish, time
+travel, rollback — no table-format dependency.
+
+A 100 TB pipeline overwriting a stage in place has two failure modes:
+a reader mid-scan sees a half-deleted directory, and a bad run
+destroys the only good copy. Table formats (Delta/Iceberg) fix this
+with versioned metadata; the same core guarantee needs nothing but
+directories and an atomic rename, which is what this module provides:
+
+    root/
+      v00001/ ... parquet files ...
+      v00002/ ...
+      _CURRENT            <- one line: "v00002" (atomic swap)
+
+Writers land a complete new version directory, then swap _CURRENT via
+write-temp + os.replace (atomic on POSIX). Readers resolve _CURRENT
+once and scan an immutable directory — a concurrent publish never
+mutates files under them. Rollback is a _CURRENT swap; vacuum deletes
+unreferenced versions older than a keep count. On object stores the
+same protocol holds with a small-object put for the pointer (S3 PUT
+is atomic per key).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VER_RE = re.compile(r"^v(\d{5})$")
+_POINTER = "_CURRENT"
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, _POINTER)
+
+
+def list_versions(root: str) -> list[int]:
+    """Ascending version numbers present under root (complete or not —
+    only _CURRENT distinguishes published versions)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _VER_RE.match(name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(root: str) -> int | None:
+    """The published version number, or None if never published."""
+    try:
+        with open(_pointer_path(root)) as f:
+            name = f.read().strip()
+    except FileNotFoundError:
+        return None
+    m = _VER_RE.match(name)
+    if not m:
+        raise ValueError(f"corrupt {_POINTER} pointer: {name!r}")
+    return int(m.group(1))
+
+
+def _set_pointer(root: str, version: int) -> None:
+    tmp = _pointer_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v{version:05d}\n")
+    os.replace(tmp, _pointer_path(root))  # atomic publish
+
+
+def write_version(
+    df: DataFrame,
+    root: str,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Land ``df`` as the next version and atomically publish it.
+    Returns the new version number. A reader holding the previous
+    version's paths is never disturbed; a crash before the pointer
+    swap leaves an unpublished (vacuumable) directory and the old
+    version still current."""
+    os.makedirs(root, exist_ok=True)
+    vs = list_versions(root)
+    nxt = (vs[-1] + 1) if vs else 1
+    vdir = os.path.join(root, f"v{nxt:05d}")
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(vdir)
+    _set_pointer(root, nxt)
+    return nxt
+
+
+def read_version(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Scan one immutable published version (default: current)."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    vdir = os.path.join(root, f"v{v:05d}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version v{v:05d} not found under {root}")
+    return spark.read.parquet(vdir)
+
+
+def rollback(root: str, version: int) -> None:
+    """Re-publish an older version: one atomic pointer swap, no data
+    movement. The bad version's files stay for forensics until
+    vacuumed."""
+    vdir = os.path.join(root, f"v{version:05d}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"cannot roll back to missing v{version:05d}")
+    _set_pointer(root, version)
+
+
+def vacuum(root: str, keep: int = 2) -> list[int]:
+    """Delete all versions except the current one and the ``keep``
+    newest. Never deletes the published version regardless of age.
+    Returns the deleted version numbers."""
+    cur = current_version(root)
+    vs = list_versions(root)
+    keep_set = set(vs[-keep:]) if keep > 0 else set()
+    if cur is not None:
+        keep_set.add(cur)
+    deleted = []
+    for v in vs:
+        if v not in keep_set:
+            shutil.rmtree(os.path.join(root, f"v{v:05d}"))
+            deleted.append(v)
+    return deleted

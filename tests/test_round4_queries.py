@@ -599,3 +599,51 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
     # partition predicate pruned, not scanned
     assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
+
+
+# --- versioned stage tables ----------------------------------------------
+
+def test_versioned_stage_publish_timetravel_rollback_vacuum(spark, sf_dir, tmp_path):
+    """Atomic-publish versioned parquet: readers pin immutable
+    versions, rollback is a pointer swap, vacuum never deletes the
+    published version."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    root = str(tmp_path / "nation_stage")
+    nation = load_table(spark, sf_dir, "nation")
+    assert V.current_version(root) is None
+
+    v1 = V.write_version(nation, root)
+    assert (v1, V.current_version(root)) == (1, 1)
+
+    # a reader that resolved v1 BEFORE the next publish...
+    pinned_v1 = V.read_version(spark, root, 1)
+    v2 = V.write_version(nation.filter("n_nationkey < 10"), root)
+    assert (v2, V.current_version(root)) == (2, 2)
+    # ...still sees every v1 row after v2 published (immutability)
+    assert pinned_v1.count() == nation.count()
+    assert V.read_version(spark, root).count() == 10
+
+    # time travel + rollback
+    assert V.read_version(spark, root, 1).count() == nation.count()
+    V.rollback(root, 1)
+    assert V.current_version(root) == 1
+    assert V.read_version(spark, root).count() == nation.count()
+
+    # vacuum keeps the published version even though it's oldest
+    v3 = V.write_version(nation.filter("n_nationkey < 5"), root)
+    V.rollback(root, 1)
+    deleted = V.vacuum(root, keep=1)
+    assert 1 not in deleted  # published
+    assert V.read_version(spark, root).count() == nation.count()
+    assert set(V.list_versions(root)) >= {1, 3}
+    assert 2 in deleted
+
+    # crash-before-publish: a bare directory without pointer swap is
+    # invisible to readers and vacuumable
+    import os
+    os.makedirs(os.path.join(root, "v00099"))
+    assert V.current_version(root) == 1
+    deleted2 = V.vacuum(root, keep=0)
+    assert 99 in deleted2 and V.current_version(root) == 1
