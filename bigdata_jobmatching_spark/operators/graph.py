@@ -220,3 +220,56 @@ def triangles_per_node(edges: DataFrame, src: str = "m", dst: str = "n") -> Data
         F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "m",
+    dst: str = "n",
+    k: int = 3,
+    max_iter: int = 8,
+) -> DataFrame:
+    """The k-core of an undirected graph: (node, core_degree) for the
+    maximal subgraph where every node keeps degree >= k.
+
+    Iterative peel: drop all nodes of degree < k, recompute degrees on
+    the induced subgraph, repeat to fixpoint. Each iteration is one
+    degree aggregate plus two semi-joins on the surviving node set —
+    bounded shuffles on a monotonically SHRINKING edge set, with
+    localCheckpoint truncating the growing lineage (same discipline as
+    connected_components). Deterministic: the result is a set fixpoint
+    independent of execution order.
+
+    Raises on non-convergence within ``max_iter`` so a fixed-unroll
+    oracle (the DuckDB twin chains ``max_iter`` peels as CTEs) is
+    guaranteed to agree: once stable, extra peels are identity.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    for _ in range(max_iter):
+        keep = (
+            sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        nxt = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return sym.groupBy(F.col("u").alias("node")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+        sym, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge in {max_iter} peels; raise max_iter "
+        "(and widen the oracle unroll to match)"
+    )

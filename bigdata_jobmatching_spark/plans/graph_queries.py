@@ -155,3 +155,54 @@ register(QuerySpec(
     "(exact triangle credit / degree pairs, ratio6 division)",
     ("graph", "join", "agg", "bench"),
 ))
+
+
+# --- copurchase_kcore: iterative k-core decomposition ---------------------
+# The 3-core of the co-purchase graph: peel degree<3 nodes to
+# fixpoint. The Spark side (operators/graph.kcore) peels until STABLE
+# and raises if not converged within _KCORE_UNROLL; the oracle unrolls
+# exactly _KCORE_UNROLL peels as chained CTEs — identical by the
+# fixpoint argument (extra peels are identity once stable), so the
+# early-stopping distributed loop is value-proven against the fixed
+# unroll.
+
+_KCORE_K = 3
+_KCORE_UNROLL = 8
+
+
+def _kcore_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    pairs = copurchase_pairs(spark, sf)
+    return kcore(pairs, "pa", "pb", k=_KCORE_K, max_iter=_KCORE_UNROLL)
+
+
+def _peel_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {_KCORE_K})
+    AND v IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {_KCORE_K})
+)"""
+
+
+_KCORE_SQL = (
+    """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+s0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),"""
+    + ",".join(_peel_sql(f"s{i}", f"s{i + 1}") for i in range(_KCORE_UNROLL))
+    + f"""
+SELECT u AS node, COUNT(*) AS core_degree FROM s{_KCORE_UNROLL} GROUP BY u
+"""
+)
+
+register(QuerySpec(
+    "copurchase_kcore", _kcore_q, _KCORE_SQL,
+    f"iterative {_KCORE_K}-core decomposition (peel-to-fixpoint, "
+    "early-stopping loop value-proven against a fixed CTE unroll)",
+    ("graph", "iterative"),
+))

@@ -647,3 +647,32 @@ def test_versioned_stage_publish_timetravel_rollback_vacuum(spark, sf_dir, tmp_p
     assert V.current_version(root) == 1
     deleted2 = V.vacuum(root, keep=0)
     assert 99 in deleted2 and V.current_version(root) == 1
+
+
+def test_kcore_hand_computed_iterative_peel(spark):
+    """2-core of a chain + triangle: the chain (1-2-3-4) must vanish,
+    but only through REPEATED peels (each round exposes a new
+    degree-1 endpoint), proving the loop iterates to fixpoint; the
+    triangle survives with degree 2."""
+    from bigdata_jobmatching_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (4, 10)],
+        "m long, n long",
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_raises_on_unroll_exhaustion(spark):
+    """A long chain needs one peel per link under k=2; max_iter=1 must
+    raise instead of returning a non-fixpoint set."""
+    import pytest
+
+    from bigdata_jobmatching_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "m long, n long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(chain, k=2, max_iter=1)
