@@ -128,3 +128,35 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(root, f"v{v:05d}"))
             deleted.append(v)
     return deleted
+
+
+def merge_version(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    delete_col: str | None = None,
+) -> int:
+    """SCD1 MERGE into a versioned stage, landed as a new atomic
+    version: on key match the update row replaces the target row,
+    unmatched target rows carry over, unmatched update rows insert,
+    and (with ``delete_col``) update rows flagged true are tombstones
+    that remove the target row without inserting.
+
+    Plan shape at 100 TB: one left-anti join of the target against the
+    (usually much smaller, broadcastable) distinct update keys plus a
+    union — the target is never shuffled on its own data, and a bad
+    merge is one :func:`rollback` away instead of a restore."""
+    from pyspark.sql import functions as F
+
+    cur = read_version(spark, root)
+    keys = list(key_cols)
+    upd_keys = updates.select(*keys).distinct()
+    carry = cur.join(F.broadcast(upd_keys), keys, "left_anti")
+    live = updates
+    if delete_col is not None:
+        live = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    merged = carry.unionByName(live.select(*cur.columns))
+    return write_version(merged, root)

@@ -38,3 +38,33 @@ def stream_click_purchase_join(
         ),
         "inner",
     ).select("user_id", "purchase_id", "ts", "click_id", "click_ts")
+
+
+def stream_purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits, attributed
+    to clicks when one exists in the horizon, with NULL click columns
+    otherwise — the "organic vs attributed" split a marketing pipeline
+    needs online.
+
+    Outer semantics under watermarks are the subtle part: the
+    unmatched (NULL) row for a purchase is NOT emitted when the
+    micro-batch sees no match — it can only be emitted once the
+    watermark proves no future click can arrive inside the interval,
+    i.e. null results trail the event time by the watermark delay.
+    State stays bounded exactly as in the inner join.
+    """
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user_id AND "
+            f"click_ts >= ts - INTERVAL {horizon} AND click_ts <= ts"
+        ),
+        "left_outer",
+    ).select("user_id", "purchase_id", "ts", "click_id", "click_ts")

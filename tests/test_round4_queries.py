@@ -676,3 +676,29 @@ def test_kcore_raises_on_unroll_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(chain, k=2, max_iter=1)
+
+
+def test_versioned_merge_upsert_delete_rollback(spark, sf_dir, tmp_path):
+    """MERGE semantics on the versioned stage: update wins on key,
+    unmatched carries over, new key inserts, tombstone deletes — and
+    the pre-merge version is one rollback away."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    root = str(tmp_path / "dim_stage")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    V.write_version(base, root)
+
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, val string, deleted boolean",
+    )
+    v2 = V.merge_version(spark, root, updates, ("id",), delete_col="deleted")
+    assert v2 == 2
+    got = {r["id"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted
+
+    V.rollback(root, 1)
+    back = {r["id"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert back == {1: "a", 2: "b", 3: "c"}

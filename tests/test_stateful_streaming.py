@@ -364,3 +364,83 @@ def test_state_data_source_offline_inspection(spark, sf_dir, tmp_path):
 
     rep = state_size_report(spark, ck).collect()
     assert rep and rep[0]["state_rows"] == st.count()
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: after draining, matched
+    purchases carry their clicks and every unmatched purchase emits
+    exactly one NULL-click row (the watermark-gated organic split) —
+    equal to the batch left join."""
+    from bigdata_jobmatching_spark.streaming.joins import (
+        stream_purchase_attribution_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    src = str(tmp_path / "ev_src_outer")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    q = (
+        stream_purchase_attribution_outer(clicks, purchases, horizon="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ss_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ck_sso"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the query's own final watermark decides which organic rows are
+    # provable (Spark updates it with a one-batch lag, so recomputing
+    # max_ts - delay over-approximates)
+    import datetime as _dt
+
+    wm_str = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+    wm = _dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00")).replace(tzinfo=None)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ss_outer_out").collect()
+    }
+
+    b = spark.read.parquet(src)
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    # watermark gating: a NULL (organic) row may only be emitted once
+    # the click watermark passes the purchase ts — purchases inside
+    # the final 2-hour watermark window stay open, so the batch twin
+    # must withhold their NULL rows too
+    joined = bp.join(
+        bc,
+        (F.col("user_id") == F.col("bu"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "left_outer",
+    ).collect()
+    expect = {
+        (r.purchase_id, r.click_id)
+        for r in joined
+        if r.click_id is not None or r.ts < wm
+    }
+    assert got == expect
+    # the organic split is non-trivial on this data: some purchases
+    # matched, some emitted as NULL-click rows
+    nulls = {p for p, c in got if c is None}
+    matched = {p for p, c in got if c is not None}
+    assert nulls and matched
