@@ -746,3 +746,51 @@ register(QuerySpec(
     "token target (exact integer ceil-division planning)",
     ("mixing", "planning"),
 ))
+
+
+# --- corpus_shuffle_plan: deterministic distributed global shuffle --------
+# Training export needs the corpus in pseudo-random order, but a
+# global row_number is a single-partition window — the anti-pattern.
+# The scalable shuffle: LCG-hash each doc, route it to one of
+# _SHUF_BUCKETS writer buckets (hash mod), and rank only WITHIN the
+# bucket (bounded windows). Readers stream buckets in index order and
+# rows within a bucket in rank order: the concatenation is a fixed
+# pseudo-random permutation, reproducible on any cluster size, with
+# per-bucket parallel writes. The query emits the plan (bucket,
+# bucket_rank) per doc — all exact-integer arithmetic.
+
+_SHUF_BUCKETS = 16
+
+
+def _shuffle_plan(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    key = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        d.withColumn("shuffle_key", key)
+        .withColumn("bucket", (F.col("shuffle_key") % _SHUF_BUCKETS).cast("int"))
+        .withColumn("bucket_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shuffle_key", "bucket", "bucket_rank")
+    )
+
+
+_SHUFFLE_SQL = f"""
+SELECT doc_id, shuffle_key, bucket,
+  CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY shuffle_key, doc_id) AS BIGINT) AS bucket_rank
+FROM (
+  SELECT doc_id,
+    (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS shuffle_key,
+    CAST(((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % {_SHUF_BUCKETS} AS INT) AS bucket
+  FROM documents
+)
+"""
+
+register(QuerySpec(
+    "corpus_shuffle_plan", _shuffle_plan, _SHUFFLE_SQL,
+    "deterministic distributed global shuffle for training export: LCG "
+    "key -> bucket routing + bounded within-bucket ranks (no "
+    "single-partition window)",
+    ("mixing", "window"),
+))
