@@ -124,31 +124,52 @@ def corpus_gate(
     return stats
 
 
+def _stage_complete(out_dir: str, name: str) -> bool:
+    """A stage directory is resumable iff its write COMMITTED: the
+    partitioned layout puts _SUCCESS at the stage root. A crashed or
+    in-flight write has files but no marker and is redone."""
+    return (Path(out_dir) / name / "_SUCCESS").exists()
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     docs: DataFrame,
     out_dir: str,
     strict: bool = True,
     min_quality: float = 0.5,
+    resume: bool = False,
 ) -> dict:
+    """Run the staged chain. With ``resume=True``, stages whose
+    directory already committed (_SUCCESS present) are skipped and
+    later stages read the landed parquet — the restart discipline a
+    multi-day 100 TB run needs (every stage is deterministic, so a
+    resumed run cannot fork from the first attempt; proven by the
+    idempotency test). Skipped stages re-count their landed rows for
+    the gate instead of observed in-flight metrics."""
     obs: dict[str, dict] = {}
-    obs["filtered"] = write_stage_observed(
-        quality_filter(docs, min_quality), f"{out_dir}/filtered", ("source",)
-    )
 
-    exact = exact_dedup_docs(spark.read.parquet(f"{out_dir}/filtered"))
-    obs["exact_deduped"] = write_stage_observed(
-        exact, f"{out_dir}/exact_deduped", ("source",)
-    )
+    def stage(name: str, build, partition_by: tuple[str, ...], metrics=None):
+        if resume and _stage_complete(out_dir, name):
+            return  # gate recounts landed rows; no observed entry
+        obs[name] = write_stage_observed(
+            build(), f"{out_dir}/{name}", partition_by, metrics=metrics
+        )
 
-    near = near_dedup_docs(spark.read.parquet(f"{out_dir}/exact_deduped"))
-    obs["near_deduped"] = write_stage_observed(
-        near, f"{out_dir}/near_deduped", ("source",)
+    stage("filtered", lambda: quality_filter(docs, min_quality), ("source",))
+    stage(
+        "exact_deduped",
+        lambda: exact_dedup_docs(spark.read.parquet(f"{out_dir}/filtered")),
+        ("source",),
     )
-
-    scrubbed = scrub_pii(spark.read.parquet(f"{out_dir}/near_deduped"))
-    obs["scrubbed"] = write_stage_observed(
-        scrubbed, f"{out_dir}/scrubbed", ("source",),
+    stage(
+        "near_deduped",
+        lambda: near_dedup_docs(spark.read.parquet(f"{out_dir}/exact_deduped")),
+        ("source",),
+    )
+    stage(
+        "scrubbed",
+        lambda: scrub_pii(spark.read.parquet(f"{out_dir}/near_deduped")),
+        ("source",),
         metrics={
             # free in-flight PII audit: residual raw emails after the
             # scrub must be zero
@@ -157,20 +178,21 @@ def run_corpus_pipeline(
             ),
         },
     )
-
-    packed = split_and_pack(spark.read.parquet(f"{out_dir}/scrubbed"))
-    obs["packed"] = write_stage_observed(
-        packed, f"{out_dir}/packed", ("split", "source"),
+    stage(
+        "packed",
+        lambda: split_and_pack(spark.read.parquet(f"{out_dir}/scrubbed")),
+        ("split", "source"),
         metrics={"total_tokens": F.sum("n_tokens")},
     )
 
     stats = corpus_gate(spark, out_dir, strict=strict, observed=obs)
-    if strict and obs["scrubbed"].get("residual_emails"):
+    if strict and obs.get("scrubbed", {}).get("residual_emails"):
         raise ValueError(
             f"corpus gate: {obs['scrubbed']['residual_emails']} docs "
             "still match the email pattern after the scrub"
         )
-    stats["packed"]["total_tokens"] = obs["packed"]["total_tokens"]
+    if "packed" in obs:
+        stats["packed"]["total_tokens"] = obs["packed"]["total_tokens"]
     return stats
 
 
@@ -184,11 +206,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("sf_dir", help="test-lake directory with documents.parquet")
     ap.add_argument("out_dir", help="stage output directory")
     ap.add_argument("--no-strict", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose _SUCCESS already committed")
     args = ap.parse_args(argv)
 
     spark = get_spark("corpus-pipeline")
     docs = load_table(spark, args.sf_dir, "documents")
-    stats = run_corpus_pipeline(spark, docs, args.out_dir, strict=not args.no_strict)
+    stats = run_corpus_pipeline(
+        spark, docs, args.out_dir,
+        strict=not args.no_strict, resume=args.resume,
+    )
     print(json.dumps(stats))
     return 0
 

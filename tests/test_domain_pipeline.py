@@ -493,3 +493,47 @@ def test_html_cascade_script_style_are_raw_text(spark):
     # the city/salary after the unterminated <script> are dead
     assert b.location != "Korhogo"
     assert b.salary_text is None or "3 FCFA" not in b.salary_text
+
+
+def test_corpus_pipeline_resume_skips_committed_stages(spark, tmp_path, monkeypatch):
+    """resume=True must skip stages whose _SUCCESS committed and redo
+    uncommitted ones: after deleting the last two stage dirs and
+    removing another stage's _SUCCESS, a resumed run recomputes
+    exactly those, reuses the rest, and converges to the identical
+    packed output."""
+    import shutil
+    from pathlib import Path
+
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "resume_corpus")
+    s1 = OC.run_corpus_pipeline(spark, docs, out)
+    packed1 = sorted(
+        map(tuple, spark.read.parquet(f"{out}/packed")
+            .select("doc_id", "split", "bin_idx").collect())
+    )
+
+    # simulate a crash after near_deduped: scrubbed mid-write (no
+    # _SUCCESS), packed never started
+    (Path(out) / "scrubbed" / "_SUCCESS").unlink()
+    shutil.rmtree(f"{out}/packed")
+
+    calls = []
+    orig = OC.write_stage_observed
+
+    def counting(df, path, *a, **kw):
+        calls.append(Path(path).name)
+        return orig(df, path, *a, **kw)
+
+    monkeypatch.setattr(OC, "write_stage_observed", counting)
+    s2 = OC.run_corpus_pipeline(spark, docs, out, resume=True)
+    assert calls == ["scrubbed", "packed"], calls
+    packed2 = sorted(
+        map(tuple, spark.read.parquet(f"{out}/packed")
+            .select("doc_id", "split", "bin_idx").collect())
+    )
+    assert packed1 == packed2
+    for st in ("filtered", "exact_deduped", "near_deduped"):
+        assert s1[st]["rows"] == s2[st]["rows"]

@@ -702,3 +702,55 @@ def test_versioned_merge_upsert_delete_rollback(spark, sf_dir, tmp_path):
     V.rollback(root, 1)
     back = {r["id"]: r["val"] for r in V.read_version(spark, root).collect()}
     assert back == {1: "a", 2: "b", 3: "c"}
+
+
+def test_parquet_rowgroup_stats_skip_on_sorted_column(spark, sf_dir, tmp_path):
+    """Clustering (sort) + parquet min/max stats must let a selective
+    range predicate skip most row groups: the scan's output-rows
+    metric stays near the selected band on the CLUSTERED layout and
+    explodes to ~full-table on a hash-scattered layout. This is the
+    capability compact_stage(cluster_by=...) exists to buy."""
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    n_total = li.count()
+
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+    # clustered: globally sorted on the predicate column
+    li.orderBy("l_extendedprice").coalesce(1).sortWithinPartitions(
+        "l_extendedprice"
+    ).write.option("parquet.block.size", 64 * 1024).parquet(clustered)
+    # scattered: same rows, pseudo-random order
+    li.orderBy(F.expr("hash(l_orderkey, l_quantity)")).coalesce(1).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(scattered)
+    spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    lo, hi = 900.0, 1100.0
+
+    def scan_rows(path):
+        df = spark.read.parquet(path).filter(
+            (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") < hi)
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        # first leaf is the FileSourceScan; its metric counts rows
+        # surviving row-group/page pruning + pushed filters
+        scan = plan
+        while scan.children().size() > 0:
+            scan = scan.children().apply(0)
+        return scan.metrics().apply("numOutputRows").value()
+
+    rows_clustered = scan_rows(clustered)
+    rows_scattered = scan_rows(scattered)
+    n_match = li.filter(
+        (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") < hi)
+    ).count()
+
+    assert rows_clustered < n_total * 0.5, (rows_clustered, n_total)
+    assert rows_clustered < rows_scattered, (rows_clustered, rows_scattered)
+    assert rows_clustered >= n_match
