@@ -67,11 +67,20 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # min-of-N: this box runs with heavy co-tenant load (single-query
+    # swings of 4x run-to-run with byte-identical plans were measured),
+    # so each query executes N times and reports its FASTEST wall —
+    # the number closest to the plan's true cost. N=2 by default.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
-        t0 = time.time()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

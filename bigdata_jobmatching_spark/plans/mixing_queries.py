@@ -792,5 +792,5 @@ register(QuerySpec(
     "deterministic distributed global shuffle for training export: LCG "
     "key -> bucket routing + bounded within-bucket ranks (no "
     "single-partition window)",
-    ("mixing", "window"),
+    ("mixing", "window", "bench"),
 ))

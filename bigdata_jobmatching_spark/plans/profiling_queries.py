@@ -162,5 +162,5 @@ register(QuerySpec(
     "join-key skew pre-flight: cardinality, heaviest key, hot-key "
     "census (integer 2x-mean rule) and exact load shares per candidate "
     "shuffle key",
-    ("profiling", "agg", "skew"),
+    ("profiling", "agg", "skew", "bench"),
 ))
