@@ -444,3 +444,78 @@ def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
     nulls = {p for p, c in got if c is None}
     matched = {p for p, c in got if c is not None}
     assert nulls and matched
+
+
+def test_stream_upsert_dimension_versions_and_restart(spark, sf_dir, tmp_path):
+    """Change feed -> versioned SCD1 dimension: per-batch MERGE with
+    intra-batch latest-wins collapse, one atomic version per
+    micro-batch, rollback to any point, and a checkpointed RESTART
+    leaves the current table unchanged."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+    from bigdata_jobmatching_spark.streaming.upsert_sink import (
+        stream_upsert_dimension,
+    )
+
+    root = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    V.write_version(base, root)
+
+    import datetime as dt
+
+    d = dt.datetime
+    # two parquet files -> two micro-batches (maxFilesPerTrigger=1);
+    # key 2 changes twice inside batch A (latest 'B2' must win)
+    feed_a = spark.createDataFrame(
+        [
+            (2, "B1", d(2024, 1, 1, 10), 100, False),
+            (2, "B2", d(2024, 1, 1, 11), 101, False),
+            (4, "d", d(2024, 1, 1, 10), 102, False),
+        ],
+        "id long, val string, ts timestamp, change_id long, deleted boolean",
+    )
+    feed_b = spark.createDataFrame(
+        [(1, None, d(2024, 1, 2, 9), 200, True)],
+        "id long, val string, ts timestamp, change_id long, deleted boolean",
+    )
+    src = str(tmp_path / "feed")
+    feed_a.coalesce(1).write.mode("append").parquet(src)
+    feed_b.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    ck = str(tmp_path / "ck_upsert")
+    q = stream_upsert_dimension(
+        spark, stream, root, ("id",), "ts", "change_id", ck,
+        delete_col="deleted",
+    )
+    q.awaitTermination(180)
+
+    got = {r["id"]: r["val"] for r in V.read_version(spark, root).collect()}
+    # batch order is file order, but the END state is order-independent
+    # here: 2->B2 (latest wins), 4 inserted, 1 deleted
+    assert got == {2: "B2", 3: "c", 4: "d"}
+    assert V.current_version(root) == 3  # base + one per micro-batch
+
+    # restart over the same checkpoint: no new epochs, no new versions
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q2 = stream_upsert_dimension(
+        spark, stream2, root, ("id",), "ts", "change_id", ck,
+        delete_col="deleted",
+    )
+    q2.awaitTermination(180)
+    assert V.current_version(root) == 3
+    assert {r["id"]: r["val"] for r in V.read_version(spark, root).collect()} == got
+
+    # rollback to pre-delete state
+    V.rollback(root, 2)
+    assert {r["id"]: r["val"] for r in V.read_version(spark, root).collect()} == {
+        1: "a", 2: "B2", 3: "c", 4: "d"
+    }
