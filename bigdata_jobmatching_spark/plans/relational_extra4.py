@@ -5,9 +5,11 @@ group through a 6-way star join), Q9 (multi-fact profit rollup), Q10
 correlated existence, rewritten as a scalable two-level aggregate and
 value-proven against a literal EXISTS/NOT-EXISTS oracle).
 
-Q2/Q12/Q20 and the verbatim Q9/Q21 need partsupp / l_commitdate /
-l_receiptdate / l_shipmode, which the test tables do not carry; the
-variants here keep the same plan shapes on the columns that exist.
+Q12 and the verbatim Q9/Q21 need l_commitdate / l_receiptdate /
+l_shipmode, which the test tables do not carry; those variants keep
+the same plan shapes on the columns that exist. Q2/Q20 get the full
+shape via a deterministically SYNTHESIZED partsupp (closed-form key
+arithmetic mirrored in the oracle, so values are still hash-checked).
 """
 
 from __future__ import annotations
@@ -253,4 +255,193 @@ register(QuerySpec(
     "Q21 shape: double correlated existence, aggregate rewrite proven "
     "against a literal EXISTS/NOT-EXISTS oracle)",
     ("relational", "join", "subquery", "bench"),
+))
+
+
+# --- synthesized partsupp: the missing TPC-H table ------------------------
+# The test lake carries no partsupp, so Q2/Q20 were inexpressible.
+# Their distinctive optimizer shapes (correlated MIN subquery;
+# semi-join on a computed threshold) matter more than the literal
+# rows, so partsupp is SYNTHESIZED deterministically from part x
+# supplier key arithmetic — identical closed-form on the Spark side
+# and in the oracle SQL, so every value is still hash-verified.
+# ~4 suppliers per part: s = (p*7 + i*13 + 1) mod NS, i in 0..3
+# (deduped); cost/avail are planted integer formulas.
+
+_PS_FANOUT = 4
+
+
+def _synth_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").select("p_partkey")
+    ns = load_table(spark, sf, "supplier").agg(
+        F.count(F.lit(1)).alias("ns"))
+    return (
+        p.crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(_PS_FANOUT)])).alias("i"),
+            "ns",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13 + 1) % F.col("ns"))
+            .alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey", "ps_suppkey",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000000 + 1)
+            .alias("ps_supplycost_cents"),
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 5) % 10000 + 1)
+            .alias("ps_availqty"),
+        )
+    )
+
+
+_PS_SQL = f"""
+ps AS (
+  SELECT ps_partkey, ps_suppkey,
+    (ps_partkey * 31 + ps_suppkey * 17) % 1000000 + 1 AS ps_supplycost_cents,
+    (ps_partkey * 13 + ps_suppkey * 5) % 10000 + 1 AS ps_availqty
+  FROM (
+    SELECT DISTINCT p_partkey AS ps_partkey,
+      (p_partkey * 7 + i * 13 + 1) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+    FROM part, UNNEST([{", ".join(str(i) for i in range(_PS_FANOUT))}]) AS t(i)
+  )
+)"""
+
+
+# --- min_cost_suppliers: TPC-H Q2 shape -----------------------------------
+# Min-cost supplier per EUROPE part of one size: the correlated MIN
+# subquery. Spark side: the per-part minimum is a window over the
+# region-filtered partsupp (one shuffle on partkey), then an equality
+# filter — the decorrelated form every planner rewrites Q2 into; the
+# oracle keeps the literal correlated subquery.
+
+def _q2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ps = _synth_partsupp(spark, sf)
+    p = load_table(spark, sf, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(eu_supp, ps.ps_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        j.withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+    )
+
+
+_Q2_SQL = (
+    "WITH " + _PS_SQL + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+  ps_supplycost_cents AS supplycost_cents
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps2.ps_supplycost_cents)
+    FROM ps ps2
+    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+)
+
+register(QuerySpec(
+    "min_cost_suppliers", _q2, _Q2_SQL,
+    "min-cost supplier per part in a region (TPC-H Q2 shape: window "
+    "decorrelation vs the oracle's literal correlated MIN subquery; "
+    "partsupp synthesized deterministically)",
+    ("relational", "join", "subquery", "window"),
+))
+
+
+# --- excess_stock_suppliers: TPC-H Q20 shape ------------------------------
+# Suppliers in one nation holding excess stock of widget parts:
+# ps_availqty > 0.5 * the 1997 shipped quantity of that (part,
+# supplier). Integer cross-multiplication (2*avail > shipped) keeps it
+# exact; the threshold aggregate joins at (part, supplier) grain and
+# the supplier projection is a final left-semi join — Q20's
+# nested-EXISTS chain in its scalable decorrelated form (oracle keeps
+# the nested IN/correlated form).
+
+def _q20(spark: SparkSession, sf: str) -> DataFrame:
+    ps = _synth_partsupp(spark, sf)
+    p = load_table(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load_table(spark, sf, "supplier")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    excess = (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+            "left",
+        )
+        # never-shipped pairs count as zero shipped and always qualify
+        .filter(2 * F.col("ps_availqty") > F.coalesce(F.col("qty"), F.lit(0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q20_SQL = (
+    "WITH " + _PS_SQL + """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      AND 2 * ps_availqty > (
+        SELECT COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+      )
+  )
+"""
+)
+
+register(QuerySpec(
+    "excess_stock_suppliers", _q20, _Q20_SQL,
+    "region suppliers with excess stock vs a year's shipments (TPC-H Q20 "
+    "shape: nested IN + correlated threshold, decorrelated to "
+    "aggregate + semi-join; integer cross-multiplied threshold)",
+    ("relational", "join", "subquery"),
 ))
