@@ -434,3 +434,65 @@ def test_prefix_filter_lossless_on_random_sets(spark, sets, th):
             if inter * den >= union * num:
                 brute.add((i, j, inter / union))
     assert fast == brute
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 9), st.booleans()),
+                min_size=1, max_size=4,
+            )),
+            st.tuples(st.just("rollback"), st.integers(0, 100)),
+        ),
+        min_size=1, max_size=5,
+    )
+)
+def test_versioned_merge_matches_dict_model(spark, tmp_path_factory, ops):
+    """Model-based check of the versioned-stage MERGE layer: a random
+    sequence of merges (upsert/delete) and rollbacks must track a
+    plain dict model exactly, version for version."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    root = str(tmp_path_factory.mktemp("vm") / "t")
+    base = {1: 100, 2: 200}
+    V.write_version(
+        spark.createDataFrame(sorted(base.items()), "id long, val long"), root
+    )
+    model = dict(base)
+    history = {1: dict(base)}
+
+    for op in ops:
+        if op[0] == "merge":
+            rows = op[1]
+            # collapse duplicates within one merge batch: LAST wins in
+            # the model; give the engine an unambiguous batch instead
+            # (one row per key) since merge_version's contract is
+            # one-update-per-key (the streaming sink pre-collapses)
+            batch = {}
+            for k, v, deleted in rows:
+                batch[k] = (v, deleted)
+            upd = [(k, v, d) for k, (v, d) in sorted(batch.items())]
+            V.merge_version(
+                spark, root,
+                spark.createDataFrame(upd, "id long, val long, deleted boolean"),
+                ("id",), delete_col="deleted",
+            )
+            for k, (v, d) in batch.items():
+                if d:
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+        else:
+            vs = sorted(history)
+            target = vs[op[1] % len(vs)]
+            V.rollback(root, target)
+            model = dict(history[target])
+        cur = V.current_version(root)
+        history[cur] = dict(model)
+        got = {
+            r["id"]: r["val"]
+            for r in V.read_version(spark, root).collect()
+        }
+        assert got == model, (got, model, op)

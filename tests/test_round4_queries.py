@@ -754,3 +754,14 @@ def test_parquet_rowgroup_stats_skip_on_sorted_column(spark, sf_dir, tmp_path):
     assert rows_clustered < n_total * 0.5, (rows_clustered, n_total)
     assert rows_clustered < rows_scattered, (rows_clustered, rows_scattered)
     assert rows_clustered >= n_match
+
+
+def test_fuzz_cross_engine_equivalence(spark, sf_dir):
+    """Seeded mini-SQLancer: 25 random filter/group/aggregate ASTs
+    rendered to both engines must value-hash-identically (attacks the
+    space between the hand-written oracled queries; a failure here is
+    the round-3 divergence class)."""
+    from tools.fuzz_equivalence import run_fuzz
+
+    failures = run_fuzz(25, seed=42, sf_dir=sf_dir, spark=spark, verbose=False)
+    assert failures == [], failures
