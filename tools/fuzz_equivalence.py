@@ -12,7 +12,8 @@ loudly on.
 The AST stays inside the repo's determinism conventions by
 construction: sums of money go through per-row DECIMAL casts,
 quantities aggregate as BIGINT, and only total-order-safe outputs are
-produced (group keys + aggregates, no LIMIT). Seeded: the same seed
+produced (group keys + aggregates; ORDER BY+LIMIT only with a
+unique-key tie-break). Seeded: the same seed
 always generates the same queries, so a CI failure reproduces.
 
 Usage:
@@ -103,6 +104,48 @@ _AGGS = [
 ]
 
 
+_DOC_PREDS = [
+    ("lang IN ('en', 'fr')", "lang IN ('en', 'fr')"),
+    ("lang = 'en'", "lang = 'en'"),
+    ("n_chars >= {lo} AND n_chars < {hi}", "n_chars >= {lo} AND n_chars < {hi}"),
+    ("source LIKE 'src1%'", "source LIKE 'src1%'"),
+    ("text LIKE '%table%'", "text LIKE '%table%'"),
+]
+
+
+def gen_doc_case(rng: random.Random) -> dict:
+    """Documents-table variant: string predicates, LIKE patterns,
+    length bands, optional HAVING and deterministic ORDER BY+LIMIT."""
+    n_preds = rng.randrange(1, 3)
+    preds = []
+    for _ in range(n_preds):
+        t = rng.choice(_DOC_PREDS)
+        lo = rng.randrange(0, 400)
+        hi = lo + rng.randrange(50, 400)
+        preds.append((t[0].format(lo=lo, hi=hi), t[1].format(lo=lo, hi=hi)))
+    joiner = " OR " if rng.random() < 0.3 else " AND "
+    where_s = joiner.join(f"({p[0]})" for p in preds)
+
+    group = rng.choice(["source", "lang", None])
+    having = ""
+    order = ""
+    if group:
+        sel = (f"{group}, COUNT(*) AS n_docs, "
+               f"SUM(CAST(n_chars AS BIGINT)) AS total_chars")
+        gb = " GROUP BY 1"
+        if rng.random() < 0.5:
+            having = f" HAVING COUNT(*) >= {rng.randrange(1, 5)}"
+        if rng.random() < 0.5:
+            # deterministic top-k: unique group key breaks all ties
+            order = f" ORDER BY n_docs DESC, {group} LIMIT {rng.randrange(1, 6)}"
+    else:
+        sel = ("COUNT(*) AS n_docs, "
+               "COALESCE(SUM(CAST(n_chars AS BIGINT)), CAST(0 AS BIGINT)) AS total_chars")
+        gb = ""
+    sql_s = f"SELECT {sel} FROM documents WHERE {where_s}{gb}{having}{order}"
+    return {"spark_sql": sql_s, "duck_sql": sql_s}
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random AST rendered to (spark plan builder args, duckdb sql)."""
     with_orders = rng.random() < 0.4
@@ -161,15 +204,15 @@ def run_fuzz(n_cases: int = 25, seed: int = 42, sf_dir: str = "/root/testdata/sf
     from tools.check_oracle import row_hashes
 
     spark = spark or get_spark("fuzz-equivalence")
-    register_views(spark, sf_dir, "lineitem", "orders")
+    register_views(spark, sf_dir, "lineitem", "orders", "documents")
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     rng = random.Random(seed)
     failures = []
     for i in range(n_cases):
-        case = gen_case(rng)
+        case = gen_doc_case(rng) if rng.random() < 0.35 else gen_case(rng)
         sdf = spark.sql(case["spark_sql"])
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
