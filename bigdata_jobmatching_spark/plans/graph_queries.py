@@ -206,3 +206,29 @@ register(QuerySpec(
     "early-stopping loop value-proven against a fixed CTE unroll)",
     ("graph", "iterative"),
 ))
+
+
+# --- copurchase_als_latent_recs: MLlib ALS recommender --------------------
+# Latent-factor top-5 per order over the implicit purchase matrix —
+# the model-based complement to the exact item-item Jaccard recs
+# (copurchase_jaccard_recs). Seeded/iterative float factorization has
+# no cross-engine oracle (rows-only); the invariants (output grain,
+# in-user score ordering, held-out hit-rate above zero, seed
+# reproducibility) live in tests/test_round4_queries.py.
+
+def _als_recs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recommend import als_recommendations, purchase_matrix
+    from ..sources.io import load_table
+
+    m = purchase_matrix(load_table(spark, sf, "lineitem"))
+    return als_recommendations(m, k=5, max_iter=5).select(
+        "user", "rec_rank", "item"
+    )
+
+
+register(QuerySpec(
+    "copurchase_als_latent_recs", _als_recs, None,
+    "implicit-feedback ALS top-5 recommendations per order (MLlib "
+    "latent factors; rows-only — invariant+holdout tested)",
+    ("graph", "ml", "iterative"),
+))

@@ -765,3 +765,65 @@ def test_fuzz_cross_engine_equivalence(spark, sf_dir):
 
     failures = run_fuzz(25, seed=42, sf_dir=sf_dir, spark=spark, verbose=False)
     assert failures == [], failures
+
+
+# --- ALS recommender invariants ------------------------------------------
+
+def test_als_recommendations_shape_and_order(spark, sf_dir):
+    """Implicit-ALS invariants: fixed (user x k) output grain, scores
+    descending within user, recommended items come from the catalog."""
+    from bigdata_jobmatching_spark.operators.recommend import (
+        als_recommendations, purchase_matrix,
+    )
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    m = purchase_matrix(load_table(spark, sf_dir, "lineitem"))
+    k = 3
+    recs = als_recommendations(m, k=k, max_iter=3).collect()
+    n_users = m.select("user").distinct().count()
+    assert len(recs) == n_users * k
+    by_user = {}
+    for r in recs:
+        by_user.setdefault(r["user"], []).append(r)
+    items = {r["item"] for r in m.select("item").distinct().collect()}
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["rec_rank"])
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["item"] in items for r in rows)
+
+
+def test_als_beats_popularity_on_heldout(spark, sf_dir):
+    """The factor model must carry signal: hit-rate@5 on held-out
+    purchases beats recommending nothing (>0) — a weak but honest
+    floor for a 3-iteration model on synthetic data — and training is
+    seed-reproducible at the output grain."""
+    from bigdata_jobmatching_spark.operators.recommend import (
+        als_recommendations, purchase_matrix,
+    )
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    m = purchase_matrix(load_table(spark, "/root/testdata/sf0.01", "lineitem"))
+    # hold out each user's highest-item-id purchase, train on the rest
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user")
+    flagged = m.withColumn("mx", F.max("item").over(w))
+    train = flagged.filter(F.col("item") != F.col("mx")).drop("mx")
+    held = flagged.filter(F.col("item") == F.col("mx")).drop("mx")
+
+    recs = als_recommendations(train, k=5, max_iter=5)
+    hits = (
+        recs.join(
+            held.withColumnRenamed("item", "held_item").select("user", "held_item"),
+            ["user"],
+        )
+        .filter(F.col("item") == F.col("held_item"))
+        .count()
+    )
+    assert hits > 0
+
+    again = als_recommendations(train, k=5, max_iter=5)
+    a = {(r["user"], r["rec_rank"], r["item"]) for r in recs.collect()}
+    b = {(r["user"], r["rec_rank"], r["item"]) for r in again.collect()}
+    assert a == b
