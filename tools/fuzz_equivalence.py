@@ -146,6 +146,43 @@ def gen_doc_case(rng: random.Random) -> dict:
     return {"spark_sql": sql_s, "duck_sql": sql_s}
 
 
+def gen_leftjoin_case(rng: random.Random) -> dict:
+    """orders LEFT JOIN lineitem with a join-side filter that makes
+    some orders childless: COUNT(col) vs COUNT(*) vs SUM over NULL
+    groups — the null-counting semantics corner."""
+    lo = rng.randrange(30, 50)
+    y = rng.randrange(1995, 2000)
+    sub = (f"SELECT l_orderkey, l_quantity FROM lineitem "
+           f"WHERE l_quantity >= {lo} AND l_shipdate >= TIMESTAMP '{y}-01-01'")
+    sql = (f"SELECT o_orderpriority, COUNT(*) AS n_rows, "
+           f"COUNT(l_orderkey) AS n_lines, "
+           f"COALESCE(SUM(CAST(l_quantity AS BIGINT)), CAST(0 AS BIGINT)) AS sum_qty "
+           f"FROM orders LEFT JOIN ({sub}) li ON o_orderkey = li.l_orderkey "
+           f"GROUP BY 1")
+    return {"spark_sql": sql, "duck_sql": sql}
+
+
+_SCALARS = [
+    # identical semantics in both engines on non-null input
+    ("len_t", "length(text)", "length(text)"),
+    ("up_lang", "upper(lang)", "upper(lang)"),
+    ("sub_src", "substr(source, 1, 4)", "substr(source, 1, 4)"),
+    ("rep_t", "length(replace(text, 'a', ''))", "length(replace(text, 'a', ''))"),
+    ("trim_l", "trim(lang)", "trim(lang)"),
+    ("low_src", "lower(source)", "lower(source)"),
+]
+
+
+def gen_scalar_case(rng: random.Random) -> dict:
+    """Row-level scalar projection over documents — string function
+    semantics compared value-for-value on every row."""
+    picks = rng.sample(_SCALARS, rng.randrange(2, 5))
+    sel = ", ".join(["doc_id"] + [f"{e} AS {n}" for n, e, _ in picks])
+    lo = rng.randrange(0, 300)
+    sql = f"SELECT {sel} FROM documents WHERE n_chars >= {lo}"
+    return {"spark_sql": sql, "duck_sql": sql}
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random AST rendered to (spark plan builder args, duckdb sql)."""
     with_orders = rng.random() < 0.4
@@ -212,7 +249,15 @@ def run_fuzz(n_cases: int = 25, seed: int = 42, sf_dir: str = "/root/testdata/sf
     rng = random.Random(seed)
     failures = []
     for i in range(n_cases):
-        case = gen_doc_case(rng) if rng.random() < 0.35 else gen_case(rng)
+        roll = rng.random()
+        if roll < 0.25:
+            case = gen_doc_case(rng)
+        elif roll < 0.40:
+            case = gen_scalar_case(rng)
+        elif roll < 0.52:
+            case = gen_leftjoin_case(rng)
+        else:
+            case = gen_case(rng)
         sdf = spark.sql(case["spark_sql"])
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
