@@ -537,3 +537,56 @@ def test_corpus_pipeline_resume_skips_committed_stages(spark, tmp_path, monkeypa
     assert packed1 == packed2
     for st in ("filtered", "exact_deduped", "near_deduped"):
         assert s1[st]["rows"] == s2[st]["rows"]
+
+
+def test_html_cascade_quoted_gt_dup_attrs_tag_soup(spark):
+    # Fourth hostile round: '>' INSIDE quoted attribute values must not
+    # terminate the tag scan, duplicated attributes resolve to the
+    # FIRST occurrence (html.parser/bs4 behavior), interleaved
+    # (tag-soup) inline tags still yield the flattened text, and a
+    # hook whose class list merely CONTAINS the target token as a
+    # substring of another token must not match.
+    quoted_gt = """<html><body>
+    <h1 data-note="a > b" class="job-title">Chef de Projet SI</h1>
+    <div title="x>y>z" class="company-name">Orange CI</div>
+    <div class="job-description" data-arrow="=>">Cadrage des projets SI,
+    animation des comites et suivi budgetaire des programmes.</div>
+    <span class="location" data-geo="5>4">Abidjan Plateau</span>
+    <b data-x="1>2" class="salary">1 200 000 FCFA</b>
+    </body></html>"""
+    dup_attrs = """<html><body>
+    <h1 class="job-title" class="decoy-title">Auditeur Interne</h1>
+    <div class="company-name" class="other">Deloitte CI</div>
+    <div class="job-description">Missions d'audit operationnel et financier
+    dans les filiales, redaction des rapports de synthese.</div>
+    <span class="location">Cocody</span>
+    </body></html>"""
+    tag_soup_and_substring = """<html><body>
+    <h1 class="job-titles-archive">Vieille Offre</h1>
+    <h1 class="job-title"><b>Resp<i>onsable</b> RH</i></h1>
+    <div class="company-names-list">Fake Inc</div>
+    <div class="company-name">PwC Afrique</div>
+    <div class="job-description">Gestion des <b><i>carrieres</b></i> et du
+    developpement des competences pour la region.</div>
+    </body></html>"""
+    df = spark.createDataFrame(
+        [("{}", quoted_gt), ("{}", dup_attrs), ("{}", tag_soup_and_substring)],
+        "metadata string, html string",
+    )
+    a, b, c = P.parse_html_fields(df).collect()
+    assert a.title == "Chef de Projet SI"
+    assert a.company == "Orange CI"
+    assert a.location == "Abidjan Plateau"
+    assert a.salary_text == "1 200 000 FCFA"
+    assert "Cadrage des projets SI" in a.description
+
+    # duplicated class attr: first one wins, so the hooks still match
+    assert b.title == "Auditeur Interne"
+    assert b.company == "Deloitte CI"
+    assert b.location == "Cocody"
+
+    # 'job-titles-archive' / 'company-names-list' are NOT class-token
+    # matches for job-title/company-name; interleaved tags flatten
+    assert c.title == "Responsable RH"
+    assert c.company == "PwC Afrique"
+    assert "carrieres" in c.description
