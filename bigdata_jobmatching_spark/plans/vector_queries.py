@@ -646,3 +646,74 @@ register(QuerySpec(
     "mean-affinity sums over the fixed-centroid assignment",
     ("vector", "ivf", "audit"),
 ))
+
+
+# --- embedding_cross_moments: exact E[x_i * x_j] matrix -------------------
+# The covariance/PCA-whitening input: upper-triangle cross moments of
+# the first _XM_DIMS dimensions. Each row fans out to D*(D+1)/2
+# (i, j>=i) pairs via posexplode + an index-offset slice, products go
+# through the same decimal(18,9)->decimal(38,18) discipline as
+# embedding_dim_stats, and the final matrix is <=136 rows after a
+# map-side-combinable aggregate. At 100 TB the fanout is bounded by
+# slicing to the dims of interest, not the native width; the pair key
+# space (136) keeps the exchange trivial. Together with
+# embedding_dim_stats' means this is the full covariance estimate.
+
+_XM_DIMS = 16
+
+
+def _cross_moments(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.io import fan_out
+
+    e = fan_out(load_table(spark, sf, "embeddings"))
+    head = F.slice("embedding", 1, _XM_DIMS)
+    d1 = e.select(F.posexplode(head).alias("i0", "vi"), head.alias("h"))
+    # pairs (i, j >= i): slice the tail starting at this i
+    d2 = d1.select(
+        "i0", "vi",
+        F.posexplode(F.expr(f"slice(h, i0 + 1, {_XM_DIMS})")).alias("j_off", "vj"),
+    )
+    # floor-quantize to integer micro-units BEFORE multiplying: the
+    # double->decimal cast rounds half-up-on-shortest-string in Spark
+    # vs half-even-on-binary in DuckDB (measured 1-ulp divergence);
+    # floor(v * 1e6) is a single correctly-rounded multiply + an exact
+    # floor, identical everywhere, and the integer products sum
+    # exactly in DECIMAL(38,0)
+    qi = F.floor(F.col("vi").cast("double") * 1000000).cast("long")
+    qj = F.floor(F.col("vj").cast("double") * 1000000).cast("long")
+    return (
+        d2.groupBy(
+            F.col("i0").alias("i"),
+            (F.col("i0") + F.col("j_off")).alias("j"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((qi * qj).cast("decimal(38,0)")).cast("double")
+            .alias("sxy_micro2"),
+        )
+    )
+
+
+_XM_SQL = f"""
+WITH a AS (
+  SELECT vec_id, unnest(generate_series(0, {_XM_DIMS - 1})) AS i,
+         unnest(embedding[1:{_XM_DIMS}]::DOUBLE[]) AS vi
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, unnest(generate_series(0, {_XM_DIMS - 1})) AS j,
+         unnest(embedding[1:{_XM_DIMS}]::DOUBLE[]) AS vj
+  FROM embeddings
+)
+SELECT a.i, b.j, COUNT(*) AS n,
+  CAST(SUM(CAST(CAST(floor(a.vi * 1000000) AS BIGINT) * CAST(floor(b.vj * 1000000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxy_micro2
+FROM a JOIN b ON a.vec_id = b.vec_id AND b.j >= a.i
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "embedding_cross_moments", _cross_moments, _XM_SQL,
+    f"exact upper-triangle cross-moment matrix of the first {_XM_DIMS} "
+    "embedding dims (covariance/PCA input; bounded posexplode fanout)",
+    ("vector", "agg"),
+))
