@@ -393,3 +393,74 @@ register(QuerySpec(
     "rank formula, half-up cent quantization)",
     ("analytics", "window", "agg", "bench"),
 ))
+
+
+# --- weighted_median_price: exact weighted median via cumsum window -------
+# Per (returnflag, linestatus): the quantity-weighted median of
+# l_extendedprice — the lower weighted median (smallest price whose
+# cumulative weight reaches half the total), a total-order-unique
+# definition both engines compute identically from exact integers
+# (prices as half-up cents, weights as int64). Shape: one shuffle to
+# the group key for the cumulative window (value-ordered within
+# group), then an argmin aggregate — at 100 TB the window partitions
+# are per-group and the 2x-cumweight >= total test is integer
+# cross-multiplication, no float averaging.
+
+def _weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = ["l_returnflag", "l_linestatus"]
+    win = (
+        Window.partitionBy(*g)
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # collapse equal prices first so the cumsum order is total
+    per_price = li.groupBy(*g, "price_cents").agg(F.sum("w").alias("pw"))
+    cum = per_price.withColumn("cw", F.sum("pw").over(win)).withColumn(
+        "tot", F.sum("pw").over(Window.partitionBy(*g))
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy(*g)
+        .agg(
+            F.min("price_cents").alias("median_price_cents"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+_WMEDIAN_SQL = """
+WITH per_price AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+    SUM(CAST(l_quantity AS BIGINT)) AS pw
+  FROM lineitem GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT l_returnflag, l_linestatus, price_cents, pw,
+    SUM(pw) OVER (PARTITION BY l_returnflag, l_linestatus
+                  ORDER BY price_cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(pw) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+  FROM per_price
+)
+SELECT l_returnflag, l_linestatus,
+  MIN(price_cents) AS median_price_cents,
+  MAX(tot) AS total_weight
+FROM cum WHERE 2 * cw >= tot
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "weighted_median_price", _weighted_median, _WMEDIAN_SQL,
+    "exact quantity-weighted lower median price per (flag, status) — "
+    "cumulative-weight window + integer cross-multiplied half test",
+    ("analytics", "window", "agg"),
+))
