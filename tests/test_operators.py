@@ -63,11 +63,14 @@ def test_every_bench_query_has_oracle_or_reason(spark):
     reg = load_all()
     for name, spec in reg.items():
         if spec.oracle is None:
-            # rows-only checks are limited to hash/sketch/approx ops
-            # plus imperative grouped-map operators (mutable per-group
-            # state, not SQL-expressible; invariant-tested instead)
+            # rows-only checks are limited to hash/sketch/approx ops,
+            # imperative grouped-map operators (mutable per-group
+            # state, not SQL-expressible; invariant-tested instead),
+            # and seeded iterative ML factorizations (float factors
+            # have no cross-engine oracle; invariant+holdout tested)
             assert any(
-                t in spec.tags for t in ("lsh", "simhash", "approx", "imperative")
+                t in spec.tags
+                for t in ("lsh", "simhash", "approx", "imperative", "ml")
             ), name
 
 
