@@ -61,23 +61,41 @@ def run_staged_pipeline(
     raw_offers: DataFrame,
     out_dir: str,
     strict: bool = True,
+    resume: bool = False,
 ) -> dict:
     """The reference's chain with per-stage parquet landings and the
-    quality gate; returns the gate stats."""
-    normalized = P.normalize_offers(raw_offers)
-    write_stage(normalized, f"{out_dir}/jobs_parsed", ("source",))
+    quality gate; returns the gate stats. ``resume=True`` skips stages
+    whose _SUCCESS marker already committed (same restart discipline
+    as the corpus chain — every stage is deterministic, so a resumed
+    run cannot fork)."""
+    from pathlib import Path
 
-    with_skills = P.extract_skills(spark, spark.read.parquet(f"{out_dir}/jobs_parsed"))
-    write_stage(with_skills, f"{out_dir}/skills_enriched", ("source",))
+    def committed(name: str) -> bool:
+        return resume and (Path(out_dir) / name / "_SUCCESS").exists()
 
-    with_salary = P.enrich_salary(spark.read.parquet(f"{out_dir}/skills_enriched"))
-    write_stage(with_salary, f"{out_dir}/salaries_enriched", ("source",))
+    if not committed("jobs_parsed"):
+        write_stage(P.normalize_offers(raw_offers),
+                    f"{out_dir}/jobs_parsed", ("source",))
 
-    deduped = P.dedup_offers(spark.read.parquet(f"{out_dir}/salaries_enriched"))
-    write_stage(deduped, f"{out_dir}/deduplicated", ("source",))
+    if not committed("skills_enriched"):
+        with_skills = P.extract_skills(
+            spark, spark.read.parquet(f"{out_dir}/jobs_parsed"))
+        write_stage(with_skills, f"{out_dir}/skills_enriched", ("source",))
 
-    with_sectors = P.enrich_sectors(spark, spark.read.parquet(f"{out_dir}/deduplicated"))
-    write_stage(with_sectors, f"{out_dir}/sectors_enriched", ("source",))
+    if not committed("salaries_enriched"):
+        with_salary = P.enrich_salary(
+            spark.read.parquet(f"{out_dir}/skills_enriched"))
+        write_stage(with_salary, f"{out_dir}/salaries_enriched", ("source",))
+
+    if not committed("deduplicated"):
+        deduped = P.dedup_offers(
+            spark.read.parquet(f"{out_dir}/salaries_enriched"))
+        write_stage(deduped, f"{out_dir}/deduplicated", ("source",))
+
+    if not committed("sectors_enriched"):
+        with_sectors = P.enrich_sectors(
+            spark, spark.read.parquet(f"{out_dir}/deduplicated"))
+        write_stage(with_sectors, f"{out_dir}/sectors_enriched", ("source",))
 
     wh = P.build_warehouse(spark, spark.read.parquet(f"{out_dir}/sectors_enriched"))
     P.write_warehouse(wh, f"{out_dir}/warehouse")

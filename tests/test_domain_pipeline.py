@@ -590,3 +590,34 @@ def test_html_cascade_quoted_gt_dup_attrs_tag_soup(spark):
     assert c.title == "Responsable RH"
     assert c.company == "PwC Afrique"
     assert "carrieres" in c.description
+
+
+def test_domain_pipeline_resume_parity(spark, raw, tmp_path, monkeypatch):
+    """The domain chain's resume must skip committed stages and
+    converge to the same warehouse as a fresh run."""
+    from pathlib import Path
+
+    from bigdata_jobmatching_spark import orchestrate as O
+
+    out = str(tmp_path / "dom")
+    O.run_staged_pipeline(spark, raw, out)
+    wh1 = sorted(
+        map(tuple, spark.read.parquet(f"{out}/warehouse/fact_offres").collect())
+    )
+
+    # crash simulation: sectors stage uncommitted
+    (Path(out) / "sectors_enriched" / "_SUCCESS").unlink()
+    calls = []
+    orig = O.write_stage
+
+    def counting(df, path, *a, **kw):
+        calls.append(Path(path).name)
+        return orig(df, path, *a, **kw)
+
+    monkeypatch.setattr(O, "write_stage", counting)
+    O.run_staged_pipeline(spark, raw, out, resume=True)
+    assert calls == ["sectors_enriched"], calls
+    wh2 = sorted(
+        map(tuple, spark.read.parquet(f"{out}/warehouse/fact_offres").collect())
+    )
+    assert wh1 == wh2
