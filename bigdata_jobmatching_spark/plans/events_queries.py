@@ -1136,3 +1136,153 @@ register(QuerySpec(
     "int64 moment sums, signed half-away-from-zero 6dp division",
     ("events", "agg", "regression", "bench"),
 ))
+
+
+# --- events_sequence_match: view -> click -> purchase within gaps ---------
+# MATCH_RECOGNIZE-style 3-step pattern: a view completes if the SAME
+# user's EARLIEST following click lands within 30 min, and the
+# earliest purchase after that click lands within another 30 min.
+# "Earliest-next" makes the match deterministic (no combinatorial
+# pairing): each step is an equi-join on user_id carrying the time
+# band, reduced by a min() aggregate at the anchor grain before the
+# next step — never an exploding multi-way product. At 100 TB the
+# user-key join carries the range predicate; a celebrity user routes
+# through the bucketed interval join (operators/temporal.py) instead.
+
+_SEQ_GAP_MS = 30 * 60 * 1000
+
+
+def _seq_match(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms"),
+        F.to_date("ts").alias("day"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ms").alias("v_ms"), "day",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ms").alias("c_ms"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ms").alias("p_ms"))
+
+    first_click = (
+        views.join(
+            clicks,
+            (views.user_id == clicks.cu)
+            & (clicks.c_ms > views.v_ms)
+            & (clicks.c_ms <= views.v_ms + _SEQ_GAP_MS),
+        )
+        .groupBy("user_id", "view_id", "v_ms", "day")
+        .agg(F.min("c_ms").alias("first_c_ms"))
+    )
+    completed = (
+        first_click.join(
+            purchases,
+            (first_click.user_id == purchases.pu)
+            & (purchases.p_ms > first_click.first_c_ms)
+            & (purchases.p_ms <= first_click.first_c_ms + _SEQ_GAP_MS),
+        )
+        .groupBy("user_id", "view_id", "day")
+        .agg(F.min("p_ms").alias("first_p_ms"))
+    )
+    return completed.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_SEQ_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms, CAST(ts AS DATE) AS day
+  FROM events
+),
+first_click AS (
+  SELECT v.user_id, v.event_id AS view_id, v.ms AS v_ms, v.day,
+         MIN(c.ms) AS first_c_ms
+  FROM ev v
+  JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+    AND c.ms > v.ms AND c.ms <= v.ms + {_SEQ_GAP_MS}
+  WHERE v.event_type = 'view'
+  GROUP BY 1, 2, 3, 4
+),
+completed AS (
+  SELECT f.user_id, f.view_id, f.day, MIN(p.ms) AS first_p_ms
+  FROM first_click f
+  JOIN ev p ON p.user_id = f.user_id AND p.event_type = 'purchase'
+    AND p.ms > f.first_c_ms AND p.ms <= f.first_c_ms + {_SEQ_GAP_MS}
+  GROUP BY 1, 2, 3
+)
+SELECT day, COUNT(*) AS n_sequences, COUNT(DISTINCT user_id) AS n_users
+FROM completed GROUP BY day
+"""
+
+register(QuerySpec(
+    "events_sequence_match", _seq_match, _SEQ_SQL,
+    "3-step view->click->purchase pattern within 30-min gaps "
+    "(earliest-next semantics: banded user joins + min-reduce per "
+    "anchor, no combinatorial pairing)",
+    ("events", "join", "temporal", "bench"),
+))
+
+
+# --- events_lttb_downsample: extremum-representative time buckets ---------
+# Dashboard downsampling in the LTTB spirit: per (event_type, hour
+# bucket) keep the single point FARTHEST from the bucket mean, with
+# the distance computed as the exact integer cross-multiplication
+# |value_cents * n - sum_cents| (no float mean), ties broken by
+# event_id. One shuffle to the bucket grain for the moments, one
+# window for the argmax — at 100 TB a 10^6-point series reduces to
+# n_buckets rows with no collect and no float comparisons.
+
+def _lttb(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.expr("unix_millis(ts) div 3600000").alias("bucket"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    moments = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.abs(F.col("cents") * F.col("n") - F.col("s")).desc(), F.col("event_id"))
+    return (
+        ev.join(moments, ["event_type", "bucket"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "bucket",
+            F.col("event_id").alias("rep_event_id"),
+            F.col("cents").alias("rep_value_cents"),
+            "n",
+        )
+    )
+
+
+_LTTB_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_ms(ts) // 3600000 AS bucket,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, bucket, COUNT(*) AS n, SUM(cents) AS s
+  FROM ev GROUP BY 1, 2
+),
+ranked AS (
+  SELECT ev.event_type, ev.bucket, ev.event_id, ev.cents, m.n,
+    ROW_NUMBER() OVER (PARTITION BY ev.event_type, ev.bucket
+      ORDER BY abs(ev.cents * m.n - m.s) DESC, ev.event_id) AS rn
+  FROM ev JOIN m USING (event_type, bucket)
+)
+SELECT event_type, bucket, event_id AS rep_event_id,
+  cents AS rep_value_cents, n
+FROM ranked WHERE rn = 1
+"""
+
+register(QuerySpec(
+    "events_lttb_downsample", _lttb, _LTTB_SQL,
+    "LTTB-spirit downsampling: per (type, hour) keep the point "
+    "farthest from the bucket mean via exact integer "
+    "cross-multiplication, unique-key tie-break",
+    ("events", "window", "agg"),
+))
