@@ -164,3 +164,57 @@ register(QuerySpec(
     "shuffle key",
     ("profiling", "agg", "skew", "bench"),
 ))
+
+
+# --- referential_integrity_audit: FK/PK consistency in one pass -----------
+# The lake trust check before any join-based pipeline: orphan facts
+# (lineitems whose order is missing), childless orders, and duplicate
+# primary keys on both tables — each an anti-join or a grouped
+# HAVING count, all exact integers, composed into one audit row.
+# Scale shape: two anti-joins on the natural keys (AQE picks
+# broadcast vs shuffle), two self-dup checks that are
+# map-side-combinable counts; no full-table materialization.
+
+def _ref_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("orphan_lineitems"))
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("childless_orders"))
+    dup_orders = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_order_keys"))
+    )
+    dup_lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_line_keys"))
+    )
+    return (
+        orphans.crossJoin(F.broadcast(childless))
+        .crossJoin(F.broadcast(dup_orders))
+        .crossJoin(F.broadcast(dup_lines))
+    )
+
+
+_REF_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+     (SELECT o_orderkey FROM orders)) AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
+     (SELECT l_orderkey FROM lineitem)) AS childless_orders,
+  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+     GROUP BY 1 HAVING COUNT(*) > 1)) AS dup_order_keys,
+  (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+     GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS dup_line_keys
+"""
+
+register(QuerySpec(
+    "referential_integrity_audit", _ref_integrity, _REF_SQL,
+    "FK/PK consistency audit: orphan facts, childless orders, "
+    "duplicate keys — anti-joins + HAVING counts in one audit row",
+    ("profiling", "join", "quality"),
+))

@@ -837,3 +837,52 @@ register(QuerySpec(
     "perplexity proxy; broadcast frequency table, exact ratio6)",
     ("text", "lm", "join", "bench"),
 ))
+
+
+# --- doc_keyword_contexts: keyword-in-context (KWIC) extraction -----------
+# The concordance view annotation pipelines use for spot-checking a
+# filter: for each (doc, catalog keyword) hit, the FIRST occurrence
+# position (1-based locate/instr — identical in both engines) and a
+# +-16-char context window (substr clamps at string edges
+# identically). Narrow broadcast-join projection: the catalog rides
+# as a literal dim, text is scanned once, nothing shuffles except the
+# tiny result.
+
+_KWIC_PAD = 16
+
+
+def _kwic(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    catalog = spark.createDataFrame(
+        _KEYWORD_CATALOG, "keyword string, category string")
+    hit = d.crossJoin(F.broadcast(catalog)).withColumn(
+        "pos", F.expr("instr(text, keyword)")
+    ).filter(F.col("pos") > 0)
+    ctx = F.expr(
+        f"substr(text, greatest(1, pos - {_KWIC_PAD}), "
+        f"pos - greatest(1, pos - {_KWIC_PAD}) + length(keyword) + {_KWIC_PAD})"
+    )
+    return hit.select(
+        "doc_id", "keyword", "category", "pos", ctx.alias("context")
+    )
+
+
+_KWIC_SQL = f"""
+SELECT doc_id, keyword, category, pos,
+  substr(text, greatest(1, pos - {_KWIC_PAD}),
+         pos - greatest(1, pos - {_KWIC_PAD}) + length(keyword) + {_KWIC_PAD}) AS context
+FROM (
+  SELECT d.doc_id, d.text, k.keyword, k.category,
+         instr(d.text, k.keyword) AS pos
+  FROM documents d, (VALUES {{catalog}}) AS k(keyword, category)
+)
+WHERE pos > 0
+""".replace("{catalog}", _CATALOG_VALUES)
+
+register(QuerySpec(
+    "doc_keyword_contexts", _kwic, _KWIC_SQL,
+    "keyword-in-context concordance: first-hit position + clamped "
+    "context window per (doc, catalog keyword) — broadcast catalog, "
+    "single text scan",
+    ("text", "projection"),
+))
