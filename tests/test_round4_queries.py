@@ -827,3 +827,60 @@ def test_als_beats_popularity_on_heldout(spark, sf_dir):
     a = {(r["user"], r["rec_rank"], r["item"]) for r in recs.collect()}
     b = {(r["user"], r["rec_rank"], r["item"]) for r in again.collect()}
     assert a == b
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort: a selective range predicate on
+    the NON-leading dimension must scan far fewer rows on the
+    Z-ordered layout (lexicographic clustering gives it no locality),
+    while values roundtrip exactly."""
+    from bigdata_jobmatching_spark.functions.zorder import (
+        interleave_bits, write_zordered,
+    )
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    # interleave correctness on knowns: a=0b101, b=0b011 -> z=0b011011? 
+    # bit i of a -> 2i, of b -> 2i+1: a=5(101),b=3(011):
+    # pairs (a0=1,b0=1)->11, (a1=0,b1=1)->10, (a2=1,b2=0)->01
+    # z = 01 10 11 = 0b011011 = 27
+    row = spark.range(1).select(
+        interleave_bits(F.lit(5), F.lit(3), bits=3).alias("z")
+    ).collect()[0]
+    assert row["z"] == 27
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_total = li.count()
+    zpath = str(tmp_path / "zorder")
+    lexpath = str(tmp_path / "lex")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4000")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+    li.repartitionByRange(16, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.option("parquet.block.size", 64 * 1024).parquet(lexpath)
+    spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    # roundtrip
+    assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == sorted(
+        map(tuple, li.collect())
+    )
+
+    # selective predicate on the SECOND dimension only
+    smax = li.agg(F.max("l_suppkey")).collect()[0][0]
+    lo, hi = 1, max(2, int(smax * 0.05))
+
+    def scan_rows(path):
+        df = spark.read.parquet(path).filter(
+            (F.col("l_suppkey") >= lo) & (F.col("l_suppkey") < hi)
+        )
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan()
+        while scan.children().size() > 0:
+            scan = scan.children().apply(0)
+        return scan.metrics().apply("numOutputRows").value()
+
+    z_rows = scan_rows(zpath)
+    lex_rows = scan_rows(lexpath)
+    assert z_rows < lex_rows, (z_rows, lex_rows)
+    assert z_rows < n_total * 0.7
