@@ -170,6 +170,67 @@ def parse_webp_header(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_tiff_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a baseline TIFF IFD, or None.
+
+    Layout: 'II*\0' (little-endian) or 'MM\0*' (big-endian), 4-byte
+    offset to the first IFD; the IFD is a 2-byte entry count then
+    12-byte entries (tag, type, count, value/offset). Width is tag
+    256, height tag 257; SHORT(3) and LONG(4) inline values are read
+    per the byte order. Malformed structures return None — offsets
+    and entry counts are bounds-checked against the payload."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        endian = "little"
+    elif b[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        return None
+    ifd = int.from_bytes(b[4:8], endian)
+    if ifd + 2 > len(b):
+        return None
+    n = int.from_bytes(b[ifd:ifd + 2], endian)
+    width = height = None
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            return None
+        tag = int.from_bytes(b[e:e + 2], endian)
+        typ = int.from_bytes(b[e + 2:e + 4], endian)
+        if tag in (256, 257) and typ in (3, 4):
+            # inline value: SHORT uses the first 2 bytes of the value
+            # field (endian-dependent position is handled by reading
+            # the 4-byte field and masking for SHORT)
+            # inline values are left-justified in the 4-byte field for
+            # both byte orders: SHORT reads the first 2 bytes
+            val4 = b[e + 8:e + 12]
+            v = int.from_bytes(val4 if typ == 4 else val4[:2], endian)
+            if tag == 256:
+                width = v
+            else:
+                height = v
+    if width is None or height is None:
+        return None
+    return (width, height)
+
+
+def make_tiff(width: int, height: int, endian: str = "little") -> bytes:
+    """Minimal single-IFD TIFF with width/height SHORT entries."""
+    e = endian
+    sig = b"II*\x00" if e == "little" else b"MM\x00*"
+
+    def u(v: int, n: int) -> bytes:
+        return v.to_bytes(n, e)
+
+    ifd_off = 8
+    entries = b""
+    for tag, v in ((256, width), (257, height)):
+        entries += u(tag, 2) + u(3, 2) + u(1, 4) + u(v, 2) + u(0, 2)
+    ifd = u(2, 2) + entries + u(0, 4)
+    return sig + u(ifd_off, 4) + ifd
+
+
 def make_gif(width: int, height: int) -> bytes:
     """Minimal GIF89a header + logical screen descriptor."""
     return (
@@ -202,6 +263,7 @@ def sniff_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
         ("jpeg", parse_jpeg_header),
         ("gif", parse_gif_header),
         ("webp", parse_webp_header),
+        ("tiff", parse_tiff_header),
     ):
         dims = parse(b)
         if dims is not None:

@@ -191,7 +191,7 @@ def test_similarity_kernel_invariants(spark, texts):
 
 
 @given(
-    kind=st.sampled_from(["wav", "mp4", "mp4v1", "png", "jpeg", "gif", "webp"]),
+    kind=st.sampled_from(["wav", "mp4", "mp4v1", "png", "jpeg", "gif", "webp", "tiff", "tiffbe"]),
     cut=st.integers(min_value=0, max_value=400),
     flips=st.lists(
         st.tuples(st.integers(0, 399), st.integers(0, 255)), max_size=8
@@ -212,6 +212,8 @@ def test_container_parsers_never_crash(kind, cut, flips):
         "jpeg": lambda: MM.make_jpeg(33, 44),
         "gif": lambda: MM.make_gif(33, 44),
         "webp": lambda: MM.make_webp(33, 44),
+        "tiff": lambda: MM.make_tiff(33, 44),
+        "tiffbe": lambda: MM.make_tiff(33, 44, "big"),
     }[kind]()
     b = bytearray(base[:min(cut, len(base))])
     for pos, val in flips:
@@ -226,7 +228,8 @@ def test_container_parsers_never_crash(kind, cut, flips):
         assert out is None or isinstance(out, int)
     else:
         parse = {"png": MM.parse_png_header, "jpeg": MM.parse_jpeg_header,
-                 "gif": MM.parse_gif_header, "webp": MM.parse_webp_header}[kind]
+                 "gif": MM.parse_gif_header, "webp": MM.parse_webp_header,
+                 "tiff": MM.parse_tiff_header, "tiffbe": MM.parse_tiff_header}[kind]
         out = parse(data)
         assert out is None or (isinstance(out, tuple) and len(out) == 2)
 
