@@ -183,6 +183,44 @@ def gen_scalar_case(rng: random.Random) -> dict:
     return {"spark_sql": sql, "duck_sql": sql}
 
 
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def gen_events_case(rng: random.Random) -> dict:
+    """Events-table variant: time bucketing over the TIMESTAMP(NANOS)
+    column (Spark reads it through the legacy nanosAsLong conversion,
+    DuckDB natively — the truncation chains must agree), value-cents
+    sums, type filters."""
+    types = rng.sample(_EVENT_TYPES, rng.randrange(1, 4))
+    inlist = ", ".join(f"'{t}'" for t in types)
+    preds = [f"event_type IN ({inlist})"]
+    if rng.random() < 0.5:
+        lo = rng.randrange(0, 50)
+        preds.append(f"value >= {lo}.0")
+    if rng.random() < 0.4:
+        d = rng.randrange(2, 28)
+        preds.append(f"ts >= TIMESTAMP '2024-01-{d:02d}'")
+    where = " AND ".join(preds)
+    grain = rng.choice([
+        ("day", "CAST(ts AS DATE)"),
+        ("hr", "epoch_ms(ts) // 3600000"),
+        ("etype", "event_type"),
+    ])
+    gname, gexpr_duck = grain
+    gexpr_spark = {
+        "day": "CAST(ts AS DATE)",
+        "hr": "unix_millis(ts) div 3600000",
+        "etype": "event_type",
+    }[gname]
+    aggs_s = ("COUNT(*) AS n, SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents, "
+              "COUNT(DISTINCT user_id) AS n_users")
+    sql_s = (f"SELECT {gexpr_spark} AS {gname}, {aggs_s} "
+             f"FROM events WHERE {where} GROUP BY 1")
+    sql_d = (f"SELECT {gexpr_duck} AS {gname}, {aggs_s} "
+             f"FROM events WHERE {where} GROUP BY 1")
+    return {"spark_sql": sql_s, "duck_sql": sql_d}
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random AST rendered to (spark plan builder args, duckdb sql)."""
     with_orders = rng.random() < 0.4
@@ -241,21 +279,23 @@ def run_fuzz(n_cases: int = 25, seed: int = 42, sf_dir: str = "/root/testdata/sf
     from tools.check_oracle import row_hashes
 
     spark = spark or get_spark("fuzz-equivalence")
-    register_views(spark, sf_dir, "lineitem", "orders", "documents")
+    register_views(spark, sf_dir, "lineitem", "orders", "documents", "events")
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "documents"):
+    for t in ("lineitem", "orders", "documents", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     rng = random.Random(seed)
     failures = []
     for i in range(n_cases):
         roll = rng.random()
-        if roll < 0.25:
+        if roll < 0.22:
             case = gen_doc_case(rng)
-        elif roll < 0.40:
+        elif roll < 0.36:
             case = gen_scalar_case(rng)
-        elif roll < 0.52:
+        elif roll < 0.46:
             case = gen_leftjoin_case(rng)
+        elif roll < 0.60:
+            case = gen_events_case(rng)
         else:
             case = gen_case(rng)
         sdf = spark.sql(case["spark_sql"])
