@@ -336,3 +336,53 @@ register(QuerySpec(
     "(exact integer ms-weighted cents, half-up cent division)",
     ("temporal", "window"),
 ))
+
+
+# --- user_status_point_in_time: PIT lookup against the event log ----------
+# "What was every user's status at time T?" — the point-in-time
+# reconstruction that consumes the SCD2 intervals
+# (user_status_intervals) without materializing them: per user, the
+# latest status event at or before T via a single max_by aggregate
+# over the pre-filtered log. Deterministic: the argmax key is the
+# unique (unix_micros, event_id) pair encoded into one int64-safe
+# struct ordering on both engines. Scale: filter pushes to the scan
+# (ts <= T), one map-side-combinable argmax per user — no window, no
+# interval join.
+
+_PIT_T = "2024-01-15 00:00:00"
+
+
+def _status_pit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    ).filter(F.col("us") <= F.unix_micros(F.lit(_PIT_T).cast("timestamp")))
+    # argmax by (us, event_id): encode as (us - base) * 2^20 + event_id
+    # — rebasing to the lake's 2024-01-01 epoch keeps the composite
+    # inside int64 (raw epoch-us * 2^20 overflows); event ids are far
+    # below 2^20 in this lake
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    key = (F.col("us") - base) * F.lit(1 << 20) + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("status_at_t"),
+        F.timestamp_micros(F.max("us")).alias("last_change"),
+    )
+
+
+_PIT_SQL = f"""
+SELECT user_id,
+  arg_max(event_type,
+    (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) * 1048576 + event_id)
+    AS status_at_t,
+  make_timestamp(MAX(epoch_us(ts))) AS last_change
+FROM events
+WHERE epoch_us(ts) <= epoch_us(TIMESTAMP '{_PIT_T}')
+GROUP BY user_id
+"""
+
+register(QuerySpec(
+    "user_status_point_in_time", _status_pit, _PIT_SQL,
+    "point-in-time status reconstruction at a literal T: pushed-down "
+    "time filter + one composite-key argmax per user (no window, no "
+    "interval materialization)",
+    ("temporal", "agg", "scd"),
+))
