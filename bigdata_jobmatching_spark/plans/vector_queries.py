@@ -717,3 +717,80 @@ register(QuerySpec(
     "embedding dims (covariance/PCA input; bounded posexplode fanout)",
     ("vector", "agg"),
 ))
+
+
+# --- label_centroid_similarity: class-separation audit --------------------
+# Cosine similarity between per-label centroids — the quick "are my
+# classes separable / which collapse together" check before training
+# a probe. Exactness chain: per-(label, dim) mean = double(exact
+# decimal sum)/n (one correctly-rounded division), floored to integer
+# micro-units; pairwise dots/norms are exact int64 sums over dims;
+# the final cosine is dot / (sqrt(na)*sqrt(nb)) — the identical
+# composition of single correctly-rounded IEEE ops on identical
+# integers in both engines. Scale: centroids are a (labels x dims)
+# table — the heavy reduce is the same one-shuffle posexplode agg as
+# embedding_dim_stats; everything after is broadcast-sized.
+
+def _label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.io import fan_out
+
+    e = fan_out(load_table(spark, sf, "embeddings"))
+    d = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    x = F.col("v").cast("double").cast("decimal(18,9)")
+    cent = (
+        d.groupBy("label", "dim")
+        .agg(F.sum(x).alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label", "dim",
+            F.floor(F.col("sx").cast("double") / F.col("n") * 1000000)
+            .cast("long").alias("mu"),
+        )
+    )
+    a = cent.select(F.col("label").alias("la"), "dim", F.col("mu").alias("ma"))
+    b = cent.select(F.col("label").alias("lb"), "dim", F.col("mu").alias("mb"))
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("la") <= F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        "la", "lb",
+        (F.col("dot").cast("double")
+         / (F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double")))).alias("cosine"),
+    )
+
+
+_LABEL_SIM_SQL = """
+WITH flat AS (
+  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+    CAST(floor(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS mu
+  FROM flat GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+    SUM(a.mu * b.mu) AS dot, SUM(a.mu * a.mu) AS na2, SUM(b.mu * b.mu) AS nb2
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <= b.label
+  GROUP BY 1, 2
+)
+SELECT la, lb, CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+FROM pairs
+"""
+
+register(QuerySpec(
+    "label_centroid_similarity", _label_centroid_sim, _LABEL_SIM_SQL,
+    "cosine similarity matrix between per-label centroids "
+    "(class-separation audit; micro-unit integer dots, single-IEEE-op "
+    "cosine assembly)",
+    ("vector", "agg", "join"),
+))
