@@ -453,7 +453,7 @@ cum AS (
 )
 SELECT l_returnflag, l_linestatus,
   MIN(price_cents) AS median_price_cents,
-  MAX(tot) AS total_weight
+  CAST(MAX(tot) AS BIGINT) AS total_weight
 FROM cum WHERE 2 * cw >= tot
 GROUP BY 1, 2
 """

@@ -159,7 +159,27 @@ _DRIVER_VERIFIED_R02: frozenset[str] = frozenset(
     }
 )
 
-_DRIVER_VERIFIED: frozenset[str] = _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
+_DRIVER_VERIFIED_R04: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r04.json
+        "audio_frame_plan", "copurchase_clustering", "copurchase_jaccard_recs",
+        "copurchase_kcore", "corpus_shuffle_plan", "cross_source_duplication",
+        "customer_rfm_scores", "customer_spend_cumedist",
+        "doc_bigram_commonness", "doc_chunk_spans", "doc_duplicate_ngram_frac",
+        "doc_keyword_contexts", "docs_containment_pairs",
+        "docs_prefix_filter_pairs", "event_type_transitions",
+        "event_type_trend_slope", "event_value_gini", "events_dau_wau",
+        "events_lttb_downsample", "events_sequence_match",
+        "events_value_log2_histogram", "image_resize_dims",
+        "minhash_estimate_error", "nation_top2_acctbal_lateral",
+        "orders_fulfillment_lag", "simhash_md5_hamming_pairs",
+        "user_status_intervals",
+    }
+)
+
+_DRIVER_VERIFIED: frozenset[str] = (
+    _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
+)
 
 
 def register(spec: QuerySpec) -> QuerySpec:
@@ -207,4 +227,9 @@ def load_all() -> dict[str, QuerySpec]:
         n: s for n, s in REGISTRY.items()
         if n in _DRIVER_VERIFIED_R03 and n not in _DRIVER_VERIFIED_R02
     }
-    return {**unproven, **proven_r02, **proven_r03}
+    proven_r04 = {
+        n: s for n, s in REGISTRY.items()
+        if n in _DRIVER_VERIFIED_R04
+        and n not in _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
+    }
+    return {**unproven, **proven_r02, **proven_r03, **proven_r04}

@@ -611,7 +611,7 @@ grouped AS (
   FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
 ),
 sizes AS (SELECT grp, COUNT(*) AS cluster_size FROM grouped GROUP BY grp)
-SELECT cluster_size, COUNT(*) AS n_clusters, SUM(cluster_size) AS n_docs
+SELECT cluster_size, COUNT(*) AS n_clusters, CAST(SUM(cluster_size) AS BIGINT) AS n_docs
 FROM sizes GROUP BY cluster_size
 """
 
@@ -1000,9 +1000,9 @@ buckets AS (
 )
 SELECT band_idx,
   COUNT(*) AS n_buckets,
-  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_singletons,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
   MAX(c) AS max_bucket,
-  SUM((c * (c - 1)) // 2) AS candidate_pairs
+  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
 FROM buckets GROUP BY 1
 """
 

@@ -526,7 +526,7 @@ typed AS (
 )
 SELECT event_type, k % 10 AS k_bucket,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_unparsed
+  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
 FROM typed
 GROUP BY 1, 2
 """
@@ -604,7 +604,7 @@ per_sess AS (
     COUNT(*) AS n_events
   FROM sess GROUP BY user_id, session_id
 )
-SELECT path, COUNT(*) AS n_sessions, SUM(n_events) AS total_events
+SELECT path, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS total_events
 FROM per_sess GROUP BY path
 """
 
@@ -681,7 +681,7 @@ scored AS (
     (CAST(total_u AS DOUBLE) - mean) AS dev
   FROM j
 )
-SELECT event_type, day, hr, total_u AS total_micro, dev / std AS z
+SELECT event_type, day, hr, CAST(total_u AS BIGINT) AS total_micro, dev / std AS z
 FROM scored
 WHERE std > 0 AND abs(dev / std) >= 2.0
 """
@@ -723,7 +723,7 @@ WITH per_min AS (
   SELECT user_id, CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute, COUNT(*) AS c
   FROM events GROUP BY 1, 2
 )
-SELECT user_id, MAX(c) AS peak_per_minute, SUM(c) AS n_events,
+SELECT user_id, MAX(c) AS peak_per_minute, CAST(SUM(c) AS BIGINT) AS n_events,
   COUNT(*) AS active_minutes
 FROM per_min GROUP BY user_id
 HAVING MAX(c) >= 2
@@ -853,8 +853,8 @@ typed AS (
 )
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_unparsed,
-  SUM(CAST(k AS BIGINT)) AS sum_k,
+  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+  CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(k) AS min_k,
   MAX(k) AS max_k
 FROM typed
@@ -987,7 +987,7 @@ def _ewma_sql() -> str:
     return f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
   FROM events GROUP BY 1, 2
 ),
 lagged AS (

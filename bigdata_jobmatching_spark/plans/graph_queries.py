@@ -44,7 +44,7 @@ def _pr_iteration_sql(prev: str, cur: str) -> str:
          b.tele + ({_PR_DAMP} * COALESCE(i.inflow, 0)) // 100 AS rank
   FROM (SELECT node, degree, tele FROM {prev}) b
   LEFT JOIN (
-    SELECT s.b AS node, SUM(c.contrib) AS inflow
+    SELECT s.b AS node, CAST(SUM(c.contrib) AS BIGINT) AS inflow
     FROM sym s
     JOIN (SELECT node, rank // degree AS contrib FROM {prev}) c
       ON s.a = c.node
@@ -73,7 +73,7 @@ r0 AS (
         _pr_iteration_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITER)
     )
     + f"""
-SELECT node, rank FROM r{_PR_ITER}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r{_PR_ITER}
 ORDER BY rank DESC, node ASC LIMIT {_PR_TOPN}
 """
 )

@@ -185,7 +185,7 @@ _WEIGHTS_SQL = f"""
 WITH tok AS (SELECT source, {{toks}} AS toks FROM documents),
 src AS (
   SELECT source, count(*) AS n_docs,
-    sum(CAST(len(toks) AS BIGINT)) AS tokens
+    CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS tokens
   FROM tok GROUP BY source
 ),
 sq AS (
@@ -581,7 +581,7 @@ def _class_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 _CLASS_WEIGHTS_SQL = f"""
 WITH per AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
-tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM per)
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k FROM per)
 SELECT label, n, total, {ratio6_sql('total', 'k * n')} AS weight
 FROM per, tot
 """
@@ -663,12 +663,12 @@ def _curriculum(spark: SparkSession, sf: str) -> DataFrame:
 _CURRICULUM_SQL = """
 WITH {band_ctes},
 bands AS (
-  SELECT band, COUNT(*) AS n_docs, SUM(n_tokens) AS phase_tokens
+  SELECT band, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens
   FROM per_doc GROUP BY band
 ),
 cum AS (
   SELECT b.band, b.n_docs, b.phase_tokens,
-    SUM(o.phase_tokens) AS end_token,
+    CAST(SUM(o.phase_tokens) AS BIGINT) AS end_token,
     COUNT(*) AS phase
   FROM bands b JOIN bands o ON o.band >= b.band
   GROUP BY b.band, b.n_docs, b.phase_tokens
@@ -726,7 +726,7 @@ _EPOCH_SQL = f"""
 WITH tok AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
 src AS (
   SELECT source, COUNT(*) AS n_docs,
-    SUM(CAST(len(toks) AS BIGINT)) AS tokens
+    CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS tokens
   FROM tok GROUP BY source
 ),
 k AS (SELECT COUNT(*) AS k FROM src)

@@ -65,7 +65,7 @@ _PROFILE_SQL = (
     + """]) AS u FROM orders)
 SELECT u.col_name AS col_name,
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN u.v IS NULL THEN 1 ELSE 0 END) AS n_null,
+  CAST(SUM(CASE WHEN u.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
   COUNT(DISTINCT u.v) AS n_distinct,
   MIN(u.v) AS min_str,
   MAX(u.v) AS max_str
@@ -145,9 +145,9 @@ SELECT '{table}.{key}' AS join_key, n_keys, n_rows, max_key_rows,
   {ratio6_sql('max_key_rows', 'n_rows')} AS max_key_share,
   {ratio6_sql('hot_rows', 'n_rows')} AS hot_row_share
 FROM (
-  SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_key_rows,
-    SUM(CASE WHEN cnt * n_keys_w > 2 * n_rows_w THEN 1 ELSE 0 END) AS hot_keys,
-    COALESCE(SUM(CASE WHEN cnt * n_keys_w > 2 * n_rows_w THEN cnt END), 0) AS hot_rows
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_key_rows,
+    CAST(SUM(CASE WHEN cnt * n_keys_w > 2 * n_rows_w THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys,
+    CAST(COALESCE(SUM(CASE WHEN cnt * n_keys_w > 2 * n_rows_w THEN cnt END), 0) AS BIGINT) AS hot_rows
   FROM (
     SELECT cnt, COUNT(*) OVER () AS n_keys_w, SUM(cnt) OVER () AS n_rows_w
     FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)

@@ -745,7 +745,7 @@ shares AS (
   SELECT s.p_type, t.tq, (s.sq * 1000000) // t.tq AS share6
   FROM per_supp s JOIN per_type t ON s.p_type = t.p_type
 )
-SELECT p_type, COUNT(*) AS n_suppliers, tq AS total_qty,
+SELECT p_type, COUNT(*) AS n_suppliers, CAST(tq AS BIGINT) AS total_qty,
   CAST(SUM(CAST(share6 AS DECIMAL(18,0)) * CAST(share6 AS DECIMAL(18,0))) AS DOUBLE) / 1e12 AS hhi
 FROM shares GROUP BY p_type, tq
 """
@@ -781,7 +781,7 @@ def _skew_split_volumes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SKEW_SPLIT_SQL = """
-SELECT p.p_brand, SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty,
+SELECT p.p_brand, CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
   COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1

@@ -323,7 +323,7 @@ seg AS (
 )
 SELECT user_id,
   COUNT(*) AS n_segments,
-  SUM(dur_ms) AS total_dur_ms,
+  CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
   CAST((2 * SUM(cents * dur_ms) + SUM(dur_ms)) // NULLIF(2 * SUM(dur_ms), 0) AS DOUBLE)
     / 100.0 AS twa_value
 FROM seg WHERE dur_ms IS NOT NULL

@@ -391,7 +391,7 @@ WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 flat AS (SELECT doc_id, unnest(toks) AS t FROM tok),
 per_tok AS (SELECT doc_id, t, COUNT(*) AS c FROM flat GROUP BY doc_id, t),
 tok_stats AS (
-  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_c
   FROM per_tok GROUP BY doc_id
 ),
 bg_flat AS (
@@ -461,7 +461,7 @@ tri AS (
   FROM tok WHERE len(toks) >= 3
 ),
 tstat AS (
-  SELECT doc_id, SUM(c) AS n_tri, MAX(c) AS top_tri FROM (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri, MAX(c) AS top_tri FROM (
     SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
   ) GROUP BY 1
 ),
@@ -607,8 +607,8 @@ det AS (
 ),
 agg AS (
   SELECT source, labeled, COUNT(*) AS n_docs,
-    SUM(CASE WHEN detected != labeled AND detected != 'und' THEN 1 ELSE 0 END) AS n_mismatch,
-    SUM(CASE WHEN detected = 'und' THEN 1 ELSE 0 END) AS n_undetected
+    CAST(SUM(CASE WHEN detected != labeled AND detected != 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+    CAST(SUM(CASE WHEN detected = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_undetected
   FROM det GROUP BY 1, 2
 )
 SELECT source, labeled, n_docs, n_mismatch, n_undetected,
@@ -661,7 +661,7 @@ per AS (
   FROM tok
 ),
 agg AS (
-  SELECT source, SUM(ws) AS n_words, SUM(bpe) AS n_subwords, COUNT(*) AS n_docs
+  SELECT source, CAST(SUM(ws) AS BIGINT) AS n_words, CAST(SUM(bpe) AS BIGINT) AS n_subwords, COUNT(*) AS n_docs
   FROM per GROUP BY source
 )
 SELECT source, n_docs, n_words, n_subwords,
@@ -762,13 +762,13 @@ aug AS (
 )
 SELECT source,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
-  SUM(n_lower) AS lower_chars,
-  SUM(n_upper) AS upper_chars,
-  SUM(n_digit) AS digit_chars,
-  SUM(n_space) AS space_chars,
-  SUM(n_other) AS other_chars,
-  SUM(CASE WHEN n_other > 0 THEN 1 ELSE 0 END) AS n_suspect_docs
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(n_lower) AS BIGINT) AS lower_chars,
+  CAST(SUM(n_upper) AS BIGINT) AS upper_chars,
+  CAST(SUM(n_digit) AS BIGINT) AS digit_chars,
+  CAST(SUM(n_space) AS BIGINT) AS space_chars,
+  CAST(SUM(n_other) AS BIGINT) AS other_chars,
+  CAST(SUM(CASE WHEN n_other > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect_docs
 FROM aug GROUP BY source
 """
 

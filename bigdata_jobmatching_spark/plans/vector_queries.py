@@ -578,7 +578,7 @@ sel AS (
   FROM dists
 )
 SELECT subspace, code, COUNT(*) AS n_vectors,
-  SUM(CAST(floor(err * 1000000 + 0.5) AS BIGINT)) AS err6_sum
+  CAST(SUM(CAST(floor(err * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS err6_sum
 FROM sel GROUP BY 1, 2
 """
 
@@ -635,7 +635,7 @@ assign AS (
   ) WHERE rn = 1
 )
 SELECT cell, COUNT(*) AS n_vectors,
-  SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS cos6_sum
+  CAST(SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS cos6_sum
 FROM assign GROUP BY cell
 """
 

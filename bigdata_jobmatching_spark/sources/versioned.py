@@ -113,13 +113,24 @@ def rollback(root: str, version: int) -> None:
     _set_pointer(root, version)
 
 
+def _is_complete(root: str, version: int) -> bool:
+    """A version directory whose Spark write finished carries the
+    _SUCCESS marker; a crashed/in-flight write does not."""
+    return os.path.isfile(os.path.join(root, f"v{version:05d}", "_SUCCESS"))
+
+
 def vacuum(root: str, keep: int = 2) -> list[int]:
     """Delete all versions except the current one and the ``keep``
-    newest. Never deletes the published version regardless of age.
-    Returns the deleted version numbers."""
+    newest COMPLETE versions. Never deletes the published version
+    regardless of age. Incomplete (crashed/in-flight) directories are
+    junk: they are deleted unconditionally and — crucially — do not
+    occupy "newest" slots, so they can't displace real older versions
+    from the keep window while themselves surviving. Returns the
+    deleted version numbers."""
     cur = current_version(root)
     vs = list_versions(root)
-    keep_set = set(vs[-keep:]) if keep > 0 else set()
+    complete = [v for v in vs if _is_complete(root, v)]
+    keep_set = set(complete[-keep:]) if keep > 0 else set()
     if cur is not None:
         keep_set.add(cur)
     deleted = []
@@ -149,14 +160,19 @@ def merge_version(
     merge is one :func:`rollback` away instead of a restore."""
     from pyspark.sql import functions as F
 
-    cur = read_version(spark, root)
-    keys = list(key_cols)
-    upd_keys = updates.select(*keys).distinct()
-    carry = cur.join(F.broadcast(upd_keys), keys, "left_anti")
     live = updates
     if delete_col is not None:
         live = updates.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
+    if current_version(root) is None:
+        # Never-published target: the merge degenerates to an insert of
+        # the non-tombstone update rows as v1 (a first micro-batch must
+        # not require manual seeding).
+        return write_version(live, root)
+    cur = read_version(spark, root)
+    keys = list(key_cols)
+    upd_keys = updates.select(*keys).distinct()
+    carry = cur.join(F.broadcast(upd_keys), keys, "left_anti")
     merged = carry.unionByName(live.select(*cur.columns))
     return write_version(merged, root)

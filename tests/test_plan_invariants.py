@@ -407,3 +407,24 @@ def test_partition_order_determinism(spark, sf_dir, name):
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     assert hashes("8", "134217728") == hashes("3", "65536")
+
+
+def test_oracle_types_map_exactly_onto_spark_dtypes(sf_dir):
+    """The round-4 failure class as a permanent guard: DuckDB types
+    SUM() over integers as HUGEINT (int128), which the external driver
+    gate renders differently from Spark's BIGINT even when every value
+    is bit-identical — 23 of 23 round-4 hash-fails were exactly this.
+    fetchall() coerces HUGEINT to Python int, so a value-comparing
+    check can never see it; DESCRIBE can. Every oracle output column
+    (recursively through LIST/STRUCT) must be a DuckDB type with an
+    exact Spark dtype counterpart."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.oracle_type_audit import audit
+
+    bad = audit(sf_dir)
+    assert bad == [], (
+        f"{len(bad)} gate-unsafe oracle columns (wrap in CAST(... AS "
+        f"BIGINT) or an exact type): {bad}"
+    )

@@ -83,6 +83,15 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # Type-parity guard (round-4 lesson): fetchall() coerces DuckDB
+        # HUGEINT to Python int, hiding the int128-vs-int64 rendering
+        # divergence the driver gate DOES see. DESCRIBE and reject any
+        # column type with no exact Spark counterpart.
+        from tools.oracle_type_audit import type_problems
+        for col, duck_type, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            reason = type_problems(duck_type)
+            if reason is not None:
+                problems.append(f"oracle col {col} gate-unsafe type {reason}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
