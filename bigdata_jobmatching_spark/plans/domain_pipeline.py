@@ -86,6 +86,55 @@ def normalize_offers(raw: DataFrame) -> DataFrame:
     )
 
 
+def normalize_cvs(raw: DataFrame) -> DataFrame:
+    """Typed, cleaned candidate-CV rows — the ingest normalize stage
+    for the reference's declared-but-never-written CV consumer
+    (create_tables.sql:98-128 schema; PLAN_REALISATION.md:260-271
+    lists consume_cvs.py as missing). Same discipline as
+    :func:`normalize_offers`: date derivations from scraped_at,
+    whitespace/case normalization on the skill vocabulary, loud-null
+    defaults, and a stable date-free record id when the producer sent
+    none (md5(source_site_url_cv)[:16], fixing SURVEY §2.11-6 on this
+    path too)."""
+    ts = F.to_timestamp("scraped_at")
+    norm_arr = lambda c: F.array_distinct(  # noqa: E731
+        F.transform(F.coalesce(c, F.array().cast("array<string>")),
+                    lambda s: F.lower(F.trim(s)))
+    )
+    return raw.select(
+        F.coalesce(
+            F.col("cv_id"), I.record_id(F.col("source_site"), F.col("url_cv"))
+        ).alias("cv_id"),
+        ts.alias("scraped_ts"),
+        F.to_date(ts).alias("scraped_date"),
+        F.greatest(
+            F.coalesce(F.col("annees_experience"), F.lit(0)), F.lit(0)
+        ).alias("annees_experience"),
+        F.coalesce(
+            F.trim(F.col("niveau_etudes")), F.lit("Non spécifié")
+        ).alias("niveau_etudes"),
+        F.col("domaine_etudes"),
+        F.col("localisation_souhaitee_id"),
+        F.col("secteur_souhaite_id"),
+        F.col("salaire_souhaite"),
+        F.coalesce(F.col("type_contrat_souhaite"), F.lit("Non spécifié")).alias(
+            "type_contrat_souhaite"
+        ),
+        F.coalesce(F.col("teletravail_souhaite"), F.lit(False)).alias(
+            "teletravail_souhaite"
+        ),
+        norm_arr(F.col("competences")).alias("competences"),
+        norm_arr(F.col("certifications")).alias("certifications"),
+        F.size(F.coalesce(
+            F.col("langues"),
+            F.array().cast("array<struct<langue:string,niveau:string>>"),
+        )).alias("n_langues"),
+        F.col("source_site"),
+        F.col("url_cv"),
+        F.coalesce(F.col("statut"), F.lit("actif")).alias("statut"),
+    )
+
+
 # ---------------------------------------------------------- blob parsing --
 
 BLOB_META_PATTERNS = {

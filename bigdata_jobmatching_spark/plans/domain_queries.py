@@ -582,3 +582,118 @@ register(QuerySpec(
     "top-k offers per candidate (Top-20 offres-CVs dashboard, PLAN_REALISATION.md:509-511)",
     ("domain", "matching", "topk"),
 ))
+
+
+# --- cv_profile_stats: the CV-ingest normalize stage, oracle-checked ------
+# Round-5 twin of the reference's declared-but-never-written CV
+# consumer (PLAN_REALISATION.md:260-271; table create_tables.sql:98-128).
+# Raw CV rows are synthesized from customer with every normalization
+# rule deliberately exercised — null cv_id (md5 fallback id), null
+# experience (clamped default), padded/cased skills (trim+lower+
+# distinct), null teletravail (false default), null langues (size 0),
+# null statut ('actif') — then the REAL normalize_cvs
+# (plans/domain_pipeline.py) runs and the profile aggregate is
+# compared against a DuckDB oracle that recomputes every rule
+# arithmetically, md5 included.
+
+def _raw_cvs(spark: SparkSession, sf: str) -> DataFrame:
+    c = fan_out(load_table(spark, sf, "customer"))
+    k = F.col("c_custkey")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return c.select(
+        F.when(k % 19 != 0, F.concat(F.lit("CV_"), s(k))).alias("cv_id"),
+        F.when(k % 13 != 0, (k % 31).cast("int")).alias("annees_experience"),
+        F.when(k % 4 == 0, F.lit("Bac")).when(k % 4 == 1, F.lit("  Licence "))
+        .when(k % 4 == 2, F.lit("Master")).alias("niveau_etudes"),
+        F.lit(None).cast("string").alias("domaine_etudes"),
+        F.concat(F.lit("LOC_"), s(k % 10)).alias("localisation_souhaitee_id"),
+        F.lit(None).cast("string").alias("secteur_souhaite_id"),
+        ((k % 20) * 50000 + 100000).cast("double").alias("salaire_souhaite"),
+        F.when(k % 2 == 0, F.lit("CDI")).alias("type_contrat_souhaite"),
+        F.when(k % 5 == 0, F.lit(True))
+        .when(k % 5 == 1, F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False)).alias("teletravail_souhaite"),
+        F.array(
+            F.concat(F.lit("S"), s(k % 50), F.lit(" ")),
+            F.concat(F.lit("s"), s((k * 3 + 1) % 50)),
+            F.concat(F.lit(" s"), s((k * 7 + 2) % 50)),
+        ).alias("competences"),
+        F.lit(None).cast("array<string>").alias("certifications"),
+        F.when(
+            k % 3 != 0,
+            F.array_repeat(
+                F.struct(F.lit("fr").alias("langue"), F.lit("C1").alias("niveau")),
+                (k % 2 + 1).cast("int"),
+            ),
+        ).alias("langues"),
+        F.concat(F.lit("site_"), s(k % 3)).alias("source_site"),
+        F.concat(F.lit("https://s"), s(k % 3), F.lit("/cv/"), s(k)).alias("url_cv"),
+        F.concat(
+            F.lit("2024-"), F.lpad(s(k % 9 + 1), 2, "0"), F.lit("-15 08:30:00")
+        ).alias("scraped_at"),
+        F.lit(None).cast("string").alias("disponibilite"),
+        F.when(k % 7 != 0, F.lit("candidat")).alias("statut"),
+    )
+
+
+def _cv_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .domain_pipeline import normalize_cvs
+
+    norm = normalize_cvs(_raw_cvs(spark, sf))
+    return norm.groupBy("niveau_etudes", "teletravail_souhaite", "statut").agg(
+        F.count(F.lit(1)).alias("n_cvs"),
+        F.sum(
+            F.when(~F.col("cv_id").startswith("CV_"), 1).otherwise(0)
+        ).cast("long").alias("n_fallback_ids"),
+        F.min("cv_id").alias("min_cv_id"),
+        F.sum("annees_experience").cast("long").alias("total_experience"),
+        F.sum(F.size("competences")).cast("long").alias("total_competences"),
+        F.sum("n_langues").cast("long").alias("total_langues"),
+        F.sum(F.month("scraped_date")).cast("long").alias("sum_months"),
+        F.sum(
+            F.round(F.col("salaire_souhaite") * 100).cast("long")
+        ).cast("long").alias("salary_cents"),
+    )
+
+
+_CV_PROFILE_SQL = """
+WITH norm AS (
+  SELECT
+    CASE WHEN c_custkey % 19 <> 0 THEN 'CV_' || CAST(c_custkey AS VARCHAR)
+         ELSE substring(md5('site_' || CAST(c_custkey % 3 AS VARCHAR) || '_' ||
+                            'https://s' || CAST(c_custkey % 3 AS VARCHAR) ||
+                            '/cv/' || CAST(c_custkey AS VARCHAR)), 1, 16)
+    END AS cv_id,
+    CASE WHEN c_custkey % 13 <> 0 THEN c_custkey % 31 ELSE 0 END AS annees_experience,
+    CASE c_custkey % 4 WHEN 0 THEN 'Bac' WHEN 1 THEN 'Licence'
+                       WHEN 2 THEN 'Master' ELSE 'Non spécifié' END AS niveau_etudes,
+    c_custkey % 5 = 0 AS teletravail_souhaite,
+    len(list_distinct(['s' || CAST(c_custkey % 50 AS VARCHAR),
+                       's' || CAST((c_custkey * 3 + 1) % 50 AS VARCHAR),
+                       's' || CAST((c_custkey * 7 + 2) % 50 AS VARCHAR)])) AS n_comp,
+    CASE WHEN c_custkey % 3 <> 0 THEN c_custkey % 2 + 1 ELSE 0 END AS n_langues,
+    c_custkey % 9 + 1 AS mth,
+    (c_custkey % 20) * 50000 + 100000 AS sal,
+    CASE WHEN c_custkey % 7 <> 0 THEN 'candidat' ELSE 'actif' END AS statut
+  FROM customer
+)
+SELECT niveau_etudes, teletravail_souhaite, statut,
+  COUNT(*) AS n_cvs,
+  CAST(SUM(CASE WHEN NOT starts_with(cv_id, 'CV_') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fallback_ids,
+  MIN(cv_id) AS min_cv_id,
+  CAST(SUM(annees_experience) AS BIGINT) AS total_experience,
+  CAST(SUM(n_comp) AS BIGINT) AS total_competences,
+  CAST(SUM(n_langues) AS BIGINT) AS total_langues,
+  CAST(SUM(mth) AS BIGINT) AS sum_months,
+  CAST(SUM(sal * 100) AS BIGINT) AS salary_cents
+FROM norm GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "cv_profile_stats", _cv_profile_stats, _CV_PROFILE_SQL,
+    "CV-ingest normalize stage (the reference's missing consume_cvs "
+    "path) profiled per education/remote/status group — every "
+    "cleaning rule including the md5 fallback id lands in the hash",
+    ("domain", "streaming-twin", "agg"),
+))

@@ -243,3 +243,85 @@ register(QuerySpec(
     "counts, strict + padded frame arithmetic)",
     ("multimodal",),
 ))
+
+
+# --- image_pixel_stats: REAL pixel decode, oracle-verified ---------------
+# Round-5 de-stub proof: payloads are REAL PNGs (zlib IDAT, CRCs)
+# whose pixel value at (x, y, c) is planted as
+# (p_partkey + 7x + 13y + 101c) % 256, with the scanline filter
+# CYCLING y % 5 — so one gate query drives every un-filter branch of
+# decode_png (None/Sub/Up/Average/Paeth). The Spark side decodes the
+# pixels back and sums each channel; the DuckDB oracle recomputes the
+# planted sums arithmetically via nested unnest(range(...)). A single
+# flipped bit anywhere in encode -> inflate -> un-filter -> sum
+# flips the hash.
+
+_PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("sum_c0", T.LongType()),
+    T.StructField("sum_c1", T.LongType()),
+    T.StructField("sum_c2", T.LongType()),
+])
+
+
+def _planted_png(k: int) -> bytes:
+    import numpy as np
+
+    w, h = k % 7 + 2, k % 5 + 2
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    px = ((k + 7 * x + 13 * y + 101 * c) % 256).astype(np.uint8)
+    return MM.encode_png(w, h, px.tobytes(), channels=3, filter_type=None)
+
+
+def _pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker memo over the tiny (<=1024) arg space; a plain
+        # dict avoids shipping an _lru_cache_wrapper through pickle
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_png(kk)
+                w, h, ch, px = MM.decode_png(memo[kk])
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h * w, ch).astype(np.int64)
+                s = a.sum(axis=0)
+                rows.append((int(k), w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "px_width", "px_height",
+                         "sum_c0", "sum_c1", "sum_c2"],
+            )
+
+    return p.mapInPandas(batches, _PIXEL_STATS_SCHEMA)
+
+
+_PIXEL_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 7 + 2 AS INT) AS px_width,
+    CAST(p_partkey % 1024 % 5 + 2 AS INT) AS px_height
+  FROM part
+),
+xs AS (SELECT *, unnest(range(px_width)) AS x FROM dims),
+xy AS (SELECT *, unnest(range(px_height)) AS y FROM xs)
+SELECT p_partkey, px_width, px_height,
+  CAST(SUM((k + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_c0,
+  CAST(SUM((k + 7 * x + 13 * y + 101) % 256) AS BIGINT) AS sum_c1,
+  CAST(SUM((k + 7 * x + 13 * y + 202) % 256) AS BIGINT) AS sum_c2
+FROM xy GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "image_pixel_stats", _pixel_stats, _PIXEL_STATS_SQL,
+    "REAL PNG pixel decode (stdlib-zlib codec, all five scanline "
+    "filters) verified by arithmetic channel sums",
+    ("multimodal", "decode"),
+))

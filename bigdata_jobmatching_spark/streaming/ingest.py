@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..plans.domain_pipeline import normalize_offers
-from ..schemas import JOB_RAW_SCHEMA
+from ..plans.domain_pipeline import normalize_cvs, normalize_offers
+from ..schemas import CV_SCHEMA, JOB_RAW_SCHEMA
 
 
 def read_offer_stream(spark: SparkSession, input_path: str) -> DataFrame:
@@ -63,6 +63,52 @@ def stream_offers_to_lake(
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .partitionBy("scraped_date", "source")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
+
+
+def read_cv_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """File-based stream of raw candidate-CV JSON, fixed CV_SCHEMA —
+    the ingestion twin of the reference's declared-but-never-written
+    CV consumer (PLAN_REALISATION.md:260-271: consume_cvs.py missing;
+    table schema create_tables.sql:98-128). Swap in
+    ``format("kafka")`` + :func:`decode_kafka_cvs` unchanged
+    downstream, exactly as the offer path."""
+    return spark.readStream.schema(CV_SCHEMA).json(input_path)
+
+
+def decode_kafka_cvs(kafka_df: DataFrame) -> DataFrame:
+    """Binary Kafka value -> typed CV columns (same S2+S3 shape as
+    :func:`decode_kafka_offers`, against CV_SCHEMA)."""
+    return (
+        kafka_df.selectExpr("CAST(value AS STRING) AS json")
+        .select(F.from_json("json", CV_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+
+
+def stream_cvs_to_lake(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Land the normalized CV stream as partitioned parquet —
+    (scraped_date, source_site) partitions mirroring the offer lake's
+    (scraped_date, source), append mode, checkpointed for
+    exactly-once via the idempotent file sink."""
+    normalized = normalize_cvs(read_cv_stream(spark, input_path))
+    writer = (
+        normalized.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("scraped_date", "source_site")
         .outputMode("append")
     )
     if available_now:

@@ -172,9 +172,14 @@ class _TokenBudgetProcessor:
     def handleInputRows(self, key, rows, timerValues):
         cum = self._state.get()[0] if self._state.exists() else 0
         out = []
-        for pdf in rows:
-            # deterministic intra-batch order: ascending doc_id
-            pdf = pdf.sort_values("doc_id")
+        # Deterministic intra-batch order: concatenate ALL Arrow chunks
+        # first, then one global sort by doc_id — sorting each chunk
+        # independently would make the cumulative tally (and the
+        # accepted flag near the budget boundary) depend on where the
+        # runtime happened to split the micro-batch into chunks.
+        chunks = list(rows)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
             for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
                 cum += int(n_tok)
                 out.append((key[0], int(doc_id), int(n_tok), cum, cum <= self._budget))

@@ -37,9 +37,15 @@ def test_extract_features_deterministic(spark, media):
     assert again["img2"] == rows["img2"].feature
 
 
-def test_real_decode_is_explicitly_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        MM.extract_features(media, fake=False)
+def test_real_decode_nulls_undecodable_payloads(spark, media):
+    """fake=False is REAL since round 5 (stdlib-zlib PNG codec).
+    Fake-signature payloads in this fixture aren't valid PNGs, so
+    every row survives with a NULL feature — audit-don't-drop —
+    while hashes/lengths still populate."""
+    rows = {r.media_id: r for r in MM.extract_features(media, fake=False).collect()}
+    assert set(rows) == {"img1", "img2", "aud1", "vid1", "nil1"}
+    assert all(r.feature is None for r in rows.values())
+    assert rows["img1"].payload_sha1 == hashlib.sha1(b"\x89PNG-fake-1").hexdigest()
 
 
 def test_png_jpeg_header_parsers_pure_python():
@@ -182,11 +188,14 @@ def test_resize_images_round_trip_and_passthrough(spark):
         assert parsed == (out[k]["rs_width"], out[k]["rs_height"])
 
 
-def test_resize_images_real_path_env_gated(spark):
-    import pytest
-
+def test_resize_images_real_path_header_only_png_nulls(spark):
+    """fake=False is REAL since round 5, and strict: make_png(8,8) is
+    a header-only fixture with NO IDAT, so the real decoder returns
+    None and the row survives with NULLs instead of fabricating
+    pixels. (The pixel-exact happy path lives in
+    test_round5_queries.test_resize_images_real_path_pixels.)"""
     from bigdata_jobmatching_spark.operators import multimodal as MM
 
     df = spark.createDataFrame([(0, MM.make_png(8, 8))], "p_partkey long, payload binary")
-    with pytest.raises(NotImplementedError):
-        MM.resize_images(df, fake=False)
+    row = MM.resize_images(df, fake=False).collect()[0]
+    assert row["resized"] is None and row["rs_format"] is None

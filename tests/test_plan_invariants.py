@@ -257,7 +257,10 @@ def test_no_new_unvetted_float_rounding():
     allow = {
         "analytics_queries.py": 1,   # pearson_r: identical exact-moment chain
         "dedup_queries.py": 3,       # jaccard/cosine of exact-int or identical chains
-        "domain_queries.py": 4,      # money-grid rounds + matching percents (r02 green)
+        "domain_queries.py": 5,      # money-grid rounds + matching percents
+                                     # (r02 green) + cv_profile_stats salary
+                                     # cents: integral-double * 100 lands
+                                     # exactly on grid, no midpoint exists
         "events_queries.py": 1,      # exact-grid conditional sum
         "mixing_queries.py": 2,      # quality band on exact quarters
                                      # (budget + curriculum, same banding)

@@ -499,3 +499,55 @@ def test_versioned_merge_matches_dict_model(spark, tmp_path_factory, ops):
             for r in V.read_version(spark, root).collect()
         }
         assert got == model, (got, model, op)
+
+
+# --- PNG codec round-trip (round-5, pure Python — no Spark needed) --------
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    ch=st.integers(1, 4),
+    ft=st.sampled_from([0, 1, 2, 3, 4, None]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_round_trip_property(w, h, ch, ft, seed):
+    """decode(encode(px)) == px for arbitrary geometry, channel count,
+    scanline filter, and pixel content (LCG-generated — includes 0x00
+    and 0xFF runs that stress the modular filter arithmetic)."""
+    from bigdata_jobmatching_spark.operators.multimodal import decode_png, encode_png
+
+    n = w * h * ch
+    x, out = seed, bytearray()
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x & 0xFF)
+    px = bytes(out)
+    assert decode_png(encode_png(w, h, px, channels=ch, filter_type=ft)) == (w, h, ch, px)
+
+
+@given(
+    w=st.integers(1, 10), h=st.integers(1, 10), ch=st.integers(1, 4),
+    tw=st.integers(1, 10), th=st.integers(1, 10), seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_resample_nearest_matches_reference_loop(w, h, ch, tw, th, seed):
+    """The vectorized nearest-neighbor resample equals the obvious
+    per-pixel floor-coordinate loop on arbitrary inputs."""
+    from bigdata_jobmatching_spark.operators.multimodal import resample_nearest
+
+    n = w * h * ch
+    x, out = seed, bytearray()
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x & 0xFF)
+    px = bytes(out)
+    got = resample_nearest(px, w, h, ch, tw, th)
+    ref = bytearray()
+    for y in range(th):
+        sy = (y * h) // th
+        for xq in range(tw):
+            sx = (xq * w) // tw
+            base = (sy * w + sx) * ch
+            ref += px[base:base + ch]
+    assert got == bytes(ref)

@@ -1,0 +1,210 @@
+"""Round-5 additions: versioned-stage hardening (ADVICE r4), plus new
+query/operator coverage added this round."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.sources.io import load_table
+
+
+def test_versioned_merge_into_never_published_root(spark, tmp_path):
+    """First micro-batch against a dimension that was never seeded:
+    merge_version must land the non-tombstone update rows as v1
+    instead of raising FileNotFoundError (ADVICE r4: versioned.py:152)."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    root = str(tmp_path / "fresh_dim")
+    updates = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "tomb", True)],
+        "id long, val string, deleted boolean",
+    )
+    v1 = V.merge_version(spark, root, updates, ("id",), delete_col="deleted")
+    assert v1 == 1 and V.current_version(root) == 1
+    got = {r["id"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert got == {1: "a", 2: "b"}  # tombstone for an absent key is a no-op
+
+    # and the NEXT merge behaves as a normal SCD1 upsert
+    upd2 = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False)], "id long, val string, deleted boolean"
+    )
+    V.merge_version(spark, root, upd2, ("id",), delete_col="deleted")
+    got2 = {r["id"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert got2 == {1: "a", 2: "B", 4: "d"}
+
+
+def test_vacuum_incomplete_versions_do_not_occupy_keep_slots(spark, tmp_path):
+    """ADVICE r4 (versioned.py:122): junk directories from crashed
+    writes sorted as 'newest' and displaced real versions from the
+    keep window while themselves surviving. Now only _SUCCESS-complete
+    versions count toward keep-N; incomplete dirs are deleted
+    unconditionally."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    root = str(tmp_path / "stage")
+    df = spark.range(3).select(F.col("id"))
+    V.write_version(df, root)  # v1 (complete)
+    V.write_version(df, root)  # v2 (complete, published)
+
+    # two crashed/in-flight writes land bare dirs with higher numbers
+    os.makedirs(os.path.join(root, "v00007"))
+    os.makedirs(os.path.join(root, "v00008"))
+
+    deleted = V.vacuum(root, keep=2)
+    # the junk is gone, BOTH real versions survive the keep-2 window
+    assert set(deleted) == {7, 8}
+    assert V.list_versions(root) == [1, 2]
+    assert V.current_version(root) == 2
+
+
+# --- real PNG codec (round-5 de-stub) ------------------------------------
+
+def test_png_codec_round_trip_all_filters_and_color_types():
+    """encode -> decode must be identity for every scanline filter
+    (None/Sub/Up/Average/Paeth) and every 8-bit color type the codec
+    claims (gray, gray+alpha, RGB, RGBA)."""
+    from bigdata_jobmatching_spark.operators.multimodal import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        for ft in (0, 1, 2, 3, 4, None):
+            w, h = 7, 6
+            px = bytes((31 * i + 5 * ch + 17) % 256 for i in range(w * h * ch))
+            assert decode_png(encode_png(w, h, px, channels=ch, filter_type=ft)) \
+                == (w, h, ch, px), (ch, ft)
+
+
+def test_png_codec_rejects_garbage_and_unsupported_loudly():
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk, decode_png,
+    )
+    import pytest as _pytest
+
+    assert decode_png(b"not a png") is None
+    # 16-bit depth must raise (loud), not silently mis-decode
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+
+
+def test_resample_nearest_known_grid():
+    """4x4 single-channel gradient -> 2x2 picks the top-left of each
+    2x2 block (floor source-coordinate convention)."""
+    from bigdata_jobmatching_spark.operators.multimodal import resample_nearest
+
+    px = bytes(range(16))
+    assert resample_nearest(px, 4, 4, 1, 2, 2) == bytes([0, 2, 8, 10])
+    # identity when target == source
+    assert resample_nearest(px, 4, 4, 1, 4, 4) == px
+
+
+def test_resize_images_real_path_pixels(spark):
+    """fake=False end-to-end: decode real pixels, nearest-resample,
+    re-encode — the output PNG decodes to exactly the expected bytes;
+    JPEG payloads keep their row with NULLs."""
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+    import numpy as np
+
+    w, h = 8, 4
+    a = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    png = MM.encode_png(w, h, a.tobytes(), channels=3, filter_type=None)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(MM.make_jpeg(100, 50)))],
+        "p_partkey long, payload binary",
+    )
+    out = {r["p_partkey"]: r for r in
+           MM.resize_images(df, max_side=4, fake=False).collect()}
+    r1 = out[1]
+    assert (r1["rs_format"], r1["rs_width"], r1["rs_height"]) == ("png", 4, 2)
+    got = MM.decode_png(bytes(r1["resized"]))
+    expect = a[np.ix_((np.arange(2) * h) // 2, (np.arange(4) * w) // 4)]
+    assert got == (4, 2, 3, expect.tobytes())
+    r2 = out[2]
+    assert r2["rs_format"] is None and r2["resized"] is None
+
+
+def test_extract_features_real_decode(spark):
+    """fake=False features come from decoded pixels: per-channel
+    mean/255 then max/255, padded to 4 channel slots each."""
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    px = bytes([0, 100, 200, 50, 150, 250])  # 2x1 RGB
+    png = MM.encode_png(2, 1, px, channels=3)
+    df = spark.createDataFrame(
+        [("a", "image", None, bytearray(png), None, None, None),
+         ("b", "image", None, bytearray(b"junk"), None, None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            MM.extract_features(df, fake=False).collect()}
+    feat = rows["a"]["feature"]
+    assert feat[:4] == pytest.approx([25 / 255, 125 / 255, 225 / 255, 0.0])
+    assert feat[4:] == pytest.approx([50 / 255, 150 / 255, 250 / 255, 0.0])
+    assert rows["b"]["feature"] is None
+
+
+# --- CV-stream ingestion twin (round-5) ----------------------------------
+
+def _make_raw_cvs(n: int) -> list[dict]:
+    rows = []
+    for i in range(n):
+        rows.append({
+            "cv_id": None if i % 5 == 0 else f"CV_{i}",
+            "annees_experience": None if i % 7 == 0 else i % 15,
+            "niveau_etudes": ["Bac", "  Master ", None][i % 3],
+            "salaire_souhaite": 100000.0 + i * 1000,
+            "teletravail_souhaite": [True, None, False][i % 3],
+            "competences": [" Python ", "SQL", f"s{i % 4}", "python"],
+            "langues": [{"langue": "fr", "niveau": "C1"}] * (i % 3),
+            "source_site": f"site_{i % 2}",
+            "url_cv": f"https://s{i % 2}/cv/{i}",
+            "scraped_at": f"2024-0{i % 3 + 1}-15T08:30:00",
+            "statut": None if i % 4 == 0 else "candidat",
+        })
+    return rows
+
+
+def test_cv_stream_lands_partitioned_parquet_exactly_once(spark, tmp_path):
+    """The reference DECLARED a CV consumer but never wrote it
+    (PLAN_REALISATION.md:260-271); this is its streaming twin:
+    normalize_cvs applied on the stream, hive-partitioned parquet
+    landing, exactly-once on checkpoint restart."""
+    import json
+
+    from bigdata_jobmatching_spark.streaming.ingest import stream_cvs_to_lake
+
+    rows = _make_raw_cvs(30)
+    (tmp_path / "in").mkdir()
+    with open(tmp_path / "in" / "b1.json", "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    q = stream_cvs_to_lake(
+        spark, str(tmp_path / "in"), str(tmp_path / "lake"),
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "lake"))
+    assert out.count() == len(rows)
+    parts = {p.name for p in (tmp_path / "lake").iterdir() if p.is_dir()}
+    assert any(p.startswith("scraped_date=") for p in parts)
+
+    got = {r["cv_id"]: r for r in out.collect()}
+    # null cv_id got the md5 fallback (16-hex), normalization applied
+    assert "CV_1" in got and got["CV_1"]["statut"] == "candidat"
+    fallback = [k for k in got if not k.startswith("CV_")]
+    assert fallback and all(len(k) == 16 for k in fallback)
+    r1 = got["CV_1"]
+    assert r1["competences"] == ["python", "sql", "s1"]  # trim+lower+distinct
+    assert r1["niveau_etudes"] == "Master"
+    assert r1["n_langues"] == 1
+    assert got["CV_7"]["annees_experience"] == 0  # null clamped (7 % 7 == 0)
+
+    # exactly-once: re-drain with same checkpoint adds nothing
+    q2 = stream_cvs_to_lake(
+        spark, str(tmp_path / "in"), str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == len(rows)

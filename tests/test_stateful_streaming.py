@@ -323,6 +323,25 @@ def test_token_budget_processor_logic_fake_state():
     assert out2["cum_tokens"].tolist() == [100, 101]
     assert out2["accepted"].tolist() == [True, False]
 
+    # A micro-batch split into multiple Arrow chunks must produce the
+    # SAME cumulative order as the unsplit batch: the global sort runs
+    # after concatenating all chunks, so the doc at the budget boundary
+    # cannot flip with the runtime's chunking. Here doc 5 (chunk 2)
+    # sorts before doc 6 (chunk 1); per-chunk sorting would tally doc 6
+    # first and flip both accepted flags.
+    proc2 = _TokenBudgetProcessor(budget=100)
+    proc2.init(FakeHandle())
+    c1 = pd.DataFrame({"doc_id": [6], "n_tokens": [60]})
+    c2 = pd.DataFrame({"doc_id": [5], "n_tokens": [50]})
+    out3 = pd.concat(proc2.handleInputRows(("srcB",), [c1, c2], None))
+    assert out3["doc_id"].tolist() == [5, 6]
+    assert out3["cum_tokens"].tolist() == [50, 110]
+    assert out3["accepted"].tolist() == [True, False]
+
+    # Empty chunk iterator: state untouched, empty frame out.
+    out4 = pd.concat(proc2.handleInputRows(("srcB",), [], None))
+    assert len(out4) == 0
+
 
 def test_state_data_source_offline_inspection(spark, sf_dir, tmp_path):
     """Spark-4 State Data Source: after a streaming dedup run, the
