@@ -886,3 +886,125 @@ register(QuerySpec(
     "single text scan",
     ("text", "projection"),
 ))
+
+
+# --- bpe_merge_candidates: vocab-induction pair counts (round-5) ----------
+# The first iteration of BPE training: corpus-weighted counts of
+# adjacent character pairs inside words. Shaped for scale the way a
+# real tokenizer-training pipeline is: the corpus collapses to the
+# DISTINCT-WORD grain first (groupBy word -> freq), so the pair
+# explosion runs over the vocabulary (|V| rows), not the corpus —
+# at 100 TB the vocabulary is millions while the corpus is trillions
+# of tokens, making this the only workable shape. Exact integers
+# end-to-end; top-50 under a total order (count desc, pair asc).
+
+def _bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+    words = (
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("total_count"),
+        F.count(F.lit(1)).alias("n_word_positions"),
+    )
+    return agg.orderBy(F.desc("total_count"), F.asc("pair")).limit(50)
+
+
+_BPE_SQL = f"""
+WITH tok AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+words AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+),
+pairs AS (
+  SELECT freq,
+    unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+),
+agg AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS total_count,
+    COUNT(*) AS n_word_positions
+  FROM pairs GROUP BY pair
+)
+SELECT * FROM agg ORDER BY total_count DESC, pair ASC LIMIT 50
+"""
+
+register(QuerySpec(
+    "bpe_merge_candidates", _bpe_merges, _BPE_SQL,
+    "BPE vocab induction, iteration 1: corpus-weighted adjacent "
+    "char-pair counts at distinct-word grain (|V| rows, not corpus "
+    "rows), exact-integer top-50",
+    ("text", "agg", "tokenizer"),
+))
+
+
+# --- doc_substring_dup_spans: windowed exact-substring duplication --------
+# The exact-substring dedup signal (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): k-token windows are
+# rolling-hashed and a window is a duplicate span iff it occurs in
+# >= 2 DISTINCT documents. Per doc: distinct windows, duplicated
+# windows, duplicated fraction. Engine-exact 60-bit md5 window ints
+# (the minhash_md5 family) keep the shuffle narrow; the whole thing
+# is explode -> distinct -> count -> semi-ish join back — linear in
+# corpus tokens, the same shape the 100 TB version needs.
+
+_DUP_K = 8
+
+
+def _dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    base = d.select("doc_id", X.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _DUP_K
+    )
+    wins = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(toks) - {_DUP_K} + 1), "
+            f"i -> CAST(conv(substring(md5(array_join(slice(toks, i, {_DUP_K}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+        )).alias("h"),
+    ).distinct()
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    j = wins.join(counts, "h")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+    ).select(
+        "doc_id", "n_windows", "n_dup_windows",
+        ratio6("n_dup_windows", "n_windows").alias("dup_frac"),
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id,
+    CAST('0x' || substr(md5(array_to_string(toks[i:i+{_DUP_K - 1}], ' ')), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - {_DUP_K} + 2)) AS i
+    FROM tok WHERE len(toks) >= {_DUP_K}
+  )
+),
+counts AS (SELECT h, COUNT(*) AS nd FROM wins GROUP BY h)
+SELECT w.doc_id,
+  COUNT(*) AS n_windows,
+  CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+  {ratio6_sql("SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)", "COUNT(*)")} AS dup_frac
+FROM wins w JOIN counts c ON w.h = c.h
+GROUP BY w.doc_id
+"""
+
+register(QuerySpec(
+    "doc_substring_dup_spans", _dup_spans, _DUP_SPANS_SQL,
+    f"exact-substring duplicate spans: {_DUP_K}-token rolling md5 "
+    "windows occurring in >=2 distinct docs, per-doc duplicated "
+    "fraction (Lee et al. substring-dedup signal)",
+    ("text", "dedup", "agg"),
+))
