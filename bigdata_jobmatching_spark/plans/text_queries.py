@@ -1008,3 +1008,63 @@ register(QuerySpec(
     "fraction (Lee et al. substring-dedup signal)",
     ("text", "dedup", "agg"),
 ))
+
+
+# --- vocab_oov_rate: tokenizer vocabulary coverage (round-5) --------------
+# Given a frequency-built top-V vocabulary, what fraction of each
+# source's token OCCURRENCES falls outside it — the
+# coverage/out-of-vocabulary audit run before committing to a
+# tokenizer. Two aggregations plus one broadcast join: the vocab is
+# top-V (deterministic total order: freq desc, word asc), tiny by
+# construction, so membership is a broadcast hash join against the
+# token stream — no shuffle of the corpus beyond the per-source agg.
+
+_VOCAB_V = 1000
+
+
+def _oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        freq.orderBy(F.desc("freq"), F.asc("w")).limit(_VOCAB_V)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    j = tok.join(F.broadcast(vocab), "w", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+    ).select(
+        "source", "n_tokens", "n_oov",
+        ratio6("n_oov", "n_tokens").alias("oov_rate"),
+    )
+
+
+_OOV_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(toks) AS w
+  FROM (SELECT source, {_SQL_TOKS} AS toks FROM documents)
+),
+freq AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS r FROM freq
+  ) WHERE r <= {_VOCAB_V}
+),
+j AS (
+  SELECT t.source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+)
+SELECT source, COUNT(*) AS n_tokens,
+  CAST(SUM(oov) AS BIGINT) AS n_oov,
+  {ratio6_sql("SUM(oov)", "COUNT(*)")} AS oov_rate
+FROM j GROUP BY source
+"""
+
+register(QuerySpec(
+    "vocab_oov_rate", _oov_rate, _OOV_SQL,
+    f"out-of-vocabulary rate per source against a top-{_VOCAB_V} "
+    "frequency vocabulary (tokenizer coverage audit; broadcast "
+    "membership join)",
+    ("text", "tokenizer", "agg"),
+))

@@ -208,3 +208,35 @@ def test_cv_stream_lands_partitioned_parquet_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "lake")).count() == len(rows)
+
+
+def test_png_decode_ancillary_chunks_and_split_idat():
+    """Real-world PNGs carry ancillary chunks (gAMA, tEXt, ...) before
+    the image data and often split the zlib stream across multiple
+    IDAT chunks; the decoder must skip the former and concatenate the
+    latter per spec."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk, decode_png, encode_png,
+    )
+
+    w, h, ch = 5, 4, 3
+    px = bytes((7 * i + 1) % 256 for i in range(w * h * ch))
+    std = encode_png(w, h, px, channels=ch, filter_type=None)
+    pos, chunks = 8, []
+    while pos + 8 <= len(std):
+        ln = int.from_bytes(std[pos:pos + 4], "big")
+        chunks.append((std[pos + 4:pos + 8], std[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    parts = dict(chunks)
+    idat, third = parts[b"IDAT"], max(1, len(parts[b"IDAT"]) // 3)
+    rebuilt = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", parts[b"IHDR"])
+        + _png_chunk(b"gAMA", (45455).to_bytes(4, "big"))
+        + _png_chunk(b"tEXt", b"Comment\x00hello")
+        + _png_chunk(b"IDAT", idat[:third])
+        + _png_chunk(b"IDAT", idat[third:2 * third])
+        + _png_chunk(b"IDAT", idat[2 * third:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(rebuilt) == (w, h, ch, px)
