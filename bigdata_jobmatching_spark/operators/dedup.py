@@ -438,3 +438,40 @@ def prefix_filter_pairs(
         "id_a", "id_b",
         (F.col("__inter").cast("double") / F.col("__union")).alias("jaccard"),
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document windowed exact-substring duplication census (the
+    Lee et al. substring-dedup signal): every k-token rolling window
+    is hashed to an engine-exact 60-bit md5 int, and a window counts
+    as duplicated iff it occurs in >= 2 DISTINCT documents. Returns
+    (id, n_windows, n_dup_windows) over docs with >= k tokens;
+    shorter docs simply have no row.
+
+    One definition serves both the ``doc_substring_dup_spans`` gate
+    query and the corpus pipeline's substring-dedup stage. Shape:
+    explode -> distinct -> count -> join back — linear in corpus
+    tokens, shuffles only the narrow (id, hash) stream.
+    """
+    from ..functions import text as X
+
+    base = docs.select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    wins = base.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(1, size(toks) - {k} + 1), "
+            f"i -> CAST(conv(substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+        )).alias("h"),
+    ).distinct()
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return wins.join(counts, "h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+    )

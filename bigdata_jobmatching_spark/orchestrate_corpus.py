@@ -32,7 +32,8 @@ _PHONE_RE = "\\+?[0-9]{2,3}([ .-][0-9]{2,4}){3,4}"
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
 
 CORPUS_STAGES: tuple[str, ...] = (
-    "filtered", "exact_deduped", "near_deduped", "scrubbed", "packed",
+    "filtered", "exact_deduped", "near_deduped", "substring_deduped",
+    "scrubbed", "packed",
 )
 
 
@@ -57,6 +58,22 @@ def near_dedup_docs(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFram
         docs, pairs, "doc_id",
         order_cols=[F.length("text").desc(), F.col("doc_id")],
     )
+
+
+def substring_dedup_docs(
+    docs: DataFrame, k: int = 8, max_dup_milli: int = 500
+) -> DataFrame:
+    """Drop documents whose duplicated-window fraction exceeds
+    max_dup_milli/1000 — the document-level form of exact-substring
+    dedup (Lee et al.): a doc made mostly of k-token windows that
+    also appear in other docs is boilerplate/template mass. Integer
+    cross-multiplication (no float threshold); docs shorter than k
+    tokens carry no window stats and always survive."""
+    stats = D.substring_dup_stats(docs, k=k)
+    heavy = stats.filter(
+        F.col("n_dup_windows") * 1000 > F.lit(max_dup_milli) * F.col("n_windows")
+    ).select("doc_id")
+    return docs.join(heavy, "doc_id", "left_anti")
 
 
 def scrub_pii(docs: DataFrame) -> DataFrame:
@@ -117,7 +134,7 @@ def corpus_gate(
             problems.append(f"{name} empty")
         rows_seq.append(rows)
     for prev, cur, name in zip(rows_seq, rows_seq[1:], CORPUS_STAGES[1:]):
-        if name in ("exact_deduped", "near_deduped") and cur > prev:
+        if name in ("exact_deduped", "near_deduped", "substring_deduped") and cur > prev:
             problems.append(f"{name} grew the corpus ({prev} -> {cur})")
     if strict and problems:
         raise ValueError(f"corpus gate: {problems}")
@@ -167,8 +184,13 @@ def run_corpus_pipeline(
         ("source",),
     )
     stage(
+        "substring_deduped",
+        lambda: substring_dedup_docs(spark.read.parquet(f"{out_dir}/near_deduped")),
+        ("source",),
+    )
+    stage(
         "scrubbed",
-        lambda: scrub_pii(spark.read.parquet(f"{out_dir}/near_deduped")),
+        lambda: scrub_pii(spark.read.parquet(f"{out_dir}/substring_deduped")),
         ("source",),
         metrics={
             # free in-flight PII audit: residual raw emails after the

@@ -960,23 +960,10 @@ _DUP_K = 8
 
 
 def _dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import substring_dup_stats
+
     d = fan_out(load_table(spark, sf, "documents"))
-    base = d.select("doc_id", X.tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= _DUP_K
-    )
-    wins = base.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(1, size(toks) - {_DUP_K} + 1), "
-            f"i -> CAST(conv(substring(md5(array_join(slice(toks, i, {_DUP_K}), ' ')), 1, 15), 16, 10) AS BIGINT))"
-        )).alias("h"),
-    ).distinct()
-    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    j = wins.join(counts, "h")
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
-    ).select(
+    return substring_dup_stats(d, k=_DUP_K).select(
         "doc_id", "n_windows", "n_dup_windows",
         ratio6("n_dup_windows", "n_windows").alias("dup_frac"),
     )

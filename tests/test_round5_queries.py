@@ -240,3 +240,26 @@ def test_png_decode_ancillary_chunks_and_split_idat():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png(rebuilt) == (w, h, ch, px)
+
+
+def test_substring_dedup_stage_drops_boilerplate(spark):
+    """The corpus pipeline's substring-dedup stage: a document that is
+    mostly k-token windows shared with another document is dropped;
+    documents with unique content and documents too short to carry
+    any window both survive."""
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, shared + " unique tail one", "a"),            # mostly shared -> drop
+        (2, shared + " other unique ending", "a"),        # mostly shared -> drop
+        (3, " ".join(f"only{i}" for i in range(40)), "a"),  # unique -> keep
+        (4, "too short", "a"),                            # < k tokens -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r["doc_id"] for r in OC.substring_dedup_docs(docs, k=8).collect()}
+    assert kept == {3, 4}
+    # with a permissive threshold everything survives
+    all_kept = {r["doc_id"] for r in
+                OC.substring_dedup_docs(docs, k=8, max_dup_milli=1000).collect()}
+    assert all_kept == {1, 2, 3, 4}
