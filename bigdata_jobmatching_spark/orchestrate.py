@@ -21,6 +21,7 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .plans import domain_pipeline as P
 from .sources.io import write_stage
@@ -101,6 +102,54 @@ def run_staged_pipeline(
     P.write_warehouse(wh, f"{out_dir}/warehouse")
 
     return quality_check(spark, out_dir, strict=strict)
+
+
+def match_lakes(
+    spark: SparkSession,
+    offers_dir: str,
+    cvs_dir: str,
+    out_dir: str,
+    top_k: int = 20,
+    max_skill_df_frac: float | None = 0.5,
+) -> dict:
+    """The end-to-end matching landing the reference DECLARED but
+    never wired (matching_dag.py:50-57 + the missing consume_cvs):
+    read the enriched OFFER lake (run_staged_pipeline's
+    sectors_enriched stage) and the normalized CV lake
+    (streaming.ingest.stream_cvs_to_lake output), run the
+    inverted-index matching operator, and land agg_matching_scores +
+    the per-candidate top-k as parquet stages.
+
+    Column adaptation happens here, not in the operator: offers map
+    (offer_id, skills, location -> LOC id, salaire_min/max,
+    experience_level); CVs land already matching-shaped from
+    normalize_cvs. The document-frequency cap is the skew lever —
+    fractional, so the same 0.5 means the same at any scale."""
+    from .functions import ids as I
+    from .operators import matching as M
+
+    offers = spark.read.parquet(offers_dir).select(
+        F.col("offer_id").alias("job_id"),
+        "skills",
+        I.localisation_id(F.col("location")).alias("localisation_id"),
+        "salaire_min", "salaire_max",
+        F.col("experience_level").alias("niveau_experience"),
+    )
+    cvs = spark.read.parquet(cvs_dir).select(
+        "cv_id", "competences", "localisation_souhaitee_id",
+        "salaire_souhaite", "annees_experience",
+    )
+    scores = M.match_offers_cvs(
+        offers, cvs, max_skill_df_frac=max_skill_df_frac
+    )
+    write_stage(scores, f"{out_dir}/matching_scores", ())
+    top = M.top_matches_per_candidate(
+        spark.read.parquet(f"{out_dir}/matching_scores"), k=top_k
+    )
+    write_stage(top, f"{out_dir}/top_matches", ())
+    n_scores = spark.read.parquet(f"{out_dir}/matching_scores").count()
+    n_top = spark.read.parquet(f"{out_dir}/top_matches").count()
+    return {"matching_scores": n_scores, "top_matches": n_top}
 
 
 def main(argv: list[str] | None = None) -> int:
