@@ -794,6 +794,15 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
         ln = int.from_bytes(b[pos:pos + 4], "big")
         ctype = b[pos + 4:pos + 8]
         data = b[pos + 8:pos + 8 + ln]
+        # CRC check on every chunk: without it a flipped byte in the
+        # zlib stream decodes to silently-wrong pixels; with it, any
+        # corruption fails loudly (the single-byte-flip property test
+        # pins this: corrupt input can never return altered pixels).
+        stored_crc = b[pos + 8 + ln:pos + 12 + ln]
+        if len(data) < ln or len(stored_crc) < 4:
+            raise ValueError("truncated PNG chunk")
+        if _z.crc32(ctype + data) != int.from_bytes(stored_crc, "big"):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
@@ -811,7 +820,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
         pos += 12 + ln
     if width is None or not idat:
         return None
-    raw = _z.decompress(bytes(idat))
+    try:
+        raw = _z.decompress(bytes(idat))
+    except _z.error as e:  # corrupt stream -> loud, typed failure
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel stream length mismatch")

@@ -551,3 +551,33 @@ def test_resample_nearest_matches_reference_loop(w, h, ch, tw, th, seed):
             base = (sy * w + sx) * ch
             ref += px[base:base + ch]
     assert got == bytes(ref)
+
+
+@given(
+    flip_seed=st.integers(0, 2**31),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_never_silently_wrong_under_byte_flip(flip_seed, seed):
+    """Corruption safety: flipping any single byte of a valid PNG must
+    either raise ValueError (CRC/structure check) or return None
+    (broken signature) — NEVER return pixels different from the
+    original. The per-chunk CRC verification is what makes this hold
+    for flips inside the zlib stream."""
+    from bigdata_jobmatching_spark.operators.multimodal import decode_png, encode_png
+
+    w, h, ch = 6, 5, 3
+    n = w * h * ch
+    x, out = seed, bytearray()
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x & 0xFF)
+    px = bytes(out)
+    png = bytearray(encode_png(w, h, px, channels=ch, filter_type=None))
+    pos = flip_seed % len(png)
+    png[pos] ^= 1 + (flip_seed // len(png)) % 255  # guaranteed change
+    try:
+        got = decode_png(bytes(png))
+    except ValueError:
+        return  # loud failure: the desired outcome for corruption
+    assert got is None, "corrupt PNG must not silently decode"
