@@ -82,3 +82,75 @@ def skew_split_join(
     joined_hot = fact_hot.join(F.broadcast(dim_hot), key, how)
     joined_cold = fact_cold.join(dim, key, how)
     return joined_hot.unionByName(joined_cold)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    denom: int = 200,
+    summary_k: int = 400,
+) -> DataFrame:
+    """Deterministic-EXACT heavy hitters: every key whose global count
+    strictly exceeds n/denom, with its exact count — found WITHOUT a
+    full groupBy over the (potentially ultra-high-cardinality) key.
+
+    Phase 1 (candidate pruning): each Arrow batch builds a
+    Misra-Gries summary of ``summary_k`` counters. MG guarantees any
+    key with local frequency > m/(summary_k+1) survives its batch; by
+    averaging, a key with global count > n/denom must exceed
+    m_p/denom in some batch, so with summary_k >= denom the candidate
+    UNION is a provable superset of the true hitters. Phase 2 (exact
+    verify): a broadcast semi-join restricts the corpus to candidates
+    and recounts them exactly, so the OUTPUT is exact and independent
+    of partitioning/batching regardless of what phase 1 produced —
+    the candidate-then-verify shape that makes the answer
+    determinism-sweep safe.
+
+    Scale: phase 1 is one narrow pass (no shuffle); candidates are
+    O(batches x summary_k) — at extreme partition counts, MG
+    summaries merge associatively, so a treewise summary merge slots
+    in before the broadcast without touching phase 2's exactness.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cand_schema = T.StructType([T.StructField(key_col, T.StringType())])
+
+    def mg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            counters: dict = {}
+            for v in pdf[key_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < summary_k:
+                    counters[v] = 1
+                else:
+                    for kk in list(counters):
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            del counters[kk]
+            yield pd.DataFrame({key_col: list(counters)})
+
+    cands = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .mapInPandas(mg_batches, cand_schema)
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n_total"))
+    exact = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") * denom > F.col("__n_total"))
+        .select(
+            key_col,
+            "n_rows",
+            F.col("__n_total").alias("n_total"),
+        )
+    )

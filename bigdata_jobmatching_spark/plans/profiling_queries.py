@@ -218,3 +218,45 @@ register(QuerySpec(
     "duplicate keys — anti-joins + HAVING counts in one audit row",
     ("profiling", "join", "quality"),
 ))
+
+
+# --- event_heavy_hitters: exact hitters via MG candidate pruning ----------
+# Round-5: the candidate-then-verify pattern at gate grain. Phase 1
+# prunes with per-batch Misra-Gries summaries (no shuffle of the raw
+# stream); phase 2 recounts candidates exactly, so the result is
+# EXACT and partitioning-independent even though the candidate set
+# isn't — which is precisely what lets a plain GROUP BY ... HAVING
+# oracle verify a sketch-assisted plan value-for-value.
+
+_HH_DENOM = 200
+
+
+def _heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import heavy_hitters_exact
+
+    ev = load_table(spark, sf, "events")
+    out = heavy_hitters_exact(ev, "user_id", denom=_HH_DENOM)
+    return out.select(
+        "user_id", "n_rows", "n_total",
+        ratio6("n_rows", "n_total").alias("share"),
+    )
+
+
+_HH_SQL = f"""
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+  COUNT(*) AS n_rows,
+  CAST(MAX(t.n) AS BIGINT) AS n_total,
+  {ratio6_sql("COUNT(*)", "MAX(t.n)")} AS share
+FROM events, tot t
+GROUP BY user_id
+HAVING COUNT(*) * {_HH_DENOM} > MAX(t.n)
+"""
+
+register(QuerySpec(
+    "event_heavy_hitters", _heavy_hitters, _HH_SQL,
+    f"exact heavy hitters (> n/{_HH_DENOM} of all events) via "
+    "Misra-Gries candidate pruning + exact recount — sketch-assisted "
+    "plan, exact answer",
+    ("profiling", "skew", "sketch"),
+))

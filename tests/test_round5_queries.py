@@ -330,3 +330,20 @@ def test_end_to_end_offers_plus_cvs_to_matching(spark, tmp_path):
     assert all(1 <= r["rnk"] <= 5 for r in rows)
     # every candidate pair shares at least one skill by construction
     assert all(r["skill_match_pct"] > 0 for r in rows)
+
+
+def test_heavy_hitters_exact_under_eviction_pressure(spark):
+    """Misra-Gries candidate pruning with a summary much smaller than
+    the key cardinality: thousands of distinct cold keys force
+    constant evictions, yet the two hot keys (> n/denom) must survive
+    phase 1 and phase 2 must report their EXACT counts."""
+    from bigdata_jobmatching_spark.operators.skew import heavy_hitters_exact
+
+    rows = [("hot_a",) for _ in range(800)] + [("hot_b",) for _ in range(300)]
+    rows += [(f"cold_{i}",) for i in range(5000)]  # each appears once
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    out = {r["k"]: r for r in
+           heavy_hitters_exact(df, "k", denom=10, summary_k=20).collect()}
+    n = 800 + 300 + 5000  # threshold n/10 = 610
+    assert set(out) == {"hot_a"}  # 800 > 610; hot_b 300 < 610; cold all 1
+    assert out["hot_a"]["n_rows"] == 800 and out["hot_a"]["n_total"] == n
