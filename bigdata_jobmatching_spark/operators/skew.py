@@ -89,6 +89,7 @@ def heavy_hitters_exact(
     key_col: str,
     denom: int = 200,
     summary_k: int = 400,
+    merge_summaries: bool = True,
 ) -> DataFrame:
     """Deterministic-EXACT heavy hitters: every key whose global count
     strictly exceeds n/denom, with its exact count — found WITHOUT a
@@ -106,17 +107,32 @@ def heavy_hitters_exact(
     the candidate-then-verify shape that makes the answer
     determinism-sweep safe.
 
-    Scale: phase 1 is one narrow pass (no shuffle); candidates are
-    O(batches x summary_k) — at extreme partition counts, MG
-    summaries merge associatively, so a treewise summary merge slots
-    in before the broadcast without touching phase 2's exactness.
+    Scale: phase 1 is one narrow pass (no shuffle of the raw stream);
+    with ``merge_summaries`` (default) the per-batch summaries — each
+    (key, residual_count), at most summary_k rows per batch — merge
+    into ONE global MG summary via the mergeable-summaries rule (sum
+    residuals per key, subtract the (k+1)-th largest, keep positive;
+    Agarwal et al., "Mergeable Summaries": the merged deviation stays
+    <= n/(k+1)), so the candidate broadcast is bounded by summary_k
+    REGARDLESS of partition count. Phase 2's exactness never depends
+    on the merge — it only needs candidate RECALL, which the bound
+    guarantees for summary_k + 1 >= denom.
     """
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    cand_schema = T.StructType([T.StructField(key_col, T.StringType())])
+    if summary_k + 1 < denom:
+        raise ValueError(
+            f"summary_k + 1 ({summary_k + 1}) must be >= denom ({denom}) "
+            "or the candidate superset guarantee does not hold"
+        )
+
+    cand_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("__mg_c", T.LongType()),
+    ])
 
     def mg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -131,13 +147,35 @@ def heavy_hitters_exact(
                         counters[kk] -= 1
                         if counters[kk] == 0:
                             del counters[kk]
-            yield pd.DataFrame({key_col: list(counters)})
+            yield pd.DataFrame({
+                key_col: list(counters),
+                "__mg_c": list(counters.values()),
+            })
 
-    cands = (
-        df.select(F.col(key_col).cast("string").alias(key_col))
-        .mapInPandas(mg_batches, cand_schema)
-        .distinct()
-    )
+    summaries = df.select(
+        F.col(key_col).cast("string").alias(key_col)
+    ).mapInPandas(mg_batches, cand_schema)
+    if merge_summaries:
+        # one global MG from the batch summaries: tiny input (batches
+        # x summary_k rows), one bounded shuffle, output <= summary_k
+        summed = summaries.groupBy(key_col).agg(F.sum("__mg_c").alias("__c"))
+        n_cand = summed.agg(F.count(F.lit(1)).alias("__nc"))
+        kth = (
+            summed.orderBy(F.desc("__c"), F.asc(key_col))
+            .limit(summary_k + 1)
+            .agg(F.min("__c").alias("__kc"))
+        )
+        thresh = n_cand.crossJoin(F.broadcast(kth)).select(
+            F.when(F.col("__nc") <= summary_k, F.lit(0))
+            .otherwise(F.col("__kc")).alias("__t")
+        )
+        cands = (
+            summed.crossJoin(F.broadcast(thresh))
+            .filter(F.col("__c") > F.col("__t"))
+            .select(key_col)
+        )
+    else:
+        cands = summaries.select(key_col).distinct()
     total = df.agg(F.count(F.lit(1)).alias("__n_total"))
     exact = (
         df.select(F.col(key_col).cast("string").alias(key_col))

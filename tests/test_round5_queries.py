@@ -347,3 +347,23 @@ def test_heavy_hitters_exact_under_eviction_pressure(spark):
     n = 800 + 300 + 5000  # threshold n/10 = 610
     assert set(out) == {"hot_a"}  # 800 > 610; hot_b 300 < 610; cold all 1
     assert out["hot_a"]["n_rows"] == 800 and out["hot_a"]["n_total"] == n
+
+
+def test_heavy_hitters_merge_path_equals_plain_and_enforces_contract(spark):
+    """The mergeable-summaries path (candidate broadcast bounded by
+    summary_k regardless of partition count) must produce the SAME
+    exact answer as the plain candidate union, and the recall
+    contract summary_k + 1 >= denom is enforced loudly."""
+    from bigdata_jobmatching_spark.operators.skew import heavy_hitters_exact
+
+    rows = [("hot_a",)] * 800 + [("hot_b",)] * 300
+    rows += [(f"cold_{i}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    merged = sorted(tuple(r) for r in heavy_hitters_exact(
+        df, "k", denom=10, summary_k=20, merge_summaries=True).collect())
+    plain = sorted(tuple(r) for r in heavy_hitters_exact(
+        df, "k", denom=10, summary_k=20, merge_summaries=False).collect())
+    n = 800 + 300 + 3000  # threshold n/10 = 410
+    assert merged == plain == [("hot_a", 800, n)]
+    with pytest.raises(ValueError, match="superset guarantee"):
+        heavy_hitters_exact(df, "k", denom=100, summary_k=50)
