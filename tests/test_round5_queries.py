@@ -367,3 +367,28 @@ def test_heavy_hitters_merge_path_equals_plain_and_enforces_contract(spark):
     assert merged == plain == [("hot_a", 800, n)]
     with pytest.raises(ValueError, match="superset guarantee"):
         heavy_hitters_exact(df, "k", denom=100, summary_k=50)
+
+
+def test_heavy_hitters_equals_brute_force_on_random_data(spark):
+    """Seeded randomized equivalence: the sketch-assisted operator
+    must equal the brute-force groupBy answer on arbitrary skew
+    shapes (Zipf-ish LCG draws), for several (denom, summary_k)
+    settings including the minimal summary_k + 1 == denom contract."""
+    from bigdata_jobmatching_spark.operators.skew import heavy_hitters_exact
+
+    for seed, denom, k in ((1, 8, 7), (2, 5, 16), (3, 12, 40)):
+        x, rows = seed, []
+        for _ in range(4000):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            # squaring a uniform draw skews mass toward low ids
+            rows.append((f"k{(x % 40) * (x % 37) % 60}",))
+        df = spark.createDataFrame(rows, "k string").repartition(7)
+        got = sorted(tuple(r) for r in
+                     heavy_hitters_exact(df, "k", denom=denom, summary_k=k).collect())
+        n = len(rows)
+        brute = sorted(
+            (r["k"], r["cnt"], n)
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            if r["cnt"] * denom > n
+        )
+        assert got == brute, (seed, denom, k)
