@@ -431,3 +431,41 @@ def test_oracle_types_map_exactly_onto_spark_dtypes(sf_dir):
         f"{len(bad)} gate-unsafe oracle columns (wrap in CAST(... AS "
         f"BIGINT) or an exact type): {bad}"
     )
+
+
+def test_bench_plan_shapes_do_not_regress(spark, sf_dir):
+    """Plan-shape regression guard: every bench-tagged query's current
+    physical plan must not have MORE shuffles / cartesians / Python
+    nodes / global windows / gathered exchanges / sort-merge joins or
+    WIDER scans than the committed snapshot
+    (tools/plan_snapshot.json — refresh with
+    `python tools/plan_audit.py /root/testdata/sf0.001 --write-snapshot`
+    after a deliberate, explained plan change). Catches the silent
+    cost class bench wall-time only reveals noisily: a lost broadcast,
+    a new exchange, a pruning-defeating projection."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import REGRESSION_KEYS, audit_plans
+
+    from bigdata_jobmatching_spark.plans.catalog import load_all
+
+    snapshot = json.loads(
+        Path("/root/repo/tools/plan_snapshot.json").read_text())
+    bench_names = {n for n, s in load_all().items() if "bench" in s.tags}
+    current = audit_plans(spark, names=bench_names,
+                          sf_dir="/root/testdata/sf0.001")
+
+    problems = []
+    for name in sorted(bench_names):
+        if name not in snapshot:
+            problems.append(f"{name}: no snapshot entry — refresh the snapshot")
+            continue
+        for k in REGRESSION_KEYS:
+            if current[name][k] > snapshot[name][k]:
+                problems.append(
+                    f"{name}: {k} {snapshot[name][k]} -> {current[name][k]}"
+                )
+    assert not problems, f"plan regressions vs snapshot: {problems}"

@@ -35,9 +35,74 @@ PRUNE_MAX = 8  # widest legitimate projection (profile reads 6 of orders' 6)
 _CARTESIAN_OK = {"copurchase_als_latent_recs"}
 
 
+def plan_metrics(plan: str) -> dict[str, int]:
+    """Operator census of one executedPlan string — the counts that
+    dominate cost at scale."""
+    n_shuffle = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    n_gather = plan.count("Exchange SinglePartition")
+    n_bcast = plan.count("BroadcastExchange")
+    n_smj = plan.count("SortMergeJoin")
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_cart = plan.count("CartesianProduct")
+    n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") \
+        + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas") \
+        + plan.count("PythonUDTF")
+    n_gwin = len(re.findall(r"Window \[[^\]]*\], \[\]", plan))
+
+    def top_level_fields(s: str) -> int:
+        if not s:
+            return 0
+        depth, n = 0, 1
+        for ch in s:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        return n
+
+    scan_widths = [
+        top_level_fields(s.rstrip(">").rstrip("."))
+        for s in re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    ]
+    return {
+        "shuffle": n_shuffle, "gather": n_gather, "bcast": n_bcast,
+        "smj": n_smj, "bhj": n_bhj, "bnlj": n_bnlj, "cart": n_cart,
+        "py": n_py, "global_window": n_gwin,
+        "max_scan_cols": max(scan_widths, default=0),
+    }
+
+
+# Metrics where an INCREASE vs the committed snapshot is a plan
+# regression (more shuffles/cartesians/Python/global windows/wider
+# scans); bcast/bhj counts legitimately move with AQE thresholds.
+REGRESSION_KEYS = (
+    "shuffle", "gather", "smj", "bnlj", "cart", "py",
+    "global_window", "max_scan_cols",
+)
+
+
+def audit_plans(spark, names=None, sf_dir="/root/testdata/sf0.001") -> dict[str, dict]:
+    """{query: metrics} for the given (default: all) registered
+    queries — builds plans only, executes nothing."""
+    import __spark_entry__ as entry_mod
+
+    out: dict[str, dict] = {}
+    for name, fn in entry_mod.queries().items():
+        if names is not None and name not in names:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        out[name] = plan_metrics(plan)
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--write-snapshot"]
+    write_snapshot = "--write-snapshot" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from bigdata_jobmatching_spark.session import get_spark
@@ -46,6 +111,7 @@ def main() -> int:
     qs = entry_mod.queries()
 
     rows = []
+    metrics_by_name: dict[str, dict] = {}
     flags: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -56,67 +122,33 @@ def main() -> int:
             rows.append((name, f"PLAN ERROR: {str(e)[:80]}"))
             flags.append(f"{name}: plan build failed")
             continue
-        # SinglePartition gathers (final scalar aggregates, global
-        # limits) move a handful of pre-aggregated rows — counted
-        # separately, never red-flagged
-        n_shuffle = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-        n_gather = plan.count("Exchange SinglePartition")
-        n_bcast = plan.count("BroadcastExchange")
-        n_smj = plan.count("SortMergeJoin")
-        n_bhj = plan.count("BroadcastHashJoin")
-        n_bnlj = plan.count("BroadcastNestedLoopJoin")
-        n_cart = plan.count("CartesianProduct")
-        n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") \
-            + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas") \
-            + plan.count("PythonUDTF")
-        n_gwin = len(re.findall(r"Window \[[^\]]*\], \[\]", plan))
-        # column-pruning census: ReadSchema width per parquet scan.
-        # A scan that reads every column of a wide table for a narrow
-        # query defeats pruning — the widest scan is reported and
-        # red-flagged above PRUNE_MAX columns (the widest legitimate
-        # projection in the registry; the fact tables have 11).
-        def top_level_fields(s: str) -> int:
-            # commas inside decimal(18,6) / nested struct<...> are not
-            # field separators — count only depth-0 commas
-            if not s:
-                return 0
-            depth, n = 0, 1
-            for ch in s:
-                if ch in "<(":
-                    depth += 1
-                elif ch in ">)":
-                    depth -= 1
-                elif ch == "," and depth == 0:
-                    n += 1
-            return n
-
-        # plan strings hard-truncate long lines with '...', so widths
-        # are a lower bound for very wide scans — still enough to flag
-        # an unpruned wide-table read
-        scan_widths = [
-            top_level_fields(s.rstrip(">").rstrip("."))
-            for s in re.findall(r"ReadSchema: struct<([^\n]*)", plan)
-        ]
-        max_scan = max(scan_widths, default=0)
+        metrics_by_name[name] = plan_metrics(plan)
+        m = metrics_by_name[name]
         rows.append((
             name,
-            f"shuffle={n_shuffle} gather={n_gather} bcast={n_bcast} smj={n_smj} "
-            f"bhj={n_bhj} bnlj={n_bnlj} cart={n_cart} py={n_py} "
-            f"global_window={n_gwin} max_scan_cols={max_scan}",
+            " ".join(f"{k}={v}" for k, v in m.items()),
         ))
-        if n_cart and name not in _CARTESIAN_OK:
+        if m["cart"] and name not in _CARTESIAN_OK:
             flags.append(f"{name}: CartesianProduct in plan")
-        if n_shuffle > MAX_EXCHANGES:
-            flags.append(f"{name}: {n_shuffle} shuffle exchanges > {MAX_EXCHANGES}")
-        if max_scan > PRUNE_MAX:
+        if m["shuffle"] > MAX_EXCHANGES:
+            flags.append(f"{name}: {m['shuffle']} shuffle exchanges > {MAX_EXCHANGES}")
+        if m["max_scan_cols"] > PRUNE_MAX:
             flags.append(
-                f"{name}: scan reads {max_scan} columns — pruning defeated?"
+                f"{name}: scan reads {m['max_scan_cols']} columns — pruning defeated?"
             )
 
     w = max(len(n) for n, _ in rows) if rows else 0
     for name, desc in sorted(rows):
         print(f"{name:<{w}}  {desc}")
     print(f"\n{len(rows)} queries audited")
+    if write_snapshot:
+        import json
+        from pathlib import Path
+
+        snap_path = Path(__file__).with_name("plan_snapshot.json")
+        snap_path.write_text(json.dumps(
+            dict(sorted(metrics_by_name.items())), indent=1) + "\n")
+        print(f"snapshot: {snap_path} ({len(metrics_by_name)} queries)")
     if flags:
         print("RED FLAGS:")
         for f in flags:
