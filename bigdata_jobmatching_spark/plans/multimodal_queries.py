@@ -145,10 +145,10 @@ register(QuerySpec(
 # header, computes the integer-exact aspect-preserving target box
 # (longest side capped at 64), and emits a genuine container of the
 # target size; the query then RE-SNIFFS the emitted payload — so the
-# reported dims prove the round trip, not just the arithmetic. Pixel
-# resampling itself is the documented env-gated stub (PIL absent);
-# everything Spark-side (two Arrow passes, schema, no payload shuffle)
-# is real. The oracle recomputes the box from the planted dims.
+# reported dims prove the round trip, not just the arithmetic. (This
+# query runs the fake=True container path over PNG+JPEG; the REAL
+# pixel path is gate-verified separately by image_resize_pixel_stats
+# below.) The oracle recomputes the box from the planted dims.
 
 _RESIZE_MAX_SIDE = 64
 
@@ -323,5 +323,104 @@ register(QuerySpec(
     "image_pixel_stats", _pixel_stats, _PIXEL_STATS_SQL,
     "REAL PNG pixel decode (stdlib-zlib codec, all five scanline "
     "filters) verified by arithmetic channel sums",
+    ("multimodal", "decode"),
+))
+
+
+# --- image_resize_pixel_stats: the REAL resize path, oracle-verified ------
+# Round-5 closure of the resize de-stub: planted PNGs run the real
+# decode -> nearest-resample -> re-encode chain (fake=False), the
+# OUTPUT payload is decoded again, and per-channel pixel sums are
+# compared against a DuckDB oracle that recomputes the resampled
+# grid arithmetically (target box via the integer resize_box formula,
+# source coordinate sx = (x*w)//tw — the floor convention
+# resample_nearest implements). Any drift in box arithmetic,
+# index mapping, or either codec direction flips the hash.
+
+_RESIZE_MAX = 4
+
+
+def _resize_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for k in pdf["p_partkey"]:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_png(kk)
+                payloads.append(memo[kk])
+            yield pd.DataFrame({"p_partkey": pdf["p_partkey"], "payload": payloads})
+
+    media = p.mapInPandas(synth, _PAYLOAD_SCHEMA)
+    resized = MM.resize_images(media, max_side=_RESIZE_MAX, fake=False)
+
+    out_schema = T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("rs_width", T.IntegerType()),
+        T.StructField("rs_height", T.IntegerType()),
+        T.StructField("rsum_c0", T.LongType()),
+        T.StructField("rsum_c1", T.LongType()),
+        T.StructField("rsum_c2", T.LongType()),
+    ])
+
+    def decode_sums(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, raw in zip(pdf["p_partkey"], pdf["resized"]):
+                w, h, ch, px = MM.decode_png(bytes(raw))
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h * w, ch).astype(np.int64)
+                s = a.sum(axis=0)
+                rows.append((int(k), w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "rs_width", "rs_height",
+                         "rsum_c0", "rsum_c1", "rsum_c2"],
+            )
+
+    return resized.select("p_partkey", "resized").mapInPandas(decode_sums, out_schema)
+
+
+_RESIZE_PIXEL_SQL = f"""
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 7 + 2 AS BIGINT) AS w,
+    CAST(p_partkey % 1024 % 5 + 2 AS BIGINT) AS h
+  FROM part
+),
+box AS (
+  SELECT *,
+    CASE WHEN greatest(w, h) <= {_RESIZE_MAX} THEN w
+         WHEN w >= h THEN {_RESIZE_MAX}
+         ELSE greatest(1, (w * {_RESIZE_MAX}) // h) END AS tw,
+    CASE WHEN greatest(w, h) <= {_RESIZE_MAX} THEN h
+         WHEN w >= h THEN greatest(1, (h * {_RESIZE_MAX}) // w)
+         ELSE {_RESIZE_MAX} END AS th
+  FROM dims
+),
+xs AS (SELECT *, unnest(range(tw)) AS x FROM box),
+xy AS (SELECT *, unnest(range(th)) AS y FROM xs),
+src AS (
+  SELECT p_partkey, tw, th, k,
+    (x * w) // tw AS sx, (y * h) // th AS sy
+  FROM xy
+)
+SELECT p_partkey,
+  CAST(MAX(tw) AS INT) AS rs_width, CAST(MAX(th) AS INT) AS rs_height,
+  CAST(SUM((k + 7 * sx + 13 * sy) % 256) AS BIGINT) AS rsum_c0,
+  CAST(SUM((k + 7 * sx + 13 * sy + 101) % 256) AS BIGINT) AS rsum_c1,
+  CAST(SUM((k + 7 * sx + 13 * sy + 202) % 256) AS BIGINT) AS rsum_c2
+FROM src GROUP BY p_partkey
+"""
+
+register(QuerySpec(
+    "image_resize_pixel_stats", _resize_pixel_stats, _RESIZE_PIXEL_SQL,
+    "REAL pixel resize chain (decode -> nearest resample -> re-encode "
+    "-> decode) verified by arithmetic channel sums over the "
+    "resampled grid",
     ("multimodal", "decode"),
 ))
