@@ -77,10 +77,17 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
 
     With ``fake=False`` the feature comes from a REAL pixel decode
     (pure-Python zlib PNG codec, :func:`decode_png`): per-channel
-    mean+max over the inflated pixel bytes. Payloads outside the
-    codec's reach (JPEG/audio/video — entropy codecs need libs this
-    container lacks) keep their row with a NULL feature.
+    mean+max over the inflated pixel bytes — a fixed 8-wide vector
+    (4 channel means + 4 channel maxes), so ``dim`` must be 8 on that
+    path (raises otherwise rather than silently ignoring it).
+    Payloads outside the codec's reach (JPEG/audio/video — entropy
+    codecs need libs this container lacks) keep their row with a NULL
+    feature.
     """
+    if not fake and dim != 8:
+        raise ValueError(
+            f"fake=False produces a fixed 8-wide PNG channel feature; got dim={dim}"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -885,14 +892,19 @@ def decode_image_batch(
     """REAL pixel decode over a binary column: PNG payloads inflate to
     raw pixels (stdlib zlib, all filter types); the output row carries
     the decoded geometry and a sha1 over the pixel bytes so any
-    downstream can verify the decode bit-for-bit. Non-PNG payloads
-    yield NULLs (audit-don't-drop). One Arrow pass, no shuffle."""
+    downstream can verify the decode bit-for-bit. Non-PNG payloads —
+    including corrupt or out-of-subset PNGs (bad CRC, interlaced,
+    16-bit), which decode_png signals with ValueError — yield NULLs
+    (audit-don't-drop). One Arrow pass, no shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for raw in pdf[payload_col]:
-                d = decode_png(bytes(raw)) if raw is not None else None
+                try:
+                    d = decode_png(bytes(raw)) if raw is not None else None
+                except ValueError:
+                    d = None
                 if d is None:
                     rows.append((None, None, None, None))
                 else:

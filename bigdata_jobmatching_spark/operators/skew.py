@@ -117,6 +117,13 @@ def heavy_hitters_exact(
     REGARDLESS of partition count. Phase 2's exactness never depends
     on the merge — it only needs candidate RECALL, which the bound
     guarantees for summary_k + 1 >= denom.
+
+    NULL keys form a reportable group, exactly like SQL's
+    ``GROUP BY key HAVING count(*)*denom > n``: they are
+    sentinel-encoded before phase 1 (a join or MG counter would
+    silently drop them — the ADVICE r5 divergence) and decoded back
+    to NULL in the output. The sentinel is a control-character string
+    no real key column contains.
     """
     from collections.abc import Iterator
 
@@ -128,6 +135,8 @@ def heavy_hitters_exact(
             f"summary_k + 1 ({summary_k + 1}) must be >= denom ({denom}) "
             "or the candidate superset guarantee does not hold"
         )
+
+    _NULL_SENTINEL = "\x00\x00__NULL_KEY__"
 
     cand_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
@@ -152,9 +161,11 @@ def heavy_hitters_exact(
                 "__mg_c": list(counters.values()),
             })
 
-    summaries = df.select(
-        F.col(key_col).cast("string").alias(key_col)
-    ).mapInPandas(mg_batches, cand_schema)
+    keyed = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_SENTINEL))
+        .alias(key_col)
+    )
+    summaries = keyed.mapInPandas(mg_batches, cand_schema)
     if merge_summaries:
         # one global MG from the batch summaries: tiny input (batches
         # x summary_k rows), one bounded shuffle, output <= summary_k
@@ -178,7 +189,7 @@ def heavy_hitters_exact(
         cands = summaries.select(key_col).distinct()
     total = df.agg(F.count(F.lit(1)).alias("__n_total"))
     exact = (
-        df.select(F.col(key_col).cast("string").alias(key_col))
+        keyed
         .join(F.broadcast(cands), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -187,7 +198,8 @@ def heavy_hitters_exact(
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("n_rows") * denom > F.col("__n_total"))
         .select(
-            key_col,
+            F.when(F.col(key_col) == _NULL_SENTINEL, F.lit(None))
+            .otherwise(F.col(key_col)).alias(key_col),
             "n_rows",
             F.col("__n_total").alias("n_total"),
         )

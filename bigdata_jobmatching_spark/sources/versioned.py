@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -119,25 +120,40 @@ def _is_complete(root: str, version: int) -> bool:
     return os.path.isfile(os.path.join(root, f"v{version:05d}", "_SUCCESS"))
 
 
-def vacuum(root: str, keep: int = 2) -> list[int]:
+def vacuum(
+    root: str, keep: int = 2, grace_seconds: float = 3600.0
+) -> list[int]:
     """Delete all versions except the current one and the ``keep``
     newest COMPLETE versions. Never deletes the published version
-    regardless of age. Incomplete (crashed/in-flight) directories are
-    junk: they are deleted unconditionally and — crucially — do not
-    occupy "newest" slots, so they can't displace real older versions
-    from the keep window while themselves surviving. Returns the
-    deleted version numbers."""
+    regardless of age. Incomplete directories (no _SUCCESS marker) do
+    not occupy "newest" slots, so they can't displace real older
+    versions from the keep window — but an incomplete directory is
+    only deleted once its mtime is older than ``grace_seconds``: a
+    directory without _SUCCESS may be a CONCURRENT IN-FLIGHT
+    write_version (the marker appears only at commit), and an
+    unconditional delete would race it. A crashed write's leftovers
+    age past the grace window and get collected on a later vacuum.
+    Note this relies on Spark's _SUCCESS marker; deployments that set
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` must
+    not vacuum (every version would look in-flight forever — safe,
+    never wrong, but nothing incomplete is ever reclaimed).
+    Returns the deleted version numbers."""
     cur = current_version(root)
     vs = list_versions(root)
     complete = [v for v in vs if _is_complete(root, v)]
     keep_set = set(complete[-keep:]) if keep > 0 else set()
     if cur is not None:
         keep_set.add(cur)
+    now = time.time()
     deleted = []
     for v in vs:
-        if v not in keep_set:
-            shutil.rmtree(os.path.join(root, f"v{v:05d}"))
-            deleted.append(v)
+        if v in keep_set:
+            continue
+        vdir = os.path.join(root, f"v{v:05d}")
+        if v not in complete and now - os.path.getmtime(vdir) < grace_seconds:
+            continue  # possibly an in-flight writer; let it age
+        shutil.rmtree(vdir)
+        deleted.append(v)
     return deleted
 
 

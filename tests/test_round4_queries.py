@@ -645,7 +645,7 @@ def test_versioned_stage_publish_timetravel_rollback_vacuum(spark, sf_dir, tmp_p
     import os
     os.makedirs(os.path.join(root, "v00099"))
     assert V.current_version(root) == 1
-    deleted2 = V.vacuum(root, keep=0)
+    deleted2 = V.vacuum(root, keep=0, grace_seconds=0.0)
     assert 99 in deleted2 and V.current_version(root) == 1
 
 

@@ -40,8 +40,8 @@ def test_vacuum_incomplete_versions_do_not_occupy_keep_slots(spark, tmp_path):
     """ADVICE r4 (versioned.py:122): junk directories from crashed
     writes sorted as 'newest' and displaced real versions from the
     keep window while themselves surviving. Now only _SUCCESS-complete
-    versions count toward keep-N; incomplete dirs are deleted
-    unconditionally."""
+    versions count toward keep-N; incomplete dirs past the grace
+    window are deleted."""
     from bigdata_jobmatching_spark.sources import versioned as V
 
     root = str(tmp_path / "stage")
@@ -49,15 +49,41 @@ def test_vacuum_incomplete_versions_do_not_occupy_keep_slots(spark, tmp_path):
     V.write_version(df, root)  # v1 (complete)
     V.write_version(df, root)  # v2 (complete, published)
 
-    # two crashed/in-flight writes land bare dirs with higher numbers
+    # two crashed writes land bare dirs with higher numbers; grace=0
+    # marks them as aged past any in-flight window
     os.makedirs(os.path.join(root, "v00007"))
     os.makedirs(os.path.join(root, "v00008"))
 
-    deleted = V.vacuum(root, keep=2)
+    deleted = V.vacuum(root, keep=2, grace_seconds=0.0)
     # the junk is gone, BOTH real versions survive the keep-2 window
     assert set(deleted) == {7, 8}
     assert V.list_versions(root) == [1, 2]
     assert V.current_version(root) == 2
+
+
+def test_vacuum_grace_period_protects_in_flight_writes(spark, tmp_path):
+    """ADVICE r5 (versioned.py:122): an incomplete directory may be a
+    CONCURRENT write_version that has not committed its _SUCCESS yet —
+    vacuum must not race it. A fresh markerless dir survives the
+    default grace window; the same dir with mtime aged past the grace
+    is collected."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    root = str(tmp_path / "stage")
+    df = spark.range(3).select(F.col("id"))
+    V.write_version(df, root)  # v1 (complete, published)
+
+    inflight = os.path.join(root, "v00005")
+    os.makedirs(inflight)  # mtime = now: looks in-flight
+
+    assert V.vacuum(root, keep=1) == []  # survives default grace
+    assert os.path.isdir(inflight)
+
+    # age it past the grace window -> it's crash junk, collect it
+    old = 1_000_000_000.0
+    os.utime(inflight, (old, old))
+    assert V.vacuum(root, keep=1) == [5]
+    assert not os.path.isdir(inflight)
 
 
 # --- real PNG codec (round-5 de-stub) ------------------------------------
