@@ -104,6 +104,34 @@ def run_staged_pipeline(
     return quality_check(spark, out_dir, strict=strict)
 
 
+def adapt_offer_lake(offers: DataFrame) -> DataFrame:
+    """Enriched-offer-lake rows (sectors_enriched schema) -> the
+    matching operator's offer contract: surrogate LOC id from the raw
+    location string, experience_level under the operator's column
+    name. Shared by :func:`match_lakes` and the oracled
+    ``lake_match_stats`` gate query so the gate exercises the real
+    lake-level wiring."""
+    from .functions import ids as I
+
+    return offers.select(
+        F.col("offer_id").alias("job_id"),
+        "skills",
+        I.localisation_id(F.col("location")).alias("localisation_id"),
+        "salaire_min", "salaire_max",
+        F.col("experience_level").alias("niveau_experience"),
+    )
+
+
+def adapt_cv_lake(cvs: DataFrame) -> DataFrame:
+    """Normalized-CV-lake rows (normalize_cvs schema) -> the matching
+    operator's CV contract (already matching-shaped; this is the
+    projection)."""
+    return cvs.select(
+        "cv_id", "competences", "localisation_souhaitee_id",
+        "salaire_souhaite", "annees_experience",
+    )
+
+
 def match_lakes(
     spark: SparkSession,
     offers_dir: str,
@@ -120,25 +148,14 @@ def match_lakes(
     inverted-index matching operator, and land agg_matching_scores +
     the per-candidate top-k as parquet stages.
 
-    Column adaptation happens here, not in the operator: offers map
-    (offer_id, skills, location -> LOC id, salaire_min/max,
-    experience_level); CVs land already matching-shaped from
-    normalize_cvs. The document-frequency cap is the skew lever —
-    fractional, so the same 0.5 means the same at any scale."""
-    from .functions import ids as I
+    Column adaptation happens in :func:`adapt_offer_lake` /
+    :func:`adapt_cv_lake`, not in the operator. The
+    document-frequency cap is the skew lever — fractional, so the
+    same 0.5 means the same at any scale."""
     from .operators import matching as M
 
-    offers = spark.read.parquet(offers_dir).select(
-        F.col("offer_id").alias("job_id"),
-        "skills",
-        I.localisation_id(F.col("location")).alias("localisation_id"),
-        "salaire_min", "salaire_max",
-        F.col("experience_level").alias("niveau_experience"),
-    )
-    cvs = spark.read.parquet(cvs_dir).select(
-        "cv_id", "competences", "localisation_souhaitee_id",
-        "salaire_souhaite", "annees_experience",
-    )
+    offers = adapt_offer_lake(spark.read.parquet(offers_dir))
+    cvs = adapt_cv_lake(spark.read.parquet(cvs_dir))
     scores = M.match_offers_cvs(
         offers, cvs, max_skill_df_frac=max_skill_df_frac
     )

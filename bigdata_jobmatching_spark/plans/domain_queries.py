@@ -697,3 +697,191 @@ register(QuerySpec(
     "cleaning rule including the md5 fallback id lands in the hash",
     ("domain", "streaming-twin", "agg"),
 ))
+
+
+# --- lake_match_stats: the LAKE-LEVEL matching wiring, oracled ------------
+# VERDICT r5 #6: job_cv_matching proves the matching OPERATOR; this
+# proves the orchestrate.match_lakes WIRING around it — the
+# enriched-offer-lake adaptation (raw location string -> surrogate
+# LOC id via functions.ids.localisation_id, experience_level rename)
+# and the normalized-CV-lake path (the REAL normalize_cvs including
+# its md5 fallback ids and clamped defaults), through the same
+# adapt_offer_lake/adapt_cv_lake functions match_lakes itself calls.
+# Offer rows are synthesized enriched-offer-shaped from orders with
+# every adaptation rule exercised: punctuated/whitespaced locations
+# that must clean to the CV side's LOC_<d> ids, NULL locations
+# (LOC_INCONNU never matches), NULL salary bounds (0.5 neutral), and
+# a NULL experience band. The fractional skill-df cap rides along at
+# its match_lakes default; on this 50-token vocabulary every skill's
+# document frequency is ~6% << 50%, so the cap is provably inert and
+# the oracle need not model it (the cap itself is oracled by
+# job_cv_matching_capped). Scores are 6-dp-rounded doubles identical
+# on both engines (job_cv_matching precedent); aggregation converts
+# them to exact micro-units BEFORE summing so group sums are
+# order-independent.
+
+def _lake_offers(spark: SparkSession, sf: str) -> DataFrame:
+    # every derived attribute cycles on m = o_orderkey div 20, NOT on
+    # o_orderkey itself: the % 20 = 0 sample filter freezes k mod 4
+    # (degenerate single experience band) and makes (5k+1) % 50
+    # constant (a 100%-document-frequency skill the df cap would
+    # silently drop, breaking the cap-inert oracle premise)
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    m = F.expr("o_orderkey div 20")
+    s = lambda e: e.cast("string")  # noqa: E731
+    amt = F.round(F.col("o_totalprice")).cast("bigint")
+    return o.select(
+        F.concat(F.lit("OFF_"), s(k)).alias("offer_id"),
+        F.array(
+            F.concat(F.lit("S"), s(m % 50)),
+            F.concat(F.lit(" s"), s((m * 3 + 7) % 50), F.lit(" ")),
+            F.concat(F.lit("s"), s((m * 9 + 11) % 50)),
+        ).alias("skills"),
+        F.when(
+            ck % 7 != 0, F.concat(F.lit(" "), s(ck % 10), F.lit("! "))
+        ).alias("location"),
+        F.when(m % 11 != 0, amt.cast("double")).alias("salaire_min"),
+        F.when(m % 11 != 0, (amt + 100000).cast("double")).alias("salaire_max"),
+        F.when(m % 4 == 0, F.lit("Débutant"))
+        .when(m % 4 == 1, F.lit("Intermédiaire"))
+        .when(m % 4 == 2, F.lit("Senior")).alias("experience_level"),
+    )
+
+
+def _lake_match_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..orchestrate import adapt_cv_lake, adapt_offer_lake
+    from .domain_pipeline import normalize_cvs
+
+    offers_lake = _lake_offers(spark, sf)
+    cvs_lake = normalize_cvs(_raw_cvs(spark, sf))
+    scores = M.match_offers_cvs(
+        adapt_offer_lake(offers_lake),
+        adapt_cv_lake(cvs_lake),
+        max_skill_df_frac=0.5,
+    )
+    niveau = offers_lake.select(
+        F.col("offer_id").alias("job_id"),
+        F.col("experience_level").alias("niveau_experience"),
+    )
+    mic = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
+    # The operator's match_score is round(raw_double, 6) — the
+    # engine-fragile class the catalog docstring bans from hashes
+    # (Spark HALF_UP on the exact expansion vs DuckDB's post-multiply
+    # round flip on ~3% of these pairs). The component percentages
+    # hash clean (their values avoid ties), so the score aggregate is
+    # reconstituted from the component micro-units with pure int64
+    # arithmetic: (2*sk + lo + sa + ex + 2) div 5 is the exact
+    # half-up 0.4/0.2/0.2/0.2 combination, tie-free because the
+    # denominator is odd — within 1 micro of the operator's own
+    # rounding and identical on every engine.
+    sk, lo = mic("skill_match_pct"), mic("location_match_pct")
+    sa, ex = mic("salary_match_pct"), mic("experience_match_pct")
+    score_m = F.expr(
+        "(2 * CAST(round(skill_match_pct * 1000000) AS BIGINT)"
+        " + CAST(round(location_match_pct * 1000000) AS BIGINT)"
+        " + CAST(round(salary_match_pct * 1000000) AS BIGINT)"
+        " + CAST(round(experience_match_pct * 1000000) AS BIGINT) + 2) div 5"
+    )
+    return (
+        scores.join(F.broadcast(niveau), "job_id")
+        .groupBy("niveau_experience")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("candidate_id").cast("long").alias("n_candidates"),
+            F.countDistinct("job_id").cast("long").alias("n_jobs"),
+            F.sum(sk).cast("long").alias("sum_skill_micros"),
+            F.sum(lo).cast("long").alias("sum_loc_micros"),
+            F.sum(sa).cast("long").alias("sum_sal_micros"),
+            F.sum(ex).cast("long").alias("sum_exp_micros"),
+            F.sum(score_m).cast("long").alias("sum_score_micros"),
+        )
+    )
+
+
+_LAKE_MATCH_SQL = """
+WITH offers AS (
+  SELECT 'OFF_' || CAST(o_orderkey AS VARCHAR) AS job_id,
+    list_distinct(['s' || CAST((o_orderkey // 20) % 50 AS VARCHAR),
+                   's' || CAST(((o_orderkey // 20) * 3 + 7) % 50 AS VARCHAR),
+                   's' || CAST(((o_orderkey // 20) * 9 + 11) % 50 AS VARCHAR)]) AS skills,
+    CASE WHEN o_custkey % 7 <> 0
+         THEN 'LOC_' || CAST(o_custkey % 10 AS VARCHAR)
+         ELSE 'LOC_INCONNU' END AS o_loc,
+    CASE WHEN o_custkey % 7 = 0 THEN TRUE ELSE FALSE END AS loc_unknown,
+    CASE WHEN (o_orderkey // 20) % 11 <> 0
+         THEN CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) END AS sal_min,
+    CASE WHEN (o_orderkey // 20) % 11 <> 0
+         THEN CAST(CAST(round(o_totalprice) AS BIGINT) + 100000 AS DOUBLE) END AS sal_max,
+    CASE (o_orderkey // 20) % 4 WHEN 0 THEN 'Débutant' WHEN 1 THEN 'Intermédiaire'
+                        WHEN 2 THEN 'Senior' END AS niveau,
+    CASE (o_orderkey // 20) % 4 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8 END AS exp_target
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+cvs AS (
+  SELECT CASE WHEN c_custkey % 19 <> 0 THEN 'CV_' || CAST(c_custkey AS VARCHAR)
+          ELSE substring(md5('site_' || CAST(c_custkey % 3 AS VARCHAR) || '_' ||
+                             'https://s' || CAST(c_custkey % 3 AS VARCHAR) ||
+                             '/cv/' || CAST(c_custkey AS VARCHAR)), 1, 16)
+          END AS cv_id,
+    list_distinct(['s' || CAST(c_custkey % 50 AS VARCHAR),
+                   's' || CAST((c_custkey * 3 + 1) % 50 AS VARCHAR),
+                   's' || CAST((c_custkey * 7 + 2) % 50 AS VARCHAR)]) AS competences,
+    'LOC_' || CAST(c_custkey % 10 AS VARCHAR) AS c_loc,
+    CAST((c_custkey % 20) * 50000 + 100000 AS DOUBLE) AS wish,
+    CASE WHEN c_custkey % 13 <> 0 THEN c_custkey % 31 ELSE 0 END AS years
+  FROM customer
+),
+pairs AS (
+  SELECT o.niveau, o.job_id, c.cv_id,
+    round(CAST(len(list_intersect(o.skills, c.competences)) AS DOUBLE)
+          / len(o.skills), 6) AS skill_pct,
+    CASE WHEN NOT o.loc_unknown AND o.o_loc = c.c_loc THEN 1.0 ELSE 0.0 END AS loc_pct,
+    CASE WHEN c.wish IS NULL OR o.sal_min IS NULL OR o.sal_max IS NULL THEN 0.5
+         WHEN c.wish >= o.sal_min AND c.wish <= o.sal_max THEN 1.0
+         WHEN c.wish < o.sal_min THEN
+           CASE WHEN o.sal_min > 0
+                THEN greatest(0.0, 1.0 - (o.sal_min - c.wish) / (o.sal_min * 0.5))
+                ELSE 0.5 END
+         ELSE
+           CASE WHEN o.sal_max > 0
+                THEN greatest(0.0, 1.0 - (c.wish - o.sal_max) / (o.sal_max * 0.5))
+                ELSE 0.5 END
+         END AS sal_pct,
+    CASE WHEN o.exp_target IS NULL THEN 0.5
+         ELSE greatest(0.0, 1.0 - abs(c.years - o.exp_target) / 8.0) END AS exp_pct
+  FROM offers o JOIN cvs c ON len(list_intersect(o.skills, c.competences)) >= 1
+),
+scored AS (
+  SELECT niveau, job_id, cv_id,
+    CAST(round(skill_pct * 1000000) AS BIGINT) AS skill_m,
+    CAST(round(round(loc_pct, 6) * 1000000) AS BIGINT) AS loc_m,
+    CAST(round(round(sal_pct, 6) * 1000000) AS BIGINT) AS sal_m,
+    CAST(round(round(exp_pct, 6) * 1000000) AS BIGINT) AS exp_m
+  FROM pairs
+),
+scored2 AS (
+  SELECT *, (2 * skill_m + loc_m + sal_m + exp_m + 2) // 5 AS score_m
+  FROM scored
+)
+SELECT niveau AS niveau_experience,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT cv_id) AS BIGINT) AS n_candidates,
+  CAST(count(DISTINCT job_id) AS BIGINT) AS n_jobs,
+  CAST(SUM(skill_m) AS BIGINT) AS sum_skill_micros,
+  CAST(SUM(loc_m) AS BIGINT) AS sum_loc_micros,
+  CAST(SUM(sal_m) AS BIGINT) AS sum_sal_micros,
+  CAST(SUM(exp_m) AS BIGINT) AS sum_exp_micros,
+  CAST(SUM(score_m) AS BIGINT) AS sum_score_micros
+FROM scored2 GROUP BY 1
+"""
+
+register(QuerySpec(
+    "lake_match_stats", _lake_match_stats, _LAKE_MATCH_SQL,
+    "end-to-end lake-level matching profile: enriched-offer lake "
+    "adapted (location -> surrogate LOC id) x real normalize_cvs "
+    "output through orchestrate.adapt_*_lake + the inverted-index "
+    "matcher, per experience band — the external oracle for the "
+    "match_lakes wiring",
+    ("domain", "matching", "join", "agg"),
+))

@@ -232,3 +232,49 @@ register(QuerySpec(
     "latent factors; rows-only — invariant+holdout tested)",
     ("graph", "ml", "iterative"),
 ))
+
+
+# --- als_preference_matrix: the ALS input construction, oracled -----------
+# VERDICT r5 #2c: the seeded float factorization stays rows-only, but
+# everything UPSTREAM of it is exact arithmetic — the implicit
+# purchase matrix (user=sampled order, item=part, strength=total
+# quantity) plus the implicit-feedback confidence weighting
+# c = 1 + alpha*strength that ALS(implicitPrefs=True, alpha=10)
+# applies internally (Hu/Koren/Volinsky 2008, eq. 3). Oracling this
+# pins the entire deterministic half of copurchase_als_latent_recs;
+# strength is integer-valued (sum of integral quantities) so both the
+# FLOAT strength and the DOUBLE confidence are exact on both engines.
+
+_ALS_ALPHA = 10.0
+
+
+def _als_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.recommend import purchase_matrix
+    from ..sources.io import load_table
+
+    m = purchase_matrix(load_table(spark, sf, "lineitem"))
+    return m.select(
+        "user", "item", "strength",
+        (F.lit(1.0) + F.lit(_ALS_ALPHA) * F.col("strength").cast("double"))
+        .alias("confidence"),
+    )
+
+
+_ALS_MATRIX_SQL = f"""
+SELECT CAST(l_orderkey AS INT) AS "user",
+  CAST(l_partkey AS INT) AS item,
+  CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS FLOAT) AS strength,
+  1.0 + {_ALS_ALPHA} * CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+    AS confidence
+FROM lineitem WHERE l_orderkey % 20 = 0
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "als_preference_matrix", _als_matrix, _ALS_MATRIX_SQL,
+    "implicit-feedback preference/confidence matrix feeding the ALS "
+    "recommender (user x item strength + 1+alpha*strength confidence) "
+    "— the exact-arithmetic half of copurchase_als_latent_recs, "
+    "value-oracled",
+    ("graph", "ml", "agg"),
+))

@@ -794,3 +794,77 @@ register(QuerySpec(
     "single-partition window)",
     ("mixing", "window", "bench"),
 ))
+
+
+# --- ffd_packing_invariants: external gate over the FFD packer ------------
+# VERDICT r5 #2b: FFD's mutable per-pack state keeps doc_ffd_packing
+# rows-only, but the packing's CORRECTNESS CONTRACT is SQL-statable:
+# token conservation and doc conservation (n_docs/total_tokens must
+# equal the base corpus — checked by VALUE against the oracle's
+# independent recount), per-pack fill bookkeeping, the capacity bound
+# (fill <= budget except single-item oversized packs), the bin-count
+# bounds ceil(T/B) <= n_packs <= n_docs, and the first-fit classic
+# "at most one pack at most half full". The booleans are computed
+# over the real FFD output and must all hash as TRUE — any packer
+# regression (lost doc, fill drift, capacity overflow, degenerate
+# one-doc-per-pack packing) flips one and fails the external gate.
+
+_FFD_BUDGET = 512
+
+
+def _ffd_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import ffd_pack
+
+    d = fan_out(load_table(spark, sf, "documents")).select(
+        "source", "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = ffd_pack(d, ["source"], "doc_id", "n_tokens", budget=_FFD_BUDGET)
+    packs = packed.groupBy("source", "pack_id").agg(
+        F.max("pack_fill").alias("fill"),
+        F.min("pack_fill").alias("fill_min"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.max("n_tokens").alias("max_tok"),
+        F.sum("n_tokens").alias("sum_tok"),
+    )
+    b = F.lit(_FFD_BUDGET)
+    oversized_pack = (F.col("n_items") == 1) & (F.col("max_tok") > b)
+    return packs.groupBy("source").agg(
+        F.sum("n_items").cast("long").alias("n_docs"),
+        F.sum("sum_tok").cast("long").alias("total_tokens"),
+        # every row of a pack carries the same final fill, equal to
+        # the sum of its items' tokens
+        F.min((F.col("fill") == F.col("fill_min"))
+              & (F.col("fill") == F.col("sum_tok"))).alias("fills_consistent"),
+        F.min((F.col("fill") <= b) | oversized_pack).alias("fill_ok"),
+        ((F.count(F.lit(1)) * b >= F.sum("sum_tok"))
+         | (F.max(F.col("max_tok") > b))).alias("pack_lb_ok"),
+        (F.count(F.lit(1)) <= F.sum("n_items")).alias("pack_ub_ok"),
+        (F.sum((F.col("fill") * 2 <= b).cast("long")) <= 1).alias("one_light_ok"),
+    )
+
+
+_FFD_INV_SQL = f"""
+WITH tok AS (
+  SELECT source, CAST(len({{toks}}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT)      AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  TRUE AS fills_consistent,
+  TRUE AS fill_ok,
+  TRUE AS pack_lb_ok,
+  TRUE AS pack_ub_ok,
+  TRUE AS one_light_ok
+FROM tok GROUP BY source
+"""
+
+register(QuerySpec(
+    "ffd_packing_invariants", _ffd_invariants,
+    _FFD_INV_SQL.format(toks=_SQL_TOKS),
+    "conservation + capacity + bin-count-bound + one-light-pack "
+    "invariants over the real FFD packer output, hash-checked against "
+    "an independent corpus recount — the external value gate for "
+    "doc_ffd_packing",
+    ("mixing", "imperative", "agg"),
+))

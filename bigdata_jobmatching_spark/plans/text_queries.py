@@ -701,8 +701,114 @@ register(QuerySpec(
     "doc_sentence_spans", _sentence_spans, None,
     "abbreviation/decimal-aware sentence spans per document via a "
     "Python UDTF in a correlated LATERAL join (imperative scanner; "
-    "rows-only + invariant suite)",
+    "rows-only + invariant suite; value-oracled by "
+    "sentence_span_stats)",
     ("text", "imperative", "udtf"),
+))
+
+
+# --- sentence_span_stats: the UDTF scanner, externally value-oracled ------
+# The corpus text carries no terminators, so a direct oracle over
+# documents.text would prove nothing about boundary semantics.
+# Instead each doc's text is extended with a DETERMINISTIC sentence
+# construction (fragment by doc_id % 8 exercising plain boundary /
+# abbreviation / decimal / mid-token dot / multi-terminator run /
+# single-letter initial / dotted abbreviation / ellipsis; tail by
+# doc_id % 3 exercising trailing residual / boundary-at-EOT /
+# boundary+residual) built with identical string expressions on both
+# engines. Because the base text is terminator-free, the expected
+# sentence count is a pure function of the variant indices — the
+# DuckDB oracle states it as a CASE, and the gate hash-checks the
+# imperative Python scanner against that ground truth per document,
+# plus the lossless-coverage invariants (covered == len, spans abut
+# 0..len). tests/test_round6_queries.py pins the same case analysis
+# directly against split_sentences.
+
+_SENT_FRAGS = (
+    " end. Next words follow",    # plain boundary        -> +1
+    " see Dr. Smith here",        # abbreviation          -> +0
+    " pi is 3.14 exactly",        # decimal dot           -> +0
+    " open file.txt now",         # mid-token dot         -> +0
+    " really?! Yes indeed",       # multi-terminator run  -> +1
+    " by J. Doe today",           # single-letter initial -> +0
+    " e.g. some example",         # dotted abbreviation   -> +0
+    " stop here... Then more",    # ellipsis run          -> +1
+)
+_SENT_FRAG_B = (1, 0, 0, 0, 1, 0, 0, 1)
+_SENT_TAILS = (" final words", " the end.", " over? done")
+_SENT_TAIL_N = (1, 1, 2)  # boundaries in tail + trailing residual
+
+
+def _sentence_synth(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    frag = F.element_at(
+        F.array(*[F.lit(x) for x in _SENT_FRAGS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    tail = F.element_at(
+        F.array(*[F.lit(x) for x in _SENT_TAILS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), frag,
+            F.lit(" "), F.substring("text", 50, 30), tail,
+        ).alias("text"),
+    )
+
+
+def _sentence_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.segment import register_sentence_udtf
+
+    register_sentence_udtf(spark)
+    _sentence_synth(spark, sf).createOrReplaceTempView("seg_synth_docs")
+    return spark.sql("""
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT)          AS n_sentences,
+        CAST(sum(end - start) AS BIGINT)  AS covered_chars,
+        CAST(length(any_value(text)) AS BIGINT) AS doc_len,
+        CAST(min(start) AS BIGINT)        AS first_start,
+        CAST(max(end) AS BIGINT)          AS last_end
+      FROM seg_synth_docs, LATERAL split_sentences(text)
+      GROUP BY doc_id
+    """)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_SENT_STATS_SQL = f"""
+WITH synth AS (
+  SELECT doc_id,
+    substring(text, 1, 40)
+      || CASE doc_id % 8 {' '.join(f'WHEN {i} THEN {_sql_quote(x)}' for i, x in enumerate(_SENT_FRAGS))} END
+      || ' ' || substring(text, 50, 30)
+      || CASE doc_id % 3 {' '.join(f'WHEN {i} THEN {_sql_quote(x)}' for i, x in enumerate(_SENT_TAILS))} END
+      AS text,
+    CASE doc_id % 8 {' '.join(f'WHEN {i} THEN {b}' for i, b in enumerate(_SENT_FRAG_B))} END
+      + CASE doc_id % 3 {' '.join(f'WHEN {i} THEN {n}' for i, n in enumerate(_SENT_TAIL_N))} END
+      AS expected_sentences
+  FROM documents
+)
+SELECT doc_id,
+  CAST(expected_sentences AS BIGINT) AS n_sentences,
+  CAST(length(text) AS BIGINT)       AS covered_chars,
+  CAST(length(text) AS BIGINT)       AS doc_len,
+  CAST(0 AS BIGINT)                  AS first_start,
+  CAST(length(text) AS BIGINT)       AS last_end
+FROM synth
+"""
+
+register(QuerySpec(
+    "sentence_span_stats", _sentence_span_stats, _SENT_STATS_SQL,
+    "per-document sentence-count + lossless-coverage profile of the "
+    "Python UDTF scanner over deterministic sentence constructions — "
+    "the external value oracle for doc_sentence_spans' imperative "
+    "boundary semantics (abbreviations, decimals, mid-token dots, "
+    "terminator runs, initials, EOT handling)",
+    ("text", "imperative", "udtf", "agg"),
 ))
 
 

@@ -75,3 +75,68 @@ def test_extract_features_real_path_rejects_non_default_dim(spark):
     with pytest.raises(ValueError, match="dim=16"):
         MM.extract_features(df, fake=False, dim=16)
     MM.extract_features(df, fake=False, dim=8)  # default width fine
+
+
+# --- round-6 oracled twins for the rows-only trio --------------------------
+
+def test_sentence_synth_case_analysis_matches_scanner():
+    """The CASE table inside sentence_span_stats' oracle (expected
+    sentence count per fragment/tail variant) must equal what the real
+    imperative scanner produces on the same constructions — on hostile
+    word contexts including single-letter words before the fragment."""
+    from bigdata_jobmatching_spark.functions.segment import split_sentences
+    from bigdata_jobmatching_spark.plans.text_queries import (
+        _SENT_FRAG_B, _SENT_FRAGS, _SENT_TAIL_N, _SENT_TAILS,
+    )
+
+    heads = [
+        "key agg row scan slow fast table value part a",  # 1-letter word
+        "x",                                              # tiny doc
+        "word " * 20,                                     # > substring window
+    ]
+    for head in heads:
+        for fi, frag in enumerate(_SENT_FRAGS):
+            for ti, tail in enumerate(_SENT_TAILS):
+                synth = head[:40] + frag + " " + head[49:79] + tail
+                spans = split_sentences(synth)
+                assert len(spans) == _SENT_FRAG_B[fi] + _SENT_TAIL_N[ti], (
+                    fi, ti, synth)
+                assert sum(e - s for _, s, e, _ in spans) == len(synth)
+                assert spans[0][1] == 0 and spans[-1][2] == len(synth)
+
+
+def test_ffd_invariants_query_all_true(spark):
+    """Every invariant boolean of ffd_packing_invariants must actually
+    evaluate TRUE on real data (the oracle hashes them as literals, so
+    a FALSE is a gate failure — this is the local early warning)."""
+    from bigdata_jobmatching_spark.plans.mixing_queries import _ffd_invariants
+
+    rows = _ffd_invariants(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for b in ("fills_consistent", "fill_ok", "pack_lb_ok",
+                  "pack_ub_ok", "one_light_ok"):
+            assert r[b] is True, (r["source"], b)
+
+
+def test_lake_match_stats_uses_the_match_lakes_adapters(spark, tmp_path):
+    """The gate query and match_lakes must go through the SAME
+    adaptation functions: running match_lakes over parquet landings of
+    the query's synthetic lakes yields exactly the score rows the
+    query aggregates."""
+    from bigdata_jobmatching_spark.orchestrate import match_lakes
+    from bigdata_jobmatching_spark.plans.domain_pipeline import normalize_cvs
+    from bigdata_jobmatching_spark.plans.domain_queries import (
+        _lake_match_stats, _lake_offers, _raw_cvs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    offers_dir = str(tmp_path / "offers")
+    cvs_dir = str(tmp_path / "cvs")
+    _lake_offers(spark, sf).write.parquet(offers_dir)
+    normalize_cvs(_raw_cvs(spark, sf)).write.parquet(cvs_dir)
+    out = match_lakes(spark, offers_dir, cvs_dir, str(tmp_path / "out"),
+                      max_skill_df_frac=0.5)
+    n_pairs_lake = out["matching_scores"]
+    agg = _lake_match_stats(spark, sf)
+    assert sum(r["n_pairs"] for r in agg.collect()) == n_pairs_lake
