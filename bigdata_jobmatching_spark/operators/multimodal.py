@@ -5,6 +5,9 @@ PNG pixel decode is REAL (round-5): a complete 8-bit codec on stdlib
 zlib + numpy (`decode_png` / `encode_png` / `resample_nearest`, all
 five scanline filters, four color types) backs `decode_image_batch`,
 `extract_features(fake=False)` and `resize_images(fake=False)`.
+GIF pixel decode is REAL too (round-6): a pure-Python variable-width
+LZW decoder + palette expansion (`decode_gif` / `encode_gif`), with
+`decode_image` dispatching PNG-then-GIF for format-agnostic callers.
 Formats whose entropy decode needs codec libs this container lacks
 (JPEG pixels, audio PCM beyond headers, video frames) keep their rows
 with NULL outputs — audit-don't-drop — and the `fake=True` paths
@@ -889,20 +892,21 @@ DECODE_SCHEMA = T.StructType([
 def decode_image_batch(
     df: DataFrame, payload_col: str = "payload", id_col: str = "p_partkey"
 ) -> DataFrame:
-    """REAL pixel decode over a binary column: PNG payloads inflate to
-    raw pixels (stdlib zlib, all filter types); the output row carries
-    the decoded geometry and a sha1 over the pixel bytes so any
-    downstream can verify the decode bit-for-bit. Non-PNG payloads —
-    including corrupt or out-of-subset PNGs (bad CRC, interlaced,
-    16-bit), which decode_png signals with ValueError — yield NULLs
-    (audit-don't-drop). One Arrow pass, no shuffle."""
+    """REAL pixel decode over a binary column: PNG payloads inflate
+    through the stdlib-zlib codec (all filter types), GIF payloads
+    through the pure-Python LZW decoder (palette-expanded to RGB);
+    the output row carries the decoded geometry and a sha1 over the
+    pixel bytes so any downstream can verify the decode bit-for-bit.
+    Other formats and corrupt/out-of-subset payloads (bad CRC,
+    interlaced, 16-bit, truncated LZW — signalled by ValueError)
+    yield NULLs (audit-don't-drop). One Arrow pass, no shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for raw in pdf[payload_col]:
                 try:
-                    d = decode_png(bytes(raw)) if raw is not None else None
+                    d = decode_image(bytes(raw)) if raw is not None else None
                 except ValueError:
                     d = None
                 if d is None:
@@ -919,3 +923,230 @@ def decode_image_batch(
             })
 
     return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+# ------------------------------------------------------ real GIF codec --
+# Second pixel-real image format (round-6): GIF's LZW is pure integer
+# bit-twiddling — no entropy-codec library needed — so a complete
+# 8-bit palette decoder fits in stdlib. Covers GIF87a/GIF89a,
+# global AND local color tables, variable-width LZW (9..12-bit code
+# growth, clear/end codes, the cScSc self-reference case), 89a
+# extension blocks (skipped per spec), and expands palette indices to
+# interleaved RGB — the same (width, height, channels, pixels) return
+# contract as decode_png, so every downstream consumer is
+# format-agnostic. Interlaced images and truncated streams raise
+# ValueError (outside the supported subset), mirroring the PNG
+# codec's loud-subset discipline; callers that must not fail map
+# ValueError to NULL rows (decode_image_batch). Animated GIFs decode
+# their FIRST frame (the still-image semantics every thumbnailer
+# uses). The encoder emits spec-valid streams with a periodic-clear
+# LZW writer and can target either table kind, so round-trip tests
+# drive every decoder branch.
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF LZW: LSB-first bit stream, dynamic code width, 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(clear))
+        table.extend((b"", b""))  # clear + end placeholders
+        return min_code_size + 1
+
+    width = reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == end:
+                if len(out) != n_pixels:
+                    raise ValueError(
+                        f"LZW ended with {len(out)} of {n_pixels} pixels"
+                    )
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the cScSc case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) > n_pixels:
+                raise ValueError("LZW produced more pixels than the image holds")
+    raise ValueError("LZW stream ended without an end code")
+
+
+def decode_gif(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, 3, interleaved RGB bytes) for the first image
+    in a GIF stream, or None for non-GIF payloads. Raises ValueError
+    on interlaced images, missing color tables, and malformed /
+    truncated streams — same subset discipline as :func:`decode_png`."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    i = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = b[i:i + n]
+        if len(gct) < n:
+            raise ValueError("truncated global color table")
+        i += n
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image descriptor")
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if i + 10 > len(b):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(b[i + 5:i + 7], "little")
+        h = int.from_bytes(b[i + 7:i + 9], "little")
+        ipacked = b[i + 9]
+        i += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            table = b[i:i + n]
+            if len(table) < n:
+                raise ValueError("truncated local color table")
+            i += n
+        if table is None:
+            raise ValueError("image has neither local nor global color table")
+        if i >= len(b):
+            raise ValueError("missing LZW minimum code size")
+        min_code = b[i]
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad LZW minimum code size {min_code}")
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            n = b[i]
+            lzw += b[i + 1:i + 1 + n]
+            if len(b) < i + 1 + n:
+                raise ValueError("truncated LZW sub-block")
+            i += 1 + n
+        if i >= len(b):
+            raise ValueError("unterminated LZW data")
+        idx = _lzw_decode(min_code, bytes(lzw), w * h)
+        n_colors = len(table) // 3
+        px = bytearray(w * h * 3)
+        for j, ix in enumerate(idx):
+            if ix >= n_colors:
+                raise ValueError(f"palette index {ix} >= table size {n_colors}")
+            px[3 * j:3 * j + 3] = table[3 * ix:3 * ix + 3]
+        return w, h, 3, bytes(px)
+    raise ValueError("GIF stream ended before trailer")
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Periodic-clear LZW writer: literals only, a CLEAR before the
+    code width would have to grow — spec-valid output at a fixed
+    min_code_size+1 bits/code, and decoders must honor every clear."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    span = (1 << width) - (clear + 2)  # literals emittable per clear
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for j, ix in enumerate(indices):
+        if j and j % span == 0:
+            put(clear)
+        put(ix)
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    local_table: bool = False,
+    animated_89a: bool = True,
+) -> bytes:
+    """Real GIF from palette indices + an RGB palette (3*2^k bytes,
+    k in 1..8). ``local_table`` moves the palette into the image
+    descriptor (exercising the decoder's LCT branch);
+    ``animated_89a`` prepends a Graphic Control Extension so the
+    stream also drives the extension-skip path."""
+    n_colors = len(palette) // 3
+    if len(palette) != 3 * n_colors or n_colors & (n_colors - 1) or not 2 <= n_colors <= 256:
+        raise ValueError(f"palette must be 3*2^k bytes (k in 1..8), got {len(palette)}")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    if max(indices, default=0) >= n_colors:
+        raise ValueError("palette index out of range")
+    size_field = n_colors.bit_length() - 2  # 2^(field+1) = n_colors
+    min_code = max(2, (n_colors - 1).bit_length())
+    out = bytearray(b"GIF89a" if animated_89a else b"GIF87a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([
+        (0x80 | size_field) if not local_table else 0x00, 0, 0,
+    ])
+    if not local_table:
+        out += palette
+    if animated_89a:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+        out += b"\x21\xfe\x05spark\x00"             # comment extension
+    out += b"\x2c" + bytes(4)  # image at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([(0x80 | size_field) if local_table else 0x00])
+    if local_table:
+        out += palette
+    out.append(min_code)
+    lzw = _lzw_encode(min_code, indices)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Format-dispatching pixel decode: PNG or GIF payloads return
+    (width, height, channels, raw bytes); other formats None."""
+    d = decode_png(b)
+    if d is not None:
+        return d
+    return decode_gif(b)

@@ -424,3 +424,93 @@ register(QuerySpec(
     "resampled grid",
     ("multimodal", "decode"),
 ))
+
+
+# --- gif_pixel_stats: REAL GIF LZW decode, oracle-verified ----------------
+# Round-6 second pixel-real format: payloads are REAL GIF streams
+# (variable-width LZW data sub-blocks, trailer, 89a extension blocks)
+# whose palette index at (x, y) is planted as (k + 7x + 13y) % 256
+# over a palette where entry i is (i, 3i % 256, 7i % 256). Fixture
+# variants cycle k % 4 over {global, local} color table x
+# {87a, 89a+extensions}, so one gate query drives the GCT and LCT
+# branches, the extension skipper, and the 9-bit code/periodic-clear
+# handling of the LZW decoder (dictionary growth and the cScSc case
+# are driven by the compressing-encoder round-trip unit tests — the
+# fixture writer emits literals-only streams). The Spark side decodes
+# the pixels back
+# and sums each RGB channel; the DuckDB oracle recomputes the planted
+# sums arithmetically. Any drift in bit unpacking, dictionary
+# rebuild, or palette expansion flips the hash.
+
+_GIF_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("sum_c0", T.LongType()),
+    T.StructField("sum_c1", T.LongType()),
+    T.StructField("sum_c2", T.LongType()),
+])
+
+_GIF_PALETTE = bytes(
+    b for i in range(256) for b in (i, (i * 3) % 256, (i * 7) % 256)
+)
+
+
+def _planted_gif(k: int) -> bytes:
+    w, h = k % 7 + 2, k % 5 + 2
+    idx = bytes((k + 7 * x + 13 * y) % 256 for y in range(h) for x in range(w))
+    return MM.encode_gif(
+        w, h, idx, _GIF_PALETTE,
+        local_table=bool(k % 2), animated_89a=bool((k // 2) % 2),
+    )
+
+
+def _gif_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_gif(kk)
+                w, h, ch, px = MM.decode_gif(memo[kk])
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h * w, ch).astype(np.int64)
+                s = a.sum(axis=0)
+                rows.append((int(k), w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "px_width", "px_height",
+                         "sum_c0", "sum_c1", "sum_c2"],
+            )
+
+    return p.mapInPandas(batches, _GIF_STATS_SCHEMA)
+
+
+_GIF_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 7 + 2 AS INT) AS px_width,
+    CAST(p_partkey % 1024 % 5 + 2 AS INT) AS px_height
+  FROM part
+),
+xs AS (SELECT *, unnest(range(px_width)) AS x FROM dims),
+xy AS (SELECT *, unnest(range(px_height)) AS y FROM xs)
+SELECT p_partkey, px_width, px_height,
+  CAST(SUM((k + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_c0,
+  CAST(SUM(((k + 7 * x + 13 * y) % 256) * 3 % 256) AS BIGINT) AS sum_c1,
+  CAST(SUM(((k + 7 * x + 13 * y) % 256) * 7 % 256) AS BIGINT) AS sum_c2
+FROM xy GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "gif_pixel_stats", _gif_pixel_stats, _GIF_STATS_SQL,
+    "REAL GIF pixel decode (pure-Python variable-width LZW + palette "
+    "expansion, GCT/LCT and 87a/89a-extension variants) verified by "
+    "arithmetic channel sums",
+    ("multimodal", "decode"),
+))

@@ -140,3 +140,139 @@ def test_lake_match_stats_uses_the_match_lakes_adapters(spark, tmp_path):
     n_pairs_lake = out["matching_scores"]
     agg = _lake_match_stats(spark, sf)
     assert sum(r["n_pairs"] for r in agg.collect()) == n_pairs_lake
+
+
+# --- GIF LZW codec (round-6 second pixel-real format) ---------------------
+
+def _lzw_compress_ref(min_code_size: int, indices: bytes) -> bytes:
+    """Textbook compressing GIF-LZW writer (dictionary growth, width
+    bumps, 12-bit cap + clear) — independent of the fixture writer's
+    literals-only encoder, so decoding it proves the decoder's
+    dictionary-rebuild logic, not just bit unpacking."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put(clear, width)
+    w = b""
+    for ix in indices:
+        wk = w + bytes([ix])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            put(clear, width)
+            width = min_code_size + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        w = bytes([ix])
+    if w:
+        put(table[w], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_decoder_inverts_real_compression():
+    """Dictionary growth across width bumps AND the cScSc
+    self-reference case: 'ababab...' forces code == next table slot
+    immediately; a long LCG stream forces growth through 10/11/12-bit
+    codes and a mid-stream clear."""
+    from bigdata_jobmatching_spark.operators.multimodal import _lzw_decode
+
+    cscsc = bytes([0, 1] * 50)
+    got = _lzw_decode(2, _lzw_compress_ref(2, cscsc), len(cscsc))
+    assert got == cscsc
+
+    x, stream = 7, bytearray()
+    for _ in range(20000):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        stream.append(x % 256)
+    comp = _lzw_compress_ref(8, bytes(stream))
+    assert _lzw_decode(8, comp, len(stream)) == bytes(stream)
+
+
+def test_gif_round_trip_all_variants():
+    """encode_gif -> decode_gif identity over table kinds, versions,
+    palette sizes, and shapes incl. 1x1."""
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    pal256 = bytes(b for i in range(256) for b in (i, (i * 3) % 256, (i * 7) % 256))
+    pal4 = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    for pal, n in ((pal256, 256), (pal4, 4)):
+        for w, h in ((1, 1), (7, 3), (8, 6)):
+            idx = bytes((5 * x + 11 * y) % n for y in range(h) for x in range(w))
+            for lt in (False, True):
+                for anim in (False, True):
+                    g = MM.encode_gif(w, h, idx, pal,
+                                      local_table=lt, animated_89a=anim)
+                    exp = bytes(c for ix in idx for c in pal[3 * ix:3 * ix + 3])
+                    assert MM.decode_gif(g) == (w, h, 3, exp), (n, w, h, lt, anim)
+                    assert MM.decode_image(g) == (w, h, 3, exp)
+                    assert MM.parse_gif_header(g) == (w, h)
+
+
+def test_gif_decoder_hostile_inputs():
+    """Truncations and malformed structures raise ValueError (loud
+    subset), non-GIF returns None — never a wrong answer."""
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    pal = bytes(range(12))
+    good = MM.encode_gif(4, 3, bytes([0, 1, 2, 3] * 3), pal)
+    assert MM.decode_gif(b"notagif") is None
+    assert MM.decode_gif(b"") is None
+    for cut in (14, len(good) // 2, len(good) - 3):
+        with _pytest.raises(ValueError):
+            MM.decode_gif(good[:cut])
+    # interlace flag set on the image descriptor
+    bad = bytearray(good)
+    i = bad.index(0x2C)
+    bad[i + 9] |= 0x40
+    with _pytest.raises(ValueError):
+        MM.decode_gif(bytes(bad))
+    # palette index beyond a small color table
+    with _pytest.raises(ValueError):
+        MM.encode_gif(2, 1, bytes([0, 9]), pal)
+
+
+def test_decode_image_batch_handles_gif_and_png(spark):
+    """The format-dispatching batch decode: PNG and GIF rows both
+    land real geometry+sha1, junk stays NULL-with-row."""
+    import hashlib
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    png = MM.encode_png(2, 1, bytes([0, 100, 200, 50, 150, 250]), channels=3)
+    pal = bytes([1, 2, 3, 4, 5, 6])
+    gif = MM.encode_gif(3, 2, bytes([0, 1, 0, 1, 0, 1]), pal)
+    gif_px = bytes([1, 2, 3, 4, 5, 6] * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, b"junk")],
+        "p_partkey long, payload binary",
+    )
+    out = {r["p_partkey"]: r for r in MM.decode_image_batch(df).collect()}
+    assert (out[1]["px_width"], out[1]["px_height"], out[1]["px_channels"]) == (2, 1, 3)
+    assert (out[2]["px_width"], out[2]["px_height"], out[2]["px_channels"]) == (3, 2, 3)
+    assert out[2]["pixel_sha1"] == hashlib.sha1(gif_px).hexdigest()
+    assert out[3]["px_width"] is None
