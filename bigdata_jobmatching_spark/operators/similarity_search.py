@@ -523,3 +523,56 @@ def ivf_assign(
             best.getField("cos").alias("cos6"),
         )
     )
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most cosine-similar corpus vectors carrying a
+    DIFFERENT label — the semantically-closest wrong answers that make
+    the strongest training negatives (in-batch random negatives are
+    mostly easy; retrieval-based hard negatives are the standard
+    upgrade, cf. DPR/ANCE).
+
+    Same scale shape as :func:`brute_force_topk`: the query set is
+    broadcast, the corpus streams through one narrow pass, the only
+    shuffle is the per-query top-k window. Swap the corpus side onto
+    the IVF/LSH candidate generators for the 100 TB path — the label
+    filter composes with any candidate set.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = fan_out(corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    ))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("c_label").alias("neighbor_label"), "score", "rnk",
+        )
+    )
+    if score_decimals is not None:
+        out = out.withColumn("score", F.round("score", score_decimals))
+    return out

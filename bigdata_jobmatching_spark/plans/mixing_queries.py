@@ -868,3 +868,74 @@ register(QuerySpec(
     "doc_ffd_packing",
     ("mixing", "imperative", "agg"),
 ))
+
+
+# --- padding_waste_audit: batching-strategy cost model --------------------
+# The batch-construction decision metric: how many pad tokens does
+# each batching strategy burn per source? Padding to the source max
+# (naive dynamic batching over an unsorted stream) is compared with
+# padding to 64-token length buckets (length-grouped batching, the
+# standard efficient-padding trick) — the measured savings is the
+# argument for sorting-by-length before batch assembly. Pure integer
+# arithmetic per doc, one groupBy; the window-free shape scales as a
+# single shuffle at any corpus size.
+
+_PAD_BUCKET = 64
+
+
+def _padding_waste(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents")).select(
+        "source",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "band_ceil",
+        F.expr(f"((n_tokens + {_PAD_BUCKET} - 1) div {_PAD_BUCKET}) * {_PAD_BUCKET}"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum(F.col("band_ceil") - F.col("n_tokens")).cast("long")
+        .alias("waste_bucketed"),
+    )
+    return g.select(
+        "source", "n_docs", "total_tokens", "max_tokens",
+        (F.col("n_docs") * F.col("max_tokens") - F.col("total_tokens"))
+        .cast("long").alias("waste_to_max"),
+        "waste_bucketed",
+        ratio6("waste_bucketed",
+               "n_docs * max_tokens - total_tokens + 1").alias("waste_ratio"),
+    )
+
+
+_PAD_WASTE_SQL = f"""
+WITH tok AS (
+  SELECT source, CAST(len({{toks}}) AS BIGINT) AS n_tokens,
+    ((CAST(len({{toks}}) AS BIGINT) + {_PAD_BUCKET} - 1) // {_PAD_BUCKET})
+      * {_PAD_BUCKET} AS band_ceil
+  FROM documents
+),
+g AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+    CAST(sum(band_ceil - n_tokens) AS BIGINT) AS waste_bucketed
+  FROM tok GROUP BY source
+)
+SELECT source, n_docs, total_tokens, max_tokens,
+  CAST(n_docs * max_tokens - total_tokens AS BIGINT) AS waste_to_max,
+  waste_bucketed,
+  {ratio6_sql("waste_bucketed", "n_docs * max_tokens - total_tokens + 1")}
+    AS waste_ratio
+FROM g
+"""
+
+register(QuerySpec(
+    "padding_waste_audit", _padding_waste,
+    _PAD_WASTE_SQL.format(toks=_SQL_TOKS),
+    "pad-token waste of naive pad-to-max vs 64-token length-bucketed "
+    "batching per source — the length-grouped-batching savings "
+    "measurement (exact integers, +1-damped ratio)",
+    ("mixing", "agg"),
+))

@@ -794,3 +794,47 @@ register(QuerySpec(
     "cosine assembly)",
     ("vector", "agg", "join"),
 ))
+
+
+# --- ann_hard_negatives: retrieval-based hard-negative mining -------------
+# The contrastive-training data op (DPR/ANCE-style): per query, the
+# most similar vectors with a DIFFERENT label. Same broadcast-query
+# brute-force shape as ann_cosine_topk (the value-exact baseline the
+# LSH/IVF candidate paths are audited against) plus the label
+# exclusion, so the oracle is the cosine SQL with a label predicate.
+
+def _hard_negs(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ANN.hard_negatives_topk(
+        e, queries, "vec_id", "embedding", "label", k=5, score_decimals=6
+    ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) AS s
+  FROM embeddings c CROSS JOIN q
+  WHERE c.label != q.ql
+)
+SELECT query_id, neighbor_id, neighbor_label, round(s, 6) AS score,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+register(QuerySpec(
+    "ann_hard_negatives", _hard_negs, _HARD_NEG_SQL,
+    "hard-negative mining: per-query top-5 most-similar vectors with "
+    "a different label (contrastive-training negatives; broadcast "
+    "query set, label filter composes with any candidate generator)",
+    ("vector", "ann", "ml"),
+))

@@ -276,3 +276,29 @@ def test_decode_image_batch_handles_gif_and_png(spark):
     assert (out[2]["px_width"], out[2]["px_height"], out[2]["px_channels"]) == (3, 2, 3)
     assert out[2]["pixel_sha1"] == hashlib.sha1(gif_px).hexdigest()
     assert out[3]["px_width"] is None
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Every mined negative must carry a different label than its
+    query, scores must be non-increasing per query, and k bounds the
+    fan-out."""
+    from bigdata_jobmatching_spark.operators.similarity_search import (
+        hard_negatives_topk,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    labels = {r["vec_id"]: r["label"] for r in
+              e.select("vec_id", "label").collect()}
+    out = hard_negatives_topk(e, q, "vec_id", "embedding", "label", k=3).collect()
+    assert out
+    per_q: dict = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] == r["neighbor_label"]
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append((r["rnk"], r["score"]))
+    for ranked in per_q.values():
+        ranked.sort()
+        assert len(ranked) <= 3
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
