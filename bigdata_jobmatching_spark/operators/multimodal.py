@@ -571,13 +571,16 @@ def resize_images(
     def one(raw) -> tuple:
         b = bytes(raw) if raw is not None else b""
         if not fake:
-            # REAL path: inflate PNG pixels (stdlib zlib codec),
-            # nearest-neighbor resample, re-encode a real PNG of the
-            # target box. JPEG stays NULL here — entropy decode needs
-            # libs this container lacks — and NULL beats a fabricated
-            # payload (audit-don't-drop).
+            # REAL path: decode PNG (stdlib zlib codec) or GIF
+            # (pure-Python LZW) pixels, nearest-neighbor resample,
+            # re-encode a real PNG of the target box — i.e. GIF input
+            # is transcoded to a PNG thumbnail, the normalize-to-one-
+            # format discipline of a real media pipeline. JPEG stays
+            # NULL here — entropy decode needs libs this container
+            # lacks — and NULL beats a fabricated payload
+            # (audit-don't-drop).
             try:
-                d = decode_png(b)
+                d = decode_image(b)
             except ValueError:
                 d = None
             if d is None:

@@ -278,3 +278,68 @@ register(QuerySpec(
     "value-oracled",
     ("graph", "ml", "agg"),
 ))
+
+
+# --- supplier_chain_rollup: recursive CTE hierarchy traversal -------------
+# The WITH RECURSIVE surface (Spark 4 recursive CTEs), value-proven
+# cross-engine: suppliers form a synthetic management tree
+# (parent = s_suppkey div 10, root 0 terminal), and the recursion
+# walks each supplier's ancestor chain accumulating exact
+# account-balance cents. Depth is bounded by log10(max key), so the
+# recursion is O(log n) joins — the plan shape a hierarchy rollup
+# should have at any scale. Each leaf has exactly ONE path to the
+# root, so the accumulation order is deterministic and the cents sums
+# are exact integers on both engines.
+
+def _chain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.io import load_table
+
+    load_table(spark, sf, "supplier").createOrReplaceTempView("chain_supplier")
+    return spark.sql("""
+      WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS leaf, s_suppkey AS node,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+               0 AS hops
+        FROM chain_supplier
+        UNION ALL
+        SELECT c.leaf, p.s_suppkey,
+               c.cents + CAST(round(p.s_acctbal * 100) AS BIGINT),
+               c.hops + 1
+        FROM chain c JOIN chain_supplier p
+          ON c.node > 0 AND p.s_suppkey = c.node div 10
+      )
+      SELECT leaf,
+             CAST(max(hops) AS INT) AS depth,
+             CAST(count(*) AS BIGINT) AS chain_len,
+             CAST(max_by(cents, hops) AS BIGINT) AS chain_cents
+      FROM chain GROUP BY leaf
+    """)
+
+
+_CHAIN_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS leaf, s_suppkey AS node,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+         0 AS hops
+  FROM supplier
+  UNION ALL
+  SELECT c.leaf, p.s_suppkey,
+         c.cents + CAST(round(p.s_acctbal * 100) AS BIGINT),
+         c.hops + 1
+  FROM chain c JOIN supplier p
+    ON c.node > 0 AND p.s_suppkey = c.node // 10
+)
+SELECT leaf,
+       CAST(max(hops) AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS chain_len,
+       CAST(max_by(cents, hops) AS BIGINT) AS chain_cents
+FROM chain GROUP BY leaf
+"""
+
+register(QuerySpec(
+    "supplier_chain_rollup", _chain_rollup, _CHAIN_SQL,
+    "recursive-CTE ancestor-chain rollup over a synthetic supplier "
+    "hierarchy (Spark 4 WITH RECURSIVE; exact cents accumulation, "
+    "O(log n) recursion depth)",
+    ("relational", "iterative", "recursive"),
+))

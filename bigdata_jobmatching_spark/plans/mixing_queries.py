@@ -939,3 +939,70 @@ register(QuerySpec(
     "measurement (exact integers, +1-damped ratio)",
     ("mixing", "agg"),
 ))
+
+
+# --- token_systematic_sample: weight-proportional corpus sampling ---------
+# Weighted sampling without floats: a systematic (fixed-stride) pass
+# over the per-source cumulative token axis selects every document
+# whose token interval [cum - n, cum) covers a multiple of the
+# stride — inclusion count = cum div S - (cum - n) div S, so a doc's
+# selection probability is exactly proportional to its token weight
+# and a doc longer than the stride is picked multiple times
+# (classic PPS systematic sampling). Pure integer arithmetic ->
+# bit-identical on both engines, unlike u^(1/w) exponential-key
+# (A-ES) sampling whose pow/ln differ across engines. The cumsum
+# window is per-source, same scale shape as doc_sequence_packing.
+
+_SAMPLE_STRIDE = 256
+
+
+def _systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents")).select(
+        "source", "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = _SAMPLE_STRIDE
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "n_picks",
+            F.expr(f"cum_tokens div {s} - (cum_tokens - n_tokens) div {s}"),
+        )
+        .filter(F.col("n_picks") > 0)
+        .select("source", "doc_id", "n_tokens",
+                F.col("cum_tokens").cast("long").alias("cum_tokens"),
+                F.col("n_picks").cast("long").alias("n_picks"))
+    )
+
+
+_SYS_SAMPLE_SQL = f"""
+WITH tok AS (
+  SELECT source, doc_id, CAST(len({{toks}}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM tok
+)
+SELECT source, doc_id, n_tokens,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+  CAST(cum_tokens // {_SAMPLE_STRIDE}
+       - (cum_tokens - n_tokens) // {_SAMPLE_STRIDE} AS BIGINT) AS n_picks
+FROM cum
+WHERE cum_tokens // {_SAMPLE_STRIDE}
+      - (cum_tokens - n_tokens) // {_SAMPLE_STRIDE} > 0
+"""
+
+register(QuerySpec(
+    "token_systematic_sample", _systematic_sample,
+    _SYS_SAMPLE_SQL.format(toks=_SQL_TOKS),
+    "token-weight-proportional systematic sampling per source "
+    "(fixed-stride pass over the cumulative token axis; exact "
+    "integers, no cross-engine pow/ln)",
+    ("mixing", "sampling", "window"),
+))

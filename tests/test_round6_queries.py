@@ -302,3 +302,32 @@ def test_hard_negatives_exclude_same_label(spark):
         assert len(ranked) <= 3
         scores = [s for _, s in ranked]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_resize_images_transcodes_gif_to_png_thumbnail(spark):
+    """fake=False resize now accepts GIF input: decode via LZW,
+    nearest-resample the palette-expanded RGB, re-encode as a REAL
+    PNG thumbnail (format normalization). Header-only GIFs still
+    yield NULL rows."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    pal = bytes(b for i in range(256) for b in (i, (2 * i) % 256, (3 * i) % 256))
+    w, h = 8, 4
+    idx = bytes((7 * x + 13 * y) % 256 for y in range(h) for x in range(w))
+    gif = MM.encode_gif(w, h, idx, pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(MM.make_gif(8, 8)))],
+        "p_partkey long, payload binary",
+    )
+    out = {r["p_partkey"]: r for r in
+           MM.resize_images(df, max_side=4, fake=False).collect()}
+    r1 = out[1]
+    assert (r1["rs_format"], r1["rs_width"], r1["rs_height"]) == ("png", 4, 2)
+    src = np.frombuffer(
+        bytes(c for ix in idx for c in pal[3 * ix:3 * ix + 3]), dtype=np.uint8
+    ).reshape(h, w, 3)
+    expect = src[np.ix_((np.arange(2) * h) // 2, (np.arange(4) * w) // 4)]
+    assert MM.decode_png(bytes(r1["resized"])) == (4, 2, 3, expect.tobytes())
+    assert out[2]["resized"] is None  # header-only GIF: loud subset -> NULL
