@@ -248,6 +248,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import temporal_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import vector_queries  # noqa: F401
+    from . import versioned_queries  # noqa: F401
 
     # Within the unproven block, oracled queries come first: a rows-only
     # query gets the same weak check whether sampled this round or next,

@@ -1,0 +1,98 @@
+"""Versioned-stage change-data-feed queries.
+
+The diff operator (sources/versioned.diff_frames) is the offline twin
+of the streaming SCD1 upsert sink: given two snapshots it recovers
+the insert/delete/update/unchanged feed that merge_version applied.
+Here two deterministic snapshots are derived from ``customer`` with
+every classification branch planted — deletes, value updates,
+NULL<->value flips (the null-safe comparison case), both-sides-NULL
+(equal), and keyspace inserts — and the diff's per-class profile is
+hash-checked against a DuckDB oracle that classifies each key
+arithmetically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import fan_out, load_table
+from .catalog import QuerySpec, register
+
+_INS_OFFSET = 1_000_000
+
+
+def _snap_v1(spark: SparkSession, sf: str) -> DataFrame:
+    c = fan_out(load_table(spark, sf, "customer"))
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.when(k % 23 != 0, F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+
+def _snap_v2(spark: SparkSession, sf: str) -> DataFrame:
+    c = fan_out(load_table(spark, sf, "customer"))
+    k = F.col("c_custkey")
+    base = c.filter(k % 17 != 0).select(
+        k.alias("id"),
+        F.when(k % 11 != 0, F.col("c_name")).alias("name"),
+        (F.round(F.col("c_acctbal") * 100).cast("long")
+         + F.when(k % 5 == 0, F.lit(1000)).otherwise(F.lit(0))).alias("cents"),
+    )
+    inserts = c.filter(k % 13 == 0).select(
+        (k + _INS_OFFSET).alias("id"),
+        F.col("c_name").alias("name"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") + 5).alias("cents"),
+    )
+    return base.unionByName(inserts)
+
+
+def _version_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.versioned import diff_frames
+
+    diff = diff_frames(_snap_v1(spark, sf), _snap_v2(spark, sf), ("id",))
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.sum(F.col("__new_val.cents")).cast("long").alias("sum_new_cents"),
+        F.sum(F.col("__old_val.cents")).cast("long").alias("sum_old_cents"),
+    )
+
+
+_DIFF_SQL = f"""
+WITH base AS (
+  SELECT c_custkey AS k,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+classified AS (
+  SELECT k AS id,
+    CASE WHEN k % 17 = 0 THEN 'delete'
+         WHEN k % 5 = 0 OR ((k % 23 = 0) != (k % 11 = 0)) THEN 'update'
+         ELSE 'unchanged' END AS change,
+    cents AS old_cents,
+    CASE WHEN k % 17 = 0 THEN NULL
+         WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS new_cents
+  FROM base
+  UNION ALL
+  SELECT k + {_INS_OFFSET} AS id, 'insert' AS change,
+    NULL AS old_cents, cents + 5 AS new_cents
+  FROM base WHERE k % 13 = 0
+)
+SELECT change,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(id) AS BIGINT) AS sum_ids,
+  CAST(sum(new_cents) AS BIGINT) AS sum_new_cents,
+  CAST(sum(old_cents) AS BIGINT) AS sum_old_cents
+FROM classified GROUP BY change
+"""
+
+register(QuerySpec(
+    "version_diff_audit", _version_diff_audit, _DIFF_SQL,
+    "change-data-feed between two planted stage snapshots via the "
+    "full-outer null-safe diff operator (insert/delete/update/"
+    "unchanged incl. NULL<->value flips), profiled per class",
+    ("versioned", "join", "agg"),
+))

@@ -192,3 +192,74 @@ def merge_version(
     carry = cur.join(F.broadcast(upd_keys), keys, "left_anti")
     merged = carry.unionByName(live.select(*cur.columns))
     return write_version(merged, root)
+
+
+def diff_frames(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Change data feed between two relation snapshots: one row per
+    key present in either side, classified ``insert`` / ``delete`` /
+    ``update`` / ``unchanged`` by a full outer join on the keys and a
+    value comparison over the non-key columns (null-safe: a column
+    flipping between NULL and a value counts as a change; both-NULL
+    counts as equal).
+
+    Scale: one shuffle-join on the key columns; the value comparison
+    is a struct equality evaluated JVM-side, so the payload never
+    leaves the join row. This is the offline twin of the streaming
+    SCD1 upsert sink — ``diff_frames(read_version(v1),
+    read_version(v2))`` recovers exactly the change feed that
+    :func:`merge_version` applied between the two publishes.
+    """
+    from pyspark.sql import functions as F
+
+    val_cols = [c for c in new.columns if c not in key_cols]
+    if [c for c in old.columns if c not in key_cols] != val_cols:
+        raise ValueError(
+            f"schema mismatch: {old.columns} vs {new.columns}"
+        )
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        F.struct(*val_cols).alias("__old_val"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        F.struct(*val_cols).alias("__new_val"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    keys = [
+        F.coalesce(F.col(f"__ok_{c}"), F.col(f"__nk_{c}")).alias(c)
+        for c in key_cols
+    ]
+    change = (
+        F.when(F.col("__old_val").isNull(), F.lit("insert"))
+        .when(F.col("__new_val").isNull(), F.lit("delete"))
+        .when(
+            F.col("__old_val").eqNullSafe(F.col("__new_val")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(*keys, change.alias("change"),
+                         "__old_val", "__new_val")
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """:func:`diff_frames` over two published versions of a stage."""
+    return diff_frames(
+        read_version(spark, root, from_version),
+        read_version(spark, root, to_version),
+        key_cols,
+    )

@@ -331,3 +331,36 @@ def test_resize_images_transcodes_gif_to_png_thumbnail(spark):
     expect = src[np.ix_((np.arange(2) * h) // 2, (np.arange(4) * w) // 4)]
     assert MM.decode_png(bytes(r1["resized"])) == (4, 2, 3, expect.tobytes())
     assert out[2]["resized"] is None  # header-only GIF: loud subset -> NULL
+
+
+def test_diff_versions_recovers_merge_change_feed(spark, tmp_path):
+    """diff_frames over two PUBLISHED versions recovers exactly the
+    change feed merge_version applied (the offline twin claim in its
+    docstring): inserts, updates, tombstone deletes, and untouched
+    rows classify correctly."""
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    root = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id long, val string"
+    )
+    v1 = V.write_version(base, root)
+    upd = spark.createDataFrame(
+        [(2, "B", False), (3, "c", False), (4, "now-set", False),
+         (5, "e", False), (1, None, True)],
+        "id long, val string, deleted boolean",
+    )
+    v2 = V.merge_version(spark, root, upd, ("id",), delete_col="deleted")
+    got = {r["id"]: r["change"] for r in
+           V.diff_versions(spark, root, v1, v2, ("id",)).collect()}
+    assert got == {1: "delete", 2: "update", 3: "unchanged",
+                   4: "update", 5: "insert"}
+
+
+def test_diff_frames_schema_mismatch_is_loud(spark):
+    from bigdata_jobmatching_spark.sources.versioned import diff_frames
+
+    a = spark.createDataFrame([(1, "x")], "id long, val string")
+    b = spark.createDataFrame([(1, "x", 2)], "id long, val string, extra long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        diff_frames(a, b, ("id",))
