@@ -6,7 +6,7 @@ aggregates (scale-out path, SURVEY §7.2-10).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -463,4 +463,165 @@ register(QuerySpec(
     "exact quantity-weighted lower median price per (flag, status) — "
     "cumulative-weight window + integer cross-multiplied half test",
     ("analytics", "window", "agg"),
+))
+
+
+# --- bigram_pmi_topk: collocation extraction without logs -----------------
+# PMI ranks collocations by p(ab) / (p(a) p(b)); the log is monotone,
+# so ranking (and the reported score) can skip it entirely — the raw
+# ratio n_ab * N_uni / n_a / n_b * N_uni / N_bi is a fixed chain of
+# single correctly-rounded IEEE ops on exact integers, bit-identical
+# on both engines (no cross-engine ln/log2 divergence, the reason
+# naive PMI is hard to oracle). Unigram and bigram tables are small
+# after their one groupBy each; the scoring join broadcasts the
+# unigram side.
+
+_PMI_MIN_N = 5
+_PMI_TOPK = 50
+
+
+def _bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = X.tokens(F.col("text"))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("long").alias("n_uni"),
+    )
+    bi = (
+        d.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_N)
+    )
+    n_bi = (
+        d.select((F.greatest(F.size(toks) - 1, F.lit(0))).alias("k"))
+        .agg(F.sum("k").cast("long").alias("n_bi"))
+    )
+    scored = (
+        bi
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                     F.col("n_w").alias("n_w1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("n_w").alias("n_w2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bi))
+        # fixed op order; every step a single correctly-rounded IEEE op
+        .withColumn(
+            "pmi_ratio",
+            F.col("n_ab").cast("double") * F.col("n_uni") / F.col("n_w1")
+            / F.col("n_w2") * F.col("n_uni") / F.col("n_bi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            "pmi_ratio",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_PMI_SQL = f"""
+WITH toks AS (SELECT {{toks}} AS t FROM documents),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+uni_counts AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+totals AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_uni FROM uni_counts),
+bi_total AS (
+  SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bi FROM toks
+),
+pairs AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  FROM toks WHERE len(t) >= 2
+),
+bi AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n_ab
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_N}
+),
+scored AS (
+  SELECT b.w1, b.w2, b.n_ab, u1.n_w AS n_w1, u2.n_w AS n_w2,
+    CAST(b.n_ab AS DOUBLE) * t.n_uni / u1.n_w / u2.n_w * t.n_uni / bt.n_bi
+      AS pmi_ratio
+  FROM bi b
+  JOIN uni_counts u1 ON b.w1 = u1.w
+  JOIN uni_counts u2 ON b.w2 = u2.w
+  CROSS JOIN totals t CROSS JOIN bi_total bt
+)
+SELECT w1 || ' ' || w2 AS bigram,
+  CAST(n_ab AS BIGINT) AS n_ab,
+  CAST(n_w1 AS BIGINT) AS n_w1,
+  CAST(n_w2 AS BIGINT) AS n_w2,
+  pmi_ratio, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_PMI_TOPK}
+"""
+
+register(QuerySpec(
+    "bigram_pmi_topk", _bigram_pmi, _PMI_SQL.format(toks=_SQL_TOKS),
+    "top-k collocations by exact-rational PMI (log-free monotone "
+    "ranking; broadcast unigram joins, fixed IEEE op order both "
+    "engines)",
+    ("text", "agg", "join"),
+))
+
+
+# --- corpus_checksum: order-invariant dataset fingerprint -----------------
+# Reproducibility primitive: per source, XOR of per-document content
+# hashes (md5 hex -> int48) — invariant to row order and partitioning
+# by construction, so the same corpus always fingerprints identically
+# on any engine, any shuffle, any day. One narrow pass + one tiny
+# groupBy; at 100 TB this is the cheap "did the input change"
+# pre-flight every pipeline run should start with.
+
+def _corpus_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT))"
+        ).alias("content_xor"),
+        F.min(h).alias("min_hash"),
+        F.max(h).alias("max_hash"),
+    )
+
+
+_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT source, length(text) AS n_chars,
+    CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(bit_xor(hh) AS BIGINT) AS content_xor,
+  CAST(min(hh) AS BIGINT) AS min_hash,
+  CAST(max(hh) AS BIGINT) AS max_hash
+FROM h GROUP BY source
+"""
+
+register(QuerySpec(
+    "corpus_checksum", _corpus_checksum, _CHECKSUM_SQL,
+    "order-invariant per-source corpus fingerprint (XOR of md5-int48 "
+    "content hashes + doc/char counts) — the input-drift pre-flight",
+    ("text", "agg", "audit"),
 ))

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as S
 from ..operators import similarity_search as ANN
 from ..sources.io import load_table
-from .catalog import QuerySpec, register
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
 
 
 # --- ann_cosine_topk: exact brute-force top-k (broadcast queries) ---------
@@ -837,4 +837,89 @@ register(QuerySpec(
     "a different label (contrastive-training negatives; broadcast "
     "query set, label filter composes with any candidate generator)",
     ("vector", "ann", "ml"),
+))
+
+
+# --- embedding_truncation_audit: Matryoshka retained-energy profile -------
+# How much vector energy survives truncating embeddings to their
+# first 4/8/16 dims (MRL-style dimension reduction: serve a prefix,
+# keep most of the geometry)? Per-component x^2 is floored to exact
+# nano-units BEFORE summation (the established derived-float
+# convention), so group sums are order-independent integers and the
+# retained-energy ratios go through ratio6 — no float accumulation
+# anywhere.
+
+_TRUNC_DIMS = (4, 8, 16)
+
+
+def _trunc_audit(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    sq_nano = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * c.cast("double") * F.lit(1_000_000_000.0)
+    ).cast("long")
+    pref = {
+        d: F.aggregate(
+            F.slice(F.col("embedding"), 1, d),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + sq_nano(x),
+        )
+        for d in _TRUNC_DIMS
+    }
+    full = F.aggregate(
+        F.col("embedding"), F.lit(0).cast("long"),
+        lambda acc, x: acc + sq_nano(x),
+    )
+    per_vec = e.select(
+        "label", full.alias("full_nano"),
+        *[pref[d].alias(f"pref{d}_nano") for d in _TRUNC_DIMS],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("full_nano").cast("long").alias("full_energy_nano"),
+    ]
+    for d in _TRUNC_DIMS:
+        aggs.append(F.sum(f"pref{d}_nano").cast("long").alias(f"pref{d}_nano"))
+    g = per_vec.groupBy("label").agg(*aggs)
+    out_cols = ["label", "n_vectors", "full_energy_nano"]
+    for d in _TRUNC_DIMS:
+        out_cols.append(f"pref{d}_nano")
+    return g.select(
+        *out_cols,
+        *[ratio6(f"pref{d}_nano", "full_energy_nano").alias(f"retained{d}")
+          for d in _TRUNC_DIMS],
+    )
+
+
+_TRUNC_PREFS = ",\n  ".join(
+    f"CAST(SUM(list_sum(list_transform(embedding[1:{d}], "
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)))) AS BIGINT)"
+    f" AS pref{d}_nano"
+    for d in _TRUNC_DIMS
+)
+_TRUNC_RATIOS = ",\n  ".join(
+    ratio6_sql(f"pref{d}_nano", "full_energy_nano") + f" AS retained{d}"
+    for d in _TRUNC_DIMS
+)
+_TRUNC_SQL = f"""
+WITH g AS (
+  SELECT label,
+    CAST(count(*) AS BIGINT) AS n_vectors,
+    CAST(SUM(list_sum(list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)))) AS BIGINT)
+      AS full_energy_nano,
+    {_TRUNC_PREFS}
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vectors, full_energy_nano,
+  pref4_nano, pref8_nano, pref16_nano,
+  {_TRUNC_RATIOS}
+FROM g
+"""
+
+register(QuerySpec(
+    "embedding_truncation_audit", _trunc_audit, _TRUNC_SQL,
+    "Matryoshka truncation audit: retained squared-norm energy of "
+    "4/8/16-dim embedding prefixes per label (exact nano-unit "
+    "integers, ratio6 shares)",
+    ("vector", "agg"),
 ))
