@@ -831,3 +831,77 @@ register(QuerySpec(
     "with ORDER BY + LIMIT (decorrelated join plan, not a window)",
     ("relational", "lateral", "join"),
 ))
+
+
+# --- parts_pareto_frontier: 2-D skyline via cumulative minimum ------------
+# The skyline operator (non-dominated points): a part is on the
+# (price, size) frontier iff no other part is <= on both axes and <
+# on one. The naive formulation is an O(n^2) dominance anti-join; the
+# 2-D case collapses to ONE ordered cumulative minimum: reduce to
+# per-price minimal size (bounded groupBy), then a point survives iff
+# its size is strictly below the min size of every strictly-cheaper
+# price. The global window runs over DISTINCT PRICE grain — already
+# reduced by the groupBy shuffle, orders of magnitude below row
+# grain; for >2 dims or unbounded key grain the divide-and-conquer
+# local-frontier-then-merge shape applies, but 2-D needs none of it.
+# Equal (price, size) twins don't dominate each other (no strict
+# axis), so all minimal twins survive — count carried per point.
+
+def _pareto(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    pts = p.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    per_price = pts.groupBy("price_cents").agg(
+        F.min("size").alias("min_size"),
+    )
+    w = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn("cheaper_min", F.min("min_size").over(w))
+        .filter(
+            F.col("cheaper_min").isNull()
+            | (F.col("min_size") < F.col("cheaper_min"))
+        )
+        .select("price_cents", F.col("min_size").alias("size"))
+    )
+    return (
+        pts.join(F.broadcast(frontier), ["price_cents", "size"])
+        .groupBy("price_cents", "size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+_PARETO_SQL = """
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+per_price AS (
+  SELECT price_cents, min(size) AS min_size FROM pts GROUP BY price_cents
+),
+frontier AS (
+  SELECT price_cents, min_size AS size
+  FROM (
+    SELECT *, min(min_size) OVER (ORDER BY price_cents
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_min
+    FROM per_price
+  ) WHERE cheaper_min IS NULL OR min_size < cheaper_min
+)
+SELECT p.price_cents, p.size, CAST(count(*) AS BIGINT) AS n_parts
+FROM pts p JOIN frontier f
+  ON p.price_cents = f.price_cents AND p.size = f.size
+GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "parts_pareto_frontier", _pareto, _PARETO_SQL,
+    "2-D skyline (price x size Pareto frontier) via per-price "
+    "reduction + cumulative-min window over distinct-price grain — "
+    "the O(n log n) formulation of the dominance anti-join",
+    ("relational", "window", "skyline"),
+))

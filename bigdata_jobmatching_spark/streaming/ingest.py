@@ -159,3 +159,22 @@ def streaming_rate_counts(events: DataFrame, watermark: str = "10 minutes") -> D
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("minute_start"), "user_id", "c")
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    streaming DataFrame (the standard "join the offer stream to the
+    sector/location dim" step the reference's batch chain does after
+    landing — done in-flight here, one less lake round-trip).
+
+    The static side is explicitly broadcast: a stream-static join
+    must not shuffle the unbounded side, and Spark re-reads the
+    static relation per micro-batch (so a versioned-dim refresh is
+    picked up on the next trigger without restarting the query).
+    Stateless — no watermark required, any output mode."""
+    return stream.join(F.broadcast(dim), on, how)

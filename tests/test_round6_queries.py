@@ -364,3 +364,34 @@ def test_diff_frames_schema_mismatch_is_loud(spark):
     b = spark.createDataFrame([(1, "x", 2)], "id long, val string, extra long")
     with pytest.raises(ValueError, match="schema mismatch"):
         diff_frames(a, b, ("id",))
+
+
+def test_enrich_stream_with_dim_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: every streamed offer row picks up its
+    dimension attributes in-flight; dim misses survive as NULLs
+    (left join), and the join is stateless (no watermark needed)."""
+    import json as _json
+
+    from bigdata_jobmatching_spark.streaming.ingest import (
+        enrich_stream_with_dim,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"loc": f"LOC_{i % 3}", "val": i} for i in range(20)]
+    rows.append({"loc": "LOC_UNSEEN", "val": 99})
+    (src / "batch.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("loc string, val long").json(str(src))
+    dim = spark.createDataFrame(
+        [(f"LOC_{i}", f"city{i}") for i in range(3)], "loc string, city string")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (enrich_stream_with_dim(stream, dim, "loc")
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["val"]: r["city"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 21
+    assert got[0] == "city0" and got[1] == "city1" and got[5] == "city2"
+    assert got[99] is None  # dim miss survives the left join
