@@ -257,17 +257,27 @@ def test_no_new_unvetted_float_rounding():
     allow = {
         "analytics_queries.py": 1,   # pearson_r: identical exact-moment chain
         "dedup_queries.py": 3,       # jaccard/cosine of exact-int or identical chains
-        "domain_queries.py": 5,      # money-grid rounds + matching percents
+        "domain_queries.py": 7,      # money-grid rounds + matching percents
                                      # (r02 green) + cv_profile_stats salary
                                      # cents: integral-double * 100 lands
                                      # exactly on grid, no midpoint exists
+                                     # + r6 lake_match_stats: one money-grid
+                                     # round (same class) and one
+                                     # near-integer micro round (pct*1e6 is
+                                     # within 1e-9 of an int, never near .5);
+                                     # the composite-score tie class is
+                                     # handled by integer (…+2) div 5 instead
         "events_queries.py": 1,      # exact-grid conditional sum
         "mixing_queries.py": 2,      # quality band on exact quarters
                                      # (budget + curriculum, same banding)
-        "relational_extra2.py": 3,   # share/percent of exact decimal sums
+        "relational_extra2.py": 4,   # share/percent of exact decimal sums
+                                     # + r6 pareto price cents (2-dp money *
+                                     # 100 on grid, no midpoint exists)
         "skills_queries.py": 1,      # confidence grid (r03 green)
         "text_queries.py": 1,        # tf-idf score chain (r03 green)
         "vector_queries.py": 6,      # cosine score_decimals precedent (r03 green)
+        "versioned_queries.py": 3,   # r6 diff snapshots: acctbal cents
+                                     # (money-grid class) in v1/v2/inserts
     }
     plans = Path("bigdata_jobmatching_spark/plans")
     got = {
