@@ -6,12 +6,14 @@ zlib + numpy (`decode_png` / `encode_png` / `resample_nearest`, all
 five scanline filters, four color types) backs `decode_image_batch`,
 `extract_features(fake=False)` and `resize_images(fake=False)`.
 GIF pixel decode is REAL too (round-6): a pure-Python variable-width
-LZW decoder + palette expansion (`decode_gif` / `encode_gif`), with
-`decode_image` dispatching PNG-then-GIF for format-agnostic callers.
-Formats whose entropy decode needs codec libs this container lacks
-(JPEG pixels, audio PCM beyond headers, video frames) keep their rows
-with NULL outputs — audit-don't-drop — and the `fake=True` paths
-remain for deterministic plumbing tests.
+LZW decoder + palette expansion (`decode_gif` / `encode_gif`), and so
+is baseline JPEG (round-6, `jpeg_codec.py`: Huffman + dequant + IDCT
++ YCbCr, restart markers); `decode_image` dispatches PNG/GIF/JPEG for
+format-agnostic callers. Remaining formats whose decode needs codec
+libs this container lacks (progressive JPEG, audio PCM beyond
+headers, video frames) keep their rows with NULL outputs —
+audit-don't-drop — and the `fake=True` paths remain for
+deterministic plumbing tests.
 
 Scale design: binary payloads ride the scan partition; mapInPandas
 streams Arrow batches through Python without materializing the whole
@@ -1147,9 +1149,16 @@ def encode_gif(
 
 
 def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
-    """Format-dispatching pixel decode: PNG or GIF payloads return
-    (width, height, channels, raw bytes); other formats None."""
+    """Format-dispatching pixel decode: PNG, GIF or baseline-JPEG
+    payloads return (width, height, channels, raw bytes); other
+    formats None. All three decoders raise ValueError on
+    corrupt/out-of-subset streams (loud subset)."""
     d = decode_png(b)
     if d is not None:
         return d
-    return decode_gif(b)
+    d = decode_gif(b)
+    if d is not None:
+        return d
+    from .jpeg_codec import decode_jpeg
+
+    return decode_jpeg(b)

@@ -514,3 +514,88 @@ register(QuerySpec(
     "arithmetic channel sums",
     ("multimodal", "decode"),
 ))
+
+
+# --- jpeg_pixel_stats: REAL baseline-JPEG decode, oracle-verified ---------
+# Round-6 third pixel-real format: payloads are REAL baseline JPEGs —
+# Annex-K Huffman entropy coding, DQT/SOF0/DHT/SOS marker structure,
+# restart markers on every other fixture — built from flat 8x8 blocks
+# over the DC-step-8 quant table, where the whole
+# FDCT -> quantize -> Huffman -> decode -> dequantize -> IDCT
+# pipeline is EXACT (a flat block is DC-only; IDCT of DC-only is
+# dc*q/8 = planted value to ~1e-13, far from any rounding boundary).
+# Block (bx, by) of image k is planted as (k + 5*bx + 11*by) % 200
+# + 20; the Spark side Huffman-decodes the real bit stream and sums
+# pixels, the DuckDB oracle recomputes the planted block sums
+# arithmetically. Lossy-path closeness (LUMA table, gradients) is
+# pinned by unit tests; the gate pins the exact path.
+
+_JPEG_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("sum_px", T.LongType()),
+])
+
+
+def _planted_jpeg(k: int) -> bytes:
+    import numpy as np
+
+    from ..operators.jpeg_codec import QTABLE_FLAT8, encode_jpeg_gray
+
+    w, h = 8 * (k % 3 + 1), 8 * (k % 2 + 1)
+    px = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            px[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = (
+                (k + 5 * bx + 11 * by) % 200 + 20
+            )
+    return encode_jpeg_gray(px, QTABLE_FLAT8, restart_interval=2 if k % 2 else 0)
+
+
+def _jpeg_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.jpeg_codec import decode_jpeg
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_jpeg(kk)
+                w, h, ch, raw = decode_jpeg(memo[kk])
+                s = int(np.frombuffer(raw, dtype=np.uint8).astype(np.int64).sum())
+                rows.append((int(k), w, h, s))
+            yield pd.DataFrame(
+                rows, columns=["p_partkey", "px_width", "px_height", "sum_px"],
+            )
+
+    return p.mapInPandas(batches, _JPEG_STATS_SCHEMA)
+
+
+_JPEG_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST((p_partkey % 1024 % 3 + 1) * 8 AS INT) AS px_width,
+    CAST((p_partkey % 1024 % 2 + 1) * 8 AS INT) AS px_height
+  FROM part
+),
+bxs AS (SELECT *, unnest(range(px_width // 8)) AS bx FROM dims),
+bxy AS (SELECT *, unnest(range(px_height // 8)) AS by FROM bxs)
+SELECT p_partkey, px_width, px_height,
+  CAST(SUM(((k + 5 * bx + 11 * by) % 200 + 20) * 64) AS BIGINT) AS sum_px
+FROM bxy GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "jpeg_pixel_stats", _jpeg_pixel_stats, _JPEG_STATS_SQL,
+    "REAL baseline-JPEG pixel decode (pure-Python Huffman + dequant "
+    "+ IDCT, restart markers on alternating fixtures) verified by "
+    "arithmetic block sums over the exact DC-only pipeline",
+    ("multimodal", "decode"),
+))

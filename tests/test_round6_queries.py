@@ -395,3 +395,115 @@ def test_enrich_stream_with_dim_broadcast_join(spark, tmp_path):
     assert len(got) == 21
     assert got[0] == "city0" and got[1] == "city1" and got[5] == "city2"
     assert got[99] is None  # dim miss survives the left join
+
+
+# --- baseline JPEG codec (round-6 third pixel-real format) ----------------
+
+def test_jpeg_flat_block_pipeline_is_exact():
+    """Flat 8x8 blocks + DC-step-8 quantization: the full
+    FDCT -> quantize -> Huffman -> parse -> dequantize -> IDCT chain
+    reproduces the planted bytes exactly — with and without restart
+    markers (predictor reset + byte alignment)."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_FLAT8, decode_jpeg, encode_jpeg_gray,
+    )
+
+    h, w = 16, 24
+    px = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            px[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = (7 + 5 * bx + 11 * by) % 200 + 20
+    for ri in (0, 1, 2, 5):
+        j = encode_jpeg_gray(px, QTABLE_FLAT8, restart_interval=ri)
+        gw, gh, ch, raw = decode_jpeg(j)
+        assert (gw, gh, ch) == (w, h, 1)
+        assert np.array_equal(
+            np.frombuffer(raw, dtype=np.uint8).reshape(gh, gw), px), ri
+
+
+def test_jpeg_lossy_round_trip_is_close():
+    """Real quantization path (Annex-K luma table) over gradients and
+    random-ish texture: decode must land near the source (JPEG is
+    lossy; closeness is the contract), exercising AC runs, ZRL and
+    EOB codes."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_LUMA, decode_jpeg, encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:64]
+    # smooth, wrap-free ramp: sharp modulo seams would add legitimate
+    # Gibbs ringing and test JPEG's nature, not the codec
+    grad = np.clip(30 + xx * 2 + yy, 0, 230).astype(np.uint8)
+    x = 42
+    noise = np.zeros(40 * 64, dtype=np.uint8)
+    for i in range(noise.size):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        noise[i] = 100 + (x % 60)
+    tex = noise.reshape(40, 64)
+    for src, max_tol, mean_tol in ((grad, 8, 2.0), (tex, 45, 14.0)):
+        j = encode_jpeg_gray(src, QTABLE_LUMA)
+        w, h, _, raw = decode_jpeg(j)
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(int)
+        assert np.abs(a - src.astype(int)).max() <= max_tol
+        assert np.abs(a - src.astype(int)).mean() < mean_tol
+
+
+def test_jpeg_decoder_hostile_inputs():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_FLAT8, decode_jpeg, encode_jpeg_gray,
+    )
+
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(b"") is None
+    good = encode_jpeg_gray(
+        np.full((8, 8), 90, dtype=np.uint8), QTABLE_FLAT8)
+    for cut in (4, 20, len(good) // 2, len(good) - 3):
+        with _pytest.raises(ValueError):
+            decode_jpeg(good[:cut])
+    # progressive SOF2 is outside the subset -> loud
+    prog = bytearray(good)
+    i = prog.index(0xC0, 2)  # SOF0 marker byte after a 0xFF
+    assert prog[i - 1] == 0xFF
+    prog[i] = 0xC2
+    with _pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+    # header-only fixture (no SOS) stays loud -> NULL rows downstream
+    with _pytest.raises(ValueError):
+        decode_jpeg(MM.make_jpeg(64, 32))
+
+
+def test_decode_image_dispatches_jpeg_and_resize_transcodes(spark):
+    """decode_image now covers all three formats; resize_images
+    fake=False turns a REAL JPEG into a REAL PNG thumbnail whose
+    pixels match the (exact-path) decoded source resampled."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_FLAT8, encode_jpeg_gray,
+    )
+
+    h, w = 16, 16
+    px = np.zeros((h, w), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            px[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = 40 + 60 * bx + 100 * by
+    j = encode_jpeg_gray(px, QTABLE_FLAT8)
+    assert MM.decode_image(j) == (w, h, 1, px.tobytes())
+
+    df = spark.createDataFrame([(1, bytearray(j))], "p_partkey long, payload binary")
+    row = MM.resize_images(df, max_side=4, fake=False).collect()[0]
+    assert (row["rs_format"], row["rs_width"], row["rs_height"]) == ("png", 4, 4)
+    expect = px[np.ix_((np.arange(4) * h) // 4, (np.arange(4) * w) // 4)]
+    assert MM.decode_png(bytes(row["resized"])) == (4, 4, 1, expect.tobytes())
+
+    out = {r["p_partkey"]: r for r in MM.decode_image_batch(df).collect()}
+    assert (out[1]["px_width"], out[1]["px_height"], out[1]["px_channels"]) == (w, h, 1)
