@@ -479,3 +479,101 @@ def encode_jpeg_gray(
         + bytes(wtr.out)
         + b"\xff\xd9"
     )
+
+
+def encode_jpeg_color(
+    rgb: np.ndarray,
+    qtable: np.ndarray = QTABLE_LUMA,
+    subsample_420: bool = False,
+) -> bytes:
+    """Baseline YCbCr JPEG from an (h, w, 3) uint8 array — 4:4:4 or
+    4:2:0 (box-averaged chroma). Exists to drive the decoder's
+    3-component, MCU-interleave, chroma-upsampling and color-convert
+    paths; all components share one quant table and one Huffman pair
+    (legal per T.81). Dims must be multiples of 16 for 4:2:0, 8 for
+    4:4:4."""
+    h, w, _ = rgb.shape
+    mult = 16 if subsample_420 else 8
+    if h % mult or w % mult:
+        raise ValueError(f"encoder requires multiple-of-{mult} dims")
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b_ = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b_
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b_
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b_
+    if subsample_420:
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        samp = [(1, 0x22), (2, 0x11), (3, 0x11)]
+    else:
+        samp = [(1, 0x11), (2, 0x11), (3, 0x11)]
+    planes = {1: y, 2: cb, 3: cr}
+
+    dc_codes = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    q_zig = qtable.astype(np.float64)[ZIGZAG]
+    wtr = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_block(plane: np.ndarray, cid: int, by: int, bx: int) -> None:
+        blk = plane[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] - 128.0
+        qz = np.rint(fdct2(blk).reshape(64)[ZIGZAG] / q_zig).astype(np.int64)
+        diff = int(qz[0]) - preds[cid]
+        preds[cid] = int(qz[0])
+        t, bits = _magnitude(diff)
+        c, ln = dc_codes[t]
+        wtr.put(c, ln)
+        if t:
+            wtr.put(bits, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                wtr.put(c, ln)
+                run -= 16
+            t, bits = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | t]
+            wtr.put(c, ln)
+            wtr.put(bits, t)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]
+            wtr.put(c, ln)
+
+    if subsample_420:
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for v in range(2):
+                    for hh in range(2):
+                        put_block(planes[1], 1, 2 * my + v, 2 * mx + hh)
+                put_block(planes[2], 2, my, mx)
+                put_block(planes[3], 3, my, mx)
+    else:
+        for my in range(h // 8):
+            for mx in range(w // 8):
+                for cid in (1, 2, 3):
+                    put_block(planes[cid], cid, my, mx)
+    wtr.flush()
+
+    dqt = bytes([0x00]) + bytes(int(x) for x in qtable[ZIGZAG])
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid, hv in samp:
+        sof += bytes([cid, hv, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )

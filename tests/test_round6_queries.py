@@ -507,3 +507,28 @@ def test_decode_image_dispatches_jpeg_and_resize_transcodes(spark):
 
     out = {r["p_partkey"]: r for r in MM.decode_image_batch(df).collect()}
     assert (out[1]["px_width"], out[1]["px_height"], out[1]["px_channels"]) == (w, h, 1)
+
+
+def test_jpeg_color_444_and_420_decode():
+    """The decoder's 3-component MCU interleave, chroma upsampling and
+    YCbCr->RGB paths: smooth color planes survive 4:4:4 and 4:2:0
+    round trips within chroma-subsampling tolerance."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_LUMA, decode_jpeg, encode_jpeg_color,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    rgb = np.stack([
+        np.clip(40 + xx * 3, 0, 230),
+        np.clip(60 + yy * 3, 0, 230),
+        np.clip(200 - xx - yy, 0, 230),
+    ], axis=-1).astype(np.uint8)
+    for sub, max_tol in ((False, 8), (True, 12)):
+        j = encode_jpeg_color(rgb, QTABLE_LUMA, subsample_420=sub)
+        w, h, ch, raw = decode_jpeg(j)
+        assert (w, h, ch) == (32, 32, 3)
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(int)
+        err = np.abs(a - rgb.astype(int))
+        assert err.max() <= max_tol and err.mean() < 3.0, sub
