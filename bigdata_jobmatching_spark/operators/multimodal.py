@@ -9,11 +9,13 @@ GIF pixel decode is REAL too (round-6): a pure-Python variable-width
 LZW decoder + palette expansion (`decode_gif` / `encode_gif`), and so
 is baseline JPEG (round-6, `jpeg_codec.py`: Huffman + dequant + IDCT
 + YCbCr, restart markers); `decode_image` dispatches PNG/GIF/JPEG for
-format-agnostic callers. Remaining formats whose decode needs codec
-libs this container lacks (progressive JPEG, audio PCM beyond
-headers, video frames) keep their rows with NULL outputs —
-audit-don't-drop — and the `fake=True` paths remain for
-deterministic plumbing tests.
+format-agnostic callers. Audio SAMPLES are real too (round-6):
+16-bit PCM needs no codec, so `decode_wav_samples` /
+`wav_sample_stats` extract exact integer energy/peak/zero-crossing
+features from WAV data chunks. Remaining formats whose decode needs
+codec libs this container lacks (progressive JPEG, compressed audio,
+video frames) keep their rows with NULL outputs — audit-don't-drop —
+and the `fake=True` paths remain for deterministic plumbing tests.
 
 Scale design: binary payloads ride the scan partition; mapInPandas
 streams Arrow batches through Python without materializing the whole
@@ -1162,3 +1164,122 @@ def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
     from .jpeg_codec import decode_jpeg
 
     return decode_jpeg(b)
+
+
+# ---------------------------------------------------- real PCM decode --
+# Audio SAMPLE decode (round-6): 16-bit PCM needs no codec library —
+# the WAV data chunk IS the samples. decode_wav_samples walks the
+# RIFF chunks (same parse as the header sniffers), slices the data
+# chunk and returns the int16 sample matrix; wav_sample_stats
+# computes exact integer audio features (energy, peak, zero
+# crossings) inside one Arrow pass. Compressed formats (non-PCM
+# format tags, non-16-bit) raise ValueError — loud subset, like the
+# image codecs.
+
+
+def make_wav_pcm(
+    channels: int, sample_rate: int, samples: "np.ndarray"
+) -> bytes:
+    """Real 16-bit PCM WAV: header + interleaved little-endian
+    samples. ``samples`` is (n, channels) int16."""
+    import numpy as np
+
+    n = samples.shape[0]
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data = samples.astype("<i2").tobytes()
+    body = (
+        b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + body
+
+
+def decode_wav_samples(b: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """(channels, sample_rate, samples[(n, channels)] int16) for a
+    16-bit PCM WAV, or None for non-WAV payloads. Raises ValueError
+    on non-PCM format tags, non-16-bit sample widths, and data chunks
+    shorter than declared (loud subset)."""
+    import numpy as np
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = block_align = bits = fmt_tag = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt_tag = int.from_bytes(b[i + 8:i + 10], "little")
+            channels = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            block_align = int.from_bytes(b[i + 20:i + 22], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + size]
+            if len(data) < size:
+                raise ValueError("WAV data chunk shorter than declared")
+        i += 8 + size + (size & 1)
+    if channels is None or rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_tag != 1:
+        raise ValueError(f"unsupported WAV format tag {fmt_tag} (PCM only)")
+    if bits != 16 or block_align != channels * 2:
+        raise ValueError(f"unsupported WAV sample layout ({bits}-bit)")
+    n = len(data) // block_align
+    a = np.frombuffer(data[:n * block_align], dtype="<i2").reshape(n, channels)
+    return channels, rate, a
+
+
+WAV_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def wav_sample_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL PCM feature extraction over a binary column: exact integer
+    energy (sum |x|, sum x^2), peak amplitude and zero-crossing count
+    over channel-0 samples. Undecodable payloads keep their row with
+    NULLs (audit-don't-drop). One Arrow pass, no payload shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decode_wav_samples(bytes(raw)) if raw is not None else None
+                except ValueError:
+                    d = None
+                if d is None:
+                    rows.append((int(mid), None, None, None, None, None, None, None))
+                    continue
+                ch, rate, a = d
+                x = a[:, 0].astype(np.int64)
+                zc = int(((x[:-1] < 0) != (x[1:] < 0)).sum()) if len(x) > 1 else 0
+                rows.append((
+                    int(mid), ch, rate, int(a.shape[0]),
+                    int(np.abs(x).sum()), int((x * x).sum()),
+                    int(np.abs(x).max()) if len(x) else 0, zc,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "channels", "sample_rate", "n_samples",
+                "sum_abs", "sum_sq", "peak", "zero_crossings",
+            ])
+
+    return df.mapInPandas(batches, WAV_STATS_SCHEMA)

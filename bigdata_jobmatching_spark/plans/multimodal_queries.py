@@ -599,3 +599,102 @@ register(QuerySpec(
     "arithmetic block sums over the exact DC-only pipeline",
     ("multimodal", "decode"),
 ))
+
+
+# --- wav_sample_stats: REAL PCM sample decode, oracle-verified ------------
+# Round-6 audio de-stub: 16-bit PCM is samples-on-disk — no codec
+# library needed — so the "audio beyond headers" gap closes the same
+# way the image formats did. Payloads are REAL WAV files whose
+# channel-0 samples are planted as ((k*31 + i*17) % 2001) - 1000
+# (sign-alternating sawtooth), the Spark side parses the RIFF chunks
+# and computes exact integer features (sum|x|, sum x^2, peak, zero
+# crossings), and the DuckDB oracle recomputes them arithmetically
+# via unnest(range(n)). Stereo fixtures interleave a second channel
+# the feature pass must skip — deinterleaving is part of what the
+# hash pins.
+
+_WAV_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def _planted_wav(k: int) -> bytes:
+    import numpy as np
+
+    ch = k % 2 + 1
+    n = k % 50 + 10
+    i = np.arange(n, dtype=np.int64)
+    c0 = (k * 31 + i * 17) % 2001 - 1000
+    if ch == 1:
+        samples = c0.reshape(n, 1)
+    else:
+        # channel 1 is constant junk the channel-0 features must skip
+        samples = np.stack([c0, np.full(n, 777, dtype=np.int64)], axis=1)
+    return MM.make_wav_pcm(ch, 8000 + (k % 3) * 8000, samples.astype(np.int16))
+
+
+def _wav_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            keys = pdf["p_partkey"]
+            payloads = []
+            for k in keys:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_wav(kk)
+                payloads.append(memo[kk])
+            yield pd.DataFrame({"p_partkey": keys, "payload": payloads})
+
+    media = p.mapInPandas(synth, _PAYLOAD_SCHEMA)
+    return MM.wav_sample_stats(media, id_col="p_partkey").withColumnRenamed(
+        "media_id", "p_partkey"
+    )
+
+
+_WAV_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 2 + 1 AS INT) AS channels,
+    CAST(8000 + (p_partkey % 1024 % 3) * 8000 AS INT) AS sample_rate,
+    CAST(p_partkey % 1024 % 50 + 10 AS BIGINT) AS n_samples
+  FROM part
+),
+xs AS (
+  SELECT *, unnest(range(n_samples)) AS i FROM dims
+),
+vals AS (
+  SELECT p_partkey, k, channels, sample_rate, n_samples, i,
+    (k * 31 + i * 17) % 2001 - 1000 AS x
+  FROM xs
+),
+feat AS (
+  SELECT p_partkey, channels, sample_rate, n_samples,
+    CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+    CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+    CAST(MAX(abs(x)) AS INT) AS peak,
+    CAST(SUM(CASE WHEN i > 0 AND ((x < 0) !=
+      (((k * 31 + (i - 1) * 17) % 2001 - 1000) < 0)) THEN 1 ELSE 0 END)
+      AS BIGINT) AS zero_crossings
+  FROM vals GROUP BY 1, 2, 3, 4
+)
+SELECT * FROM feat
+"""
+
+register(QuerySpec(
+    "wav_sample_stats", _wav_sample_stats, _WAV_STATS_SQL,
+    "REAL 16-bit PCM sample decode over WAV payloads (RIFF chunk "
+    "walk, stereo deinterleave): exact integer energy/peak/"
+    "zero-crossing features, hash-checked against arithmetic "
+    "recomputation",
+    ("multimodal", "decode", "audio"),
+))

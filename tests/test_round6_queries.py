@@ -532,3 +532,52 @@ def test_jpeg_color_444_and_420_decode():
         a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(int)
         err = np.abs(a - rgb.astype(int))
         assert err.max() <= max_tol and err.mean() < 3.0, sub
+
+
+# --- real PCM sample decode (round-6 audio de-stub) ------------------------
+
+def test_wav_pcm_round_trip_and_hostile():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    x = ((np.arange(120) * 37) % 2001 - 1000).astype(np.int16).reshape(60, 2)
+    w = MM.make_wav_pcm(2, 16000, x)
+    ch, rate, a = MM.decode_wav_samples(w)
+    assert (ch, rate) == (2, 16000) and np.array_equal(a, x)
+    assert MM.decode_wav_samples(b"not riff") is None
+    # header-only fixture declares data it doesn't carry -> loud
+    with _pytest.raises(ValueError, match="shorter than declared"):
+        MM.decode_wav_samples(MM.make_wav(1, 8000, 100))
+    # compressed format tags are outside the PCM subset -> loud
+    bad = bytearray(w)
+    bad[20] = 2  # fmt tag: ADPCM
+    with _pytest.raises(ValueError, match="format tag"):
+        MM.decode_wav_samples(bytes(bad))
+
+
+def test_wav_sample_stats_features_exact(spark):
+    """Exact integer audio features over real PCM payloads, incl.
+    stereo deinterleave (channel-1 junk must not leak into channel-0
+    features) and NULL-with-row for undecodable payloads."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    c0 = np.array([100, -200, 300, -400, 500], dtype=np.int16)
+    mono = MM.make_wav_pcm(1, 8000, c0.reshape(5, 1))
+    stereo = MM.make_wav_pcm(
+        2, 8000, np.stack([c0, np.full(5, 777, dtype=np.int16)], axis=1))
+    df = spark.createDataFrame(
+        [(1, bytearray(mono)), (2, bytearray(stereo)), (3, b"junk")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.wav_sample_stats(df).collect()}
+    for k in (1, 2):
+        r = out[k]
+        assert (r["n_samples"], r["sum_abs"], r["peak"]) == (5, 1500, 500)
+        assert r["sum_sq"] == int((c0.astype(np.int64) ** 2).sum())
+        assert r["zero_crossings"] == 4
+    assert out[2]["channels"] == 2
+    assert out[3]["n_samples"] is None
