@@ -59,15 +59,16 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [h[i % len(h)] / 255.0 for i in range(dim)]
 
 
-def _real_png_feature(payload: bytes) -> list[float] | None:
-    """8-dim feature from REAL decoded pixels: per-channel mean and
-    max, each /255, channel slots padded with 0.0 up to 4. Returns
-    None for payloads the pure-Python PNG codec can't decode —
-    audit-don't-drop, the row survives with a NULL feature."""
+def _real_image_feature(payload: bytes) -> list[float] | None:
+    """8-dim feature from REAL decoded pixels (PNG, GIF or baseline
+    JPEG via :func:`decode_image`): per-channel mean and max, each
+    /255, channel slots padded with 0.0 up to 4. Returns None for
+    payloads none of the codecs can decode — audit-don't-drop, the
+    row survives with a NULL feature."""
     import numpy as np
 
     try:
-        d = decode_png(payload)
+        d = decode_image(payload)
     except ValueError:
         return None
     if d is None:
@@ -83,17 +84,16 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     """media rows -> feature rows via mapInPandas (Arrow batches).
 
     With ``fake=False`` the feature comes from a REAL pixel decode
-    (pure-Python zlib PNG codec, :func:`decode_png`): per-channel
-    mean+max over the inflated pixel bytes — a fixed 8-wide vector
+    (PNG/GIF/baseline-JPEG via :func:`decode_image`): per-channel
+    mean+max over the decoded pixels — a fixed 8-wide vector
     (4 channel means + 4 channel maxes), so ``dim`` must be 8 on that
     path (raises otherwise rather than silently ignoring it).
-    Payloads outside the codec's reach (JPEG/audio/video — entropy
-    codecs need libs this container lacks) keep their row with a NULL
-    feature.
+    Payloads outside the codecs' reach (progressive JPEG, audio,
+    video) keep their row with a NULL feature.
     """
     if not fake and dim != 8:
         raise ValueError(
-            f"fake=False produces a fixed 8-wide PNG channel feature; got dim={dim}"
+            f"fake=False produces a fixed 8-wide channel feature; got dim={dim}"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,7 +105,7 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
                 "payload_bytes": payloads.str.len().astype("int64"),
                 "payload_sha1": payloads.apply(lambda b: hashlib.sha1(b).hexdigest()),
                 "feature": payloads.apply(
-                    (lambda b: _fake_feature(b, dim)) if fake else _real_png_feature
+                    (lambda b: _fake_feature(b, dim)) if fake else _real_image_feature
                 ),
             })
 

@@ -581,3 +581,34 @@ def test_wav_sample_stats_features_exact(spark):
         assert r["zero_crossings"] == 4
     assert out[2]["channels"] == 2
     assert out[3]["n_samples"] is None
+
+
+def test_extract_features_real_path_covers_gif_and_jpeg(spark):
+    """The fake=False feature now decodes all three real formats —
+    GIF palette pixels and exact-path JPEG both land real channel
+    means; undecodable payloads stay NULL."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_FLAT8, encode_jpeg_gray,
+    )
+
+    pal = bytes([0, 0, 0, 255, 255, 255])  # black/white
+    gif = MM.encode_gif(2, 1, bytes([0, 1]), pal)
+    jpg = encode_jpeg_gray(np.full((8, 8), 200, dtype=np.uint8), QTABLE_FLAT8)
+    df = spark.createDataFrame(
+        [("g", "image", None, bytearray(gif), None, None, None),
+         ("j", "image", None, bytearray(jpg), None, None, None),
+         ("x", "image", None, bytearray(b"junk"), None, None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            MM.extract_features(df, fake=False).collect()}
+    g = rows["g"]["feature"]
+    assert g[:3] == pytest.approx([0.5, 0.5, 0.5])   # mean of 0 and 255
+    assert g[4:7] == pytest.approx([1.0, 1.0, 1.0])  # max 255
+    j = rows["j"]["feature"]
+    assert j[0] == pytest.approx(200 / 255) and j[4] == pytest.approx(200 / 255)
+    assert j[1:4] == [0.0, 0.0, 0.0]  # grayscale pads channels 2-4
+    assert rows["x"]["feature"] is None
