@@ -253,15 +253,21 @@ def load_all() -> dict[str, QuerySpec]:
     # Within the unproven block, oracled queries come first: a rows-only
     # query gets the same weak check whether sampled this round or next,
     # while an oracled query outside the window loses a full value
-    # verification — so rows-only entries yield their window slots.
+    # verification. Since round 6 every rows-only op carries a
+    # hash-green oracled twin (sentence_span_stats, doc_sequence_packing
+    # + ffd_packing_invariants, als_preference_matrix,
+    # minhash_md5_near_dups, simhash_md5_hamming_pairs), so rows-only
+    # entries go to the VERY BACK of the ordering — their gate row can
+    # never say more than "rows stable", and the slot re-proves a
+    # stale hash-green query instead.
     unproven = {
         n: s for n, s in REGISTRY.items()
         if n not in _DRIVER_VERIFIED and s.oracle is not None
     }
-    unproven.update(
-        (n, s) for n, s in REGISTRY.items()
+    rows_only_tail = {
+        n: s for n, s in REGISTRY.items()
         if n not in _DRIVER_VERIFIED and s.oracle is None
-    )
+    }
     proven_r02 = {
         n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED_R02
     }
@@ -281,5 +287,6 @@ def load_all() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
     }
     return {
-        **unproven, **proven_r02, **proven_r03, **proven_r04, **proven_r05
+        **unproven, **proven_r02, **proven_r03, **proven_r04,
+        **proven_r05, **rows_only_tail,
     }
