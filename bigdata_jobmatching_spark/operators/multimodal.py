@@ -901,12 +901,14 @@ def decode_image_batch(
 ) -> DataFrame:
     """REAL pixel decode over a binary column: PNG payloads inflate
     through the stdlib-zlib codec (all filter types), GIF payloads
-    through the pure-Python LZW decoder (palette-expanded to RGB);
+    through the pure-Python LZW decoder (palette-expanded to RGB),
+    baseline JPEGs through the Huffman+IDCT codec (jpeg_codec.py);
     the output row carries the decoded geometry and a sha1 over the
     pixel bytes so any downstream can verify the decode bit-for-bit.
     Other formats and corrupt/out-of-subset payloads (bad CRC,
-    interlaced, 16-bit, truncated LZW — signalled by ValueError)
-    yield NULLs (audit-don't-drop). One Arrow pass, no shuffle."""
+    interlaced, 16-bit, truncated LZW, progressive JPEG — signalled
+    by ValueError) yield NULLs (audit-don't-drop). One Arrow pass,
+    no shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
