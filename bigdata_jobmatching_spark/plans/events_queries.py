@@ -1286,3 +1286,49 @@ register(QuerySpec(
     "cross-multiplication, unique-key tie-break",
     ("events", "window", "agg"),
 ))
+
+
+# --- events_debounce: burst suppression (event-time dedup-with-tolerance) -
+# The stream-hygiene op between exact dedup and sessionization:
+# repeated (user, type) events inside a 30-second tolerance are
+# bursts (double-clicks, retries, at-least-once replays) and only
+# the burst HEAD survives. Pure lag-window arithmetic on exact
+# microsecond integers — per-key partitions, no global order, the
+# same shape Structured Streaming runs with dropDuplicatesWithinWatermark.
+
+_DEBOUNCE_US = 30_000_000
+
+
+def _debounce(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    return (
+        ev.withColumn("gap_us", us - prev_us)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > _DEBOUNCE_US))
+        .select(
+            "user_id", "event_type", "event_id",
+            F.col("gap_us").cast("long").alias("gap_us"),
+        )
+    )
+
+
+_DEBOUNCE_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, event_type, event_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, event_type, event_id, CAST(gap_us AS BIGINT) AS gap_us
+FROM lagged WHERE gap_us IS NULL OR gap_us > {_DEBOUNCE_US}
+"""
+
+register(QuerySpec(
+    "events_debounce", _debounce, _DEBOUNCE_SQL,
+    "30-second burst suppression per (user, type): only burst heads "
+    "survive (event-time dedup-with-tolerance; exact microsecond lag "
+    "arithmetic, per-key windows)",
+    ("events", "window", "dedup"),
+))

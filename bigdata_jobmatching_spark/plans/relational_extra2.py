@@ -905,3 +905,55 @@ register(QuerySpec(
     "the O(n log n) formulation of the dominance anti-join",
     ("relational", "window", "skyline"),
 ))
+
+
+# --- customers_all_priorities: relational division ------------------------
+# The classic "for all" operator (relational division): customers
+# whose order history covers EVERY order priority present in the
+# data. Expressed as count-distinct-equals-universe — two bounded
+# aggregations and a broadcast scalar, never a nested NOT EXISTS
+# double anti-join (which planners turn into one more shuffle at
+# best). The universe count rides along in the output so the hash
+# pins it too.
+
+def _division(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    universe = o.agg(
+        F.countDistinct("o_orderpriority").alias("n_universe"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio"))
+    full = (
+        per_cust.crossJoin(F.broadcast(universe))
+        .filter(F.col("n_prio") == F.col("n_universe"))
+    )
+    return (
+        full.join(c, full.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name",
+            F.col("n_prio").cast("long").alias("n_priorities"),
+        )
+    )
+
+
+_DIVISION_SQL = """
+WITH universe AS (
+  SELECT COUNT(DISTINCT o_orderpriority) AS n_universe FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, CAST(p.n_prio AS BIGINT) AS n_priorities
+FROM per_cust p CROSS JOIN universe u
+JOIN customer c ON p.o_custkey = c.c_custkey
+WHERE p.n_prio = u.n_universe
+"""
+
+register(QuerySpec(
+    "customers_all_priorities", _division, _DIVISION_SQL,
+    "relational division (for-all): customers whose orders cover "
+    "every order priority — count-distinct-equals-universe with a "
+    "broadcast scalar, no nested double anti-join",
+    ("relational", "agg", "division"),
+))
