@@ -1332,3 +1332,68 @@ register(QuerySpec(
     "arithmetic, per-key windows)",
     ("events", "window", "dedup"),
 ))
+
+
+# --- events_sliding_distinct_users: exact sliding distinct ----------------
+# Sliding-window COUNT DISTINCT is the expensive one: a RANGE-frame
+# countDistinct is unsupported/naive on any engine, so the scale-safe
+# shape is dedupe-then-count — explode each event into the sliding
+# windows that contain it (window count = window/slide, a small
+# constant), dedupe (window_start, user) with a first-level groupBy
+# (map-side combinable), then count per window. Both shuffles key on
+# window_start, so the second reuses the first's partitioning. Here:
+# 1-hour windows sliding every 15 minutes.
+
+_SLIDE_US = 15 * 60 * 1_000_000
+_WIN_SLICES = 4  # 1 h / 15 min
+
+
+def _sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    slice_idx = F.expr(f"unix_micros(ts) div {_SLIDE_US}")
+    win = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(slice_idx - _WIN_SLICES + 1, slice_idx)
+        ).alias("win_idx"),
+    )
+    per_user = win.groupBy("win_idx", "user_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per_user.groupBy("win_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_users"),
+            F.sum("__n").cast("long").alias("n_events"),
+        )
+        .select(
+            F.timestamp_micros(F.col("win_idx") * _SLIDE_US).alias("window_start"),
+            "n_distinct_users", "n_events",
+        )
+    )
+
+
+_SLIDING_DISTINCT_SQL = f"""
+WITH sliced AS (
+  SELECT user_id, epoch_us(ts) // {_SLIDE_US} AS slice_idx FROM events
+),
+win AS (
+  SELECT user_id, unnest(range(slice_idx - {_WIN_SLICES} + 1, slice_idx + 1))
+    AS win_idx
+  FROM sliced
+),
+per_user AS (
+  SELECT win_idx, user_id, COUNT(*) AS n FROM win GROUP BY 1, 2
+)
+SELECT make_timestamp(win_idx * {_SLIDE_US}) AS window_start,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_users,
+  CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_user GROUP BY 1
+"""
+
+register(QuerySpec(
+    "events_sliding_distinct_users", _sliding_distinct,
+    _SLIDING_DISTINCT_SQL,
+    "exact distinct users per 1-hour window sliding every 15 min via "
+    "the dedupe-then-count shape (explode into window/slide slices, "
+    "two map-side-combinable aggregations sharing one key)",
+    ("events", "window", "agg"),
+))

@@ -581,3 +581,89 @@ def test_png_decode_never_silently_wrong_under_byte_flip(flip_seed, seed):
     except ValueError:
         return  # loud failure: the desired outcome for corruption
     assert got is None, "corrupt PNG must not silently decode"
+
+
+# --- round-6 codec properties ---------------------------------------------
+
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 9),
+    n_colors_log=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+    lt=st.booleans(), anim=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_round_trip_property(w, h, n_colors_log, seed, lt, anim):
+    """encode_gif -> decode_gif is identity for ANY palette size,
+    shape, table kind and version over LCG-random indices."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        decode_gif, encode_gif,
+    )
+
+    n_colors = 1 << n_colors_log
+    if n_colors < 2:
+        n_colors = 2
+    x = seed
+    pal = bytearray()
+    for _ in range(3 * n_colors):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        pal.append(x % 256)
+    idx = bytearray()
+    for _ in range(w * h):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        idx.append(x % n_colors)
+    g = encode_gif(w, h, bytes(idx), bytes(pal),
+                   local_table=lt, animated_89a=anim)
+    exp = bytes(c for ix in idx for c in pal[3 * ix:3 * ix + 3])
+    assert decode_gif(g) == (w, h, 3, exp)
+
+
+@given(
+    bw=st.integers(1, 4), bh=st.integers(1, 3),
+    seed=st.integers(0, 2**31), ri=st.integers(0, 4),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_flat_block_property(bw, bh, seed, ri):
+    """The DC-only JPEG pipeline is exact for ANY flat-block layout,
+    any restart interval — the property behind the gate fixture."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_FLAT8, decode_jpeg, encode_jpeg_gray,
+    )
+
+    h, w = bh * 8, bw * 8
+    px = np.zeros((h, w), dtype=np.uint8)
+    x = seed
+    for by in range(bh):
+        for bx in range(bw):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            px[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = x % 256
+    j = encode_jpeg_gray(px, QTABLE_FLAT8, restart_interval=ri)
+    got = decode_jpeg(j)
+    assert got is not None
+    gw, gh, ch, raw = got
+    assert (gw, gh, ch) == (w, h, 1)
+    assert np.array_equal(np.frombuffer(raw, dtype=np.uint8).reshape(gh, gw), px)
+
+
+@given(
+    ch=st.integers(1, 2), n=st.integers(1, 200), seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_pcm_round_trip_property(ch, n, seed):
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        decode_wav_samples, make_wav_pcm,
+    )
+
+    x = seed
+    vals = np.zeros((n, ch), dtype=np.int16)
+    for i in range(n):
+        for c in range(ch):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            vals[i, c] = (x % 65536) - 32768
+    w = make_wav_pcm(ch, 8000, vals)
+    got = decode_wav_samples(w)
+    assert got is not None and got[0] == ch
+    assert np.array_equal(got[2], vals)
