@@ -1153,14 +1153,17 @@ def encode_gif(
 
 
 def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
-    """Format-dispatching pixel decode: PNG, GIF or baseline-JPEG
-    payloads return (width, height, channels, raw bytes); other
-    formats None. All three decoders raise ValueError on
+    """Format-dispatching pixel decode: PNG, GIF, baseline-TIFF or
+    baseline-JPEG payloads return (width, height, channels, raw
+    bytes); other formats None. All four decoders raise ValueError on
     corrupt/out-of-subset streams (loud subset)."""
     d = decode_png(b)
     if d is not None:
         return d
     d = decode_gif(b)
+    if d is not None:
+        return d
+    d = decode_tiff(b)
     if d is not None:
         return d
     from .jpeg_codec import decode_jpeg
@@ -1285,3 +1288,267 @@ def wav_sample_stats(
             ])
 
     return df.mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------- real TIFF codec --
+# Fourth pixel-real image format (round-6): baseline TIFF 6.0 strips
+# are either raw bytes or PackBits RLE — both pure byte-twiddling.
+# Covers 8-bit grayscale (BlackIsZero / WhiteIsZero) and RGB, both
+# byte orders, multi-strip layouts, out-of-line value arrays
+# (SHORT/LONG), and Compression 1 (none) + 32773 (PackBits).
+# LZW/JPEG-in-TIFF, palettes, tiles and non-8-bit depths raise
+# ValueError (loud subset). Same (w, h, channels, bytes) contract as
+# the PNG/GIF/JPEG decoders.
+
+
+def packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits RLE per TIFF 6.0: n in 0..127 copies n+1 literals,
+    n in 129..255 repeats the next byte 257-n times, 128 is a noop."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            if len(data) < i + n + 1:
+                raise ValueError("truncated PackBits literal run")
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError(f"PackBits produced {len(out)} of {expect} bytes")
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Simple PackBits writer: runs of >= 3 equal bytes become repeat
+    packets, everything else literal packets (spec-valid, decoder
+    must handle both)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _tiff_read_values(b, endian, typ, count, val_field) -> list[int]:
+    size = 2 if typ == 3 else 4
+    total = size * count
+    if total <= 4:
+        raw = val_field[:total]
+    else:
+        off = int.from_bytes(val_field, endian)
+        raw = b[off:off + total]
+        if len(raw) < total:
+            raise ValueError("TIFF value array out of bounds")
+    return [
+        int.from_bytes(raw[i * size:(i + 1) * size], endian)
+        for i in range(count)
+    ]
+
+
+def decode_tiff(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, raw 8-bit pixel bytes) for a
+    baseline strip TIFF, or None for non-TIFF payloads. Raises
+    ValueError on unsupported compression/photometric/depth and
+    malformed structures."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        endian = "little"
+    elif b[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        return None
+    ifd = int.from_bytes(b[4:8], endian)
+    if ifd + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of bounds")
+    n = int.from_bytes(b[ifd:ifd + 2], endian)
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            raise ValueError("TIFF IFD entry out of bounds")
+        tag = int.from_bytes(b[e:e + 2], endian)
+        typ = int.from_bytes(b[e + 2:e + 4], endian)
+        count = int.from_bytes(b[e + 4:e + 8], endian)
+        if typ in (3, 4):
+            tags[tag] = _tiff_read_values(b, endian, typ, count, b[e + 8:e + 12])
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    if any(x != 8 for x in bits) or spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF depth {bits}x{spp}")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = b[off:off + cnt]
+        if len(raw) < cnt:
+            raise ValueError("TIFF strip out of bounds")
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = rows * w * spp
+        out += packbits_decode(raw, expect) if comp == 32773 else raw
+        if comp == 1 and len(raw) != expect:
+            raise ValueError("TIFF strip size mismatch")
+    if len(out) != h * w * spp:
+        raise ValueError(f"TIFF strips produced {len(out)} of {h * w * spp} bytes")
+    if photo == 0:  # WhiteIsZero: invert to BlackIsZero convention
+        out = bytearray(255 - v for v in out)
+    return w, h, spp, bytes(out)
+
+
+def encode_tiff_pixels(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    endian: str = "little",
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Real strip TIFF from raw 8-bit pixels — gray or RGB, either
+    byte order, optional PackBits compression and multi-strip
+    layout. Exists so round-trip tests and gate fixtures drive every
+    decoder branch."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if channels not in (1, 3):
+        raise ValueError("gray or RGB only")
+    e = endian
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        raw = pixels[y0 * width * channels:(y0 + rows) * width * channels]
+        strips.append(packbits_encode(raw) if packbits else raw)
+
+    def u(v: int, nb: int) -> bytes:
+        return v.to_bytes(nb, e)
+
+    sig = b"II*\x00" if e == "little" else b"MM\x00*"
+    entries = []  # (tag, typ, count, values)
+    entries.append((256, 3, 1, [width]))
+    entries.append((257, 3, 1, [height]))
+    entries.append((258, 3, channels, [8] * channels))
+    entries.append((259, 3, 1, [32773 if packbits else 1]))
+    entries.append((262, 3, 1, [2 if channels == 3 else 1]))
+    entries.append((273, 4, len(strips), None))  # offsets patched below
+    entries.append((277, 3, 1, [channels]))
+    entries.append((278, 3, 1, [rps]))
+    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # out-of-line arrays land right after the IFD
+    extra = bytearray()
+    extra_base = ifd_off + ifd_size
+    rendered = []
+    strip_area = extra_base  # patched after extra is known
+
+    def render(tag, typ, count, values, val_bytes=None):
+        size = 2 if typ == 3 else 4
+        total = size * count
+        if val_bytes is None:
+            val_bytes = b"".join(u(v, size) for v in values)
+        if total <= 4:
+            field = val_bytes + b"\x00" * (4 - total)
+        else:
+            field = u(extra_base + len(extra), 4)
+            extra.extend(val_bytes)
+        return u(tag, 2) + u(typ, 2) + u(count, 4) + field
+
+    # first pass to size extra (strip offsets need the final layout):
+    # render everything except strip offsets, then compute them
+    pre = []
+    for tag, typ, count, values in entries:
+        if tag == 273:
+            pre.append(None)
+            if 4 * len(strips) > 4:
+                extra.extend(b"\x00" * 4 * len(strips))  # placeholder
+            continue
+        pre.append(render(tag, typ, count, values))
+    strip_area = extra_base + len(extra)
+    offsets = []
+    pos = strip_area
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    # now patch the offsets entry (and its placeholder in extra)
+    if 4 * len(strips) <= 4:
+        off_entry = u(273, 2) + u(4, 2) + u(len(strips), 4) + (
+            b"".join(u(v, 4) for v in offsets) + b"\x00" * (4 - 4 * len(strips))
+        )
+    else:
+        # rebuild the out-of-line area deterministically with the real
+        # offsets in 273's slot (entry order fixes each array's home)
+        raw_off = b"".join(u(v, 4) for v in offsets)
+        extra2 = bytearray()
+        extra_pos = {}
+        for tag, typ, count, values in entries:
+            size = 2 if typ == 3 else 4
+            total = size * count
+            if total > 4:
+                extra_pos[tag] = extra_base + len(extra2)
+                if tag == 273:
+                    extra2.extend(raw_off)
+                else:
+                    extra2.extend(b"".join(u(v, size) for v in values))
+        extra = extra2
+        off_entry = (
+            u(273, 2) + u(4, 2) + u(len(strips), 4) + u(extra_pos[273], 4)
+        )
+        # re-render every entry against the recomputed extra layout
+        pre = []
+        for tag, typ, count, values in entries:
+            if tag == 273:
+                pre.append(None)
+                continue
+            size = 2 if typ == 3 else 4
+            total = size * count
+            if total <= 4:
+                field = b"".join(u(v, size) for v in values)
+                field += b"\x00" * (4 - total)
+            else:
+                field = u(extra_pos[tag], 4)
+            pre.append(u(tag, 2) + u(typ, 2) + u(count, 4) + field)
+    out = bytearray(sig + u(ifd_off, 4))
+    out += u(len(entries), 2)
+    for i, (tag, _, _, _) in enumerate(entries):
+        out += off_entry if tag == 273 else pre[i]
+    out += u(0, 4)  # next-IFD pointer
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -612,3 +612,58 @@ def test_extract_features_real_path_covers_gif_and_jpeg(spark):
     assert j[0] == pytest.approx(200 / 255) and j[4] == pytest.approx(200 / 255)
     assert j[1:4] == [0.0, 0.0, 0.0]  # grayscale pads channels 2-4
     assert rows["x"]["feature"] is None
+
+
+# --- baseline TIFF codec (round-6 fourth pixel-real format) ----------------
+
+def test_tiff_round_trip_full_matrix():
+    """encode -> decode identity across gray/RGB x endianness x
+    compression x strip layouts, plus WhiteIsZero inversion and
+    hostile structures."""
+    import itertools
+
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    w, h = 7, 5
+    for ch, endian, pb, rps in itertools.product(
+            (1, 3), ("little", "big"), (False, True), (None, 2)):
+        px = bytes((11 * i + 3) % 256 for i in range(w * h * ch))
+        t = MM.encode_tiff_pixels(w, h, px, channels=ch, endian=endian,
+                                  packbits=pb, rows_per_strip=rps)
+        assert MM.decode_tiff(t) == (w, h, ch, px), (ch, endian, pb, rps)
+        assert MM.decode_image(t) == (w, h, ch, px)
+        assert MM.parse_tiff_header(t) == (w, h)
+
+    # WhiteIsZero: photometric 0 inverts to the BlackIsZero convention
+    px = bytes(range(35))
+    t = bytearray(MM.encode_tiff_pixels(7, 5, px, channels=1))
+    i = t.find((262).to_bytes(2, "little"))
+    t[i + 8] = 0  # photometric interpretation -> WhiteIsZero
+    got = MM.decode_tiff(bytes(t))
+    assert got == (7, 5, 1, bytes(255 - v for v in px))
+
+    assert MM.decode_tiff(b"notatiff") is None
+    # header-only fixture lacks strip tags -> loud -> NULL downstream
+    with _pytest.raises(ValueError, match="missing required tag"):
+        MM.decode_tiff(MM.make_tiff(8, 8))
+    # LZW compression is outside the subset
+    t2 = bytearray(MM.encode_tiff_pixels(7, 5, px, channels=1))
+    j = t2.find((259).to_bytes(2, "little"))
+    t2[j + 8] = 5
+    with _pytest.raises(ValueError, match="compression"):
+        MM.decode_tiff(bytes(t2))
+
+
+def test_packbits_codec_edges():
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        packbits_decode, packbits_encode,
+    )
+
+    cases = [b"", b"\x00", b"aaaa", b"abcabc", b"a" * 300,
+             bytes(range(256)), b"ab" + b"c" * 130 + b"de"]
+    for c in cases:
+        assert packbits_decode(packbits_encode(c), len(c)) == c
+    # explicit noop byte (128) must be skipped
+    assert packbits_decode(b"\x80\x00a", 1) == b"a"
