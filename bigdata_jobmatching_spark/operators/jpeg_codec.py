@@ -253,6 +253,15 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — scan follows
             ns = seg[0]
+            if ns < len(comps):
+                # Multi-scan baseline (per-component SOS) is outside the
+                # supported subset: decoding only the first scan would
+                # return corrupt pixels (all-zero chroma planes) as if
+                # valid — raise loudly instead (round-6 ADVICE).
+                raise ValueError(
+                    "unsupported multi-scan baseline JPEG "
+                    f"(SOS covers {ns} of {len(comps)} components)"
+                )
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -575,13 +575,14 @@ def resize_images(
     def one(raw) -> tuple:
         b = bytes(raw) if raw is not None else b""
         if not fake:
-            # REAL path: decode PNG (stdlib zlib codec) or GIF
-            # (pure-Python LZW) pixels, nearest-neighbor resample,
-            # re-encode a real PNG of the target box — i.e. GIF input
-            # is transcoded to a PNG thumbnail, the normalize-to-one-
-            # format discipline of a real media pipeline. JPEG stays
-            # NULL here — entropy decode needs libs this container
-            # lacks — and NULL beats a fabricated payload
+            # REAL path: decode pixels via decode_image — PNG
+            # (stdlib zlib codec, incl. palette), GIF (pure-Python
+            # LZW), baseline TIFF (strip/PackBits) or baseline JPEG
+            # (jpeg_codec.py) — nearest-neighbor resample, re-encode
+            # a real PNG of the target box: every input format is
+            # transcoded to a PNG thumbnail, the normalize-to-one-
+            # format discipline of a real media pipeline.
+            # Out-of-subset/corrupt payloads yield NULLs
             # (audit-don't-drop).
             try:
                 d = decode_image(b)
@@ -731,6 +732,7 @@ def encode_png(
     pixels: bytes,
     channels: int = 3,
     filter_type: int | None = 0,
+    palette: bytes | None = None,
 ) -> bytes:
     """Real PNG from raw 8-bit pixel bytes (row-major, interleaved).
 
@@ -738,10 +740,23 @@ def encode_png(
     y % 5 so a single image exercises every decoder branch. The
     output opens in any compliant viewer — signature, IHDR, one
     zlib IDAT, CRCs on every chunk.
+
+    With ``palette`` (concatenated RGB triples, <= 256 entries) the
+    image is written as color type 3: ``pixels`` are 1-byte palette
+    indices (``channels`` must be 1) and a PLTE chunk follows IHDR —
+    the scanline filters apply to the index bytes exactly as they
+    would to grayscale samples (round-7, palette-PNG support).
     """
     import zlib as _z
 
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNG requires 1 index byte per pixel")
+        if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
+            raise ValueError(f"bad PLTE length {len(palette)}")
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
@@ -782,12 +797,12 @@ def encode_png(
         else:
             raise ValueError(f"bad filter type {ft}")
         prev = line
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(_png_chunk(b"PLTE", palette))
+    chunks.append(_png_chunk(b"IDAT", _z.compress(bytes(raw))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_SIG + b"".join(chunks)
 
 
 def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
@@ -796,9 +811,13 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
     Full inverse of the filter pass: IDAT chunks are concatenated,
     zlib-inflated, and each scanline un-filtered against the
     reconstructed previous line (per spec, filters apply to OUTPUT
-    bytes). Returns None for non-PNGs; raises on PNGs the 8-bit
-    non-interlaced subset doesn't cover (16-bit, palette, Adam7) —
-    loud, not silent, per the audit-don't-drop discipline.
+    bytes). Palette images (color type 3, round-7) un-filter their
+    index bytes like grayscale, then expand through PLTE to RGB —
+    the returned channels is 3, sharing the GIF decoder's
+    palette-expansion contract. Returns None for non-PNGs; raises on
+    PNGs the 8-bit non-interlaced subset doesn't cover (16-bit,
+    Adam7, tRNS transparency) — loud, not silent, per the
+    audit-don't-drop discipline.
     """
     import zlib as _z
 
@@ -806,6 +825,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
         return None
     pos, width = 8, None
     height = channels = 0
+    paletted = False
+    palette: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos:pos + 4], "big")
@@ -824,12 +845,23 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, _, _, interlace = data[8:13]
-            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+            if (
+                bit_depth != 8
+                or interlace != 0
+                or (color_type != 3 and color_type not in _PNG_CHANNELS)
+            ):
                 raise ValueError(
                     f"unsupported PNG: bit_depth={bit_depth} "
                     f"color_type={color_type} interlace={interlace}"
                 )
-            channels = _PNG_CHANNELS[color_type]
+            paletted = color_type == 3
+            channels = 1 if paletted else _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if ln % 3 != 0 or not 3 <= ln <= 768:
+                raise ValueError(f"bad PLTE length {ln}")
+            palette = bytes(data)
+        elif ctype == b"tRNS":
+            raise ValueError("unsupported PNG: tRNS transparency")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -870,6 +902,19 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
             raise ValueError(f"bad scanline filter {ft}")
         out[y * stride:(y + 1) * stride] = line
         prev = bytes(line)
+    if paletted:
+        import numpy as np
+
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        n_entries = len(palette) // 3
+        if int(idx.max(initial=0)) >= n_entries:
+            raise ValueError(
+                f"palette index {int(idx.max())} >= {n_entries} entries"
+            )
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_entries, 3)
+        return width, height, 3, pal[idx].tobytes()
     return width, height, channels, bytes(out)
 
 

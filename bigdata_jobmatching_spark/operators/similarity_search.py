@@ -541,6 +541,11 @@ def hard_negatives_topk(
     mostly easy; retrieval-based hard negatives are the standard
     upgrade, cf. DPR/ANCE).
 
+    "Different label" is null-safe (round-6 ADVICE): a NULL label
+    counts as distinct from every non-NULL label, so NULL-labeled
+    corpus rows remain eligible negatives for labeled queries and
+    vice versa, instead of NULL-propagating out of the predicate.
+
     Same scale shape as :func:`brute_force_topk`: the query set is
     broadcast, the corpus streams through one narrow pass, the only
     shuffle is the per-query top-k window. Swap the corpus side onto
@@ -559,7 +564,7 @@ def hard_negatives_topk(
     ))
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("c_label") != F.col("q_label"))
+        .filter(~F.col("c_label").eqNullSafe(F.col("q_label")))
         .withColumn("score", S.cosine(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(

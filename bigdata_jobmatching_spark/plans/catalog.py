@@ -204,6 +204,32 @@ _DRIVER_VERIFIED_R05: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R06: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r06.json (47/47 oracled sampled;
+        # 21 new round-6 queries + 26 rotated re-proofs of r02-era rows)
+        "sentence_span_stats", "bigram_pmi_topk", "corpus_checksum",
+        "lake_match_stats", "events_debounce", "events_sliding_distinct_users",
+        "parts_pareto_frontier", "customers_all_priorities",
+        "als_preference_matrix", "supplier_chain_rollup",
+        "ffd_packing_invariants", "padding_waste_audit",
+        "token_systematic_sample", "gif_pixel_stats", "jpeg_pixel_stats",
+        "wav_sample_stats", "tiff_pixel_stats", "ann_hard_negatives",
+        "embedding_truncation_audit", "version_diff_audit",
+        # re-proofs of r02-era evidence against round-6 code:
+        "doc_stats", "doc_language_id", "doc_quality", "keyword_catalog_tags",
+        "doc_fingerprints", "doc_gopher_filter", "customer_order_history",
+        "doc_bigrams", "skill_cooccurrence", "avg_price_by_segment_priority",
+        "price_quantiles", "price_qty_correlation", "docs_exact_dedup",
+        "docs_jaccard_pairs", "docs_dedup_keep_best",
+        "docs_ngram_jaccard_pairs", "embeddings_near_dup_cosine",
+        "fuzzy_title_pairs", "minhash_md5_near_dups",
+        "simhash_md5_signatures", "salary_parse_roundtrip",
+        "salary_inference_grid", "surrogate_dim_ids", "sector_scoring_full",
+        "contract_type_mix", "job_cv_matching", "top_matches_per_candidate",
+    }
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -215,12 +241,44 @@ _DRIVER_VERIFIED_R05: frozenset[str] = frozenset(
 # simhash_md5_hamming_pairs) and invariant test suites, not in the gate
 # row itself. Keep that distinction in mind before citing this set as
 # hash-green proof.
-_DRIVER_VERIFIED: frozenset[str] = (
-    _DRIVER_VERIFIED_R02
-    | _DRIVER_VERIFIED_R03
-    | _DRIVER_VERIFIED_R04
-    | _DRIVER_VERIFIED_R05
+#
+# Evidence age (round-6 verdict task #1): a query's effective proof age
+# is the NEWEST round that sampled it green, so the 26 rows the round-6
+# rotation re-proved carry r06 age even though they first passed in r02.
+_PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
+    (2, _DRIVER_VERIFIED_R02),
+    (3, _DRIVER_VERIFIED_R03),
+    (4, _DRIVER_VERIFIED_R04),
+    (5, _DRIVER_VERIFIED_R05),
+    (6, _DRIVER_VERIFIED_R06),
 )
+
+_DRIVER_VERIFIED: frozenset[str] = frozenset().union(
+    *(names for _, names in _PROOF_ROUNDS)
+)
+
+# Query modules whose source changed in rounds 5-6 AFTER older proof
+# rows were recorded (git diff 83eb097..HEAD, the round-4 snapshot).
+# Within an evidence-age block, queries built in these modules rotate
+# into the window first: their green row is the most likely to have
+# silently aged out from under them.
+_MODULES_CHANGED_SINCE_R04: frozenset[str] = frozenset(
+    {
+        "dedup_queries", "domain_queries", "events_queries",
+        "graph_queries", "mixing_queries", "multimodal_queries",
+        "profiling_queries", "relational_extra2", "temporal_queries",
+        "text_queries", "vector_queries", "versioned_queries",
+        "analytics_queries",
+    }
+)
+
+
+def _newest_proof_round(name: str) -> int:
+    newest = 0
+    for rnd, names in _PROOF_ROUNDS:
+        if name in names:
+            newest = rnd
+    return newest
 
 
 def register(spec: QuerySpec) -> QuerySpec:
@@ -250,43 +308,28 @@ def load_all() -> dict[str, QuerySpec]:
     from . import vector_queries  # noqa: F401
     from . import versioned_queries  # noqa: F401
 
-    # Within the unproven block, oracled queries come first: a rows-only
-    # query gets the same weak check whether sampled this round or next,
-    # while an oracled query outside the window loses a full value
-    # verification. Since round 6 every rows-only op carries a
-    # hash-green oracled twin (sentence_span_stats, doc_sequence_packing
-    # + ffd_packing_invariants, als_preference_matrix,
-    # minhash_md5_near_dups, simhash_md5_hamming_pairs), so rows-only
-    # entries go to the VERY BACK of the ordering — their gate row can
-    # never say more than "rows stable", and the slot re-proves a
-    # stale hash-green query instead.
-    unproven = {
-        n: s for n, s in REGISTRY.items()
-        if n not in _DRIVER_VERIFIED and s.oracle is not None
-    }
-    rows_only_tail = {
-        n: s for n, s in REGISTRY.items()
-        if n not in _DRIVER_VERIFIED and s.oracle is None
-    }
-    proven_r02 = {
-        n: s for n, s in REGISTRY.items() if n in _DRIVER_VERIFIED_R02
-    }
-    proven_r03 = {
-        n: s for n, s in REGISTRY.items()
-        if n in _DRIVER_VERIFIED_R03 and n not in _DRIVER_VERIFIED_R02
-    }
-    proven_r04 = {
-        n: s for n, s in REGISTRY.items()
-        if n in _DRIVER_VERIFIED_R04
-        and n not in _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
-    }
-    proven_r05 = {
-        n: s for n, s in REGISTRY.items()
-        if n in _DRIVER_VERIFIED_R05
-        and n not in
-        _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
-    }
-    return {
-        **unproven, **proven_r02, **proven_r03, **proven_r04,
-        **proven_r05, **rows_only_tail,
-    }
+    # Driver-window ordering (the gate samples the FIRST 50 entries):
+    #   1. unproven ORACLED queries — every new query gets a full value
+    #      verification on first gate contact;
+    #   2. proven oracled queries by EVIDENCE AGE, stalest first (age =
+    #      newest round that sampled the query green, so rotated
+    #      re-proofs reset their age); within an age block, queries
+    #      whose implementing module changed since round 4 come first;
+    #   3. ALL rows-only (oracle=None) queries at the very back —
+    #      proven or not, their gate row can never say more than "rows
+    #      stable" (round-6 verdict task #2: this includes the three
+    #      _DRIVER_VERIFIED_R02 members that previously burned window
+    #      slots), so the slot re-proves a stale hash-green query
+    #      instead; their value evidence lives in oracled twins.
+    def _order_key(item: tuple[str, QuerySpec]) -> tuple:
+        name, spec = item
+        if spec.oracle is None:
+            return (3, 0, 0, name)
+        newest = _newest_proof_round(name)
+        if newest == 0:
+            return (1, 0, 0, name)
+        module = spec.spark.__module__.rsplit(".", 1)[-1]
+        changed = 0 if module in _MODULES_CHANGED_SINCE_R04 else 1
+        return (2, newest, changed, name)
+
+    return dict(sorted(REGISTRY.items(), key=_order_key))

@@ -820,7 +820,7 @@ scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
     list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) AS s
   FROM embeddings c CROSS JOIN q
-  WHERE c.label != q.ql
+  WHERE c.label IS DISTINCT FROM q.ql
 )
 SELECT query_id, neighbor_id, neighbor_label, round(s, 6) AS score,
        CAST(rnk AS INT) AS rnk
@@ -880,11 +880,25 @@ def _trunc_audit(spark: SparkSession, sf: str) -> DataFrame:
     for d in _TRUNC_DIMS:
         aggs.append(F.sum(f"pref{d}_nano").cast("long").alias(f"pref{d}_nano"))
     g = per_vec.groupBy("label").agg(*aggs)
-    out_cols = ["label", "n_vectors", "full_energy_nano"]
-    for d in _TRUNC_DIMS:
-        out_cols.append(f"pref{d}_nano")
+    # ratio6 needs num * 2e6 inside int64, i.e. every energy sum below
+    # ~4.6e12 nano-units per label (prefix sums are bounded by the full
+    # sum, so one guard covers all four ratios). sf0.1 max label energy
+    # is ~2.2e11 -> ~21x headroom; DuckDB would error loudly on BIGINT
+    # overflow but non-ANSI Spark would wrap silently, so raise here
+    # instead (round-6 ADVICE). assert_true yields NULL when the bound
+    # holds; coalesce forwards the unchanged value — same output, loud
+    # ceiling.
+    guarded_full = F.coalesce(
+        F.assert_true(
+            F.col("full_energy_nano") < F.lit(4_600_000_000_000),
+            F.lit("embedding_truncation_audit: label energy exceeds "
+                  "ratio6 int64 headroom — rescale to micro-units"),
+        ).cast("long"),
+        F.col("full_energy_nano"),
+    ).alias("full_energy_nano")
     return g.select(
-        *out_cols,
+        "label", "n_vectors", guarded_full,
+        *[F.col(f"pref{d}_nano") for d in _TRUNC_DIMS],
         *[ratio6(f"pref{d}_nano", "full_energy_nano").alias(f"retained{d}")
           for d in _TRUNC_DIMS],
     )

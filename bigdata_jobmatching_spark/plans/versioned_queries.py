@@ -13,13 +13,32 @@ arithmetically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import fan_out, load_table
 from .catalog import QuerySpec, register
 
+# Insert keys are planted at k + _INS_OFFSET. c_custkey reaches
+# 150k*sf, so at sf >= ~6.7 planted ids would collide with real keys
+# and silently duplicate v2 rows (round-6 ADVICE). _guarded_insert_id
+# therefore raises at row level the moment any source key reaches the
+# offset — loud failure instead of a corrupt snapshot; the shipped
+# tiers (sf <= 1 -> max key 150k) have ~6.7x headroom.
 _INS_OFFSET = 1_000_000
+
+
+def _guarded_insert_id(k: Column) -> Column:
+    # assert_true yields NULL when the predicate holds and raises
+    # otherwise; coalesce then forwards the shifted key. Pure JVM-side
+    # expression — no extra job, stays inside codegen.
+    return F.coalesce(
+        F.assert_true(
+            k < _INS_OFFSET,
+            F.lit(f"c_custkey >= {_INS_OFFSET}: insert ids would collide"),
+        ).cast("long"),
+        k + _INS_OFFSET,
+    )
 
 
 def _snap_v1(spark: SparkSession, sf: str) -> DataFrame:
@@ -42,7 +61,7 @@ def _snap_v2(spark: SparkSession, sf: str) -> DataFrame:
          + F.when(k % 5 == 0, F.lit(1000)).otherwise(F.lit(0))).alias("cents"),
     )
     inserts = c.filter(k % 13 == 0).select(
-        (k + _INS_OFFSET).alias("id"),
+        _guarded_insert_id(k).alias("id"),
         F.col("c_name").alias("name"),
         (F.round(F.col("c_acctbal") * 100).cast("long") + 5).alias("cents"),
     )

@@ -1,0 +1,203 @@
+"""Round-7 operator tests: palette PNG (color type 3), BPE merge
+application, and the ADVICE-fix loud paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdata_jobmatching_spark.operators import multimodal as MM
+
+
+# --- palette PNG codec ----------------------------------------------------
+
+def _planted_palette(k: int = 5, w: int = 9, h: int = 6, n_pal: int = 7):
+    y, x = np.ogrid[0:h, 0:w]
+    idx = ((k + 3 * x + 5 * y) % n_pal).astype(np.uint8)
+    pal = bytes(
+        (k + 11 * i + 101 * c) % 256 for i in range(n_pal) for c in range(3)
+    )
+    return idx, pal
+
+
+def test_palette_png_round_trip_every_filter():
+    idx, pal = _planted_palette()
+    h, w = idx.shape
+    expect = (
+        np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx].tobytes()
+    )
+    for ft in (0, 1, 2, 3, 4, None):  # None cycles y % 5
+        png = MM.encode_png(
+            w, h, idx.tobytes(), channels=1, filter_type=ft, palette=pal
+        )
+        dw, dh, ch, px = MM.decode_png(png)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert px == expect
+
+
+def test_palette_png_loud_failure_modes():
+    idx, pal = _planted_palette()
+    h, w = idx.shape
+    # index beyond palette
+    bad = idx.copy()
+    bad[0, 0] = len(pal) // 3
+    png = MM.encode_png(
+        w, h, bad.tobytes(), channels=1, filter_type=0, palette=pal
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        MM.decode_png(png)
+    # missing PLTE: strip the chunk out of a valid palette PNG
+    good = MM.encode_png(
+        w, h, idx.tobytes(), channels=1, filter_type=0, palette=pal
+    )
+    plte_at = good.index(b"PLTE") - 4
+    plte_len = int.from_bytes(good[plte_at:plte_at + 4], "big")
+    stripped = good[:plte_at] + good[plte_at + 12 + plte_len:]
+    with pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png(stripped)
+    # tRNS is out of subset, loudly
+    iend_at = good.index(b"IEND") - 4
+    trns = MM._png_chunk(b"tRNS", b"\x80")
+    with pytest.raises(ValueError, match="tRNS"):
+        MM.decode_png(good[:iend_at] + trns + good[iend_at:])
+    # encoder validation
+    with pytest.raises(ValueError, match="1 index byte"):
+        MM.encode_png(w, h, idx.tobytes(), channels=3, palette=pal)
+    with pytest.raises(ValueError, match="PLTE length"):
+        MM.encode_png(w, h, idx.tobytes(), channels=1, palette=b"\x00\x01")
+
+
+def test_palette_png_decode_image_dispatch():
+    # decode_image must route color-type-3 PNGs through the same
+    # palette expansion (shared contract with the GIF decoder)
+    idx, pal = _planted_palette(k=9)
+    h, w = idx.shape
+    png = MM.encode_png(
+        w, h, idx.tobytes(), channels=1, filter_type=None, palette=pal
+    )
+    dw, dh, ch, px = MM.decode_image(png)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx].tobytes()
+
+
+# --- BPE merge application (plans/text_queries.py fold) -------------------
+
+def test_bpe_merge_pass_fold_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.plans.text_queries import _bpe_merge_pass
+
+    df = spark.createDataFrame(
+        [("abab",), ("bbb",), ("a",), ("cabd",)], "w string"
+    ).withColumn(
+        "toks",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    out = {
+        r.w: r.merged
+        for r in df.select(
+            "w", _bpe_merge_pass(F.col("toks"), F.lit("ab")).alias("merged")
+        ).collect()
+    }
+    assert out == {
+        "abab": ["ab", "ab"],
+        "bbb": ["b", "b", "b"],
+        "a": ["a"],
+        "cabd": ["c", "ab", "d"],
+    }
+    # rank-priority chaining: a merged 2-char token never re-merges
+    df2 = spark.createDataFrame([("abcb",)], "w string").withColumn(
+        "toks",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    chained = _bpe_merge_pass(
+        _bpe_merge_pass(F.col("toks"), F.lit("bc")), F.lit("cb")
+    )
+    assert df2.select(chained.alias("m")).collect()[0].m == ["a", "bc", "b"]
+
+
+# --- ADVICE-fix loud paths ------------------------------------------------
+
+def test_jpeg_multi_scan_baseline_raises():
+    # A 3-component baseline JPEG whose SOS covers only 1 component
+    # must raise, not silently decode a partial scan (round-6 ADVICE).
+    from bigdata_jobmatching_spark.operators import jpeg_codec as JC
+
+    rgb = np.full((16, 16, 3), (90, 120, 200), dtype=np.uint8)
+    full = JC.encode_jpeg_color(rgb)
+    sos_at = full.index(b"\xff\xda")
+    seg_len = int.from_bytes(full[sos_at + 2:sos_at + 4], "big")
+    # rewrite the SOS to cover a single component (ns=1, comp 1, tables 0/0)
+    single = full[:sos_at] + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + (
+        full[sos_at + 2 + seg_len:]
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        JC.decode_jpeg(single)
+
+
+def test_versioned_insert_offset_guard_raises(spark):
+    # keys at/above the insert offset must fail loudly, not collide
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.plans.versioned_queries import (
+        _INS_OFFSET,
+        _guarded_insert_id,
+    )
+    from pyspark.errors import SparkRuntimeException
+
+    ok = spark.range(5).select(_guarded_insert_id(F.col("id")).alias("id"))
+    assert [r.id for r in ok.collect()] == [_INS_OFFSET + i for i in range(5)]
+    bad = spark.createDataFrame([(int(_INS_OFFSET),)], "id long").select(
+        _guarded_insert_id(F.col("id")).alias("id")
+    )
+    with pytest.raises(SparkRuntimeException):
+        bad.collect()
+
+
+def test_hard_negatives_null_label_is_distinct(spark):
+    # NULL-labeled corpus rows stay eligible negatives (round-6 ADVICE)
+    from bigdata_jobmatching_spark.operators.similarity_search import (
+        hard_negatives_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], None),   # NULL label: a valid negative for "a"
+        (3, [0.8, 0.2], "a"),    # same label: never a negative
+        (4, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    out = hard_negatives_topk(
+        df, df.filter("vec_id = 1"), "vec_id", "embedding", "label", k=3
+    ).collect()
+    got = {(r.neighbor_id, r.neighbor_label) for r in out}
+    assert got == {(2, None), (4, "b")}
+
+
+def test_resize_images_transcodes_tiff_and_palette_png(spark):
+    """fake=False resize covers every decode_image format: a PackBits
+    RGB TIFF and a palette PNG both come back as REAL PNG thumbnails
+    with the exact nearest-resample pixels."""
+    w, h = 8, 4
+    rgb = bytes((5 * x + 11 * y + 23 * c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    tiff = MM.encode_tiff_pixels(w, h, rgb, channels=3, packbits=True)
+    idx, pal = _planted_palette(k=3, w=w, h=h)
+    ppng = MM.encode_png(
+        w, h, idx.tobytes(), channels=1, filter_type=None, palette=pal
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(tiff)), (2, bytearray(ppng))],
+        "p_partkey long, payload binary",
+    )
+    out = {r["p_partkey"]: r for r in
+           MM.resize_images(df, max_side=4, fake=False).collect()}
+    for key, src_bytes in ((1, rgb), (2, None)):
+        r = out[key]
+        assert (r["rs_format"], r["rs_width"], r["rs_height"]) == ("png", 4, 2)
+    src = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    expect = src[np.ix_((np.arange(2) * h) // 2, (np.arange(4) * w) // 4)]
+    assert MM.decode_png(bytes(out[1]["resized"])) == (4, 2, 3, expect.tobytes())
+    psrc = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    pexpect = psrc[np.ix_((np.arange(2) * h) // 2, (np.arange(4) * w) // 4)]
+    assert MM.decode_png(bytes(out[2]["resized"])) == (4, 2, 3, pexpect.tobytes())
