@@ -726,45 +726,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 3,
-    filter_type: int | None = 0,
-    palette: bytes | None = None,
-) -> bytes:
-    """Real PNG from raw 8-bit pixel bytes (row-major, interleaved).
+# Adam7 pass grid: (x_start, y_start, x_step, y_step). Each pass is an
+# independent filtered sub-image (prev-line state resets per pass);
+# passes whose sub-image is empty for the given dimensions contribute
+# zero bytes to the stream, per spec.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``filter_type`` fixes one filter for every scanline; None cycles
-    y % 5 so a single image exercises every decoder branch. The
-    output opens in any compliant viewer — signature, IHDR, one
-    zlib IDAT, CRCs on every chunk.
 
-    With ``palette`` (concatenated RGB triples, <= 256 entries) the
-    image is written as color type 3: ``pixels`` are 1-byte palette
-    indices (``channels`` must be 1) and a PLTE chunk follows IHDR —
-    the scanline filters apply to the index bytes exactly as they
-    would to grayscale samples (round-7, palette-PNG support).
-    """
-    import zlib as _z
-
-    if palette is not None:
-        if channels != 1:
-            raise ValueError("palette PNG requires 1 index byte per pixel")
-        if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
-            raise ValueError(f"bad PLTE length {len(palette)}")
-        color_type = 3
-    else:
-        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+def _filter_image(
+    pixels: bytes, width: int, height: int, channels: int,
+    filter_type: int | None,
+) -> bytearray:
+    """Forward scanline-filter pass over one (sub-)image: each output
+    line is a filter-type byte plus the filtered samples. ``None``
+    cycles y % 5 so one image exercises every branch."""
     stride = width * channels
-    if len(pixels) != stride * height:
-        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
-    ihdr = (
-        width.to_bytes(4, "big")
-        + height.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
-    )
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -797,82 +776,15 @@ def encode_png(
         else:
             raise ValueError(f"bad filter type {ft}")
         prev = line
-    chunks = [_png_chunk(b"IHDR", ihdr)]
-    if palette is not None:
-        chunks.append(_png_chunk(b"PLTE", palette))
-    chunks.append(_png_chunk(b"IDAT", _z.compress(bytes(raw))))
-    chunks.append(_png_chunk(b"IEND", b""))
-    return _PNG_SIG + b"".join(chunks)
+    return raw
 
 
-def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
-    """(width, height, channels, raw 8-bit pixel bytes) or None.
-
-    Full inverse of the filter pass: IDAT chunks are concatenated,
-    zlib-inflated, and each scanline un-filtered against the
-    reconstructed previous line (per spec, filters apply to OUTPUT
-    bytes). Palette images (color type 3, round-7) un-filter their
-    index bytes like grayscale, then expand through PLTE to RGB —
-    the returned channels is 3, sharing the GIF decoder's
-    palette-expansion contract. Returns None for non-PNGs; raises on
-    PNGs the 8-bit non-interlaced subset doesn't cover (16-bit,
-    Adam7, tRNS transparency) — loud, not silent, per the
-    audit-don't-drop discipline.
-    """
-    import zlib as _z
-
-    if len(b) < 8 or not b.startswith(_PNG_SIG):
-        return None
-    pos, width = 8, None
-    height = channels = 0
-    paletted = False
-    palette: bytes | None = None
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos:pos + 4], "big")
-        ctype = b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + ln]
-        # CRC check on every chunk: without it a flipped byte in the
-        # zlib stream decodes to silently-wrong pixels; with it, any
-        # corruption fails loudly (the single-byte-flip property test
-        # pins this: corrupt input can never return altered pixels).
-        stored_crc = b[pos + 8 + ln:pos + 12 + ln]
-        if len(data) < ln or len(stored_crc) < 4:
-            raise ValueError("truncated PNG chunk")
-        if _z.crc32(ctype + data) != int.from_bytes(stored_crc, "big"):
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            width = int.from_bytes(data[0:4], "big")
-            height = int.from_bytes(data[4:8], "big")
-            bit_depth, color_type, _, _, interlace = data[8:13]
-            if (
-                bit_depth != 8
-                or interlace != 0
-                or (color_type != 3 and color_type not in _PNG_CHANNELS)
-            ):
-                raise ValueError(
-                    f"unsupported PNG: bit_depth={bit_depth} "
-                    f"color_type={color_type} interlace={interlace}"
-                )
-            paletted = color_type == 3
-            channels = 1 if paletted else _PNG_CHANNELS[color_type]
-        elif ctype == b"PLTE":
-            if ln % 3 != 0 or not 3 <= ln <= 768:
-                raise ValueError(f"bad PLTE length {ln}")
-            palette = bytes(data)
-        elif ctype == b"tRNS":
-            raise ValueError("unsupported PNG: tRNS transparency")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if width is None or not idat:
-        return None
-    try:
-        raw = _z.decompress(bytes(idat))
-    except _z.error as e:  # corrupt stream -> loud, typed failure
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+def _unfilter_image(
+    raw: bytes, width: int, height: int, channels: int
+) -> bytearray:
+    """Inverse of :func:`_filter_image` over one (sub-)image: per
+    spec, filters reconstruct against OUTPUT bytes of the previous
+    line of the SAME pass."""
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel stream length mismatch")
@@ -902,6 +814,171 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
             raise ValueError(f"bad scanline filter {ft}")
         out[y * stride:(y + 1) * stride] = line
         prev = bytes(line)
+    return out
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_type: int | None = 0,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Real PNG from raw 8-bit pixel bytes (row-major, interleaved).
+
+    ``filter_type`` fixes one filter for every scanline; None cycles
+    y % 5 so a single image exercises every decoder branch. The
+    output opens in any compliant viewer — signature, IHDR, one
+    zlib IDAT, CRCs on every chunk.
+
+    With ``palette`` (concatenated RGB triples, <= 256 entries) the
+    image is written as color type 3: ``pixels`` are 1-byte palette
+    indices (``channels`` must be 1) and a PLTE chunk follows IHDR —
+    the scanline filters apply to the index bytes exactly as they
+    would to grayscale samples (round-7, palette-PNG support).
+
+    With ``interlace`` (round-7, Adam7) the stream is the
+    concatenation of the 7 filtered pass sub-images (filter state
+    resets per pass; empty passes emit nothing). Composes with
+    ``palette`` — passes are extracted from the index plane.
+    """
+    import numpy as np
+    import zlib as _z
+
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNG requires 1 index byte per pixel")
+        if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
+            raise ValueError(f"bad PLTE length {len(palette)}")
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, int(interlace)])
+    )
+    if interlace:
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width, channels
+        )
+        raw = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = img[ys::ystep, xs::xstep]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            raw += _filter_image(
+                sub.tobytes(), pw, ph, channels, filter_type
+            )
+    else:
+        raw = _filter_image(pixels, width, height, channels, filter_type)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(_png_chunk(b"PLTE", palette))
+    chunks.append(_png_chunk(b"IDAT", _z.compress(bytes(raw))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_SIG + b"".join(chunks)
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, raw 8-bit pixel bytes) or None.
+
+    Full inverse of the filter pass: IDAT chunks are concatenated,
+    zlib-inflated, and each scanline un-filtered against the
+    reconstructed previous line (per spec, filters apply to OUTPUT
+    bytes). Palette images (color type 3, round-7) un-filter their
+    index bytes like grayscale, then expand through PLTE to RGB —
+    the returned channels is 3, sharing the GIF decoder's
+    palette-expansion contract. Adam7 interlaced images (round-7)
+    un-filter each of the 7 pass sub-images independently and
+    scatter them onto the output grid by the pass origin/step —
+    composing with palette expansion. Returns None for non-PNGs;
+    raises on PNGs the 8-bit subset doesn't cover (16-bit, tRNS
+    transparency) — loud, not silent, per the audit-don't-drop
+    discipline.
+    """
+    import zlib as _z
+
+    if len(b) < 8 or not b.startswith(_PNG_SIG):
+        return None
+    pos, width = 8, None
+    height = channels = 0
+    paletted = interlaced = False
+    palette: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        # CRC check on every chunk: without it a flipped byte in the
+        # zlib stream decodes to silently-wrong pixels; with it, any
+        # corruption fails loudly (the single-byte-flip property test
+        # pins this: corrupt input can never return altered pixels).
+        stored_crc = b[pos + 8 + ln:pos + 12 + ln]
+        if len(data) < ln or len(stored_crc) < 4:
+            raise ValueError("truncated PNG chunk")
+        if _z.crc32(ctype + data) != int.from_bytes(stored_crc, "big"):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _, _, interlace = data[8:13]
+            if (
+                bit_depth != 8
+                or interlace not in (0, 1)
+                or (color_type != 3 and color_type not in _PNG_CHANNELS)
+            ):
+                raise ValueError(
+                    f"unsupported PNG: bit_depth={bit_depth} "
+                    f"color_type={color_type} interlace={interlace}"
+                )
+            paletted = color_type == 3
+            interlaced = interlace == 1
+            channels = 1 if paletted else _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if ln % 3 != 0 or not 3 <= ln <= 768:
+                raise ValueError(f"bad PLTE length {ln}")
+            palette = bytes(data)
+        elif ctype == b"tRNS":
+            raise ValueError("unsupported PNG: tRNS transparency")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        return None
+    try:
+        raw = _z.decompress(bytes(idat))
+    except _z.error as e:  # corrupt stream -> loud, typed failure
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if interlaced:
+        import numpy as np
+
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (width - xs + xstep - 1) // xstep
+            ph = (height - ys + ystep - 1) // ystep
+            if pw == 0 or ph == 0:
+                continue
+            sz = (pw * channels + 1) * ph
+            sub = _unfilter_image(raw[off:off + sz], pw, ph, channels)
+            off += sz
+            img[ys::ystep, xs::xstep] = np.frombuffer(
+                bytes(sub), dtype=np.uint8
+            ).reshape(ph, pw, channels)
+        if off != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+        out = bytearray(img.tobytes())
+    else:
+        out = _unfilter_image(raw, width, height, channels)
     if paletted:
         import numpy as np
 
@@ -951,8 +1028,9 @@ def decode_image_batch(
     the output row carries the decoded geometry and a sha1 over the
     pixel bytes so any downstream can verify the decode bit-for-bit.
     Other formats and corrupt/out-of-subset payloads (bad CRC,
-    interlaced, 16-bit, truncated LZW, progressive JPEG — signalled
-    by ValueError) yield NULLs (audit-don't-drop). One Arrow pass,
+    16-bit PNG, truncated LZW, interlaced GIF, progressive JPEG —
+    signalled by ValueError) yield NULLs (audit-don't-drop); Adam7
+    interlaced PNGs decode for real since round 7. One Arrow pass,
     no shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
