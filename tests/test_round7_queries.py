@@ -201,3 +201,86 @@ def test_resize_images_transcodes_tiff_and_palette_png(spark):
     psrc = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
     pexpect = psrc[np.ix_((np.arange(2) * h) // 2, (np.arange(4) * w) // 4)]
     assert MM.decode_png(bytes(out[2]["resized"])) == (4, 2, 3, pexpect.tobytes())
+
+
+# --- Adam7 interlaced PNG (round-7 part 2) --------------------------------
+
+def test_interlaced_png_round_trip_filters_channels_and_sizes():
+    """encode(interlace=True) -> decode is identity across channel
+    counts, filters, and sizes that exercise both empty passes
+    (dims < pass grid) and multi-pass splits."""
+    rng = np.random.RandomState(11)
+    for w, h in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 13), (16, 9), (1, 10)):
+        for ch in (1, 2, 3, 4):
+            px = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+            for ft in (0, 4, None):
+                b = MM.encode_png(
+                    w, h, px, channels=ch, filter_type=ft, interlace=True
+                )
+                assert MM.decode_png(b) == (w, h, ch, px), (w, h, ch, ft)
+
+
+def test_interlaced_png_stream_is_genuinely_interlaced():
+    """The interlaced stream must differ from the sequential one and
+    carry interlace=1 in IHDR — i.e. the flag isn't a no-op."""
+    px = bytes(range(9 * 13 * 3 % 256)) * 0 + bytes(
+        (7 * i) % 256 for i in range(9 * 13 * 3)
+    )
+    seq = MM.encode_png(9, 13, px, channels=3)
+    lace = MM.encode_png(9, 13, px, channels=3, interlace=True)
+    assert seq != lace
+    # IHDR interlace byte: offset 8 (sig) + 8 (len+type) + 12
+    assert seq[8 + 8 + 12] == 0 and lace[8 + 8 + 12] == 1
+
+
+def test_interlaced_palette_png_composes():
+    idx, pal = _planted_palette(k=9, w=11, h=10, n_pal=13)
+    h, w = idx.shape
+    expect = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx].tobytes()
+    b = MM.encode_png(
+        w, h, idx.tobytes(), channels=1, filter_type=None,
+        palette=pal, interlace=True,
+    )
+    assert MM.decode_png(b) == (w, h, 3, expect)
+
+
+def test_interlaced_png_truncated_stream_is_loud():
+    """Dropping pass bytes from the zlib stream must raise, not
+    return a partially-scattered image."""
+    import zlib
+
+    px = bytes((5 * i) % 256 for i in range(12 * 10 * 3))
+    b = MM.encode_png(12, 10, px, channels=3, interlace=True)
+    # rebuild with a truncated IDAT payload (re-deflate a prefix so
+    # the zlib stream itself is valid but short)
+    sig_end = 8
+    chunks = []
+    pos = sig_end
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        chunks.append((ctype, data))
+        pos += 12 + ln
+    out = b[:sig_end]
+    for ctype, data in chunks:
+        if ctype == b"IDAT":
+            data = zlib.compress(zlib.decompress(data)[:-7])
+        out += MM._png_chunk(ctype, data)
+    with pytest.raises(ValueError):
+        MM.decode_png(out)
+
+
+def test_decode_image_batch_decodes_interlaced_png(spark):
+    """Interlaced PNGs are in-subset since round 7: the batch decoder
+    must return real geometry + pixel sha1, not a NULL row."""
+    import hashlib
+
+    px = bytes((3 * i + 1) % 256 for i in range(6 * 7 * 3))
+    lace = MM.encode_png(6, 7, px, channels=3, interlace=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(lace))], "p_partkey long, payload binary"
+    )
+    row = MM.decode_image_batch(df).collect()[0]
+    assert (row.px_width, row.px_height, row.px_channels) == (6, 7, 3)
+    assert row.pixel_sha1 == hashlib.sha1(px).hexdigest()
