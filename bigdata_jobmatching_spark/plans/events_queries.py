@@ -1397,3 +1397,68 @@ register(QuerySpec(
     "two map-side-combinable aggregations sharing one key)",
     ("events", "window", "agg"),
 ))
+
+
+# --- events_session_spans: per-session grain (round-7) --------------------
+# The session-grain face of events_sessionization (which aggregates
+# to per-user counts): lag-flag + running-sum session ids, one row
+# per session with exact microsecond start/span. This is the batch
+# SPEC for the streaming F.session_window twin
+# (streaming/event_hygiene.session_windows_stream — gap_ms + 1
+# boundary calibration, AvailableNow equivalence test). Two window
+# passes and the final aggregation all share the user_id key: one
+# shuffle, per-user partitions, no global order.
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_spans(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_s = F.when(
+        F.lag(us).over(w).isNull()
+        | (us - F.lag(us).over(w) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("__us", us).withColumn(
+        "__sid",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "__sid").agg(
+        F.min("__us").cast("long").alias("session_start_us"),
+        (F.max("__us") - F.min("__us")).cast("long").alias("span_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).drop("__sid")
+
+
+_SESSION_SPANS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+    SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  CAST(MIN(us) AS BIGINT) AS session_start_us,
+  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+register(QuerySpec(
+    "events_session_spans", _session_spans, _SESSION_SPANS_SQL,
+    "per-session rows (exact microsecond start/span/count) via "
+    "lag-flag + running-sum ids — the batch spec of the streaming "
+    "session_window twin",
+    ("events", "window", "sessionization"),
+))

@@ -115,3 +115,75 @@ register(QuerySpec(
     "unchanged incl. NULL<->value flips), profiled per class",
     ("versioned", "join", "agg"),
 ))
+
+
+# --- incremental_agg_refresh: IVM over the change feed --------------------
+# Round-7: incremental view maintenance — the 100 TB posture for
+# materialized aggregates. The Spark side NEVER aggregates v2
+# directly: it takes the v1 aggregate (the "materialized view"),
+# derives per-group deltas from the diff operator's change feed
+# (insert -> +1/+cents, delete -> -1/-cents, update -> cents delta;
+# unchanged rows are FILTERED OUT before the shuffle, so the delta
+# path scales with |changes|, not |table|), and merges partials via
+# union + one re-aggregation (map-side combine, single shuffle on the
+# group key). The DuckDB oracle computes the v2 aggregate DIRECTLY
+# from the planted arithmetic — a hash match proves refresh(v1, cdf)
+# == full recompute(v2) exactly, count-zero groups dropped.
+
+_NGROUP = 97
+
+
+def _incremental_agg_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.versioned import diff_frames
+
+    g = (F.col("id") % _NGROUP).alias("g")
+    base_agg = _snap_v1(spark, sf).groupBy(g).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    diff = diff_frames(_snap_v1(spark, sf), _snap_v2(spark, sf), ("id",))
+    deltas = diff.filter(F.col("change") != "unchanged").select(
+        g,
+        F.when(F.col("change") == "insert", F.lit(1))
+        .when(F.col("change") == "delete", F.lit(-1))
+        .otherwise(F.lit(0)).alias("n_rows"),
+        (
+            F.coalesce(F.col("__new_val.cents"), F.lit(0))
+            - F.coalesce(F.col("__old_val.cents"), F.lit(0))
+        ).alias("sum_cents"),
+    )
+    return (
+        base_agg.unionByName(deltas)
+        .groupBy("g")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+_IVM_SQL = f"""
+WITH v2 AS (
+  SELECT c_custkey AS id,
+    CAST(round(c_acctbal * 100) AS BIGINT)
+      + CASE WHEN c_custkey % 5 = 0 THEN 1000 ELSE 0 END AS cents
+  FROM customer WHERE c_custkey % 17 <> 0
+  UNION ALL
+  SELECT c_custkey + {_INS_OFFSET} AS id,
+    CAST(round(c_acctbal * 100) AS BIGINT) + 5 AS cents
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT id % {_NGROUP} AS g,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM v2 GROUP BY 1
+"""
+
+register(QuerySpec(
+    "incremental_agg_refresh", _incremental_agg_refresh, _IVM_SQL,
+    "incremental view maintenance: refresh a materialized per-group "
+    "aggregate from the change-data feed alone (delta path scales "
+    "with |changes|) — hash-proven equal to a full v2 recompute",
+    ("versioned", "agg", "join"),
+))

@@ -103,6 +103,67 @@ def sliding_distinct_users_stream(
     )
 
 
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    delay: str = "30 seconds",
+) -> DataFrame:
+    """Per-session rows (user_id, session_start, n_events) via
+    ``F.session_window`` — the streaming face of the batch lag-chain
+    sessionization (``events_sessionization`` /
+    ``events_session_spans``).
+
+    Boundary calibration: ``session_window`` merges on OVERLAP of
+    half-open ``[ts, ts + gap)`` intervals, so a successor exactly
+    ``gap`` later starts a NEW session — while the batch chain rule
+    splits only on ``diff > gap``. Passing ``gap_ms + 1`` as the
+    window gap makes overlap-at-``gap_ms`` merge and
+    ``gap_ms + 1`` split: exactly the batch strict-``>`` threshold.
+    Sessions finalize in append mode once the watermark passes the
+    merged window end (last event + gap); state is one open session
+    per active user inside the horizon."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(
+            F.session_window("ts", f"{gap_ms + 1} milliseconds"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def session_windows_batch(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Batch twin: lag-flag + running-sum session ids, then one
+    aggregation per (user, session) — two window passes and one
+    shuffle, all on the same user_id key."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    new_s = F.when(
+        F.lag(ms).over(w).isNull() | (ms - F.lag(ms).over(w) > gap_ms), 1
+    ).otherwise(0)
+    sess = events.withColumn(
+        "__sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_ts", "n_events")
+    )
+
+
 def sliding_distinct_users_batch(
     events: DataFrame,
     slide_us: int = 15 * 60 * 1_000_000,

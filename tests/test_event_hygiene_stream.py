@@ -176,3 +176,48 @@ def test_sliding_distinct_stream_matches_batch(spark, tmp_path):
     }
     assert got == closed
     assert len(closed) > 0
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """F.session_window with gap_ms + 1 must reproduce the batch
+    lag-chain sessions (strict > gap_ms split rule) exactly, for
+    every session the final watermark closed. gap 90 s < the 600 s
+    same-key burst separation, so each burst is its own session."""
+    from bigdata_jobmatching_spark.streaming.event_hygiene import (
+        session_windows_batch,
+        session_windows_stream,
+    )
+
+    gap_ms = 90_000
+    src, _ = _write_sliced_fixture(spark, tmp_path)
+    _drain(
+        session_windows_stream(_read_stream(spark, src), gap_ms=gap_ms),
+        tmp_path,
+        "sessions_out",
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = session_windows_batch(
+        spark.read.parquet(src), gap_ms=gap_ms
+    ).collect()
+    # append mode emits a session once the watermark passes its merged
+    # window end (last event + gap + 1 ms); watermark = max ts - 30 s
+    max_ts = _BASE_S + (_N_SLICES - 1) * _SLICE_S + _CLOSER_OFFSET + 28
+    wm_ms = (max_ts - 30) * 1000
+    closed = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch
+        if r.last_ts.timestamp() * 1000 + gap_ms + 1 <= wm_ms
+    }
+    assert got == closed
+    assert len(closed) > 0
+    # every burst is one 4-event session (u0 carries the view twin
+    # bursts interleaved at identical timestamps: 8 events)
+    n_by_user = {}
+    for u, _s, n in closed:
+        n_by_user.setdefault(u, []).append(n)
+    for u, counts in n_by_user.items():
+        expect = 8 if u == "u0" else 4
+        assert all(c == expect for c in counts), (u, counts)
