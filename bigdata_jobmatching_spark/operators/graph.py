@@ -273,3 +273,48 @@ def kcore(
         f"kcore(k={k}) did not converge in {max_iter} peels; raise max_iter "
         "(and widen the oracle unroll to match)"
     )
+
+
+def min_label_propagation(
+    edges: DataFrame,
+    src: str = "m",
+    dst: str = "n",
+    rounds: int = 3,
+) -> DataFrame:
+    """(node, label) after ``rounds`` SYNCHRONOUS min-label steps:
+    label_0(v) = v; label_{i+1}(v) = min(label_i(v), min over
+    neighbors u of label_i(u)). After k rounds label(v) is exactly
+    the minimum node id in v's k-hop ball — a closed form that makes
+    the fixed-round run externally value-checkable (unlike
+    propagate-to-convergence, whose round count is data-dependent;
+    for full components see :func:`connected_components`, which adds
+    the doubling shortcut).
+
+    Scale: each round is one shuffle-join on the edge key + one
+    min-aggregation on node — the same per-iteration shape as
+    ``pagerank_exact``, state is one (node, label) row per node,
+    lineage truncated per round.
+    """
+    from pyspark.sql import functions as F
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        prop = sym.join(
+            labels, sym["v"] == labels["node"]
+        ).select(sym["u"].alias("node"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -1275,6 +1275,125 @@ def encode_gif(
     return bytes(out)
 
 
+def encode_animated_gif(
+    width: int,
+    height: int,
+    frames: list[tuple[bytes, int]],
+    palette: bytes,
+    loop: bool = True,
+) -> bytes:
+    """Real multi-frame GIF89a: NETSCAPE looping application
+    extension (when ``loop``), then per frame a Graphic Control
+    Extension carrying the delay (centiseconds) + full-canvas image
+    descriptor + LZW data. ``frames`` is [(indices, delay_cs), ...]
+    over one global color table — the structure every animated
+    thumbnail/sticker uses (round-7; still-image decode_gif reads
+    frame 1 of these streams, per its documented first-frame
+    semantics)."""
+    n_colors = len(palette) // 3
+    if len(palette) != 3 * n_colors or n_colors & (n_colors - 1) \
+            or not 2 <= n_colors <= 256:
+        raise ValueError(
+            f"palette must be 3*2^k bytes (k in 1..8), got {len(palette)}"
+        )
+    if not frames:
+        raise ValueError("need at least one frame")
+    size_field = n_colors.bit_length() - 2
+    min_code = max(2, (n_colors - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | size_field, 0, 0])
+    out += palette
+    if loop:  # NETSCAPE2.0 infinite-loop application extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for indices, delay_cs in frames:
+        if len(indices) != width * height:
+            raise ValueError(
+                f"need {width * height} indices, got {len(indices)}"
+            )
+        if max(indices, default=0) >= n_colors:
+            raise ValueError("palette index out of range")
+        if not 0 <= delay_cs <= 0xFFFF:
+            raise ValueError(f"delay {delay_cs} out of range")
+        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + bytes(4)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += b"\x00"
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, indices)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frame_census(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, n_frames, total_delay_cs) for a GIF stream, or
+    None for non-GIFs. A pure block WALK — image data sub-blocks are
+    skipped by their length prefixes, never LZW-decoded — so the cost
+    is O(stream bytes) with no decompression: the header-level
+    metadata pass a video/animation catalog runs over billions of
+    payloads before deciding what to decode. Counts image descriptors
+    and sums Graphic Control Extension delays (a GCE applies to the
+    following image; per spec at most one per image). Truncated
+    streams raise ValueError (loud subset)."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    n_frames = 0
+    total_delay = 0
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(b):
+                raise ValueError("truncated GIF sub-blocks")
+            n = b[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF missing trailer")
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if pos + 6 > len(b) or b[pos] != 4:
+                    raise ValueError("bad GCE block")
+                total_delay += int.from_bytes(b[pos + 2:pos + 4], "little")
+            pos = _skip_subblocks(pos)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ValueError("truncated image descriptor")
+            lflags = b[pos + 8]
+            pos += 9
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            if pos >= len(b):
+                raise ValueError("truncated image data")
+            pos += 1  # LZW min code size
+            pos = _skip_subblocks(pos)
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return width, height, n_frames, total_delay
+
+
 def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Format-dispatching pixel decode: PNG, GIF, baseline-TIFF or
     baseline-JPEG payloads return (width, height, channels, raw

@@ -295,6 +295,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import domain_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
+    from . import layout_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
     from . import mixing_queries  # noqa: F401

@@ -343,3 +343,62 @@ register(QuerySpec(
     "O(log n) recursion depth)",
     ("relational", "iterative", "recursive"),
 ))
+
+
+# --- copurchase_label_propagation: k-round min-label communities ----------
+# Synchronous min-label propagation (round-7): after exactly k rounds
+# a node's label is the smallest node id within its k-hop ball — a
+# closed form the oracle can compute by unrolling k propagation CTEs
+# with identical MIN arithmetic, making the iterative distributed
+# loop fully value-checkable (connected_components' doubling shortcut
+# converges faster but its round count is data-dependent, which is
+# why ITS gate row aggregates at fixpoint instead). Communities here
+# are "parts within 3 co-purchase hops of a common cheap anchor" —
+# the neighborhood-blocking grain a recommender would precompute.
+
+_LP_ROUNDS = 3
+
+
+def _label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import min_label_propagation
+
+    pairs = copurchase_pairs(spark, sf)
+    return min_label_propagation(pairs, "pa", "pb", rounds=_LP_ROUNDS)
+
+
+def _lp_iteration_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS MATERIALIZED (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM {prev}
+    UNION ALL
+    SELECT s.a AS node, l.label FROM sym s JOIN {prev} l ON s.b = l.node
+  ) GROUP BY node
+)"""
+
+
+_LP_SQL = (
+    """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (SELECT pa AS a, pb AS b FROM e UNION ALL SELECT pb, pa FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym),"""
+    + ",".join(
+        _lp_iteration_sql(f"l{i}", f"l{i + 1}") for i in range(_LP_ROUNDS)
+    )
+    + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l{_LP_ROUNDS}
+"""
+)
+
+register(QuerySpec(
+    "copurchase_label_propagation", _label_prop, _LP_SQL,
+    f"{_LP_ROUNDS}-round synchronous min-label propagation over the "
+    "co-purchase graph (label = min id in the k-hop ball; join+min "
+    "per round, oracle unrolls identical CTEs)",
+    ("graph", "iterative"),
+))

@@ -970,3 +970,81 @@ register(QuerySpec(
     "pixel placement",
     ("multimodal", "decode"),
 ))
+
+
+# --- gif_frame_census: animated-GIF frame walk (round-7) ------------------
+# Header-level animation metadata at catalog scale: payloads are REAL
+# multi-frame GIF89a streams (NETSCAPE loop ext, per-frame GCE with
+# planted delays, LZW-compressed frame data) and the census WALKS the
+# block structure — sub-blocks skipped by length prefix, zero LZW
+# decode — the pass a media catalog runs over billions of payloads
+# before deciding what to decode. Frame count and the exact delay sum
+# are recomputed arithmetically by the oracle.
+
+_GIF_CENSUS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("gf_width", T.IntegerType()),
+    T.StructField("gf_height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("total_delay_cs", T.LongType()),
+])
+
+
+def _planted_animated_gif(k: int) -> bytes:
+    import numpy as np
+
+    w, h, n_frames = k % 4 + 2, k % 3 + 2, k % 5 + 1
+    y, x = np.ogrid[0:h, 0:w]
+    frames = [
+        (
+            ((k + i + 3 * x + 5 * y) % 4).astype(np.uint8).tobytes(),
+            (k + 7 * i) % 50 + 1,
+        )
+        for i in range(n_frames)
+    ]
+    pal = bytes((k + 11 * j + 101 * c) % 256 for j in range(4) for c in range(3))
+    return MM.encode_animated_gif(w, h, frames, pal)
+
+
+def _gif_frame_census(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for key in pdf["p_partkey"]:
+                kk = int(key) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_animated_gif(kk)
+                w, h, nf, td = MM.gif_frame_census(memo[kk])
+                rows.append((int(key), w, h, nf, td))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "gf_width", "gf_height",
+                         "n_frames", "total_delay_cs"],
+            )
+
+    return p.mapInPandas(batches, _GIF_CENSUS_SCHEMA)
+
+
+_GIF_CENSUS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 4 + 2 AS INT) AS gf_width,
+    CAST(p_partkey % 1024 % 3 + 2 AS INT) AS gf_height,
+    CAST(p_partkey % 1024 % 5 + 1 AS INT) AS n_frames
+  FROM part
+),
+fr AS (SELECT *, unnest(range(n_frames)) AS i FROM dims)
+SELECT p_partkey, gf_width, gf_height, n_frames,
+  CAST(SUM((k + 7 * i) % 50 + 1) AS BIGINT) AS total_delay_cs
+FROM fr GROUP BY 1, 2, 3, 4
+"""
+
+register(QuerySpec(
+    "gif_frame_census", _gif_frame_census, _GIF_CENSUS_SQL,
+    "animated-GIF frame census (block walk, zero LZW decode): frame "
+    "counts + exact GCE delay sums over real multi-frame streams",
+    ("multimodal", "metadata"),
+))

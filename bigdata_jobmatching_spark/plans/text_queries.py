@@ -1330,3 +1330,82 @@ register(QuerySpec(
     "per-source fertility/compression with MERGED token counts",
     ("text", "tokenizer", "agg", "mixing"),
 ))
+
+
+# --- vocab_coverage_curve: tokenizer vocabulary sizing (round-7) ----------
+# The vocabulary-size decision every tokenizer build makes: what
+# fraction of corpus TOKENS does a top-k vocabulary cover? Words
+# ranked by (freq DESC, word ASC — the tie-break makes the curve
+# deterministic), cumulative token coverage read off at standard
+# vocab-size checkpoints. The ranking window runs over the DISTINCT-
+# WORD grain: vocabulary grows ~sublinearly in corpus size (Heaps'
+# law, measured on this corpus in SCALING.md), so the global sort is
+# over thousands of rows when the corpus is billions — the same
+# deliberate design as the BPE family; corpus-sized rows never enter
+# a global order.
+
+# the synthetic corpus draws from a ~31-word list, so checkpoints
+# span that range; on a natural corpus these would be 1k..128k
+_COVERAGE_RANKS = (1, 2, 4, 8, 16, 24, 30)
+
+
+def _vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf, "documents"))
+    vocab = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("w"))
+    ranked = vocab.select(
+        "w", "freq",
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_tokens"),
+    ).filter(F.col("rank").isin(*_COVERAGE_RANKS))
+    total = vocab.agg(F.sum("freq").cast("long").alias("total_tokens"))
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            F.col("rank").cast("int").alias("vocab_size"),
+            F.col("w").alias("boundary_word"),
+            F.col("freq").cast("long").alias("boundary_freq"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            ratio6("cum_tokens", "total_tokens").alias("coverage"),
+        )
+    )
+
+
+_COVERAGE_SQL = f"""
+WITH vocab AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT w, freq,
+    ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rank,
+    SUM(freq) OVER (ORDER BY freq DESC, w ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM vocab
+),
+total AS (SELECT SUM(freq) AS total_tokens FROM vocab)
+SELECT CAST(rank AS INT) AS vocab_size,
+  w AS boundary_word,
+  CAST(freq AS BIGINT) AS boundary_freq,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+  {ratio6_sql('cum_tokens', '(SELECT total_tokens FROM total)')} AS coverage
+FROM ranked
+WHERE rank IN {_COVERAGE_RANKS}
+"""
+
+register(QuerySpec(
+    "vocab_coverage_curve", _vocab_coverage, _COVERAGE_SQL,
+    "cumulative token coverage of a top-k vocabulary at standard "
+    "size checkpoints (distinct-word grain ranking, deterministic "
+    "freq-then-word order)",
+    ("text", "tokenizer", "window"),
+))

@@ -284,3 +284,57 @@ def test_decode_image_batch_decodes_interlaced_png(spark):
     row = MM.decode_image_batch(df).collect()[0]
     assert (row.px_width, row.px_height, row.px_channels) == (6, 7, 3)
     assert row.pixel_sha1 == hashlib.sha1(px).hexdigest()
+
+
+# --- animated GIF + frame census (round-7 part 3) -------------------------
+
+def test_animated_gif_census_and_first_frame():
+    rng = np.random.RandomState(3)
+    pal = bytes(rng.randint(0, 256, size=4 * 3, dtype=np.uint8))
+    frames = [
+        (bytes(rng.randint(0, 4, size=6, dtype=np.uint8)), d)
+        for d in (5, 12, 0, 33)
+    ]
+    g = MM.encode_animated_gif(3, 2, frames, pal)
+    assert MM.gif_frame_census(g) == (3, 2, 4, 50)
+    # still-image decode reads frame 1 (documented first-frame rule)
+    w, h, ch, px = MM.decode_gif(g)
+    expect = (
+        np.frombuffer(pal, dtype=np.uint8)
+        .reshape(4, 3)[np.frombuffer(frames[0][0], dtype=np.uint8)]
+        .tobytes()
+    )
+    assert (w, h, ch) == (3, 2, 3) and px == expect
+
+
+def test_gif_frame_census_walk_properties():
+    pal = bytes(range(12))
+    single = MM.encode_gif(3, 2, bytes(6), pal)
+    assert MM.gif_frame_census(single) == (3, 2, 1, 0)
+    assert MM.gif_frame_census(b"not a gif") is None
+    g = MM.encode_animated_gif(3, 2, [(bytes(6), 7)], pal)
+    with pytest.raises(ValueError):
+        MM.gif_frame_census(g[:-4])  # truncated: loud, not a guess
+    with pytest.raises(ValueError):
+        MM.encode_animated_gif(3, 2, [(bytes(6), 70000)], pal)  # delay > u16
+
+
+# --- min-label propagation closed form ------------------------------------
+
+def test_min_label_propagation_is_khop_ball_min(spark):
+    """After k rounds, label(v) must equal min(id) over v's k-hop
+    ball — checked on a path graph where the closed form is obvious:
+    node i on a path 0-1-2-...-9 has label max(0, i-k)."""
+    from bigdata_jobmatching_spark.operators.graph import (
+        min_label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "m long, n long"
+    )
+    for rounds in (1, 2, 3):
+        got = {
+            r.node: r.label
+            for r in min_label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == {i: max(0, i - rounds) for i in range(10)}, rounds
