@@ -1409,3 +1409,128 @@ register(QuerySpec(
     "freq-then-word order)",
     ("text", "tokenizer", "window"),
 ))
+
+
+# --- bm25_topk: sparse lexical retrieval (round-7) ------------------------
+# BM25 ranking with every factor kept RATIONAL so two engines agree
+# bit-for-bit (the log-free discipline bigram_pmi_topk established:
+# monotone rational surrogates instead of ln). With k1 = 6/5 and
+# b = 3/4, and idf = (N+1)/(df+1) (the log's argument, monotone in
+# it), the per-(doc, term) score cross-multiplies to
+#   num = (N+1) * 22 * tf * T
+#   den = (df+1) * (10*tf*T + 3*T + 9*dl*N)
+# where T = total corpus tokens, N = docs, dl = doc length — exact
+# int64s (headroom: num*2e6 ~ 3.6e18 at sf1; beyond that rescale T).
+# Each term contributes its exact half-up micro-unit rounding; the
+# doc score is the BIGINT sum of those micro-units. Query terms are
+# data-derived (vocab freq ranks 3/7/11 — deterministic tie-broken
+# ranking over the distinct-word grain), so the query composes with
+# any corpus. Plan: tf/dl/df are the inverted-index aggregations a
+# search engine precomputes; the query-term probe is a broadcast
+# join against tf — corpus-sized rows shuffle exactly once (tf
+# grain), the probe itself touches only matching postings.
+
+_BM25_QRANKS = (3, 7, 11)
+_BM25_TOPK = 20
+
+
+def _bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    vocab = tf.groupBy("w").agg(
+        F.sum("tf").cast("long").alias("freq"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    qterms = (
+        vocab.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))),
+        )
+        .filter(F.col("rank").isin(*_BM25_QRANKS))
+        .select("w", "df")
+    )
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    num = (F.col("n_docs") + 1) * 22 * F.col("tf") * F.col("t_tokens")
+    den = (F.col("df") + 1) * (
+        10 * F.col("tf") * F.col("t_tokens")
+        + 3 * F.col("t_tokens")
+        + 9 * F.col("dl") * F.col("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            # integer div, never `/`: a double quotient loses ulps
+            # past 2^53 and num*2e6 crosses that by sf0.1
+            (num * 2_000_000 + den).alias("__n"),
+            (2 * den).alias("__d"),
+        )
+        .select(
+            "doc_id",
+            F.expr("__n div __d").cast("long").alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+vocab AS (
+  SELECT w, SUM(tf) AS freq, COUNT(*) AS df FROM tf GROUP BY 1
+),
+qterms AS (
+  SELECT w, df FROM (
+    SELECT w, df,
+      ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rank
+    FROM vocab
+  ) WHERE rank IN {_BM25_QRANKS}
+),
+scalars AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl
+),
+scored AS (
+  SELECT t.doc_id,
+    ((s.n_docs + 1) * 22 * t.tf * s.t_tokens * 2000000
+     + (q.df + 1) * (10 * t.tf * s.t_tokens + 3 * s.t_tokens
+                     + 9 * d.dl * s.n_docs))
+    // (2 * (q.df + 1) * (10 * t.tf * s.t_tokens + 3 * s.t_tokens
+                          + 9 * d.dl * s.n_docs)) AS term_micro
+  FROM tf t
+  JOIN qterms q ON t.w = q.w
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN scalars s
+)
+SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+register(QuerySpec(
+    "bm25_topk", _bm25_topk, _BM25_SQL,
+    "BM25 top-k lexical retrieval with fully rational scoring "
+    "(k1=6/5, b=3/4, ratio idf) — exact micro-unit term scores, "
+    "data-derived query terms, inverted-index plan shape",
+    ("text", "retrieval", "join"),
+))

@@ -937,3 +937,168 @@ register(QuerySpec(
     "integers, ratio6 shares)",
     ("vector", "agg"),
 ))
+
+
+# --- embedding_kmeans_exact: bit-exact distributed Lloyd (round-7) --------
+# Distributed k-means whose every step is INTEGER arithmetic, so two
+# engines reproduce it bit-for-bit — the cross-engine-provable core
+# of embedding-space curriculum/clustering pipelines. Floats never
+# survive the first step: coordinates quantize to micro-units
+# (floor(x * 1e6), one exact IEEE multiply + floor, identical on
+# both engines), then shift by +2^22 so every value is non-negative
+# and Spark's truncating `div` equals DuckDB's flooring `//` on the
+# centroid-update means (shift cancels in all distances). Assignment
+# uses the portable argmin encoding min(dist*K + cid) — strict
+# lexicographic (distance, cluster-id) tie-break, no min_by/struct
+# ordering semantics to trust. Seeds = vec_ids 0..K-1; empty
+# clusters keep their previous centroid (COALESCE on a left join).
+#
+# Scale: per iteration one broadcast join of the K*64-row centroid
+# table against the long-form corpus + two aggregations keyed on
+# (vec_id) / (cid, j) — map-side combinable, no corpus self-join,
+# centroids never leave the cluster (no driver collect between
+# rounds). int64 headroom: dist <= 64 * (2*2^20)^2 ~ 2.8e14, inertia
+# <= n_vec * dist — fine to ~30k vecs per the int64 ceiling; at
+# corpus scale inertia would aggregate per partition into DECIMAL.
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_SCALE = 1_000_000
+_KM_OFFSET = 4_194_304  # 2^22 > max |x| * 1e6 for |x| < 4.19
+
+
+def _km_qv(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id", "j",
+        (F.floor(F.col("x").cast("double") * _KM_SCALE).cast("long")
+         + _KM_OFFSET).alias("q"),
+    )
+
+
+def _km_assign(qv: DataFrame, cent: DataFrame) -> DataFrame:
+    d = F.col("q") - F.col("c")
+    return (
+        qv.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(d * d).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.col("dist") * _KM_K + F.col("cid")).alias("amin"))
+    )
+
+
+def _embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    qv = _km_qv(spark, sf).localCheckpoint(eager=False)
+    cent = qv.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"), "j", F.col("q").alias("c")
+    )
+    for _ in range(_KM_ITERS):
+        assign = _km_assign(qv, cent).select(
+            "vec_id", (F.col("amin") % _KM_K).cast("int").alias("cid")
+        )
+        upd = (
+            qv.join(assign, "vec_id")
+            .groupBy("cid", "j")
+            .agg(F.expr("sum(q) div count(1)").alias("c_new"))
+        )
+        cent = (
+            cent.withColumnRenamed("c", "c_old")
+            .join(upd, ["cid", "j"], "left")
+            .select(
+                "cid", "j", F.coalesce("c_new", "c_old").alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = _km_assign(qv, cent).select(
+        "vec_id",
+        (F.col("amin") % _KM_K).cast("int").alias("cluster_id"),
+        F.expr(f"amin div {_KM_K}").alias("dist"),
+    )
+    profile = final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    cent01 = cent.filter(F.col("j") < 2).groupBy("cid").agg(
+        (F.max(F.when(F.col("j") == 0, F.col("c"))) - _KM_OFFSET)
+        .cast("long").alias("c_dim0"),
+        (F.max(F.when(F.col("j") == 1, F.col("c"))) - _KM_OFFSET)
+        .cast("long").alias("c_dim1"),
+    )
+    return profile.join(
+        cent01, profile["cluster_id"] == cent01["cid"]
+    ).select("cluster_id", "n_members", "inertia", "c_dim0", "c_dim1")
+
+
+def _km_assign_sql(qv: str, cent: str, out: str) -> str:
+    return f"""
+{out} AS MATERIALIZED (
+  SELECT vec_id, MIN(dist * {_KM_K} + cid) AS amin FROM (
+    SELECT q.vec_id, c.cid, SUM((q.q - c.c) * (q.q - c.c)) AS dist
+    FROM {qv} q JOIN {cent} c ON q.j = c.j GROUP BY 1, 2
+  ) GROUP BY vec_id
+)"""
+
+
+def _km_update_sql(qv: str, assign: str, prev: str, out: str) -> str:
+    return f"""
+{out} AS MATERIALIZED (
+  SELECT p.cid, p.j, COALESCE(u.cn, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT CAST(a.amin % {_KM_K} AS INT) AS cid, q.j,
+           SUM(q.q) // COUNT(*) AS cn
+    FROM {qv} q JOIN {assign} a ON q.vec_id = a.vec_id GROUP BY 1, 2
+  ) u ON p.cid = u.cid AND p.j = u.j
+)"""
+
+
+_KMEANS_SQL = (
+    f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, j,
+    CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT) + {_KM_OFFSET} AS q
+  FROM (
+    SELECT vec_id,
+      unnest(generate_series(0, len(embedding) - 1)) AS j,
+      unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+  )
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cid, j, q AS c FROM qv WHERE vec_id < {_KM_K}
+),"""
+    + ",".join(
+        _km_assign_sql("qv", f"c{i}", f"a{i}")
+        + ","
+        + _km_update_sql("qv", f"a{i}", f"c{i}", f"c{i + 1}")
+        for i in range(_KM_ITERS)
+    )
+    + f""",
+afin AS (
+  SELECT vec_id, CAST(amin % {_KM_K} AS INT) AS cluster_id,
+         amin // {_KM_K} AS dist
+  FROM ({_km_assign_sql("qv", f"c{_KM_ITERS}", "x").split("AS MATERIALIZED ")[1]})
+),
+profile AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(dist) AS BIGINT) AS inertia
+  FROM afin GROUP BY 1
+)
+SELECT p.cluster_id, p.n_members, p.inertia,
+  CAST(MAX(CASE WHEN c.j = 0 THEN c.c END) - {_KM_OFFSET} AS BIGINT) AS c_dim0,
+  CAST(MAX(CASE WHEN c.j = 1 THEN c.c END) - {_KM_OFFSET} AS BIGINT) AS c_dim1
+FROM profile p JOIN c{_KM_ITERS} c ON p.cluster_id = c.cid
+GROUP BY 1, 2, 3
+"""
+)
+
+register(QuerySpec(
+    "embedding_kmeans_exact", _embedding_kmeans, _KMEANS_SQL,
+    f"bit-exact distributed k-means ({_KM_ITERS} Lloyd iterations, "
+    f"k={_KM_K}): micro-unit integer coordinates, portable "
+    "argmin(dist*K+cid) encoding, non-negative shift so truncating "
+    "and flooring integer division agree — cluster profile + first "
+    "centroid coords fully value-oracled",
+    ("vector", "iterative", "ml"),
+))
