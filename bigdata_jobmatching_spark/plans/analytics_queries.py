@@ -625,3 +625,80 @@ register(QuerySpec(
     "content hashes + doc/char counts) — the input-drift pre-flight",
     ("text", "agg", "audit"),
 ))
+
+
+# --- hll_registers_audit: deterministic HLL state, value-oracled ----------
+# Round-7 closure of the approx-distinct verifiability gap: the HLL
+# APPROXIMATION lives only in the final float estimate — the sketch
+# STATE (register maxima) is a pure deterministic function of the
+# data once the hash is pinned. Registers here use the repo's
+# engine-portable md5 hash (15 hex digits -> 60-bit int, the
+# minhash_md5 discipline): reg = h % 1024, rho = trailing-zero count
+# of h div 1024 plus one, register value = MAX(rho). The full
+# register histogram plus the exact distinct count are hash-checked,
+# so the sketch every executor would build and merge at 100 TB is
+# externally value-proven — max() is duplicate-insensitive, so no
+# pre-distinct is needed and the register pass is one map-side-
+# combinable aggregation over raw rows. Output rows: (reg_rho >= 1,
+# n_registers) histogram; (0, n_empty_registers); (-1, exact
+# distinct) as the comparison anchor.
+
+_HLL_M = 1024
+
+
+def _hll_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rw = o.select(hv.alias("hv")).select(
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(51)).otherwise(
+        F.expr("bit_count((w & -w) - 1) + 1")
+    )
+    regs = rw.groupBy("reg").agg(F.max(rho).alias("rho"))
+    hist = regs.groupBy(F.col("rho").cast("int").alias("reg_rho")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers")
+    )
+    empty = regs.agg(
+        F.lit(0).cast("int").alias("reg_rho"),
+        (_HLL_M - F.count(F.lit(1))).cast("long").alias("n_registers"),
+    )
+    exact = o.agg(
+        F.lit(-1).cast("int").alias("reg_rho"),
+        F.countDistinct("o_custkey").cast("long").alias("n_registers"),
+    )
+    return hist.unionByName(empty).unionByName(exact)
+
+
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM orders
+),
+rw AS (SELECT hv % {_HLL_M} AS reg, hv // {_HLL_M} AS w FROM h),
+regs AS (
+  SELECT reg,
+    MAX(CASE WHEN w = 0 THEN 51
+             ELSE bit_count((w & -w) - 1) + 1 END) AS rho
+  FROM rw GROUP BY reg
+)
+SELECT CAST(rho AS INT) AS reg_rho,
+       CAST(COUNT(*) AS BIGINT) AS n_registers
+FROM regs GROUP BY 1
+UNION ALL
+SELECT 0, CAST({_HLL_M} - (SELECT COUNT(*) FROM regs) AS BIGINT)
+UNION ALL
+SELECT -1, CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+"""
+
+register(QuerySpec(
+    "hll_registers_audit", _hll_audit, _HLL_SQL,
+    "deterministic HyperLogLog register state (md5 hash, m=1024) "
+    "value-oracled as a histogram + exact-distinct anchor — the "
+    "sketch is proven, only the estimate is approximate",
+    ("analytics", "approx", "agg"),
+))

@@ -260,3 +260,95 @@ register(QuerySpec(
     "plan, exact answer",
     ("profiling", "skew", "sketch"),
 ))
+
+
+# --- fk_integrity_audit: referential-integrity guardrail (round-7) --------
+# The pipeline pre-flight every warehouse load should run: for each
+# declared FK edge, one row with child/orphan/parent/coverage
+# counts. Each edge is a single full-outer join at KEY grain (the
+# child side pre-aggregates to distinct keys with counts first, so
+# the join never sees raw child rows) — one shuffle per edge, dims
+# broadcast-able, and the whole audit unions six tiny summaries.
+# Orphans here are exact row counts, not samples: at 100 TB a
+# 0.001 % orphan rate is still millions of rows silently dropped by
+# every inner join downstream — this query is how you find out
+# BEFORE the joins do. Each edge is ONE shuffle: child and parent
+# key streams union into a single key-grain aggregation (tag max +
+# count sum), instead of a full-outer join that would exchange both
+# sides — 6 edges, 6 parallel shuffles, no chain.
+
+_FK_EDGES = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_edge_summary(
+    spark: SparkSession, sf: str,
+    rel: str, child: str, fk: str, parent: str, pk: str,
+) -> DataFrame:
+    ck = load_table(spark, sf, child).select(
+        F.col(fk).alias("k"),
+        F.lit(1).alias("nc"),
+        F.lit(0).alias("is_p"),
+    )
+    pkd = load_table(spark, sf, parent).select(
+        F.col(pk).alias("k"), F.lit(0).alias("nc"), F.lit(1).alias("is_p")
+    )
+    g = ck.unionByName(pkd).groupBy("k").agg(
+        F.sum("nc").alias("n"), F.max("is_p").alias("has_p")
+    )
+    return g.agg(
+        F.lit(rel).alias("relation"),
+        F.sum("n").cast("long").alias("n_child_rows"),
+        F.sum(F.when(F.col("has_p") == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("n_orphan_rows"),
+        F.count(F.when((F.col("has_p") == 0) & F.col("k").isNotNull(), 1))
+        .cast("long").alias("n_orphan_keys"),
+        F.sum("has_p").cast("long").alias("n_parents"),
+        F.count(F.when((F.col("has_p") == 1) & (F.col("n") > 0), 1))
+        .cast("long").alias("n_parents_referenced"),
+    )
+
+
+def _fk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    out = None
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        s = _fk_edge_summary(spark, sf, rel, child, fk, parent, pk)
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def _fk_edge_sql(rel: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{rel}' AS relation,
+  CAST(SUM(n) AS BIGINT) AS n_child_rows,
+  CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN n END), 0) AS BIGINT)
+    AS n_orphan_rows,
+  CAST(COUNT(CASE WHEN pk IS NULL AND k IS NOT NULL THEN 1 END) AS BIGINT)
+    AS n_orphan_keys,
+  CAST(COUNT(pk) AS BIGINT) AS n_parents,
+  CAST(COUNT(CASE WHEN pk IS NOT NULL AND k IS NOT NULL THEN 1 END)
+       AS BIGINT) AS n_parents_referenced
+FROM (
+  SELECT ck.k, ck.n, p.{pk} AS pk
+  FROM (SELECT {fk} AS k, COUNT(*) AS n FROM {child} GROUP BY 1) ck
+  FULL OUTER JOIN {parent} p ON ck.k = p.{pk}
+)"""
+
+
+_FK_SQL = "\nUNION ALL\n".join(
+    _fk_edge_sql(*e) for e in _FK_EDGES
+)
+
+register(QuerySpec(
+    "fk_integrity_audit", _fk_audit, _FK_SQL,
+    "referential-integrity pre-flight: exact orphan rows/keys and "
+    "parent coverage for all six declared FK edges (key-grain "
+    "full-outer joins, one shuffle per edge)",
+    ("profiling", "join", "quality"),
+))

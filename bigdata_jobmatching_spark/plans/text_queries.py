@@ -1419,8 +1419,10 @@ register(QuerySpec(
 # it), the per-(doc, term) score cross-multiplies to
 #   num = (N+1) * 22 * tf * T
 #   den = (df+1) * (10*tf*T + 3*T + 9*dl*N)
-# where T = total corpus tokens, N = docs, dl = doc length — exact
-# int64s (headroom: num*2e6 ~ 3.6e18 at sf1; beyond that rescale T).
+# where T = total corpus tokens, N = docs, dl = doc length. The
+# rounding step (num*2e6 + den) div (2*den) runs in DECIMAL(38)/
+# HUGEINT (verified to agree exactly between engines), so there is
+# no int64 ceiling to outgrow — num*2e6 crosses 2^63 around sf1.
 # Each term contributes its exact half-up micro-unit rounding; the
 # doc score is the BIGINT sum of those micro-units. Query terms are
 # data-derived (vocab freq ranks 3/7/11 — deterministic tie-broken
@@ -1459,11 +1461,15 @@ def _bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),
     )
-    num = (F.col("n_docs") + 1) * 22 * F.col("tf") * F.col("t_tokens")
-    den = (F.col("df") + 1) * (
-        10 * F.col("tf") * F.col("t_tokens")
+    big = "CAST({} AS DECIMAL(38,0))"
+    num = (
+        F.expr(big.format("n_docs + 1")) * 22 * F.col("tf")
+        * F.col("t_tokens")
+    )
+    den = F.expr(big.format("df + 1")) * (
+        F.expr(big.format("10 * tf")) * F.col("t_tokens")
         + 3 * F.col("t_tokens")
-        + 9 * F.col("dl") * F.col("n_docs")
+        + F.expr(big.format("9 * dl")) * F.col("n_docs")
     )
     scored = (
         tf.join(F.broadcast(qterms), "w")
@@ -1512,11 +1518,13 @@ scalars AS (
 ),
 scored AS (
   SELECT t.doc_id,
-    ((s.n_docs + 1) * 22 * t.tf * s.t_tokens * 2000000
-     + (q.df + 1) * (10 * t.tf * s.t_tokens + 3 * s.t_tokens
-                     + 9 * d.dl * s.n_docs))
-    // (2 * (q.df + 1) * (10 * t.tf * s.t_tokens + 3 * s.t_tokens
-                          + 9 * d.dl * s.n_docs)) AS term_micro
+    (CAST(s.n_docs + 1 AS HUGEINT) * 22 * t.tf * s.t_tokens * 2000000
+     + CAST(q.df + 1 AS HUGEINT)
+       * (CAST(10 * t.tf AS HUGEINT) * s.t_tokens + 3 * s.t_tokens
+          + CAST(9 * d.dl AS HUGEINT) * s.n_docs))
+    // (2 * CAST(q.df + 1 AS HUGEINT)
+          * (CAST(10 * t.tf AS HUGEINT) * s.t_tokens + 3 * s.t_tokens
+             + CAST(9 * d.dl AS HUGEINT) * s.n_docs)) AS term_micro
   FROM tf t
   JOIN qterms q ON t.w = q.w
   JOIN dl d ON t.doc_id = d.doc_id
