@@ -442,6 +442,105 @@ def parse_mp4_header(b: bytes) -> int | None:
     return None
 
 
+def make_mp4_tracked(
+    duration_ms: int,
+    tracks: list[tuple[bytes, list[int]]],
+    timescale: int = 1000,
+) -> bytes:
+    """Structurally-real MP4: ftyp + moov{mvhd, per-track
+    trak{tkhd, mdia{hdlr(handler), minf{stbl{stsz(sample sizes)}}}}}.
+    ``tracks`` is [(handler_type e.g. b'vide'/b'soun', [sample
+    sizes]), ...]. Every box length is correct, so a spec-compliant
+    walker recovers the exact per-track sample counts/bytes — the
+    payload-free skeleton a video catalog's metadata pass sees
+    (round-7; sample DATA stays absent by design, decode is
+    codec-bound)."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    duration = (duration_ms * timescale) // 1000
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + timescale.to_bytes(4, "big")
+               + duration.to_bytes(4, "big") + bytes(80))
+    traks = b""
+    for tid, (handler, sizes) in enumerate(tracks, start=1):
+        if len(handler) != 4:
+            raise ValueError(f"handler must be 4 bytes, got {handler!r}")
+        tkhd = box(b"tkhd", bytes(4) + bytes(8)
+                   + tid.to_bytes(4, "big") + bytes(72))
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(13))
+        stsz = box(b"stsz", bytes(4) + (0).to_bytes(4, "big")
+                   + len(sizes).to_bytes(4, "big")
+                   + b"".join(s.to_bytes(4, "big") for s in sizes))
+        stbl = box(b"stbl", stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_track_census(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """(duration_ms, n_tracks, n_video, n_audio, total_samples,
+    total_sample_bytes) for an MP4/ISO-BMFF stream, or None for
+    non-MP4s. A pure box-tree WALK (recursing only into the five
+    container types that lead to track metadata): stsz sample tables
+    are summed, sample DATA is never touched — O(metadata bytes)
+    regardless of media size, the catalog pass shape. Truncated or
+    malformed boxes raise ValueError (loud subset)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    duration_ms = parse_mp4_header(b)
+    if duration_ms is None:
+        raise ValueError("MP4 missing mvhd duration")
+    stats = {"trak": 0, "vide": 0, "soun": 0, "n": 0, "bytes": 0}
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i:i + 4], "big")
+            btype = b[i + 4:i + 8]
+            if size < 8 or i + size > hi:
+                raise ValueError(f"bad MP4 box {btype!r} size {size}")
+            if btype == b"trak":
+                stats["trak"] += 1
+            if btype in _MP4_CONTAINERS:
+                walk(i + 8, i + size)
+            elif btype == b"hdlr":
+                if i + 20 > hi:
+                    raise ValueError("truncated hdlr")
+                h = b[i + 16:i + 20]
+                if h == b"vide":
+                    stats["vide"] += 1
+                elif h == b"soun":
+                    stats["soun"] += 1
+            elif btype == b"stsz":
+                if i + 20 > hi:
+                    raise ValueError("truncated stsz")
+                fixed = int.from_bytes(b[i + 12:i + 16], "big")
+                n = int.from_bytes(b[i + 16:i + 20], "big")
+                stats["n"] += n
+                if fixed:
+                    stats["bytes"] += fixed * n
+                else:
+                    if i + 20 + 4 * n > hi:
+                        raise ValueError("truncated stsz table")
+                    stats["bytes"] += sum(
+                        int.from_bytes(b[i + 20 + 4 * k:i + 24 + 4 * k], "big")
+                        for k in range(n)
+                    )
+            i += size
+
+    walk(0, len(b))
+    return (duration_ms, stats["trak"], stats["vide"], stats["soun"],
+            stats["n"], stats["bytes"])
+
+
 def make_wav(channels: int, sample_rate: int, n_samples: int) -> bytes:
     """Structurally-valid WAV header (fmt + data chunk header, 16-bit
     PCM) with a declared-but-absent data payload — enough for the
@@ -738,12 +837,16 @@ _ADAM7 = (
 
 def _filter_image(
     pixels: bytes, width: int, height: int, channels: int,
-    filter_type: int | None,
+    filter_type: int | None, sample_bytes: int = 1,
 ) -> bytearray:
     """Forward scanline-filter pass over one (sub-)image: each output
     line is a filter-type byte plus the filtered samples. ``None``
-    cycles y % 5 so one image exercises every branch."""
-    stride = width * channels
+    cycles y % 5 so one image exercises every branch. Per spec the
+    filters are BYTEWISE with a left-neighbor offset of
+    bpp = channels * sample_bytes — passing sample_bytes=2 is the
+    complete 16-bit-depth filter (round-7)."""
+    bpp = channels * sample_bytes
+    stride = width * bpp
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -754,22 +857,22 @@ def _filter_image(
             raw += line
         elif ft == 1:
             raw += bytes(
-                (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
                 for i in range(stride)
             )
         elif ft == 2:
             raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
         elif ft == 3:
             raw += bytes(
-                (line[i] - ((line[i - channels] if i >= channels else 0) + prev[i]) // 2) & 0xFF
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
                 for i in range(stride)
             )
         elif ft == 4:
             raw += bytes(
                 (line[i] - _paeth(
-                    line[i - channels] if i >= channels else 0,
+                    line[i - bpp] if i >= bpp else 0,
                     prev[i],
-                    prev[i - channels] if i >= channels else 0,
+                    prev[i - bpp] if i >= bpp else 0,
                 )) & 0xFF
                 for i in range(stride)
             )
@@ -780,12 +883,14 @@ def _filter_image(
 
 
 def _unfilter_image(
-    raw: bytes, width: int, height: int, channels: int
+    raw: bytes, width: int, height: int, channels: int,
+    sample_bytes: int = 1,
 ) -> bytearray:
     """Inverse of :func:`_filter_image` over one (sub-)image: per
     spec, filters reconstruct against OUTPUT bytes of the previous
-    line of the SAME pass."""
-    stride = width * channels
+    line of the SAME pass, with the same bpp left-offset."""
+    bpp = channels * sample_bytes
+    stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel stream length mismatch")
     out = bytearray(stride * height)
@@ -796,19 +901,19 @@ def _unfilter_image(
         if ft == 0:
             pass
         elif ft == 1:
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ft == 2:
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ft == 3:
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif ft == 4:
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         else:
             raise ValueError(f"bad scanline filter {ft}")
@@ -825,8 +930,12 @@ def encode_png(
     filter_type: int | None = 0,
     palette: bytes | None = None,
     interlace: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Real PNG from raw 8-bit pixel bytes (row-major, interleaved).
+    """Real PNG from raw pixel bytes (row-major, interleaved).
+    ``bit_depth`` 8 (default) or 16 — 16-bit samples are BIG-ENDIAN
+    per spec, and the scanline filters run bytewise with the wider
+    bpp offset (round-7); palette requires depth 8.
 
     ``filter_type`` fixes one filter for every scanline; None cycles
     y % 5 so a single image exercises every decoder branch. The
@@ -847,7 +956,12 @@ def encode_png(
     import numpy as np
     import zlib as _z
 
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
+    sb = bit_depth // 8
     if palette is not None:
+        if bit_depth != 8:
+            raise ValueError("palette PNG requires bit depth 8")
         if channels != 1:
             raise ValueError("palette PNG requires 1 index byte per pixel")
         if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
@@ -855,17 +969,17 @@ def encode_png(
         color_type = 3
     else:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    stride = width * channels * sb
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, int(interlace)])
+        + bytes([bit_depth, color_type, 0, 0, int(interlace)])
     )
     if interlace:
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(
-            height, width, channels
+            height, width, channels * sb
         )
         raw = bytearray()
         for xs, ys, xstep, ystep in _ADAM7:
@@ -874,10 +988,12 @@ def encode_png(
             if ph == 0 or pw == 0:
                 continue
             raw += _filter_image(
-                sub.tobytes(), pw, ph, channels, filter_type
+                sub.tobytes(), pw, ph, channels, filter_type, sb
             )
     else:
-        raw = _filter_image(pixels, width, height, channels, filter_type)
+        raw = _filter_image(
+            pixels, width, height, channels, filter_type, sb
+        )
     chunks = [_png_chunk(b"IHDR", ihdr)]
     if palette is not None:
         chunks.append(_png_chunk(b"PLTE", palette))
@@ -888,6 +1004,7 @@ def encode_png(
 
 def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, raw 8-bit pixel bytes) or None.
+    16-bit streams raise, pointing at :func:`decode_png16`.
 
     Full inverse of the filter pass: IDAT chunks are concatenated,
     zlib-inflated, and each scanline un-filtered against the
@@ -903,8 +1020,25 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
     transparency) — loud, not silent, per the audit-don't-drop
     discipline.
     """
+    return _decode_png_impl(b, want_depth=8)
+
+
+def decode_png16(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, BIG-ENDIAN u16 sample bytes) or
+    None — the 16-bit-depth face of :func:`decode_png` (round-7):
+    same chunk walk, CRC discipline, Adam7 support; the filters run
+    bytewise with the 2-byte-per-sample bpp offset per spec. 8-bit
+    streams raise (callers pick the variant off IHDR); palette +
+    16-bit is illegal PNG and rejected."""
+    return _decode_png_impl(b, want_depth=16)
+
+
+def _decode_png_impl(
+    b: bytes, want_depth: int
+) -> tuple[int, int, int, bytes] | None:
     import zlib as _z
 
+    sb = want_depth // 8
     if len(b) < 8 or not b.startswith(_PNG_SIG):
         return None
     pos, width = 8, None
@@ -930,13 +1064,15 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, _, _, interlace = data[8:13]
             if (
-                bit_depth != 8
+                bit_depth != want_depth
                 or interlace not in (0, 1)
                 or (color_type != 3 and color_type not in _PNG_CHANNELS)
+                or (color_type == 3 and want_depth == 16)
             ):
                 raise ValueError(
                     f"unsupported PNG: bit_depth={bit_depth} "
-                    f"color_type={color_type} interlace={interlace}"
+                    f"color_type={color_type} interlace={interlace} "
+                    f"(this decoder wants depth {want_depth})"
                 )
             paletted = color_type == 3
             interlaced = interlace == 1
@@ -961,24 +1097,24 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
     if interlaced:
         import numpy as np
 
-        img = np.zeros((height, width, channels), dtype=np.uint8)
+        img = np.zeros((height, width, channels * sb), dtype=np.uint8)
         off = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (width - xs + xstep - 1) // xstep
             ph = (height - ys + ystep - 1) // ystep
             if pw == 0 or ph == 0:
                 continue
-            sz = (pw * channels + 1) * ph
-            sub = _unfilter_image(raw[off:off + sz], pw, ph, channels)
+            sz = (pw * channels * sb + 1) * ph
+            sub = _unfilter_image(raw[off:off + sz], pw, ph, channels, sb)
             off += sz
             img[ys::ystep, xs::xstep] = np.frombuffer(
                 bytes(sub), dtype=np.uint8
-            ).reshape(ph, pw, channels)
+            ).reshape(ph, pw, channels * sb)
         if off != len(raw):
             raise ValueError("PNG pixel stream length mismatch")
         out = bytearray(img.tobytes())
     else:
-        out = _unfilter_image(raw, width, height, channels)
+        out = _unfilter_image(raw, width, height, channels, sb)
     if paletted:
         import numpy as np
 

@@ -1048,3 +1048,199 @@ register(QuerySpec(
     "counts + exact GCE delay sums over real multi-frame streams",
     ("multimodal", "metadata"),
 ))
+
+
+# --- mp4_track_census: ISO-BMFF box-tree walk (round-7) -------------------
+# Video-metadata catalog pass: payloads are structurally-real MP4s
+# (correct box lengths end-to-end: moov{mvhd, trak{tkhd,
+# mdia{hdlr, minf{stbl{stsz}}}}}) with planted per-track sample
+# tables; the census recursively walks ONLY the five container box
+# types and sums stsz entries — sample data is never touched, so
+# cost is O(metadata) however large the media. Track counts by
+# handler and exact sample-byte sums are recomputed arithmetically
+# by the oracle. k%3==0 keys carry a SECOND video track so the
+# multi-track path is exercised.
+
+_MP4_CENSUS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("n_video", T.IntegerType()),
+    T.StructField("n_audio", T.IntegerType()),
+    T.StructField("total_samples", T.LongType()),
+    T.StructField("total_sample_bytes", T.LongType()),
+])
+
+
+def _planted_mp4(k: int) -> bytes:
+    n_v, n_a = k % 6 + 1, k % 4 + 1
+    tracks = [
+        (b"vide", [(k + 17 * i) % 1000 + 10 for i in range(n_v)]),
+        (b"soun", [(k + 23 * i) % 100 + 1 for i in range(n_a)]),
+    ]
+    if k % 3 == 0:
+        tracks.append((b"vide", [(k + 31 * i) % 500 + 5 for i in range(2)]))
+    return MM.make_mp4_tracked((k % 600 + 1) * 100, tracks)
+
+
+def _mp4_census(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for key in pdf["p_partkey"]:
+                kk = int(key) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_mp4(kk)
+                d, nt, nv, na, ns, nb = MM.mp4_track_census(memo[kk])
+                rows.append((int(key), d, nt, nv, na, ns, nb))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "duration_ms", "n_tracks", "n_video",
+                         "n_audio", "total_samples", "total_sample_bytes"],
+            )
+
+    return p.mapInPandas(batches, _MP4_CENSUS_SCHEMA)
+
+
+_MP4_CENSUS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 6 + 1 AS INT) AS n_v,
+    CAST(p_partkey % 1024 % 4 + 1 AS INT) AS n_a
+  FROM part
+),
+vb AS (
+  SELECT p_partkey, CAST(SUM((k + 17 * i) % 1000 + 10) AS BIGINT) AS b
+  FROM (SELECT *, unnest(range(n_v)) AS i FROM dims) GROUP BY 1
+),
+ab AS (
+  SELECT p_partkey, CAST(SUM((k + 23 * i) % 100 + 1) AS BIGINT) AS b
+  FROM (SELECT *, unnest(range(n_a)) AS i FROM dims) GROUP BY 1
+),
+xb AS (
+  SELECT p_partkey,
+    CAST(SUM(CASE WHEN k % 3 = 0 THEN (k + 31 * i) % 500 + 5 END) AS BIGINT)
+      AS b,
+    CAST(COUNT(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT) AS n
+  FROM (SELECT *, unnest(range(2)) AS i FROM dims) GROUP BY 1
+)
+SELECT d.p_partkey,
+  CAST((d.k % 600 + 1) * 100 AS BIGINT) AS duration_ms,
+  CAST(2 + CASE WHEN d.k % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_tracks,
+  CAST(1 + CASE WHEN d.k % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_video,
+  CAST(1 AS INT) AS n_audio,
+  CAST(d.n_v + d.n_a + xb.n AS BIGINT) AS total_samples,
+  CAST(vb.b + ab.b + COALESCE(xb.b, 0) AS BIGINT) AS total_sample_bytes
+FROM dims d
+JOIN vb ON d.p_partkey = vb.p_partkey
+JOIN ab ON d.p_partkey = ab.p_partkey
+JOIN xb ON d.p_partkey = xb.p_partkey
+"""
+
+register(QuerySpec(
+    "mp4_track_census", _mp4_census, _MP4_CENSUS_SQL,
+    "ISO-BMFF box-tree walk over structurally-real MP4s: per-payload "
+    "track/handler counts + exact stsz sample-byte sums, "
+    "O(metadata) cost",
+    ("multimodal", "metadata", "video"),
+))
+
+
+# --- png16_pixel_stats: REAL 16-bit-depth PNG decode (round-7) ------------
+# Closes the last PNG depth gap: payloads are REAL 16-bit PNGs
+# (big-endian samples, filters running bytewise with the 2-byte bpp
+# offset, filter cycling y % 5; even keys additionally Adam7
+# INTERLACED so the wide-sample pass scatter is exercised), and the
+# decode is verified by exact 16-bit channel sums plus a
+# position-weighted sum (placement pin, as interlaced_png_pixel_stats).
+
+_PNG16_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("interlaced", T.IntegerType()),
+    T.StructField("sum_c0", T.LongType()),
+    T.StructField("sum_c1", T.LongType()),
+    T.StructField("wsum_c0", T.LongType()),
+])
+
+
+def _planted_png16(k: int) -> bytes:
+    import numpy as np
+
+    w, h = k % 9 + 2, k % 7 + 2
+    y, x = np.ogrid[0:h, 0:w]
+    px = np.stack(
+        [(k * 37 + 257 * x + 521 * y + 10007 * c) % 65536 for c in range(2)],
+        axis=-1,
+    ).astype(">u2")
+    return MM.encode_png(
+        w, h, px.tobytes(), channels=2, filter_type=None,
+        interlace=(k % 2 == 0), bit_depth=16,
+    )
+
+
+def _png16_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for key in pdf["p_partkey"]:
+                kk = int(key) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_png16(kk)
+                w, h, ch, px = MM.decode_png16(memo[kk])
+                a = (
+                    np.frombuffer(px, dtype=">u2")
+                    .reshape(h, w, ch)
+                    .astype(np.int64)
+                )
+                s = a.sum(axis=(0, 1))
+                yy, xx = np.ogrid[0:h, 0:w]
+                wsum = int(((1 + xx + 2 * yy) * a[:, :, 0]).sum())
+                rows.append(
+                    (int(key), w, h, kk % 2 == 0 and 1 or 0,
+                     int(s[0]), int(s[1]), wsum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "px_width", "px_height", "interlaced",
+                         "sum_c0", "sum_c1", "wsum_c0"],
+            )
+
+    return p.mapInPandas(batches, _PNG16_STATS_SCHEMA)
+
+
+_PNG16_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 9 + 2 AS INT) AS px_width,
+    CAST(p_partkey % 1024 % 7 + 2 AS INT) AS px_height,
+    CAST(CASE WHEN p_partkey % 1024 % 2 = 0 THEN 1 ELSE 0 END AS INT)
+      AS interlaced
+  FROM part
+),
+xs AS (SELECT *, unnest(range(px_width)) AS x FROM dims),
+xy AS (SELECT *, unnest(range(px_height)) AS y FROM xs)
+SELECT p_partkey, px_width, px_height, interlaced,
+  CAST(SUM((k * 37 + 257 * x + 521 * y) % 65536) AS BIGINT) AS sum_c0,
+  CAST(SUM((k * 37 + 257 * x + 521 * y + 10007) % 65536) AS BIGINT) AS sum_c1,
+  CAST(SUM((1 + x + 2 * y) * ((k * 37 + 257 * x + 521 * y) % 65536))
+       AS BIGINT) AS wsum_c0
+FROM xy GROUP BY 1, 2, 3, 4
+"""
+
+register(QuerySpec(
+    "png16_pixel_stats", _png16_pixel_stats, _PNG16_STATS_SQL,
+    "REAL 16-bit-depth PNG decode (big-endian samples, 2-byte bpp "
+    "filters, interlace on even keys) verified by exact 16-bit "
+    "channel sums + placement-pinning weighted sum",
+    ("multimodal", "decode"),
+))

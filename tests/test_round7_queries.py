@@ -407,3 +407,48 @@ def test_bm25_rational_scoring_monotonicity(spark, tmp_path):
     assert 3 not in scores          # zero-tf docs never surface
     assert scores[0] > scores[1]    # tf monotone
     assert scores[2] > scores[1]    # shorter doc wins at equal tf
+
+
+# --- 16-bit PNG + MP4 census (round-7 part 4) -----------------------------
+
+def test_png16_round_trip_all_shapes():
+    rng = np.random.RandomState(5)
+    for w, h, ch in ((1, 1, 1), (3, 2, 3), (9, 13, 2), (8, 8, 4)):
+        px = (
+            rng.randint(0, 65536, size=h * w * ch, dtype=np.uint16)
+            .astype(">u2").tobytes()
+        )
+        for ft in (0, 3, None):
+            for il in (False, True):
+                b = MM.encode_png(
+                    w, h, px, channels=ch, filter_type=ft,
+                    interlace=il, bit_depth=16,
+                )
+                assert MM.decode_png16(b) == (w, h, ch, px), (w, h, ch, ft, il)
+
+
+def test_png16_depth_mismatch_is_loud():
+    px16 = bytes(3 * 2 * 3 * 2)
+    b16 = MM.encode_png(3, 2, px16, channels=3, bit_depth=16)
+    with pytest.raises(ValueError, match="wants depth 8"):
+        MM.decode_png(b16)
+    px8 = bytes(3 * 2 * 3)
+    b8 = MM.encode_png(3, 2, px8, channels=3)
+    with pytest.raises(ValueError, match="wants depth 16"):
+        MM.decode_png16(b8)
+    with pytest.raises(ValueError, match="palette PNG requires bit depth 8"):
+        MM.encode_png(3, 2, bytes(12), channels=1,
+                      palette=bytes(12), bit_depth=16)
+
+
+def test_mp4_track_census_walk():
+    b = MM.make_mp4_tracked(
+        2500, [(b"vide", [100, 250, 75]), (b"soun", [10] * 5)]
+    )
+    assert MM.mp4_track_census(b) == (2500, 2, 1, 1, 8, 475)
+    assert MM.parse_mp4_header(b) == 2500  # old parser still agrees
+    assert MM.mp4_track_census(b"not an mp4") is None
+    # zero-track file from the minimal builder
+    assert MM.mp4_track_census(MM.make_mp4(1234)) == (1234, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        MM.mp4_track_census(b[:-6])  # truncated box: loud
