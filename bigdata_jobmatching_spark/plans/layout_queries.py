@@ -140,5 +140,5 @@ register(QuerySpec(
     "zone-map (row-group min/max) pruning audit: rows/zones a 2-month "
     "shipdate predicate touches under ingest-order vs "
     "shipdate-clustered layouts — the measured value of a sort key",
-    ("layout", "agg", "warehouse"),
+    ("layout", "agg", "warehouse", "bench"),
 ))

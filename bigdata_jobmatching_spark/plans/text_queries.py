@@ -1540,5 +1540,5 @@ register(QuerySpec(
     "BM25 top-k lexical retrieval with fully rational scoring "
     "(k1=6/5, b=3/4, ratio idf) — exact micro-unit term scores, "
     "data-derived query terms, inverted-index plan shape",
-    ("text", "retrieval", "join"),
+    ("text", "retrieval", "join", "bench"),
 ))

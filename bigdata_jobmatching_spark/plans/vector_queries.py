@@ -1100,5 +1100,5 @@ register(QuerySpec(
     "argmin(dist*K+cid) encoding, non-negative shift so truncating "
     "and flooring integer division agree — cluster profile + first "
     "centroid coords fully value-oracled",
-    ("vector", "iterative", "ml"),
+    ("vector", "iterative", "ml", "bench"),
 ))

@@ -185,5 +185,5 @@ register(QuerySpec(
     "incremental view maintenance: refresh a materialized per-group "
     "aggregate from the change-data feed alone (delta path scales "
     "with |changes|) — hash-proven equal to a full v2 recompute",
-    ("versioned", "agg", "join"),
+    ("versioned", "agg", "join", "bench"),
 ))
