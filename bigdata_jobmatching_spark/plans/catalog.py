@@ -295,6 +295,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import domain_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
+    from . import index_queries  # noqa: F401
     from . import layout_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
@@ -303,6 +304,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import profiling_queries  # noqa: F401
     from . import relational_extra2  # noqa: F401
     from . import relational_extra4  # noqa: F401
+    from . import sketch_queries  # noqa: F401
     from . import skills_queries  # noqa: F401
     from . import temporal_queries  # noqa: F401
     from . import text_queries  # noqa: F401

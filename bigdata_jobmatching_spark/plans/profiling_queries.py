@@ -352,3 +352,109 @@ register(QuerySpec(
     "full-outer joins, one shuffle per edge)",
     ("profiling", "join", "quality"),
 ))
+
+
+# --- price_mad_outliers: robust per-brand outlier census --------------------
+# Median / median-absolute-deviation outlier detection over part
+# prices, the robust alternative to mean/stddev that a data-quality
+# gate wants (a single corrupted price moves the mean arbitrarily but
+# not the median). All arithmetic is exact BIGINT cents: prices are
+# half-up-rounded to cents once (floor(x*100 + 0.5) — one IEEE
+# multiply + floor, engine-identical), medians are the LOWER median
+# by row_number (no interpolation, no float averaging), deviations
+# and the 3*MAD fence are pure integers. Scale shape: two windowed
+# passes partitioned by brand; at 100 TB with billion-row groups the
+# same census would swap the exact window median for
+# percentile_approx — the fence arithmetic is unchanged.
+
+def _mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf, "part").select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long").alias("c"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("c")
+    ranked = p.select(
+        "p_brand", "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_brand")).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("p_brand", F.col("c").alias("med"))
+    )
+    dev = ranked.join(med, "p_brand").select(
+        "p_brand", "n", "c", F.abs(F.col("c") - F.col("med")).alias("d"),
+        "med",
+    )
+    wd = Window.partitionBy("p_brand").orderBy("d")
+    mad = (
+        dev.withColumn("rn2", F.row_number().over(wd))
+        .filter(F.col("rn2") == F.floor((F.col("n") + 1) / 2))
+        .select("p_brand", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(mad, "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.max("n").alias("n_parts"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .alias("n_outliers"),
+        )
+        .select(
+            "p_brand", "n_parts", "median_cents", "mad_cents", "n_outliers",
+            ratio6("n_outliers", "n_parts").alias("outlier_rate"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_MAD_SQL = f"""
+WITH cents AS (
+  SELECT p_brand,
+    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS c
+  FROM part
+),
+ranked AS (
+  SELECT p_brand, c,
+    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY c) AS rn,
+    COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM cents
+),
+med AS (
+  SELECT p_brand, c AS med FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT r.p_brand, r.n, r.c, abs(r.c - m.med) AS d, m.med
+  FROM ranked r JOIN med m ON r.p_brand = m.p_brand
+),
+mad AS (
+  SELECT p_brand, d AS mad FROM (
+    SELECT p_brand, d, n,
+      ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY d) AS rn2
+    FROM dev
+  ) WHERE rn2 = (n + 1) // 2
+)
+SELECT d.p_brand,
+  CAST(MAX(d.n) AS BIGINT) AS n_parts,
+  MAX(d.med) AS median_cents,
+  MAX(m.mad) AS mad_cents,
+  CAST(SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  {ratio6_sql("SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END)",
+              "MAX(d.n)")} AS outlier_rate
+FROM dev d JOIN mad m ON d.p_brand = m.p_brand
+GROUP BY d.p_brand
+ORDER BY d.p_brand
+"""
+
+register(QuerySpec(
+    "price_mad_outliers", _mad_outliers, _MAD_SQL,
+    "median/MAD robust outlier census per brand in exact BIGINT "
+    "cents: lower-median by row_number (no interpolation), 3*MAD "
+    "fence, outlier rate via pure-int ratio6",
+    ("profiling", "window", "quality"),
+))

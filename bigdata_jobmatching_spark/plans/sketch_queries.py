@@ -1,0 +1,332 @@
+"""Probabilistic-filter and sketch audits, value-verified.
+
+Three mergeable-summary structures a 100 TB engine leans on, each
+implemented with EXACT integer hash arithmetic so DuckDB reproduces
+every counter and the driver gate hash-checks the values (the same
+discipline as hll_registers_audit / minhash_md5_near_dups):
+
+- ``bloom_prefilter_audit``: a partitioned Bloom filter built from a
+  dimension's keys, broadcast and probed by the fact side — the
+  row-level runtime-filter join Spark 3.3+ injects automatically
+  (spark.sql.optimizer.runtime.bloomFilter.enabled); here built
+  explicitly so the false-positive economics are measurable.
+- ``countmin_user_estimates``: a d x w count-min sketch over event
+  actors; per-user upper-bound estimates (min across rows) against
+  exact counts — the mergeable frequency summary for skew detection
+  when exact per-key counts don't fit.
+- ``kmv_distinct_estimate``: k-minimum-values distinct-count sketch
+  (Bar-Yossef et al. 2002) per event type; (k-1) * 2^60 / h_(k) with
+  the exact-below-k rule. The estimate is two IEEE ops on identical
+  int inputs, so it is engine-identical.
+
+Hash family: h_i(x) = ((a_i * x + b_i) mod p) mod m with p = 2^31-1
+and fixed odd multipliers — pure int64, identical on both engines
+(a_i * x stays inside int64 for keys < 2.8e9; the test lake's keys
+are < 10^7, asserted in the scale-tier generator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .catalog import QuerySpec, ratio6, ratio6_sql, register
+
+_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_A = (2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263)
+_B = (97, 1_013, 40_503, 100_003)
+
+
+def _h(i: int, key: str, m: int) -> str:
+    """SQL text of hash row i over int column `key`, identical in
+    Spark and DuckDB (pure int64 ops, both engines use floored %
+    for non-negative operands)."""
+    return f"((({_A[i]} * CAST({key} AS BIGINT) + {_B[i]}) % {_P}) % {m})"
+
+
+# --- bloom_prefilter_audit: broadcast runtime-filter economics --------------
+# Build: k=3 hash rows over the BUILDING-segment customer keys, each
+# setting bits in its own m=8192 partition (a partitioned/blocked
+# Bloom filter — one array per hash keeps the dedup grain trivially
+# (i, pos)). Probe: every order's o_custkey. Classify probes into
+# true/false positives and negatives and measure the false-positive
+# rate among true non-members. Scale shape: the filter is THREE
+# sorted int arrays <= 8192 entries broadcast to every task — the
+# fact side is scanned once with zero shuffle (the groupBy at the end
+# aggregates 4 classification counters); this is exactly the shape of
+# an injected runtime bloom filter on a 100 TB fact join, where
+# skipping the shuffle of non-matching rows is the entire win.
+
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+def _bloom_audit(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # one row: the three bit arrays (sorted distinct positions)
+    bits = dim.agg(*[
+        F.sort_array(F.collect_set(
+            F.expr(_h(i, "c_custkey", _BLOOM_M)))).alias(f"bits{i}")
+        for i in range(_BLOOM_K)
+    ])
+    member = dim.select(F.col("c_custkey").alias("mk")).distinct()
+    probed = (
+        orders.select("o_custkey")
+        .crossJoin(F.broadcast(bits))
+        .join(F.broadcast(member), F.col("o_custkey") == F.col("mk"), "left")
+        .select(
+            F.col("mk").isNotNull().alias("is_member"),
+            (
+                F.array_contains(F.col("bits0"), F.expr(_h(0, "o_custkey", _BLOOM_M)))
+                & F.array_contains(F.col("bits1"), F.expr(_h(1, "o_custkey", _BLOOM_M)))
+                & F.array_contains(F.col("bits2"), F.expr(_h(2, "o_custkey", _BLOOM_M)))
+            ).alias("passes"),
+        )
+    )
+    bits_set = dim.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     F.expr(_h(i, "c_custkey", _BLOOM_M)).alias("pos"))
+            for i in range(_BLOOM_K)
+        ]))
+    ).select("col.*").distinct().agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        probed.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.when(F.col("passes") & ~F.col("is_member"), 1)
+                  .otherwise(0)).alias("n_false_pos"),
+            F.sum(F.when(~F.col("passes") & F.col("is_member"), 1)
+                  .otherwise(0)).alias("n_false_neg"),
+        )
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            "n_probes", "n_members", "n_pass", "n_false_pos",
+            # Bloom filters admit no false negatives — oracled as 0.
+            "n_false_neg", "bits_set",
+            ratio6("n_false_pos", "n_probes - n_members").alias("fp_rate"),
+            ratio6("bits_set", str(_BLOOM_K * _BLOOM_M)).alias("fill_frac"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    sets = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {_h(i, 'c_custkey', _BLOOM_M)} AS pos "
+        f"FROM customer WHERE c_mktsegment = 'BUILDING'"
+        for i in range(_BLOOM_K)
+    )
+    passes = " AND ".join(
+        f"{_h(i, 'o_custkey', _BLOOM_M)} IN (SELECT pos FROM bits WHERE i = {i})"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH bits AS (SELECT DISTINCT i, pos FROM ({sets})),
+dim AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+probed AS (
+  SELECT o_custkey IN (SELECT c_custkey FROM dim) AS is_member,
+         ({passes}) AS passes
+  FROM orders
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+    CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+    CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+    CAST(SUM(CASE WHEN passes AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+    CAST(SUM(CASE WHEN is_member AND NOT passes THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+  FROM probed
+)
+SELECT n_probes, n_members, n_pass, n_false_pos, n_false_neg,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+  {ratio6_sql("n_false_pos", "n_probes - n_members")} AS fp_rate,
+  {ratio6_sql("(SELECT COUNT(*) FROM bits)", str(_BLOOM_K * _BLOOM_M))} AS fill_frac
+FROM agg
+"""
+
+
+register(QuerySpec(
+    "bloom_prefilter_audit", _bloom_audit, _bloom_sql(),
+    "partitioned Bloom filter (k=3, m=8192) built from a dimension "
+    "filter, broadcast, probed by every fact row: TP/FP/FN census, "
+    "measured false-positive rate, fill fraction — the runtime-filter "
+    "join shape with exact cross-engine hash arithmetic",
+    ("sketch", "join", "audit"),
+))
+
+
+# --- countmin_user_estimates: count-min frequency sketch --------------------
+# d=4 x w=512 counter matrix over events.user_id; per-user estimate is
+# the min across the 4 rows — a guaranteed upper bound on the exact
+# count. Reported for the top 20 users by exact count, with the
+# overestimate explicit. Scale shape: the sketch is ONE 2048-row agg
+# (mergeable across partitions by construction — counters are sums);
+# the probe side joins the 2048-row counter table broadcast, so
+# per-key frequency bounds at 100 TB cost one map-side-combinable
+# shuffle regardless of key cardinality.
+
+_CM_D = 4
+_CM_W = 512
+
+
+def _countmin(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.expr(_h(i, "user_id", _CM_W)).alias("bucket"))
+        for i in range(_CM_D)
+    ])
+    counters = (
+        ev.select(F.explode(rows).alias("r"))
+        .groupBy("r.i", "r.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id"))),
+        ).filter(F.col("rn") <= 20).drop("rn")
+    )
+    probe = top.select(
+        "user_id", "exact_cnt", F.explode(rows).alias("r"))
+    return (
+        probe.join(F.broadcast(counters),
+                   (probe.r.i == counters.i) & (probe.r.bucket == counters.bucket))
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "user_id", "exact_cnt", "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
+
+
+def _countmin_sql() -> str:
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {_h(i, 'user_id', _CM_W)} AS bucket FROM events"
+        for i in range(_CM_D)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, exact_cnt, {i} AS i, "
+        f"{_h(i, 'user_id', _CM_W)} AS bucket FROM top"
+        for i in range(_CM_D)
+    )
+    return f"""
+WITH counters AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({buckets})
+  GROUP BY i, bucket
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, user_id LIMIT 20
+),
+probe AS ({probe_rows})
+SELECT p.user_id, p.exact_cnt,
+  MIN(c.cnt) AS cm_estimate,
+  MIN(c.cnt) - p.exact_cnt AS overestimate
+FROM probe p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.user_id
+"""
+
+
+register(QuerySpec(
+    "countmin_user_estimates", _countmin, _countmin_sql(),
+    "count-min sketch (4 x 512) over event actors: broadcast counter "
+    "matrix, min-across-rows upper-bound estimates vs exact counts "
+    "for the top-20 users, overestimate explicit",
+    ("sketch", "agg", "skew"),
+))
+
+
+# --- kmv_distinct_estimate: k-minimum-values distinct sketch ----------------
+# Per event type, hash each distinct user to the 60-bit md5 family,
+# keep the k=64 smallest, estimate |distinct| as (k-1) * 2^60 / h_(k)
+# (uniform order statistics); when fewer than k distinct values exist
+# the sketch IS the exact set. (k-1) * 2^60 is exact in double (small
+# int times a power of two) and the divide is one correctly-rounded
+# IEEE op, so the estimate is bit-identical on both engines. Scale
+# shape: the sketch state is 64 int64s per group — mergeable by
+# union+re-truncate — and computing it exactly is one agg plus a
+# bounded per-group window; the estimate-vs-exact gap is the audit.
+
+_KMV_K = 64
+_TWO60 = float(1 << 60)
+
+
+def _kmv(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    hashed = (
+        ev.select("event_type", "user_id").distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                   16, 10).cast("long").alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    per_type = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_distinct"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+        )
+    )
+    est = F.when(
+        F.col("kth_hash").isNotNull(),
+        F.lit(float(_KMV_K - 1) * _TWO60) / F.col("kth_hash").cast("double"),
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    return per_type.select(
+        "event_type", "exact_distinct", "kth_hash",
+        est.alias("kmv_estimate"),
+        (est - F.col("exact_distinct").cast("double")).alias("kmv_err"),
+    ).orderBy("event_type")
+
+
+_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+ranked AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+per_type AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+    MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, exact_distinct, kth_hash,
+  CASE WHEN kth_hash IS NOT NULL
+       THEN {float(_KMV_K - 1) * _TWO60} / CAST(kth_hash AS DOUBLE)
+       ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate,
+  CASE WHEN kth_hash IS NOT NULL
+       THEN {float(_KMV_K - 1) * _TWO60} / CAST(kth_hash AS DOUBLE)
+       ELSE CAST(exact_distinct AS DOUBLE) END
+    - CAST(exact_distinct AS DOUBLE) AS kmv_err
+FROM per_type
+ORDER BY event_type
+"""
+
+register(QuerySpec(
+    "kmv_distinct_estimate", _kmv, _KMV_SQL,
+    "k-minimum-values distinct sketch (k=64, 60-bit md5 hashes) per "
+    "event type: (k-1)*2^60/h_(k) estimate vs exact distinct, "
+    "exact-below-k rule, bit-identical IEEE arithmetic",
+    ("sketch", "agg", "distinct"),
+))

@@ -1,0 +1,146 @@
+"""Round-7 batch 2: index/sketch/robust-stats operator invariants.
+
+The value-level DuckDB twin check lives in tools/check_oracle.py and
+the driver gate; these tests pin the structural guarantees each
+operator advertises (Bloom = no false negatives, count-min = upper
+bound, winnowing = window coverage, MAD = fence sanity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from bigdata_jobmatching_spark.plans.catalog import load_all
+
+REGISTRY = load_all()
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].spark(spark, sf_dir).collect()
+
+
+# --- bloom_prefilter_audit --------------------------------------------------
+
+def test_bloom_no_false_negatives_and_consistent_counts(spark, sf_dir):
+    [r] = _rows(spark, sf_dir, "bloom_prefilter_audit")
+    assert r.n_false_neg == 0, "Bloom filters admit no false negatives"
+    assert r.n_pass == r.n_members + r.n_false_pos
+    assert 0 < r.bits_set <= 3 * 8192
+    assert 0.0 <= r.fp_rate <= 1.0
+    # the false-positive rate should be far below 1 at this fill
+    assert r.fp_rate < 0.5
+
+
+# --- countmin_user_estimates ------------------------------------------------
+
+def test_countmin_upper_bound(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "countmin_user_estimates")
+    assert 1 <= len(rows) <= 20  # top-20, fewer when the tier has fewer users
+    for r in rows:
+        assert r.cm_estimate >= r.exact_cnt, "CM sketch is an upper bound"
+        assert r.overestimate == r.cm_estimate - r.exact_cnt
+    # descending exact counts with user_id tie-break
+    keys = [(-r.exact_cnt, r.user_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+# --- kmv_distinct_estimate --------------------------------------------------
+
+def test_kmv_exact_below_k_and_positive(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "kmv_distinct_estimate")
+    assert rows
+    for r in rows:
+        if r.kth_hash is None:  # fewer than k distinct -> exact
+            assert r.kmv_estimate == float(r.exact_distinct)
+            assert r.kmv_err == 0.0
+        else:
+            assert r.exact_distinct >= 64
+            assert r.kmv_estimate > 0
+        # the planted estimator formula
+        if r.kth_hash is not None:
+            assert r.kmv_estimate == 63.0 * float(1 << 60) / float(r.kth_hash)
+
+
+# --- inverted_index_stats ---------------------------------------------------
+
+def test_inverted_index_invariants(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "inverted_index_stats")
+    assert rows
+    for r in rows:
+        assert 1 <= len(r.posting_head) <= 5
+        assert r.posting_head == sorted(r.posting_head)
+        assert r.cf >= r.df >= len(r.posting_head) if r.df < 5 else r.df >= 5
+        assert r.top_doc_tf >= 1
+    # df-descending order with cf/term tie-breaks
+    keys = [(-r.df, -r.cf, r.term) for r in rows]
+    assert keys == sorted(keys)
+
+
+# --- nb_token_label_stats ---------------------------------------------------
+
+def test_nb_scores_per_lang(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "nb_token_label_stats")
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.nb_score > 0
+        assert 0 <= r.df_in <= r.n_docs_lang
+    for lang, rs in by_lang.items():
+        assert len(rs) <= 10
+        keys = [(-r.nb_score, r.token) for r in rs]
+        assert keys == sorted(keys), f"{lang}: not score-ordered"
+
+
+# --- doc_winnowing_fingerprints ---------------------------------------------
+
+def _py_winnow(tokens: list[str], k: int = 3, w: int = 4):
+    """Reference winnowing: md5-60 k-gram hashes, min per w-window."""
+    grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    wins = [min(hs[j:j + w]) for j in range(len(hs) - w + 1)]
+    return hs, wins
+
+
+def test_winnowing_matches_reference_impl(spark, sf_dir):
+    from bigdata_jobmatching_spark.sources.io import load_table
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").limit(20).collect()
+    }
+    rows = {r.doc_id: r for r in _rows(spark, sf_dir, "doc_winnowing_fingerprints")}
+    import re
+    checked = 0
+    for doc_id, text in docs.items():
+        toks = [t for t in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if t]
+        hs, wins = _py_winnow(toks)
+        r = rows[doc_id]
+        assert r.n_grams == len(hs)
+        assert r.n_windows == len(wins)
+        assert r.n_fps == len(set(wins))
+        if wins:
+            assert r.fp_min == min(wins) and r.fp_max == max(wins)
+        checked += 1
+    assert checked == 20
+
+
+def test_winnowing_window_coverage(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "doc_winnowing_fingerprints"):
+        if r.n_windows > 0:
+            assert 1 <= r.n_fps <= r.n_windows
+            assert r.fp_density is not None and 0 < r.fp_density <= 1
+        else:
+            assert r.n_fps == 0 and r.fp_density is None
+
+
+# --- price_mad_outliers -----------------------------------------------------
+
+def test_mad_fence_sanity(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "price_mad_outliers")
+    assert rows
+    for r in rows:
+        assert r.mad_cents >= 0
+        assert r.median_cents > 0
+        assert 0 <= r.n_outliers <= r.n_parts
+        assert 0.0 <= r.outlier_rate <= 1.0
+        # a 3*MAD fence on unimodal data should flag a small minority
+        assert r.n_outliers <= r.n_parts / 2
