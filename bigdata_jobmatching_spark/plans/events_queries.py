@@ -1462,3 +1462,165 @@ register(QuerySpec(
     "session_window twin",
     ("events", "window", "sessionization"),
 ))
+
+
+# --- events_theilsen_slope: robust trend (median of pairwise slopes) -------
+# The Theil-Sen estimator: per event type, the MEDIAN of all pairwise
+# slopes (y_j - y_i) / (x_j - x_i) over daily-count points — the
+# robust twin of event_type_trend_slope's OLS (a 29%-breakdown
+# estimator: one corrupted day cannot move it). Each slope is ONE
+# IEEE division of two exact int64s (engine-identical); the median is
+# the LOWER median by row_number — no float averaging anywhere. Scale
+# shape: the pair join runs on the collapsed (type, day) grain —
+# #days^2/2 pairs per type, never corpus rows; for decade-long ranges
+# bound it by pairing each day only with the next 90 (the windowed
+# Theil-Sen variant) — the fence arithmetic is unchanged.
+
+def _theilsen(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    pts = daily.select(
+        "event_type",
+        F.datediff("day", F.lit(_SLOPE_ANCHOR).cast("date"))
+        .cast("long").alias("x"),
+        "y",
+    )
+    a = pts.select("event_type", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = pts.select("event_type", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xi") < F.col("xj"))
+        .select(
+            "event_type",
+            ((F.col("yj") - F.col("yi")).cast("double")
+             / (F.col("xj") - F.col("xi")).cast("double")).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("event_type", "n_pairs",
+                F.col("slope").alias("theilsen_slope"))
+        .orderBy("event_type")
+    )
+
+
+_THEILSEN_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type,
+    CAST(datediff('day', DATE '{_SLOPE_ANCHOR}', day) AS BIGINT) AS x, y
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+  SELECT event_type, slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+  slope AS theilsen_slope
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+register(QuerySpec(
+    "events_theilsen_slope", _theilsen, _THEILSEN_SQL,
+    "Theil-Sen robust trend per event type: lower-median of all "
+    "pairwise daily-count slopes (each ONE exact-int IEEE divide), "
+    "pair join on the collapsed (type, day) grain",
+    ("events", "window", "robust"),
+))
+
+
+# --- events_distribution_drift: event-mix drift between time halves --------
+# Population-drift audit: split the observed day range at its
+# midpoint, compare each event type's share of the first half vs the
+# second. The share delta is computed as the exact cross-multiplied
+# integer cnt1*T2 - cnt2*T1 over T1*T2 through sratio6 — no float
+# shares are ever subtracted (the L1/total-variation building block,
+# the log-free stand-in for PSI/KL drift scores). Scale shape: one
+# map-side-combinable (type, half) aggregation; the day-range scalars
+# broadcast. Headroom: cnt*T stays in int64 up to ~3e9 events; shard
+# time first beyond that.
+
+def _drift(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    days = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(_SLOPE_ANCHOR).cast("date"))
+        .cast("long").alias("x"),
+    )
+    rng = days.agg(
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    halved = days.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        (F.col("x") <= F.floor((F.col("x_min") + F.col("x_max")) / 2))
+        .alias("first_half"),
+    )
+    per = halved.groupBy("event_type").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("cnt1"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("cnt2"),
+    )
+    tot = per.agg(
+        F.sum("cnt1").alias("t1"), F.sum("cnt2").alias("t2"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "cnt1", "cnt2",
+            ratio6("cnt1", "t1").alias("share1"),
+            ratio6("cnt2", "t2").alias("share2"),
+            sratio6("cnt1 * t2 - cnt2 * t1", "t1 * t2").alias("share_drift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DRIFT_SQL = f"""
+WITH days AS (
+  SELECT event_type,
+    CAST(datediff('day', DATE '{_SLOPE_ANCHOR}', CAST(ts AS DATE)) AS BIGINT) AS x
+  FROM events
+),
+rng AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM days),
+per AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN x <= (x_min + x_max) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+    CAST(SUM(CASE WHEN x > (x_min + x_max) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS cnt2
+  FROM days CROSS JOIN rng
+  GROUP BY event_type
+),
+tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS t1, CAST(SUM(cnt2) AS BIGINT) AS t2 FROM per)
+SELECT event_type, cnt1, cnt2,
+  {ratio6_sql("cnt1", "t1")} AS share1,
+  {ratio6_sql("cnt2", "t2")} AS share2,
+  {sratio6_sql("cnt1 * t2 - cnt2 * t1", "t1 * t2")} AS share_drift
+FROM per CROSS JOIN tot
+ORDER BY event_type
+"""
+
+register(QuerySpec(
+    "events_distribution_drift", _drift, _DRIFT_SQL,
+    "event-mix drift between the first and second half of the day "
+    "range: exact cross-multiplied share deltas (the total-variation "
+    "building block), no float share subtraction",
+    ("events", "agg", "quality"),
+))

@@ -288,3 +288,429 @@ register(QuerySpec(
     "zero shuffles beyond the scan fan-out",
     ("text", "dedup", "fingerprint"),
 ))
+
+
+# --- rrf_hybrid_fusion: reciprocal-rank fusion of sparse + dense ------------
+# The hybrid-retrieval composition every RAG/search stack runs: one
+# query (document 0 / vector 0), a BM25 lexical ranking over the
+# corpus and an exact cosine dense ranking over the embeddings
+# (vec_id aligns 1:1 with doc_id in the lake), fused with
+# RRF(d) = sum over lists of 1e6 div (60 + rank_d) in pure integers.
+# Both input lists are truncated to their top-100 BEFORE fusion (the
+# standard k-bounded RRF — at 100 TB neither ranking ever
+# materializes beyond its cutoff). Sparse scores reuse bm25_topk's
+# fully rational DECIMAL(38) formula (k1=6/5, b=3/4, ratio idf);
+# dense ranks come from the proven brute-force cosine family. The
+# only corpus-sized exchanges are the two index aggregations; the
+# fusion itself is a 200-row full-outer join.
+
+_RRF_K = 60
+_RRF_CUT = 100
+_RRF_TOP = 15
+
+
+def _rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import similarity_search as ANN
+
+    d = fan_out(load_table(spark, sf, "documents"))
+    e = load_table(spark, sf, "embeddings")
+
+    # dense arm: exact cosine ranks against vector 0
+    dense = (
+        ANN.brute_force_topk(
+            e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+            k=_RRF_CUT, score_decimals=6,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rnk").cast("long").alias("dense_rank"))
+    )
+
+    # sparse arm: BM25 over the 3 strongest terms of document 0
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    vocab = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") == 0)
+        .withColumn("qrn", F.row_number().over(
+            Window.orderBy(F.desc("tf"), F.asc("w"))))
+        .filter(F.col("qrn") <= 3)
+        .join(vocab, "w")
+        .select("w", "df")
+    )
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    big = "CAST({} AS DECIMAL(38,0))"
+    num = (
+        F.expr(big.format("n_docs + 1")) * 22 * F.col("tf") * F.col("t_tokens")
+    )
+    den = F.expr(big.format("df + 1")) * (
+        F.expr(big.format("10 * tf")) * F.col("t_tokens")
+        + 3 * F.col("t_tokens")
+        + F.expr(big.format("9 * dl")) * F.col("n_docs")
+    )
+    sparse = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(scalars))
+        .select("doc_id", (num * 2_000_000 + den).alias("__n"),
+                (2 * den).alias("__d"))
+        .select("doc_id", F.expr("__n div __d").cast("long").alias("tm"))
+        .groupBy("doc_id")
+        .agg(F.sum("tm").cast("long").alias("score_micro"))
+        .withColumn("sparse_rank", F.row_number().over(
+            Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))).cast("long"))
+        .filter(F.col("sparse_rank") <= _RRF_CUT)
+        .select("doc_id", "sparse_rank")
+    )
+
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id", "sparse_rank", "dense_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + sparse_rank)"), F.lit(0))
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + dense_rank)"), F.lit(0))
+            ).cast("long").alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+_RRF_SQL = f"""
+WITH dense AS (
+  SELECT neighbor_id AS doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY s DESC, neighbor_id ASC) AS BIGINT)
+      AS dense_rank
+  FROM (
+    SELECT c.vec_id AS neighbor_id,
+      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS s
+    FROM embeddings c
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE c.vec_id != 0
+  )
+  QUALIFY dense_rank <= {_RRF_CUT}
+),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+vocab AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+qterms AS (
+  SELECT t.w, v.df FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY tf DESC, w ASC) AS qrn
+    FROM tf WHERE doc_id = 0
+  ) t JOIN vocab v ON t.w = v.w
+  WHERE t.qrn <= 3
+),
+scalars AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+scored AS (
+  SELECT t.doc_id,
+    (CAST(s.n_docs + 1 AS HUGEINT) * 22 * t.tf * s.t_tokens * 2000000
+     + CAST(q.df + 1 AS HUGEINT)
+       * (CAST(10 * t.tf AS HUGEINT) * s.t_tokens + 3 * s.t_tokens
+          + CAST(9 * d.dl AS HUGEINT) * s.n_docs))
+    // (2 * CAST(q.df + 1 AS HUGEINT)
+          * (CAST(10 * t.tf AS HUGEINT) * s.t_tokens + 3 * s.t_tokens
+             + CAST(9 * d.dl AS HUGEINT) * s.n_docs)) AS tm
+  FROM tf t
+  JOIN qterms q ON t.w = q.w
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN scalars s
+  WHERE t.doc_id != 0
+),
+sparse AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY SUM(tm) DESC, doc_id ASC) AS BIGINT)
+      AS sparse_rank
+  FROM scored GROUP BY doc_id
+  QUALIFY sparse_rank <= {_RRF_CUT}
+)
+SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+  s.sparse_rank, d.dense_rank,
+  CAST(COALESCE(1000000 // ({_RRF_K} + s.sparse_rank), 0)
+     + COALESCE(1000000 // ({_RRF_K} + d.dense_rank), 0) AS BIGINT)
+    AS rrf_micro
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {_RRF_TOP}
+"""
+
+register(QuerySpec(
+    "rrf_hybrid_fusion", _rrf_fusion, _RRF_SQL,
+    "reciprocal-rank fusion of a BM25 lexical ranking and an exact "
+    "cosine dense ranking for one query document (k-bounded top-100 "
+    "lists, 1e6 div (60+rank) integer RRF, 200-row fusion join)",
+    ("text", "vector", "retrieval", "join"),
+))
+
+
+# --- source_vocab_jaccard: vocabulary overlap between sources ---------------
+# Which sources speak the same language? Distinct (source, token)
+# grain, then a token-equality self-join counting intersections and
+# inclusion-exclusion for the union — Jaccard per source pair. Scale
+# shape: the grain collapse happens FIRST (corpus rows -> |V| x
+# sources), the self-join runs on the collapsed grain, and the pair
+# matrix is #sources^2 rows. The hot-token skew of a raw-corpus
+# self-join never appears because each (source, token) is distinct.
+
+def _source_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    st = (
+        d.select("source", F.explode(F.array_distinct(
+            X.tokens(F.col("text")))).alias("token"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_inter",
+            (F.col("va") + F.col("vb") - F.col("n_inter")).alias("n_union"),
+            ratio6("n_inter", "va + vb - n_inter").alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SRC_JACCARD_SQL = f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_distinct({_SQL_TOKS})) AS token
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_inter,
+  sa.n_vocab + sb.n_vocab - i.n_inter AS n_union,
+  {ratio6_sql("i.n_inter", "sa.n_vocab + sb.n_vocab - i.n_inter")} AS jaccard
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+ORDER BY i.src_a, i.src_b
+"""
+
+register(QuerySpec(
+    "source_vocab_jaccard", _source_jaccard, _SRC_JACCARD_SQL,
+    "pairwise vocabulary Jaccard between sources on the collapsed "
+    "distinct (source, token) grain — inclusion-exclusion union, "
+    "skew-free self-join",
+    ("text", "dedup", "join"),
+))
+
+
+# --- token_simpson_diversity: log-free lexical diversity per source ---------
+# Gini-Simpson diversity 1 - sum(p_i^2): the probability two randomly
+# drawn tokens differ — the log-free cousin of Shannon entropy (the
+# same monotone-surrogate discipline as bigram_pmi_topk), so it is
+# exactly representable in integers: sum(cnt^2) and total^2 are pure
+# int64 (headroom: total <= 3e9 tokens per source before total^2
+# overflows; shard the source first beyond that). One aggregation to
+# (source, token), one to source.
+
+def _simpson(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    cnts = (
+        d.select("source", F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cnts.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        )
+        .select(
+            "source", "n_tokens", "n_distinct",
+            (F.lit(1.0) - ratio6("sum_sq", "n_tokens * n_tokens"))
+            .alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+_SIMPSON_SQL = f"""
+WITH cnts AS (
+  SELECT source, token, COUNT(*) AS cnt
+  FROM (SELECT source, unnest({_SQL_TOKS}) AS token FROM documents)
+  GROUP BY source, token
+)
+SELECT source,
+  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  1.0 - {ratio6_sql("SUM(cnt * cnt)", "SUM(cnt) * SUM(cnt)")}
+    AS simpson_diversity
+FROM cnts
+GROUP BY source
+ORDER BY source
+"""
+
+register(QuerySpec(
+    "token_simpson_diversity", _simpson, _SIMPSON_SQL,
+    "Gini-Simpson lexical diversity per source (1 - sum p^2, the "
+    "log-free entropy surrogate) in exact integer arithmetic",
+    ("text", "agg", "quality"),
+))
+
+
+# --- greedy_vocab_cover: submodular data selection (greedy max-cover) -------
+# The data-selection primitive behind coverage-driven corpus pruning:
+# greedily pick K documents maximizing NEW vocabulary covered (the
+# classic (1 - 1/e) greedy for monotone submodular functions; ties
+# break to the smallest doc_id). The coverage universe is the BIGRAM
+# vocabulary (unigrams saturate in one pick on small tiers; bigrams
+# keep the marginal-gain curve meaningful). Each round is one
+# anti-join against the covered set + one argmax aggregation — the
+# covered set is the union of <= K documents' vocabularies, so it
+# stays broadcastable at any corpus scale; the corpus-sized grain is
+# touched once per round (and is checkpointed once, so the K rounds
+# never re-derive it). Rounds that find no doc with uncovered units
+# emit nothing (both engines), so the output is exactly the
+# achievable prefix of K picks with gains and the cumulative
+# covered-vocabulary size.
+
+_COVER_K = 5
+
+
+def _greedy_cover(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = X.tokens(F.col("text"))
+    bigrams = F.array_distinct(F.transform(
+        X.shingle_starts(F.size(toks), 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    ))
+    # the (doc, bigram) grain is small relative to the corpus (one
+    # row per DISTINCT bigram per doc); 8 partitions keeps the K
+    # argmax rounds from paying 32-task scheduling overhead each —
+    # at a bigger tier fan_out's default width takes over upstream
+    dt = (
+        d.select("doc_id", F.explode(bigrams).alias("token"))
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    covered: DataFrame | None = None
+    picked: DataFrame | None = None
+    out: DataFrame | None = None
+    for r in range(1, _COVER_K + 1):
+        remaining = dt
+        if covered is not None:
+            remaining = remaining.join(F.broadcast(covered), "token", "left_anti")
+        if picked is not None:
+            remaining = remaining.join(F.broadcast(picked), "doc_id", "left_anti")
+        gains = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("gain"))
+        # each round's pick and covered set are tiny (1 row / <= K doc
+        # vocabularies) — eager-checkpoint them so round r+1's plan
+        # starts from materialized state instead of re-deriving the
+        # whole prefix chain (the standard iterative-algorithm
+        # lineage cut, same reason k-means/PageRank truncate lineage)
+        best = gains.agg(
+            F.max(F.struct(F.col("gain"),
+                           (-F.col("doc_id")).alias("nd"))).alias("b")
+        ).select(
+            F.lit(r).alias("pick_rank"),
+            (-F.col("b.nd")).alias("doc_id"),
+            F.col("b.gain").alias("gain"),
+        ).localCheckpoint(eager=True)
+        new_tokens = dt.join(
+            F.broadcast(best.select("doc_id")), "doc_id", "left_semi"
+        ).select("token")
+        covered = (
+            new_tokens if covered is None
+            else covered.union(new_tokens).distinct()
+        ).localCheckpoint(eager=True)
+        row = best.crossJoin(
+            F.broadcast(covered.agg(
+                F.count(F.lit(1)).alias("covered_total"))))
+        picked = (
+            best.select("doc_id") if picked is None
+            else picked.union(best.select("doc_id"))
+        )
+        out = row if out is None else out.union(row)
+    assert out is not None
+    return out.filter(F.col("doc_id").isNotNull()).orderBy("pick_rank")
+
+
+def _greedy_cover_sql() -> str:
+    parts = [
+        "dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(bgs) AS token FROM ("
+        "SELECT doc_id, list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - 1, 0) + 1), "
+        "i -> array_to_string(toks[i:i+1], ' '))) AS bgs "
+        f"FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)))"
+    ]
+    prev_cov = None
+    pick_names = []
+    for r in range(1, _COVER_K + 1):
+        conds = []
+        if prev_cov:
+            # NOT EXISTS (not NOT IN): DuckDB plans it as an anti
+            # hash join instead of a per-row subquery scan
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM {prev_cov} c "
+                f"WHERE c.token = dt.token)")
+        if pick_names:
+            union_ids = " UNION ALL ".join(
+                f"SELECT doc_id FROM {p}" for p in pick_names)
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM ({union_ids}) pk "
+                f"WHERE pk.doc_id = dt.doc_id)")
+        where = ("WHERE " + " AND ".join(conds)) if conds else ""
+        parts.append(
+            f"g{r} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain "
+            f"FROM dt {where} GROUP BY doc_id)")
+        parts.append(
+            f"p{r} AS (SELECT doc_id, gain FROM g{r} "
+            f"ORDER BY gain DESC, doc_id LIMIT 1)")
+        new_cov = (
+            f"SELECT DISTINCT token FROM dt "
+            f"WHERE doc_id IN (SELECT doc_id FROM p{r})"
+        )
+        if prev_cov:
+            parts.append(
+                f"c{r} AS MATERIALIZED (SELECT token FROM {prev_cov} UNION {new_cov})")
+        else:
+            parts.append(f"c{r} AS MATERIALIZED ({new_cov})")
+        prev_cov = f"c{r}"
+        pick_names.append(f"p{r}")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS pick_rank, doc_id, gain, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_total "
+        f"FROM p{r}"
+        for r in range(1, _COVER_K + 1)
+    )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT * FROM ({selects}) ORDER BY pick_rank")
+
+
+register(QuerySpec(
+    "greedy_vocab_cover", _greedy_cover, _greedy_cover_sql(),
+    "greedy submodular max-cover data selection: K rounds of "
+    "anti-join + argmax picking the document adding the most NEW "
+    "vocabulary (broadcastable covered set, ties to smallest doc_id)",
+    ("text", "mixing", "iterative"),
+))

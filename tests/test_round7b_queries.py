@@ -144,3 +144,85 @@ def test_mad_fence_sanity(spark, sf_dir):
         assert 0.0 <= r.outlier_rate <= 1.0
         # a 3*MAD fence on unimodal data should flag a small minority
         assert r.n_outliers <= r.n_parts / 2
+
+
+# --- rrf_hybrid_fusion --------------------------------------------------------
+
+def test_rrf_fusion_arithmetic(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "rrf_hybrid_fusion")
+    assert rows
+    for r in rows:
+        expect = 0
+        if r.sparse_rank is not None:
+            assert 1 <= r.sparse_rank <= 100
+            expect += 1_000_000 // (60 + r.sparse_rank)
+        if r.dense_rank is not None:
+            assert 1 <= r.dense_rank <= 100
+            expect += 1_000_000 // (60 + r.dense_rank)
+        assert r.rrf_micro == expect
+        assert r.doc_id != 0  # the query document never ranks itself
+    keys = [(-r.rrf_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+# --- greedy_vocab_cover -------------------------------------------------------
+
+def test_greedy_cover_submodular(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "greedy_vocab_cover")
+    assert rows and rows[0].pick_rank == 1
+    prev_gain, prev_cov = None, 0
+    for r in rows:
+        # greedy on a submodular objective: marginal gains never increase
+        if prev_gain is not None:
+            assert r.gain <= prev_gain
+        # coverage accounting: each pick adds exactly its gain
+        assert r.covered_total == prev_cov + r.gain
+        assert r.gain > 0
+        prev_gain, prev_cov = r.gain, r.covered_total
+    # picked docs are unique
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == len(ids)
+
+
+# --- events_theilsen_slope ----------------------------------------------------
+
+def test_theilsen_pair_counts(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_theilsen_slope")
+    assert rows
+    for r in rows:
+        # n_pairs = d*(d-1)/2 for some integer day count d
+        d = int((1 + (1 + 8 * r.n_pairs) ** 0.5) / 2)
+        assert d * (d - 1) // 2 == r.n_pairs, r
+        assert r.theilsen_slope == r.theilsen_slope  # not NaN
+
+
+# --- events_distribution_drift ------------------------------------------------
+
+def test_drift_shares_sum_to_one(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_distribution_drift")
+    assert rows
+    s1 = sum(r.share1 for r in rows)
+    s2 = sum(r.share2 for r in rows)
+    assert abs(s1 - 1.0) < 1e-4 and abs(s2 - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.share1 <= 1.0 and 0.0 <= r.share2 <= 1.0
+        assert abs(r.share_drift - (r.share1 - r.share2)) < 5e-6
+
+
+# --- source_vocab_jaccard / token_simpson_diversity ---------------------------
+
+def test_vocab_jaccard_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "source_vocab_jaccard")
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_inter <= r.n_union
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "token_simpson_diversity")
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert 0.0 <= r.simpson_diversity < 1.0
