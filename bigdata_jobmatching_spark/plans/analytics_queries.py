@@ -702,3 +702,77 @@ register(QuerySpec(
     "sketch is proven, only the estimate is approximate",
     ("analytics", "approx", "agg"),
 ))
+
+
+# --- priority_rate_by_price_decile: binned target-rate (calibration) -------
+# The supervised-learning diagnostic: bin orders into totalprice
+# deciles (ntile over exact cents with an orderkey tie-break, so the
+# binning is a total order both engines agree on) and measure the
+# URGENT-priority rate per bin — the calibration-curve/WOE-binning
+# input, kept log-free as exact count ratios. Scale shape: ntile is
+# a global sort at this grain; at 100 TB the same census swaps ntile
+# for pre-computed quantile fences (order_price_deciles) and a range
+# join — the per-bin rate arithmetic is unchanged.
+
+def _rate_by_decile(spark: SparkSession, sf: str) -> DataFrame:
+    from .catalog import ratio6 as _r6
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+    binned = o.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("cents"), F.col("o_orderkey"))),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("is_urgent"), 1).otherwise(0))
+            .alias("n_urgent"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "decile", "n_orders", "n_urgent", "min_cents", "max_cents",
+            _r6("n_urgent", "n_orders").alias("urgent_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+from .catalog import ratio6_sql as _r6s_cal  # noqa: E402
+
+_RATE_DECILE_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    o_orderpriority = '1-URGENT' AS is_urgent
+  FROM orders
+),
+binned AS (
+  SELECT *, NTILE(10) OVER (ORDER BY cents, o_orderkey) AS decile FROM o
+)
+SELECT decile,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+  MIN(cents) AS min_cents,
+  MAX(cents) AS max_cents,
+  {_r6s_cal("SUM(CASE WHEN is_urgent THEN 1 ELSE 0 END)", "COUNT(*)")}
+    AS urgent_rate
+FROM binned
+GROUP BY decile
+ORDER BY decile
+"""
+
+register(QuerySpec(
+    "priority_rate_by_price_decile", _rate_by_decile, _RATE_DECILE_SQL,
+    "binned target-rate calibration: exact-cents price deciles "
+    "(ntile with orderkey tie-break) x URGENT-priority rate, the "
+    "WOE-binning input as pure count ratios",
+    ("analytics", "window", "ml"),
+))

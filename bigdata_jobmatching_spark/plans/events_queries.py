@@ -1624,3 +1624,98 @@ register(QuerySpec(
     "building block), no float share subtraction",
     ("events", "agg", "quality"),
 ))
+
+
+# --- events_cusum_changepoint: exact CUSUM change-point detection -----------
+# Per event type: the day where the cumulative sum of deviations from
+# the mean daily count peaks in magnitude — the classic CUSUM
+# change-point statistic. The deviation sum is kept exact by cross-
+# multiplication: S_d = sum_{i<=d} (y_i * n - T) (i.e. n * the usual
+# (y_i - T/n) partial sum, an integer), so the argmax day and the
+# peak magnitude are bit-identical on both engines with no float
+# accumulation. Scale shape: the corpus collapses to (type, day)
+# grain first; the cumulative window runs per type over day order —
+# hundreds of rows per partition regardless of event volume.
+
+def _cusum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    pts = daily.select(
+        "event_type",
+        F.datediff("day", F.lit(_SLOPE_ANCHOR).cast("date"))
+        .cast("long").alias("x"),
+        "y",
+    )
+    per = Window.partitionBy("event_type")
+    cum = (
+        pts.withColumn("n", F.count(F.lit(1)).over(per))
+        .withColumn("t", F.sum("y").over(per))
+        .withColumn(
+            "s",
+            F.sum(F.col("y") * F.col("n") - F.col("t")).over(
+                per.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    best = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.max(F.struct(
+            F.abs(F.col("s")).alias("a"),
+            (-F.col("x")).alias("nx"),
+            F.col("s").alias("sv"),
+        )).alias("b"),
+    )
+    return best.select(
+        "event_type", "n_days",
+        (-F.col("b.nx")).alias("cp_day"),
+        F.col("b.a").alias("cusum_peak_scaled"),
+        F.when(F.col("b.sv") >= 0, F.lit(1)).otherwise(F.lit(-1))
+        .alias("direction"),
+    ).orderBy("event_type")
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type,
+    CAST(datediff('day', DATE '{_SLOPE_ANCHOR}', day) AS BIGINT) AS x, y
+  FROM daily
+),
+scal AS (
+  SELECT event_type, x, y,
+    COUNT(*) OVER (PARTITION BY event_type) AS n,
+    SUM(y) OVER (PARTITION BY event_type) AS t
+  FROM pts
+),
+cum AS (
+  SELECT event_type, x, n,
+    SUM(y * n - t)
+      OVER (PARTITION BY event_type ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM scal
+),
+ranked AS (
+  SELECT event_type, n, x, s,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(s) DESC, x ASC) AS rn
+  FROM cum
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  x AS cp_day,
+  CAST(abs(s) AS BIGINT) AS cusum_peak_scaled,
+  CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END AS INT) AS direction
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+register(QuerySpec(
+    "events_cusum_changepoint", _cusum, _CUSUM_SQL,
+    "CUSUM change-point per event type: peak |cumulative deviation| "
+    "day over exact cross-multiplied integers (S_d = sum(y*n - T)), "
+    "cumulative window on the collapsed (type, day) grain",
+    ("events", "window", "robust"),
+))

@@ -223,17 +223,40 @@ _WIN_K = 3   # tokens per gram
 _WIN_W = 4   # grams per window
 
 
+def _shift(c: Column, by: int) -> Column:
+    """The array minus its first ``by`` elements (element-aligned
+    shift for zip_with sliding-window composition)."""
+    return F.slice(c, by + 1, F.greatest(F.size(c) - by, F.lit(0)))
+
+
 def _winnowing(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
     toks = X.tokens(F.col("text"))
-    grams = F.transform(
-        X.shingle_starts(F.size(toks), _WIN_K),
-        lambda i: _md5_60(F.concat_ws(" ", F.slice(toks, i, _WIN_K))),
+    # k-grams and window minima via shift-and-zip, NOT per-position
+    # slice() inside transform(): slicing per element copies O(n) per
+    # gram -> O(n^2) per document (measured 13x superlinear at the
+    # sf1 tier); zip_with over shifted arrays is element-wise, O(n)
+    # per pass and 2 passes for w=4 (pairwise min, then min-of-pairs
+    # 2 apart). Spark's zip_with NULL-PADS the shorter side to the
+    # longer, so each composed array is re-sliced to the true sliding
+    # length (the padded tail mixes in nulls and must never be read:
+    # concat_ws skips nulls and least ignores them — silently wrong).
+    def _win(c: Column, by: int, f) -> Column:
+        return F.slice(
+            F.zip_with(c, _shift(c, by), f),
+            1, F.greatest(F.size(c) - by, F.lit(0)),
+        )
+
+    g2 = _win(toks, 1, lambda a, b: F.concat_ws(" ", a, b))
+    g3 = F.slice(
+        F.zip_with(g2, _shift(toks, 2),
+                   lambda a, c: F.concat_ws(" ", a, c)),
+        1, F.greatest(F.size(toks) - 2, F.lit(0)),
     )
-    wins = F.transform(
-        X.shingle_starts(F.size(F.col("hs")), _WIN_W),
-        lambda j: F.array_min(F.slice(F.col("hs"), j, _WIN_W)),
-    )
+    grams = F.transform(g3, _md5_60)
+    hs = F.col("hs")
+    wins = _win(_win(hs, 1, lambda a, b: F.least(a, b)), 2,
+                lambda a, b: F.least(a, b))
     fps = F.array_distinct(F.col("wins"))
     return (
         d.select("doc_id", grams.alias("hs"))
@@ -286,7 +309,7 @@ register(QuerySpec(
     "winnowing fingerprint selection (k-gram md5 hashes, min per "
     "sliding window, distinct survivors) — per-document array math, "
     "zero shuffles beyond the scan fan-out",
-    ("text", "dedup", "fingerprint"),
+    ("text", "dedup", "fingerprint", "bench"),
 ))
 
 
@@ -450,7 +473,7 @@ register(QuerySpec(
     "reciprocal-rank fusion of a BM25 lexical ranking and an exact "
     "cosine dense ranking for one query document (k-bounded top-100 "
     "lists, 1e6 div (60+rank) integer RRF, 200-row fusion join)",
-    ("text", "vector", "retrieval", "join"),
+    ("text", "vector", "retrieval", "join", "bench"),
 ))
 
 
@@ -599,17 +622,20 @@ _COVER_K = 5
 def _greedy_cover(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
     toks = X.tokens(F.col("text"))
-    bigrams = F.array_distinct(F.transform(
-        X.shingle_starts(F.size(toks), 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    # bigrams via shift-and-zip (element-wise, O(n) per doc) rather
+    # than per-position slice() in transform() (O(n^2) per doc — the
+    # winnowing lesson above); zip_with null-pads, so slice back to
+    # the true n-1 length before the nulls are read
+    bigrams = F.array_distinct(F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1, F.greatest(F.size(toks) - 1, F.lit(0)),
     ))
-    # the (doc, bigram) grain is small relative to the corpus (one
-    # row per DISTINCT bigram per doc); 8 partitions keeps the K
-    # argmax rounds from paying 32-task scheduling overhead each —
-    # at a bigger tier fan_out's default width takes over upstream
     dt = (
         d.select("doc_id", F.explode(bigrams).alias("token"))
-        .repartition(8)
         .localCheckpoint(eager=True)
     )
     covered: DataFrame | None = None

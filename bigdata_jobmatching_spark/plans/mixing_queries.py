@@ -1006,3 +1006,74 @@ register(QuerySpec(
     "integers, no cross-engine pow/ln)",
     ("mixing", "sampling", "window"),
 ))
+
+
+# --- grouped_kfold_assignment: leakage-free cross-validation folds ---------
+# GroupKFold for event data: every event of a user lands in the fold
+# of its USER (fold = affine-hash(user_id) mod 5), so no user's
+# behavior leaks across the train/validation boundary — the split a
+# sequence-model evaluation needs (splitting raw events leaks). The
+# fold function is the pure-int64 affine family (engine-identical),
+# and the audit reports per-fold user/event counts and shares — the
+# balance check before trusting the fold variance. One aggregation
+# at (fold, user) grain, one at fold grain.
+
+_KF_A, _KF_B, _KF_P, _KF_K = 2_654_435_761, 40_503, 2_147_483_647, 5
+_KF_EXPR = f"((({_KF_A} * CAST(user_id AS BIGINT) + {_KF_B}) % {_KF_P}) % {_KF_K})"
+
+
+def _kfold(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_user = (
+        ev.select(F.expr(_KF_EXPR).alias("fold"), "user_id")
+        .groupBy("fold", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    per_fold = per_user.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )
+    tot = per_fold.agg(
+        F.sum("n_users").cast("long").alias("tu"),
+        F.sum("n_events").cast("long").alias("te"),
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .select(
+            "fold", "n_users", "n_events",
+            ratio6("n_users", "tu").alias("user_share"),
+            ratio6("n_events", "te").alias("event_share"),
+        )
+        .orderBy("fold")
+    )
+
+
+_KFOLD_SQL = f"""
+WITH per_user AS (
+  SELECT {_KF_EXPR} AS fold, user_id, COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+per_fold AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(n_ev) AS BIGINT) AS n_events
+  FROM per_user GROUP BY fold
+),
+tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+    CAST(SUM(n_events) AS BIGINT) AS te
+  FROM per_fold
+)
+SELECT fold, n_users, n_events,
+  {ratio6_sql("n_users", "tu")} AS user_share,
+  {ratio6_sql("n_events", "te")} AS event_share
+FROM per_fold CROSS JOIN tot
+ORDER BY fold
+"""
+
+register(QuerySpec(
+    "grouped_kfold_assignment", _kfold, _KFOLD_SQL,
+    "GroupKFold split audit: every user's events land in one fold "
+    "(affine int64 hash mod 5, zero leakage by construction), "
+    "per-fold user/event counts and balance shares",
+    ("mixing", "ml", "agg"),
+))

@@ -154,7 +154,7 @@ register(QuerySpec(
     "filter, broadcast, probed by every fact row: TP/FP/FN census, "
     "measured false-positive rate, fill fraction — the runtime-filter "
     "join shape with exact cross-engine hash arithmetic",
-    ("sketch", "join", "audit"),
+    ("sketch", "join", "audit", "bench"),
 ))
 
 
@@ -245,7 +245,7 @@ register(QuerySpec(
     "count-min sketch (4 x 512) over event actors: broadcast counter "
     "matrix, min-across-rows upper-bound estimates vs exact counts "
     "for the top-20 users, overestimate explicit",
-    ("sketch", "agg", "skew"),
+    ("sketch", "agg", "skew", "bench"),
 ))
 
 

