@@ -230,47 +230,68 @@ def _shift(c: Column, by: int) -> Column:
 
 
 def _winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    # Two evaluation traps shape this query (measured 275 s -> 1 s at
+    # the sf1 tier across the fixes):
+    #
+    # 1. No common-subexpression elimination inside higher-order-
+    #    function lambdas: `slice(hs, j, w)` per window re-evaluates
+    #    the WHOLE upstream hs expression (tokenize + md5) once per
+    #    window -> O(n^2) md5 passes per document. The window minima
+    #    are instead composed shift-and-zip (zip_with the array with
+    #    its shifted self: pairwise least, then min-of-pairs 2 apart
+    #    for w=4) — element-wise, constant re-evaluation. zip_with
+    #    NULL-PADS the shorter side, so every composed array is
+    #    re-sliced to the true sliding length before the padded tail
+    #    is read (concat_ws skips nulls, least ignores them —
+    #    silently wrong values the DuckDB gate would catch).
+    # 2. CollapseProject inlines aliased columns into every consumer:
+    #    seven stat columns referencing `wins` re-run the whole chain
+    #    seven times. Each stage is let-bound (functions/binding.py)
+    #    so it evaluates once, and the multi-column result leaves the
+    #    expression through ONE exploded single-element struct — a
+    #    generator barrier projections cannot collapse through.
+    from ..functions.binding import let
+
     d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
-    # k-grams and window minima via shift-and-zip, NOT per-position
-    # slice() inside transform(): slicing per element copies O(n) per
-    # gram -> O(n^2) per document (measured 13x superlinear at the
-    # sf1 tier); zip_with over shifted arrays is element-wise, O(n)
-    # per pass and 2 passes for w=4 (pairwise min, then min-of-pairs
-    # 2 apart). Spark's zip_with NULL-PADS the shorter side to the
-    # longer, so each composed array is re-sliced to the true sliding
-    # length (the padded tail mixes in nulls and must never be read:
-    # concat_ws skips nulls and least ignores them — silently wrong).
+
     def _win(c: Column, by: int, f) -> Column:
         return F.slice(
             F.zip_with(c, _shift(c, by), f),
             1, F.greatest(F.size(c) - by, F.lit(0)),
         )
 
-    g2 = _win(toks, 1, lambda a, b: F.concat_ws(" ", a, b))
-    g3 = F.slice(
-        F.zip_with(g2, _shift(toks, 2),
-                   lambda a, c: F.concat_ws(" ", a, c)),
-        1, F.greatest(F.size(toks) - 2, F.lit(0)),
-    )
-    grams = F.transform(g3, _md5_60)
-    hs = F.col("hs")
-    wins = _win(_win(hs, 1, lambda a, b: F.least(a, b)), 2,
-                lambda a, b: F.least(a, b))
-    fps = F.array_distinct(F.col("wins"))
-    return (
-        d.select("doc_id", grams.alias("hs"))
-        .select("doc_id", F.size("hs").alias("n_grams"), wins.alias("wins"))
-        .select(
-            "doc_id", "n_grams",
-            F.size("wins").alias("n_windows"),
-            F.size(fps).alias("n_fps"),
-            F.array_min(fps).alias("fp_min"),
-            F.array_max(fps).alias("fp_max"),
-            F.when(
-                F.size("wins") > 0, ratio6("size(array_distinct(wins))", "size(wins)")
-            ).alias("fp_density"),
+    def _stats(fp: Column, w: Column, hs: Column) -> Column:
+        nf, nw = F.size(fp), F.size(w)
+        density = F.when(
+            nw > 0,
+            # ratio6's exact half-up int rescale; counts are far below
+            # 2^53 so the double divide+floor equals integer div
+            F.floor((nf * 2_000_000 + nw) / (2 * nw)).cast("double")
+            / F.lit(1_000_000.0),
         )
+        return F.struct(
+            F.size(hs).alias("n_grams"), nw.alias("n_windows"),
+            nf.alias("n_fps"), F.array_min(fp).alias("fp_min"),
+            F.array_max(fp).alias("fp_max"), density.alias("fp_density"),
+        )
+
+    body = let(X.tokens(F.col("text")), lambda tk: let(
+        F.slice(
+            F.zip_with(
+                _win(tk, 1, lambda a, b: F.concat_ws(" ", a, b)),
+                _shift(tk, 2), lambda a, c: F.concat_ws(" ", a, c)),
+            1, F.greatest(F.size(tk) - 2, F.lit(0)),
+        ),
+        lambda g3: let(F.transform(g3, _md5_60), lambda hs: let(
+            _win(_win(hs, 1, lambda a, b: F.least(a, b)), 2,
+                 lambda a, b: F.least(a, b)),
+            lambda w: let(F.array_distinct(w),
+                          lambda fp: _stats(fp, w, hs)),
+        )),
+    ))
+    return (
+        d.select("doc_id", F.explode(F.array(body)).alias("s"))
+        .select("doc_id", "s.*")
         .orderBy("doc_id")
     )
 
