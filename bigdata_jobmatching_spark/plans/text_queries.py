@@ -426,17 +426,22 @@ register(QuerySpec(
 # excluded on both engines.
 
 def _rep_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.binding import let
+
     d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
 
     def grams(n: int):
-        return F.when(
-            F.size(toks) >= n,
+        # The tokenize chain is let-bound (functions/binding.py): the
+        # transform lambda below otherwise re-evaluates the regex split
+        # once PER SHINGLE POSITION — O(n^2) regex work per document
+        # (the winnowing HOF-lambda trap, measured 56x there).
+        return let(X.tokens(F.col("text")), lambda tk: F.when(
+            F.size(tk) >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")))
 
     def stats(n: int, label: str) -> DataFrame:
         g = d.select("doc_id", F.explode(grams(n)).alias("g"))
@@ -497,31 +502,47 @@ register(QuerySpec(
 # (no 5-grams) on both engines.
 
 def _dup_ngram_frac(spark: SparkSession, sf: str) -> DataFrame:
-    d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
+    from ..functions.binding import let
 
-    def grams(n: int):
+    d = fan_out(load_table(spark, sf, "documents"))
+
+    def grams(tk, n: int):
         return F.when(
-            F.size(toks) >= n,
+            F.size(tk) >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def stats(n: int, label: str) -> DataFrame:
-        g = d.select("doc_id", grams(n).alias("gs")).filter(F.size("gs") > 0)
-        return g.select(
-            "doc_id",
-            F.size("gs").alias(f"n_{label}"),
-            F.size(F.array_distinct("gs")).alias(f"d_{label}"),
-        )
+    def pair(tk, n: int):
+        # let-bind the gram array so total/distinct sizes read ONE
+        # materialized value instead of re-building the shingles twice.
+        return let(grams(tk, n), lambda g: F.struct(
+            F.size(g).alias("n"), F.size(F.array_distinct(g)).alias("d")))
 
-    j = stats(5, "g5").join(stats(8, "g8"), "doc_id", "left")
-    return j.select(
+    # Tokenize once per row; emit all four counters through a single
+    # exploded one-element struct — a generator barrier CollapseProject
+    # cannot inline through (the winnowing lesson, SCALING.md).
+    body = let(X.tokens(F.col("text")), lambda tk: F.struct(
+        pair(tk, 5).alias("g5"), pair(tk, 8).alias("g8")))
+
+    flat = (
+        d.select("doc_id", F.explode(F.array(body)).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.g5.n").alias("n_g5"), F.col("s.g5.d").alias("d_g5"),
+            F.col("s.g8.n").alias("n_g8"), F.col("s.g8.d").alias("d_g8"),
+        )
+        .filter(F.col("n_g5") > 0)
+    )
+    return flat.select(
         "doc_id",
-        ratio6(f"n_g5 - d_g5", "n_g5").alias("dup_5gram_frac"),
-        F.coalesce(ratio6("n_g8 - d_g8", "n_g8"), F.lit(0.0)).alias("dup_8gram_frac"),
+        ratio6("n_g5 - d_g5", "n_g5").alias("dup_5gram_frac"),
+        # n_g8 = 0 for docs with < 8 tokens (the old left-join NULL):
+        # guard before ratio6 so ANSI mode never sees a 0 divisor.
+        F.when(F.col("n_g8") > 0, ratio6("n_g8 - d_g8", "n_g8"))
+        .otherwise(F.lit(0.0)).alias("dup_8gram_frac"),
     )
 
 
