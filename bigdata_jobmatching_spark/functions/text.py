@@ -61,6 +61,22 @@ def tokens(c: Column) -> Column:
     )
 
 
+def bigram_zip(c: Column) -> Column:
+    """Adjacent-token pairs of ``c``'s text as ``array<struct<0,1>>``:
+    arrays_zip of the token array with its shift-by-one self.
+
+    The token array is let-bound (binding.let): the zip shape
+    references it four times (two sizes, two slices), and inlining
+    the tokenize chain would re-run the regex normalize+split 4x per
+    row — the constant-factor cousin of the per-shingle HOF trap
+    (SCALING.md round-7 addendum 3).
+    """
+    return let(tokens(c), lambda tk: F.arrays_zip(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+    ))
+
+
 def content_tokens(c: Column, stopwords: tuple[str, ...] = FRENCH_STOPWORDS, min_len: int = 3) -> Column:
     """Tokens minus stopwords and short tokens (deduplicate.py:64-67:
     keep words with len > 2 that are not stopwords)."""

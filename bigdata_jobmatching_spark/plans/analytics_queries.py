@@ -58,12 +58,7 @@ register(QuerySpec(
 
 def _bigrams(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
-    pairs = d.select(F.explode(zipped).alias("p")).select(
+    pairs = d.select(F.explode(X.bigram_zip(F.col("text"))).alias("p")).select(
         F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram")
     )
     return (
@@ -482,13 +477,9 @@ _PMI_TOPK = 50
 
 def _bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
+    zipped = X.bigram_zip(F.col("text"))
     uni = (
-        d.select(F.explode(toks).alias("w"))
+        d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     )
     totals = uni.agg(
@@ -501,7 +492,9 @@ def _bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_ab") >= _PMI_MIN_N)
     )
     n_bi = (
-        d.select((F.greatest(F.size(toks) - 1, F.lit(0))).alias("k"))
+        d.select(
+            F.greatest(F.size(X.tokens(F.col("text"))) - 1, F.lit(0)).alias("k")
+        )
         .agg(F.sum("k").cast("long").alias("n_bi"))
     )
     scored = (

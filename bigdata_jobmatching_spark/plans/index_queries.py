@@ -641,20 +641,23 @@ _COVER_K = 5
 
 
 def _greedy_cover(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.binding import let
+
     d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
     # bigrams via shift-and-zip (element-wise, O(n) per doc) rather
     # than per-position slice() in transform() (O(n^2) per doc — the
     # winnowing lesson above); zip_with null-pads, so slice back to
-    # the true n-1 length before the nulls are read
-    bigrams = F.array_distinct(F.slice(
+    # the true n-1 length before the nulls are read. Tokens are
+    # let-bound: the zip shape references them four times, and inline
+    # they'd re-run the tokenize regex 4x per row.
+    bigrams = let(X.tokens(F.col("text")), lambda tk: F.array_distinct(F.slice(
         F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            tk,
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
-        1, F.greatest(F.size(toks) - 1, F.lit(0)),
-    ))
+        1, F.greatest(F.size(tk) - 1, F.lit(0)),
+    )))
     dt = (
         d.select("doc_id", F.explode(bigrams).alias("token"))
         .localCheckpoint(eager=True)

@@ -365,12 +365,7 @@ def _repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_c"),
     )
-    toks = X.tokens(F.col("text"))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
-    big = d.select("doc_id", F.explode(zipped).alias("p")).select(
+    big = d.select("doc_id", F.explode(X.bigram_zip(F.col("text"))).alias("p")).select(
         "doc_id", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bg")
     )
     per_big = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
@@ -921,12 +916,7 @@ register(QuerySpec(
 
 def _bigram_commonness(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    toks = X.tokens(F.col("text"))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
-    bg = d.select("doc_id", F.explode(zipped).alias("p")).select(
+    bg = d.select("doc_id", F.explode(X.bigram_zip(F.col("text"))).alias("p")).select(
         "doc_id", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bg")
     )
     global_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("gc"))
