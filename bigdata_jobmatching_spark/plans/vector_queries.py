@@ -377,6 +377,100 @@ register(QuerySpec(
 ))
 
 
+# --- ann_recall_audit: measured recall@k of the approximate ANN paths -----
+# The question every ANN deployment must answer before trading exact
+# search for buckets: what fraction of the TRUE top-k does each
+# approximate path return? Composes three already-value-verified
+# queries — brute-force cosine top-k (ground truth), LSH top-k
+# (4 tables x 8 bits) and fixed-centroid IVF top-k (8 cells, 2
+# probes), all over the same query set and k — and counts per-query
+# overlap. Every side ranks on 6dp-rounded scores with neighbor-id
+# tie-breaks, so membership (and therefore recall) is deterministic
+# and hash-verified, not a flaky float comparison. At 100 TB the
+# shape is unchanged: the approximate paths never do all-pairs work,
+# the truth side is a k-bounded broadcast-query pass you run on a
+# SAMPLE of queries (here the query set already is the 1-in-50
+# sample), and the hit joins move only (query_id, neighbor_id) pairs
+# bounded by k per query.
+
+def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    exact = ANN.brute_force_topk(
+        e, queries, "vec_id", "embedding", k=10, score_decimals=6
+    ).select("query_id", "neighbor_id")
+    lsh = ANN.lsh_ann_topk(
+        e, queries, "vec_id", "embedding",
+        dim=_LSH_DIM, k=_LSH_K, tables=_LSH_TABLES, bits=_LSH_BITS,
+        score_decimals=6,
+    ).select("query_id", "neighbor_id")
+    ivf = ANN.ivf_topk_fixed(
+        e, queries, "vec_id", "embedding",
+        centroids=ANN.lcg_centroids(_IVF_CELLS, _IVF_DIM),
+        n_probe=_IVF_PROBE, k=_IVF_K, score_decimals=6,
+    ).select("query_id", "neighbor_id")
+
+    # Every post-ANN relation is k-bounded (n_queries * k rows), and
+    # all sides are duplicate-free on (query_id, neighbor_id): two
+    # broadcast left joins flag each true neighbor as found-by-LSH /
+    # found-by-IVF (no fanout), and ONE aggregation produces counts
+    # and hits — the composition adds a single shuffle beyond the
+    # three pipelines' own.
+    flagged = (
+        exact
+        .join(F.broadcast(lsh.withColumn("inl", F.lit(1))),
+              ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(ivf.withColumn("ini", F.lit(1))),
+              ["query_id", "neighbor_id"], "left")
+    )
+    j = flagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("inl", F.lit(0))).cast("long").alias("lsh_hits"),
+        F.sum(F.coalesce("ini", F.lit(0))).cast("long").alias("ivf_hits"),
+    )
+    return j.select(
+        "query_id", "n_exact", "lsh_hits", "ivf_hits",
+        ratio6("lsh_hits", "n_exact").alias("lsh_recall"),
+        ratio6("ivf_hits", "n_exact").alias("ivf_recall"),
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH exact_raw AS ({_ANN_SQL}),
+exact AS (SELECT query_id, neighbor_id FROM exact_raw),
+lsh_raw AS ({_lsh_oracle_sql(_LSH_TABLES, _LSH_BITS, _LSH_DIM, _LSH_K)}),
+ivf_raw AS ({_ivf_oracle_sql(_IVF_CELLS, _IVF_PROBE, _IVF_DIM, _IVF_K)}),
+base AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+hl AS (
+  SELECT x.query_id, COUNT(*) AS lh FROM exact x
+  JOIN lsh_raw l ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+  GROUP BY 1
+),
+hi AS (
+  SELECT x.query_id, COUNT(*) AS ih FROM exact x
+  JOIN ivf_raw i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+  GROUP BY 1
+)
+SELECT b.query_id, b.n_exact,
+  CAST(COALESCE(hl.lh, 0) AS BIGINT) AS lsh_hits,
+  CAST(COALESCE(hi.ih, 0) AS BIGINT) AS ivf_hits,
+  {ratio6_sql('COALESCE(hl.lh, 0)', 'b.n_exact')} AS lsh_recall,
+  {ratio6_sql('COALESCE(hi.ih, 0)', 'b.n_exact')} AS ivf_recall
+FROM base b
+LEFT JOIN hl ON b.query_id = hl.query_id
+LEFT JOIN hi ON b.query_id = hi.query_id
+"""
+
+register(QuerySpec(
+    "ann_recall_audit", _ann_recall, _ANN_RECALL_SQL,
+    "measured recall@k of the LSH and fixed-centroid-IVF ANN paths vs "
+    "brute-force cosine ground truth (per-query hit counts, exact-"
+    "integer recall ratios — the accuracy/cost dial every ANN "
+    "deployment tunes)",
+    ("vector", "ann", "audit"),
+))
+
+
 # --- ann_cosine_range: threshold range search (broadcast queries) ---------
 # The range-query sibling of ann_cosine_topk: ALL corpus vectors with
 # rounded cosine above a threshold per query (radius search — the
