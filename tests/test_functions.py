@@ -282,3 +282,35 @@ def test_from_json_strict_schema(spark):
     assert out["missing"] == (True, None)
     assert out["junk"] == (True, None)     # malformed -> null field
     assert out["null"] == (False, None)
+
+
+def test_bigram_zip_edges(spark):
+    """bigram_zip (the shared let-bound pair builder) must yield
+    n-1 adjacent pairs, and crucially ZERO pairs for empty or
+    single-token text — the split('') -> [''] edge the tokens()
+    guard exists for, composed through arrays_zip."""
+    rows = [
+        ("three", "alpha beta gamma"),
+        ("one", "alpha"),
+        ("empty", ""),
+        ("punct", "!!!"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {
+        r.id: r.pairs
+        for r in df.select(
+            "id",
+            F.transform(
+                X.bigram_zip(F.col("text")),
+                lambda p: F.concat_ws(" ", p["0"], p["1"]),
+            ).alias("pairs"),
+        ).collect()
+    }
+    assert out["three"] == ["alpha beta", "beta gamma"]
+    assert out["one"] == []
+    assert out["empty"] == []
+    assert out["punct"] == []  # normalize strips to nothing
+    # NULL text propagates to a NULL array (not []): explode()
+    # emits zero rows either way, so the query grain is identical.
+    assert out["null"] is None
