@@ -151,6 +151,17 @@ def mean_word_length(c: Column) -> Column:
     return let(tokens(c), _mean_word_length)
 
 
+def _quality_from_tokens(toks: Column, c: Column, stopwords: tuple[str, ...]) -> Column:
+    n_tok = F.size(toks)
+    mwl = _mean_word_length(toks)
+    swr = F.when(F.size(toks) > 0, _stopword_hits(toks, stopwords) / F.size(toks)).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    sw_ok = F.when(swr >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    return (length_ok + mwl_ok + sw_ok + punct_ok) / F.lit(4.0)
+
+
 def quality_score(c: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
     """Composite document-quality score in [0, 1].
 
@@ -160,17 +171,49 @@ def quality_score(c: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -
     stopword presence, low punctuation noise. Tokens are let-bound so
     the tokenize chain runs once per row across all four signals.
     """
-    def body(toks: Column) -> Column:
-        n_tok = F.size(toks)
-        mwl = _mean_word_length(toks)
-        swr = F.when(F.size(toks) > 0, _stopword_hits(toks, stopwords) / F.size(toks)).otherwise(F.lit(0.0))
-        length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
-        mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
-        sw_ok = F.when(swr >= 0.05, 1.0).otherwise(0.0)
-        punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
-        return (length_ok + mwl_ok + sw_ok + punct_ok) / F.lit(4.0)
+    return let(tokens(c), lambda tk: _quality_from_tokens(tk, c, stopwords))
 
-    return let(tokens(c), body)
+
+def quality_token_struct(c: Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
+    """``struct(score, n_tokens)`` from ONE let-bound tokenize.
+
+    For band-then-budget queries that need both signals: calling
+    quality_score and token_count separately runs the normalize+split
+    chain twice per row, and at corpus scale those regex passes ARE
+    the query cost (SCALING.md round-7 addendum 4). Consume through an
+    exploded one-element struct so the two fields stay one evaluation.
+    """
+    return let(tokens(c), lambda tk: F.struct(
+        _quality_from_tokens(tk, c, stopwords).alias("score"),
+        F.size(tk).cast("long").alias("n_tokens"),
+    ))
+
+
+def doc_stat_struct(c: Column) -> Column:
+    """The five doc_stats signals from ONE normalize + ONE split —
+    ``struct(n_tokens, n_chars, n_bpe_tokens, punct_ratio,
+    mean_word_len)``.
+
+    The standalone helpers each re-run the two-regex normalize chain
+    (token_count + bpe_ish_token_count + mean_word_length cost three
+    normalizes and three splits per row); fused, the row costs two
+    normalize regexes + one split + the punct regex. Values are
+    bit-identical: same guarded-split tokens, same aggregates.
+    """
+    def from_toks(tk: Column) -> Column:
+        bpe = F.aggregate(
+            F.transform(tk, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.size(tk).cast("long").alias("n_tokens"),
+            char_count(c).alias("n_chars"),
+            bpe.alias("n_bpe_tokens"),
+            punct_ratio(c).alias("punct_ratio"),
+            _mean_word_length(tk).alias("mean_word_len"),
+        )
+
+    return let(tokens(c), from_toks)
 
 
 def lang_scores(c: Column) -> dict[str, Column]:

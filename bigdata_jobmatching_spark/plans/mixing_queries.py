@@ -72,10 +72,19 @@ register(QuerySpec(
 
 def _budget(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    per_doc = d.select(
-        "doc_id",
-        F.round(X.quality_score(F.col("text")), 2).alias("band"),
-        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    # quality_score + token_count share ONE tokenize via the fused
+    # struct (functions/text.quality_token_struct), consumed through
+    # an exploded one-element struct so the regex chain runs once.
+    per_doc = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(X.quality_token_struct(F.col("text")))).alias("qt"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("qt.score"), 2).alias("band"),
+            F.col("qt.n_tokens").cast("long").alias("n_tokens"),
+        )
     )
     bands = per_doc.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
     # cumsum-from-the-top as a broadcast triangle self-join: for ~100
@@ -632,10 +641,19 @@ register(QuerySpec(
 
 def _curriculum(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    per_doc = d.select(
-        "doc_id",
-        F.round(X.quality_score(F.col("text")), 2).alias("band"),
-        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    # quality_score + token_count share ONE tokenize via the fused
+    # struct (functions/text.quality_token_struct), consumed through
+    # an exploded one-element struct so the regex chain runs once.
+    per_doc = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(X.quality_token_struct(F.col("text")))).alias("qt"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("qt.score"), 2).alias("band"),
+            F.col("qt.n_tokens").cast("long").alias("n_tokens"),
+        )
     )
     bands = per_doc.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -25,14 +25,15 @@ _SQL_TOKS = f"CASE WHEN {_SQL_NORM} = '' THEN [] ELSE string_split({_SQL_NORM}, 
 
 def _doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        X.token_count(t).alias("n_tokens"),
-        X.char_count(t).alias("n_chars"),
-        X.bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        X.punct_ratio(t).alias("punct_ratio"),
-        X.mean_word_length(t).alias("mean_word_len"),
+    # One fused normalize+split feeds all five signals
+    # (functions/text.doc_stat_struct); the five standalone helpers
+    # would re-run the normalize regex chain three times per row.
+    # Emitted through an exploded one-element struct — the generator
+    # barrier that keeps CollapseProject from re-inlining the chain
+    # into every output column (the winnowing lesson, SCALING.md).
+    return (
+        d.select("doc_id", F.explode(F.array(X.doc_stat_struct(F.col("text")))).alias("s"))
+        .select("doc_id", "s.*")
     )
 
 
