@@ -647,14 +647,22 @@ register(QuerySpec(
 # slice. Both counts are exact integers; the ratio is ratio6.
 
 def _fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.binding import let
+
     d = fan_out(load_table(spark, sf, "documents"))
-    t = F.col("text")
+    # ws + bpe from ONE let-bound tokenize through the exploded-struct
+    # barrier — token_count + bpe_ish_token_count separately would run
+    # the normalize regex chain twice per row (SCALING.md addendum 6).
+    body = let(X.tokens(F.col("text")), lambda tk: F.struct(
+        F.size(tk).cast("long").alias("ws"),
+        F.aggregate(
+            F.transform(tk, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("bpe"),
+    ))
     return (
-        d.select(
-            "source",
-            X.token_count(t).alias("ws"),
-            X.bpe_ish_token_count(t).alias("bpe"),
-        )
+        d.select("source", F.explode(F.array(body)).alias("s"))
+        .select("source", F.col("s.ws").alias("ws"), F.col("s.bpe").alias("bpe"))
         .groupBy("source")
         .agg(
             F.sum("ws").alias("n_words"),
