@@ -230,6 +230,35 @@ _DRIVER_VERIFIED_R06: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R07: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r07.json (49/50; the one ERR,
+        # inverted_index_stats, was an array-typed output column — fixed
+        # in round 8 and deliberately NOT listed so it re-enters the
+        # window as unproven)
+        "active_nations_union", "ann_recall_audit", "bloom_prefilter_audit",
+        "bm25_topk", "bpe_apply_fertility", "copurchase_label_propagation",
+        "countmin_user_estimates", "customer_order_distribution",
+        "customers_without_orders", "doc_winnowing_fingerprints",
+        "embedding_kmeans_exact", "events_cusum_changepoint",
+        "events_daily_by_type", "events_distribution_drift",
+        "events_hourly_windows", "events_json_props",
+        "events_multi_grain_rollup", "events_session_spans",
+        "events_sessionization", "events_theilsen_slope", "events_type_mix",
+        "fk_integrity_audit", "gif_frame_census", "greedy_vocab_cover",
+        "grouped_kfold_assignment", "hll_registers_audit",
+        "incremental_agg_refresh", "interlaced_png_pixel_stats",
+        "kmv_distinct_estimate", "mp4_track_census", "nb_token_label_stats",
+        "order_price_deciles", "order_priority_check", "order_priority_mix",
+        "palette_png_pixel_stats", "part_size_rollup", "png16_pixel_stats",
+        "price_mad_outliers", "priority_rate_by_price_decile",
+        "promo_revenue_share", "q1_pricing_summary", "q3_top_unshipped",
+        "q5_region_revenue", "rrf_hybrid_fusion", "source_vocab_jaccard",
+        "token_simpson_diversity", "user_funnel_conversion",
+        "vocab_coverage_curve", "zonemap_pruning_audit",
+    }
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -251,6 +280,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (4, _DRIVER_VERIFIED_R04),
     (5, _DRIVER_VERIFIED_R05),
     (6, _DRIVER_VERIFIED_R06),
+    (7, _DRIVER_VERIFIED_R07),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(

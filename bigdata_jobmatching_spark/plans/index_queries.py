@@ -72,7 +72,14 @@ def _inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+        # comma-join the (already window-sliced) head: the driver's pandas
+        # canonicalizer cannot hash raw list cells, same rule as
+        # customer_order_history (analytics_queries.py:23-26).
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("posting_head")
+        )
     )
     return (
         stats.join(head, "term")
@@ -105,7 +112,7 @@ SELECT t.term,
   CAST(SUM(t.tf) AS BIGINT) AS cf,
   MAX(CASE WHEN r.brn = 1 THEN r.tf END) AS top_doc_tf,
   MAX(CASE WHEN r.brn = 1 THEN r.doc_id END) AS top_doc_id,
-  (list_sort(list(t.doc_id)))[1:5] AS posting_head
+  array_to_string((list_sort(list(t.doc_id)))[1:5], ',') AS posting_head
 FROM tf t
 JOIN ranked r ON t.term = r.term AND t.doc_id = r.doc_id
 GROUP BY t.term

@@ -443,6 +443,26 @@ def test_oracle_types_map_exactly_onto_spark_dtypes(sf_dir):
     )
 
 
+def test_oracle_audit_rejects_top_level_complex_types():
+    """Round-7 blind spot, closed: the audit used to recurse into LIST
+    element types and bless BIGINT[], but the driver's pandas
+    canonicalizer cannot hash/sort list cells at all, so ANY top-level
+    LIST/STRUCT/MAP output column is gate-incompatible by construction
+    (the exact TypeError that nulled inverted_index_stats in r07)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.oracle_type_audit import type_problems
+
+    assert type_problems("BIGINT[]") is not None
+    assert type_problems("VARCHAR[]") is not None
+    assert type_problems("STRUCT(a BIGINT, b VARCHAR)") is not None
+    assert type_problems("MAP(VARCHAR, BIGINT)") is not None
+    assert type_problems("BIGINT") is None
+    assert type_problems("DECIMAL(38,0)") is None
+    assert type_problems("VARCHAR") is None
+
+
 def test_bench_plan_shapes_do_not_regress(spark, sf_dir):
     """Plan-shape regression guard: every bench-tagged query's current
     physical plan must not have MORE shuffles / cartesians / Python

@@ -81,7 +81,16 @@ def _leaf_types(duck_type: str) -> list[str]:
 
 def type_problems(duck_type: str) -> str | None:
     """Return a reason string if ``duck_type`` is gate-unsafe, else None."""
-    for leaf in _leaf_types(duck_type):
+    t = duck_type.strip()
+    # Top-level LIST/STRUCT/MAP output columns are gate-incompatible BY
+    # CONSTRUCTION regardless of their element types: the driver's pandas
+    # canonicalizer sorts the result frame, and pandas cannot hash/sort
+    # list/dict cells (`TypeError: unhashable type: 'list'` — the exact
+    # failure that nulled inverted_index_stats in CORRECTNESS_r07).
+    # Serialize to a string first (array_join / array_to_string).
+    if t.endswith("[]") or t.startswith(("STRUCT(", "MAP(", "UNION(")):
+        return f"top-level complex type {t} (pandas canonicalizer cannot sort it)"
+    for leaf in _leaf_types(t):
         if leaf.startswith("DECIMAL("):
             continue  # Spark DecimalType is exact up to (38, s)
         if leaf not in _EXACT_SPARK_TYPES:
