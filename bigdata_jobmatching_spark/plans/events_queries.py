@@ -1559,8 +1559,15 @@ register(QuerySpec(
 # shares are ever subtracted (the L1/total-variation building block,
 # the log-free stand-in for PSI/KL drift scores). Scale shape: one
 # map-side-combinable (type, half) aggregation; the day-range scalars
-# broadcast. Headroom: cnt*T stays in int64 up to ~3e9 events; shard
-# time first beyond that.
+# broadcast. Headroom (r7 ADVICE correction): the binding bound is
+# sratio6's internal x2,000,000 rescale — worst-case
+# abs(cnt1*t2 - cnt2*t1) ~ t1*t2, so t1*t2*2e6 must stay in int64,
+# i.e. ~2.1e6 events per half (NOT the ~3e9 a bare cnt*T product
+# suggests); rescale counts to per-thousand units first beyond that.
+# Degenerate splits (every event in one half — single-day lakes) make
+# t1 or t2 zero: DuckDB errors loudly on the zero divisor while
+# non-ANSI Spark would yield NULL shares, so the guard below raises
+# on the Spark side too — both engines fail loudly, neither diverges.
 
 def _drift(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -1582,6 +1589,19 @@ def _drift(spark: SparkSession, sf: str) -> DataFrame:
     )
     tot = per.agg(
         F.sum("cnt1").alias("t1"), F.sum("cnt2").alias("t2"))
+    # loud ceiling + non-degenerate split (see headroom note above)
+    guarded_t1 = F.coalesce(
+        F.assert_true(
+            (F.col("t1") > 0) & (F.col("t2") > 0)
+            & (F.col("t1") * F.col("t2") < F.lit(4_600_000_000_000)),
+            F.lit("events_distribution_drift: degenerate half-split "
+                  "(t1 or t2 = 0) or t1*t2 exceeds sratio6 int64 "
+                  "headroom (x2e6 rescale) — rescale counts to "
+                  "per-thousand units or widen the day range"),
+        ).cast("long"),
+        F.col("t1"),
+    )
+    tot = tot.withColumn("t1", guarded_t1)
     return (
         per.crossJoin(F.broadcast(tot))
         .select(

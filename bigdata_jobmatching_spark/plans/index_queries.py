@@ -136,9 +136,15 @@ register(QuerySpec(
 # of a multinomial/Bernoulli naive-Bayes quality filter. The
 # discriminativeness score is the add-one-smoothed likelihood ratio
 #   (df_in+1)(N_out+2) / (df_out+1)(N_in+2)
-# computed in pure int64 via ratio6 (num*2e6 stays in int64 up to
-# ~50M documents per class; beyond that, rescale to per-million counts
-# first). Top 10 tokens per language by (score desc, token).
+# computed in pure int64 via ratio6. Headroom (r7 ADVICE correction):
+# ratio6's internal x2,000,000 rescale means the NUMERATOR product
+# (df_in+1)(N_out+2) must stay <= 4.6e12 — with df_in up to the class
+# size and N_out up to the corpus, that is ~2M docs per class against
+# a ~2M-doc complement (NOT the ~50M a bare int64 product suggests);
+# beyond that, rescale df/N to per-thousand units before the multiply.
+# DuckDB errors loudly on overflow, non-ANSI Spark wraps silently, so
+# the assert_true guard below raises instead.
+# Top 10 tokens per language by (score desc, token).
 # Scale shape: two hash aggregations plus a broadcast of the 5-row
 # class-size table; the final window partitions by language only
 # AFTER the data has collapsed to (lang, token) grain.
@@ -154,10 +160,22 @@ def _nb_token_label(spark: SparkSession, sf: str) -> DataFrame:
     df_tot = df_cl.groupBy("token").agg(F.sum("df_in").alias("df_all"))
     sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
     total = d.agg(F.count(F.lit(1)).alias("n_all"))
+    # loud ceiling on ratio6's x2e6 rescale: numerator product < 4.6e12
+    guarded_df_in = F.coalesce(
+        F.assert_true(
+            (F.col("df_in") + 1) * (F.col("n_all") - F.col("n_in") + 2)
+            < F.lit(4_600_000_000_000),
+            F.lit("nb_token_label_stats: (df_in+1)*(N_out+2) exceeds "
+                  "ratio6 int64 headroom (x2e6 rescale) — rescale "
+                  "counts to per-thousand units first"),
+        ).cast("long"),
+        F.col("df_in"),
+    )
     scored = (
         df_cl.join(df_tot, "token")
         .join(F.broadcast(sizes), "lang")
         .crossJoin(F.broadcast(total))
+        .withColumn("df_in", guarded_df_in)
         .select(
             "lang", "token", "df_in",
             (F.col("df_all") - F.col("df_in")).alias("df_out"),
@@ -395,6 +413,16 @@ def _rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),
     )
+    # DECIMAL(38) ceiling (r7 ADVICE): DuckDB's twin runs in HUGEINT
+    # (int128, ~1.7e38 max) but Spark decimal products NULL silently in
+    # non-ANSI mode past precision 38, so the engines diverge exactly
+    # when the x2e6-rescaled numerator (n_docs+1)*22*tf*t_tokens*2e6
+    # leaves 38 digits — i.e. n_docs * tf * t_tokens > ~2.3e30
+    # (comfortable for any real corpus: 1e11 docs x 1e4 tf x 1e14
+    # tokens ~ 1e29, ~20x headroom; past that, rescale t_tokens to
+    # per-million units before the multiply, which cancels in the
+    # ratio). The assert_true below turns a silent-NULL overflow into
+    # a loud error on the Spark side.
     big = "CAST({} AS DECIMAL(38,0))"
     num = (
         F.expr(big.format("n_docs + 1")) * 22 * F.col("tf") * F.col("t_tokens")
@@ -404,11 +432,22 @@ def _rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         + 3 * F.col("t_tokens")
         + F.expr(big.format("9 * dl")) * F.col("n_docs")
     )
+    guarded_tf = F.coalesce(
+        F.assert_true(
+            F.col("n_docs").cast("double") * F.col("tf").cast("double")
+            * F.col("t_tokens").cast("double") < F.lit(2.3e30),
+            F.lit("rrf_hybrid_fusion: BM25 numerator exceeds DECIMAL(38) "
+                  "headroom (x2e6 rescale) — rescale t_tokens to "
+                  "per-million units first"),
+        ).cast("long"),
+        F.col("tf"),
+    )
     sparse = (
         tf.filter(F.col("doc_id") != 0)
         .join(F.broadcast(qterms), "w")
         .join(dl, "doc_id")
         .join(F.broadcast(scalars))
+        .withColumn("tf", guarded_tf)
         .select("doc_id", (num * 2_000_000 + den).alias("__n"),
                 (2 * den).alias("__d"))
         .select("doc_id", F.expr("__n div __d").cast("long").alias("tm"))
@@ -576,10 +615,14 @@ register(QuerySpec(
 # Gini-Simpson diversity 1 - sum(p_i^2): the probability two randomly
 # drawn tokens differ — the log-free cousin of Shannon entropy (the
 # same monotone-surrogate discipline as bigram_pmi_topk), so it is
-# exactly representable in integers: sum(cnt^2) and total^2 are pure
-# int64 (headroom: total <= 3e9 tokens per source before total^2
-# overflows; shard the source first beyond that). One aggregation to
-# (source, token), one to source.
+# exactly representable in integers. Headroom (r7 ADVICE correction):
+# the binding bound is NOT total^2 <= int64 (~3e9 tokens) but ratio6's
+# internal x2,000,000 rescale — sum_sq * 2e6 must stay in int64, and
+# worst-case (one dominant token) sum_sq ~ n_tokens^2, so the safe
+# ceiling is ~1.5e6 tokens per source (sum_sq <= 2.3e12). Beyond that,
+# rescale counts to per-thousand units before squaring (or shard the
+# source). DuckDB errors loudly on BIGINT overflow; non-ANSI Spark
+# wraps silently, so the guard below raises instead.
 
 def _simpson(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
@@ -588,6 +631,15 @@ def _simpson(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    guarded_sum_sq = F.coalesce(
+        F.assert_true(
+            F.col("sum_sq") < F.lit(2_300_000_000_000),
+            F.lit("token_simpson_diversity: sum(cnt^2) exceeds ratio6 "
+                  "int64 headroom (x2e6 rescale) — rescale counts to "
+                  "per-thousand units or shard the source"),
+        ).cast("long"),
+        F.col("sum_sq"),
+    )
     return (
         cnts.groupBy("source")
         .agg(
@@ -595,6 +647,7 @@ def _simpson(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct"),
             F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
         )
+        .withColumn("sum_sq", guarded_sum_sq)
         .select(
             "source", "n_tokens", "n_distinct",
             (F.lit(1.0) - ratio6("sum_sq", "n_tokens * n_tokens"))

@@ -296,7 +296,11 @@ def _kmv(spark: SparkSession, sf: str) -> DataFrame:
 
 _KMV_SQL = f"""
 WITH hashed AS (
-  SELECT DISTINCT event_type,
+  -- grain mirror (r7 ADVICE): dedup ONLY on (event_type, user_id),
+  -- exactly like the Spark side — no outer DISTINCT on h, so a 60-bit
+  -- hash collision between two user_ids yields the same row count and
+  -- the same kth_hash on both engines.
+  SELECT event_type,
     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
   FROM (SELECT DISTINCT event_type, user_id FROM events)
 ),

@@ -384,9 +384,20 @@ register(QuerySpec(
 # queries — brute-force cosine top-k (ground truth), LSH top-k
 # (4 tables x 8 bits) and fixed-centroid IVF top-k (8 cells, 2
 # probes), all over the same query set and k — and counts per-query
-# overlap. Every side ranks on 6dp-rounded scores with neighbor-id
-# tie-breaks, so membership (and therefore recall) is deterministic
-# and hash-verified, not a flaky float comparison. At 100 TB the
+# overlap. Ranking note (r7 ADVICE correction): every side ranks on
+# the RAW double cosine (rounding to 6dp happens only on output),
+# matching the DuckDB oracles' ORDER BY raw s. That is engine-stable
+# here because both engines compute the score as the same left-to-
+# right IEEE-754 fold over the same parquet-read doubles — scores are
+# bit-identical, so raw comparison is exact; decimal ROUNDING is
+# itself the engine-fragile op (Spark rounds the exact decimal
+# expansion, DuckDB rounds after an inexact x1e6 multiply — the
+# ratio6 rationale), so it is deliberately kept OUT of the ordering
+# path. The brute/LSH/IVF component queries have hash-verified this
+# premise since round 3: their gate rows hash the scores themselves,
+# so any fold divergence would redden those rows before it could
+# silently flip a rank here. Neighbor-id tie-breaks keep exact-tie
+# ordering deterministic. At 100 TB the
 # shape is unchanged: the approximate paths never do all-pairs work,
 # the truth side is a k-bounded broadcast-query pass you run on a
 # SAMPLE of queries (here the query set already is the 1-in-50
