@@ -96,6 +96,16 @@ def match_offers_cvs(
     # full offer dim dies at 100x scale (exceeds broadcast limits).
     pairs = shared.join(o_dim, "job_id").join(F.broadcast(c_dim), "cv_id")
 
+    return _score_pairs(pairs)
+
+
+def _score_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared 40/20/20/20 scoring over candidate pairs.
+
+    Expects columns: job_id, cv_id, n_shared, n_offer_skills, o_loc,
+    c_loc, salaire_min, salaire_max, salaire_souhaite,
+    annees_experience, o_exp.
+    """
     skill_pct = F.when(
         F.col("n_offer_skills") > 0,
         F.col("n_shared") / F.col("n_offer_skills"),
@@ -143,6 +153,100 @@ def match_offers_cvs(
             6,
         ).alias("match_score"),
     )
+
+
+def match_offers_cvs_prefiltered(
+    offers: DataFrame,
+    cvs: DataFrame,
+    max_skill_df: int | None = None,
+    max_skill_df_frac: float | None = None,
+) -> DataFrame:
+    """Rare-token candidate pruning (round-7 verdict task #4): generate
+    candidate pairs ONLY through skills whose offer-side document
+    frequency is below the cap, then score every surviving pair with
+    the EXACT full formula over the complete skill sets.
+
+    The contrast with :func:`match_offers_cvs`'s ``max_skill_df*`` cap
+    matters: the cap there also removes the dropped skill from
+    ``n_shared`` (survivors are scored on kept skills only), whereas
+    here pruning affects RECALL of the candidate set and never a
+    survivor's score — a pair found through one rare skill still gets
+    credit for every popular skill it shares. This is the standard
+    IR candidate-pruning upgrade: at 100 TB the inverted-index join
+    touches only rare-skill posting lists (bounded fan-out by
+    construction), and the exact array-intersect runs once per
+    surviving pair instead of once per (pair, skill) occurrence.
+
+    Pairs sharing ONLY above-cap skills are not candidates — the
+    documented recall trade: ubiquitous-skill-only overlap carries no
+    matching signal (the same rationale as the cap), so the true
+    top-k is preserved whenever each of its pairs shares at least one
+    rare skill.
+
+    When BOTH caps are given, the effective cap is
+    ``greatest(max_skill_df, max_skill_df_frac * n_offers)``: the
+    fractional form is the scale-invariant lever, the absolute floor
+    keeps the rare tail non-empty at tiny corpora where
+    ``frac * n_offers < 1`` would prune everything.
+    """
+    norm_skills = F.array_distinct(F.transform(
+        F.coalesce(F.col("skills"), F.array()), lambda s: F.lower(F.trim(s))))
+    norm_comp = F.array_distinct(F.transform(
+        F.coalesce(F.col("competences"), F.array()),
+        lambda s: F.lower(F.trim(s))))
+    o_sk = offers.select("job_id", F.explode(norm_skills).alias("skill"))
+    c_sk = cvs.select("cv_id", F.explode(norm_comp).alias("skill"))
+
+    freq = o_sk.groupBy("skill").count()
+    if max_skill_df_frac is not None:
+        total = offers.select(F.count(F.lit(1)).alias("__n_offers"))
+        cap = F.col("__n_offers") * F.lit(max_skill_df_frac)
+        if max_skill_df is not None:
+            cap = F.greatest(F.lit(float(max_skill_df)), cap)
+        rare = freq.crossJoin(F.broadcast(total)).filter(F.col("count") <= cap)
+    elif max_skill_df is not None:
+        rare = freq.filter(F.col("count") <= max_skill_df)
+    else:
+        raise ValueError(
+            "match_offers_cvs_prefiltered needs max_skill_df or "
+            "max_skill_df_frac — an uncapped prefilter is just "
+            "match_offers_cvs with extra steps"
+        )
+
+    # candidate generation: pairs sharing >= 1 RARE skill, deduped to
+    # the pair grain (a pair found through two rare skills enters once)
+    cand = (
+        o_sk.join(F.broadcast(rare.select("skill")), "skill")
+        .join(c_sk, "skill")
+        .select("job_id", "cv_id")
+        .distinct()
+    )
+
+    # exact scoring on survivors: n_shared over the FULL skill sets
+    o_dim = offers.select(
+        "job_id",
+        norm_skills.alias("__o_skills"),
+        F.col("localisation_id").alias("o_loc"),
+        "salaire_min", "salaire_max",
+        F.col("niveau_experience").alias("o_exp"),
+    )
+    c_dim = cvs.select(
+        "cv_id",
+        norm_comp.alias("__c_comp"),
+        F.col("localisation_souhaitee_id").alias("c_loc"),
+        F.col("salaire_souhaite"),
+        F.col("annees_experience"),
+    )
+    pairs = (
+        cand.join(o_dim, "job_id")
+        .join(F.broadcast(c_dim), "cv_id")
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect("__o_skills", "__c_comp")).cast("long"),
+        )
+        .withColumn("n_offer_skills", F.size("__o_skills"))
+    )
+    return _score_pairs(pairs)
 
 
 def top_matches_per_candidate(matches: DataFrame, k: int = 20) -> DataFrame:

@@ -559,6 +559,153 @@ register(QuerySpec(
 ))
 
 
+# --- job_cv_matching_prefiltered: rare-token candidate pruning ------------
+# The r7-verdict upgrade to the quadratic matching workload. The
+# uniform 500-skill vocabulary of job_cv_matching makes EVERY skill
+# ~0.6% df — a prefilter over it keeps everything (uniform df has no
+# rare tail to exploit), which is why that workload is quadratic: sf1
+# materializes 403.2M candidate pairs. Real skill vocabularies are
+# Zipf-skewed, so this corpus uses a frequency RAMP — skill id
+# v = floor(sqrt(k mod 250000)) gives df(v) proportional to 2v+1,
+# spanning ~3 decades — plus a popular tier (pop0..pop9, ~10% df) and
+# the ubiquitous 'excel'. Candidate pairs are generated ONLY through
+# skills under max(2, 0.2% of offers) document frequency: the
+# inverted-index join touches only the rare tail's posting lists
+# (sum of df_offer x df_cv over kept skills — orders of magnitude
+# below the 403M uniform-vocab blow-up, measured in SCALING.md), and
+# every surviving pair is then scored with the EXACT full formula
+# over the complete skill sets (popular/excel overlap still counts
+# toward n_shared; contrast with job_cv_matching_capped, which scores
+# on kept skills only). floor(sqrt(x)) is engine-stable: IEEE sqrt is
+# correctly rounded on both engines and x < 2^52.
+
+_PREFILTER_DF_FRAC = 0.002
+_PREFILTER_DF_MIN = 2  # absolute floor so tiny tiers keep a rare tail
+_RAMP_M = 250_000      # ramp modulus: ids 0..499, df(v) ~ 2v+1
+
+
+def _ramp_skill(e):
+    return F.concat(
+        F.lit("s"),
+        F.floor(F.sqrt((e % _RAMP_M).cast("double"))).cast("long")
+        .cast("string"),
+    )
+
+
+def _tiered_offers(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("job_id")  # = o_orderkey
+    return _derived_offers(spark, sf).withColumn(
+        "skills",
+        F.array(
+            _ramp_skill(k),
+            _ramp_skill(k * 7 + 1),
+            _ramp_skill(k * 13 + 2),
+            F.concat(F.lit("pop"), (k % 10).cast("string")),
+            F.lit("excel"),
+        ),
+    )
+
+
+def _tiered_cvs(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("cv_id")  # = c_custkey
+    return _derived_cvs(spark, sf).withColumn(
+        "competences",
+        F.array(
+            _ramp_skill(k),
+            _ramp_skill(k * 11 + 3),
+            _ramp_skill(k * 3 + 7),
+            F.concat(F.lit("pop"), ((k * 3) % 10).cast("string")),
+            F.lit("excel"),
+        ),
+    )
+
+
+def _matching_prefiltered(spark: SparkSession, sf: str) -> DataFrame:
+    return M.match_offers_cvs_prefiltered(
+        _tiered_offers(spark, sf), _tiered_cvs(spark, sf),
+        max_skill_df=_PREFILTER_DF_MIN,
+        max_skill_df_frac=_PREFILTER_DF_FRAC,
+    )
+
+
+_RAMP_O1 = f"'s' || CAST(CAST(floor(sqrt(CAST(o_orderkey % {_RAMP_M} AS DOUBLE))) AS BIGINT) AS VARCHAR)"
+_RAMP_O2 = f"'s' || CAST(CAST(floor(sqrt(CAST((o_orderkey * 7 + 1) % {_RAMP_M} AS DOUBLE))) AS BIGINT) AS VARCHAR)"
+_RAMP_O3 = f"'s' || CAST(CAST(floor(sqrt(CAST((o_orderkey * 13 + 2) % {_RAMP_M} AS DOUBLE))) AS BIGINT) AS VARCHAR)"
+_RAMP_C1 = f"'s' || CAST(CAST(floor(sqrt(CAST(c_custkey % {_RAMP_M} AS DOUBLE))) AS BIGINT) AS VARCHAR)"
+_RAMP_C2 = f"'s' || CAST(CAST(floor(sqrt(CAST((c_custkey * 11 + 3) % {_RAMP_M} AS DOUBLE))) AS BIGINT) AS VARCHAR)"
+_RAMP_C3 = f"'s' || CAST(CAST(floor(sqrt(CAST((c_custkey * 3 + 7) % {_RAMP_M} AS DOUBLE))) AS BIGINT) AS VARCHAR)"
+
+_MATCH_PREFILTERED_SQL = f"""
+WITH offers AS (
+  SELECT o_orderkey AS job_id,
+    list_distinct([{_RAMP_O1}, {_RAMP_O2}, {_RAMP_O3},
+                   'pop' || CAST(o_orderkey % 10 AS VARCHAR),
+                   'excel']) AS skills,
+    'LOC_' || CAST(o_custkey % 10 AS VARCHAR) AS o_loc,
+    CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) AS sal_min,
+    CAST(CAST(round(o_totalprice) AS BIGINT) + 100000 AS DOUBLE) AS sal_max,
+    CASE o_orderkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 8 END AS exp_target
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+cvs AS (
+  SELECT c_custkey AS candidate_id,
+    list_distinct([{_RAMP_C1}, {_RAMP_C2}, {_RAMP_C3},
+                   'pop' || CAST((c_custkey * 3) % 10 AS VARCHAR),
+                   'excel']) AS competences,
+    'LOC_' || CAST(c_custkey % 10 AS VARCHAR) AS c_loc,
+    CAST((c_custkey % 20) * 50000 + 100000 AS DOUBLE) AS wish,
+    CAST(c_custkey % 12 AS INT) AS years
+  FROM customer
+),
+o_sk AS (SELECT job_id, unnest(skills) AS skill FROM offers),
+rare AS (
+  SELECT skill FROM o_sk GROUP BY skill
+  HAVING COUNT(*) <= greatest({_PREFILTER_DF_MIN},
+                              {_PREFILTER_DF_FRAC} * (SELECT COUNT(*) FROM offers))
+),
+c_sk AS (SELECT candidate_id, unnest(competences) AS skill FROM cvs),
+cand AS (
+  SELECT DISTINCT o.job_id, c.candidate_id
+  FROM o_sk o JOIN rare USING (skill) JOIN c_sk c USING (skill)
+),
+pairs AS (
+  SELECT o.job_id, c.candidate_id,
+    len(list_intersect(o.skills, c.competences)) AS n_shared,
+    len(o.skills) AS n_offer_skills,
+    CASE WHEN o.o_loc = c.c_loc THEN 1.0 ELSE 0.0 END AS loc_pct,
+    CASE WHEN c.wish >= o.sal_min AND c.wish <= o.sal_max THEN 1.0
+         WHEN c.wish < o.sal_min THEN
+           CASE WHEN o.sal_min > 0 THEN greatest(0.0, 1.0 - (o.sal_min - c.wish) / (o.sal_min * 0.5)) ELSE 0.5 END
+         ELSE
+           CASE WHEN o.sal_max > 0 THEN greatest(0.0, 1.0 - (c.wish - o.sal_max) / (o.sal_max * 0.5)) ELSE 0.5 END
+         END AS sal_pct,
+    greatest(0.0, 1.0 - abs(c.years - o.exp_target) / 8.0) AS exp_pct
+  FROM cand
+  JOIN offers o USING (job_id)
+  JOIN cvs c USING (candidate_id)
+)
+SELECT job_id, candidate_id,
+  round(CAST(n_shared AS DOUBLE) / n_offer_skills, 6) AS skill_match_pct,
+  round(loc_pct, 6) AS location_match_pct,
+  round(sal_pct, 6) AS salary_match_pct,
+  round(exp_pct, 6) AS experience_match_pct,
+  round(0.4 * (CAST(n_shared AS DOUBLE) / n_offer_skills)
+      + 0.2 * loc_pct + 0.2 * sal_pct + 0.2 * exp_pct, 6) AS match_score
+FROM pairs
+"""
+
+register(QuerySpec(
+    "job_cv_matching_prefiltered", _matching_prefiltered,
+    _MATCH_PREFILTERED_SQL,
+    "rare-token candidate pruning over a Zipf-ramp skill corpus: pairs "
+    f"generated only through skills under max({_PREFILTER_DF_MIN}, "
+    f"{_PREFILTER_DF_FRAC:.1%} of offers) document frequency, survivors "
+    "scored with the exact full formula — the IR-standard upgrade to "
+    "the quadratic matching workload",
+    ("domain", "matching", "join", "prefilter", "bench"),
+))
+
+
 # --- top_matches_per_candidate: matching leaderboard ----------------------
 
 def _top_matches(spark: SparkSession, sf: str) -> DataFrame:
