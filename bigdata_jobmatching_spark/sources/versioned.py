@@ -104,14 +104,22 @@ def read_version(spark: SparkSession, root: str, version: int | None = None) -> 
     return spark.read.parquet(vdir)
 
 
+def publish(root: str, version: int) -> None:
+    """Atomically point ``_CURRENT`` at an existing version directory —
+    the one pointer-swap primitive rollback and custom publishers
+    (e.g. the streaming IVM sink, which writes its own epoch marker
+    into the version dir BEFORE the swap) share."""
+    vdir = os.path.join(root, f"v{version:05d}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"cannot publish missing v{version:05d}")
+    _set_pointer(root, version)
+
+
 def rollback(root: str, version: int) -> None:
     """Re-publish an older version: one atomic pointer swap, no data
     movement. The bad version's files stay for forensics until
     vacuumed."""
-    vdir = os.path.join(root, f"v{version:05d}")
-    if not os.path.isdir(vdir):
-        raise FileNotFoundError(f"cannot roll back to missing v{version:05d}")
-    _set_pointer(root, version)
+    publish(root, version)
 
 
 def _is_complete(root: str, version: int) -> bool:

@@ -1,0 +1,147 @@
+"""Streaming incremental view maintenance: a change-data feed
+continuously folded into a materialized per-group aggregate.
+
+The batch twin (plans/versioned_queries.incremental_agg_refresh,
+hash-proven equal to a full recompute in CORRECTNESS_r07) is the SPEC:
+refresh(view, cdf) == recompute(v2). The streaming face applies each
+micro-batch of change rows as per-group deltas onto the current
+published aggregate version (sources/versioned) inside foreachBatch —
+the view table never re-reads the base table, which is the IVM
+thesis: refresh cost scales with |changes| + |groups|, not |table|.
+
+Exactly-once story — and why this sink needs MORE than the SCD1
+upsert sink (streaming/upsert_sink.py): an SCD1 merge is idempotent
+(replaying "key := value" converges), but a delta-merge is NOT —
+re-applying a replayed epoch double-counts. Each published aggregate
+version therefore carries the epoch that produced it in an ``_EPOCH``
+marker written into the version directory BEFORE the atomic pointer
+swap, and ``apply`` skips any epoch <= the current version's marker:
+
+- crash BEFORE the swap: ``_CURRENT`` still names the old version
+  (old epoch), the half-published dir is orphaned (vacuumable), and
+  the replayed epoch re-applies cleanly onto the old state;
+- crash AFTER the swap: the marker rides with the published version,
+  so the replayed epoch compares <= and is skipped.
+
+Either way a restart converges to exactly-once application.
+
+Scale shape per batch: the delta path aggregates |changes| rows to
+the group grain (map-side combine), then one union + re-aggregation
+against the current view (|groups| rows) — a single shuffle on the
+group key, same plan the batch twin runs once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources import versioned as V
+
+_EPOCH_FILE = "_EPOCH"
+
+
+def group_deltas(changes: DataFrame, ngroup: int) -> DataFrame:
+    """Per-group (n_rows, sum_cents) deltas from flat change rows
+    (id, change, old_cents, new_cents) — the same insert/+1 delete/-1
+    update/0 arithmetic as the batch twin, unchanged rows dropped
+    before any shuffle."""
+    return changes.filter(F.col("change") != "unchanged").select(
+        (F.col("id") % ngroup).alias("g"),
+        F.when(F.col("change") == "insert", F.lit(1))
+        .when(F.col("change") == "delete", F.lit(-1))
+        .otherwise(F.lit(0)).alias("n_rows"),
+        (
+            F.coalesce(F.col("new_cents"), F.lit(0))
+            - F.coalesce(F.col("old_cents"), F.lit(0))
+        ).alias("sum_cents"),
+    )
+
+
+def current_epoch(root: str) -> int:
+    """Epoch recorded with the currently published view version
+    (-1 when the root is unseeded or the seed carries no marker)."""
+    v = V.current_version(root)
+    if v is None:
+        return -1
+    p = os.path.join(root, f"v{v:05d}", _EPOCH_FILE)
+    if not os.path.isfile(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _publish_with_epoch(df: DataFrame, root: str, epoch_id: int) -> int:
+    """Land ``df`` as the next version with its epoch marker, then
+    swap the pointer — marker strictly before swap (see module
+    docstring for the crash-window analysis)."""
+    os.makedirs(root, exist_ok=True)
+    vs = V.list_versions(root)
+    nxt = (vs[-1] + 1) if vs else 1
+    vdir = os.path.join(root, f"v{nxt:05d}")
+    df.write.mode("errorifexists").parquet(vdir)
+    with open(os.path.join(vdir, _EPOCH_FILE), "w") as f:
+        f.write(str(epoch_id))
+    V.publish(root, nxt)
+    return nxt
+
+
+def seed_view(agg: DataFrame, root: str) -> int:
+    """Publish the initial materialized aggregate (epoch -1): columns
+    (g, n_rows, sum_cents)."""
+    return _publish_with_epoch(agg, root, -1)
+
+
+def apply_cdf_batch(
+    spark: SparkSession, batch: DataFrame, epoch_id: int, root: str,
+    ngroup: int,
+) -> bool:
+    """Fold one micro-batch of change rows into the view. Returns
+    False when the epoch was already applied (replay after a
+    post-swap crash) and the batch is skipped."""
+    if epoch_id <= current_epoch(root):
+        return False
+    cur = V.read_version(spark, root).select("g", "n_rows", "sum_cents")
+    merged = (
+        cur.unionByName(group_deltas(batch, ngroup))
+        .groupBy("g")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    _publish_with_epoch(merged, root, epoch_id)
+    return True
+
+
+def stream_ivm_refresh(
+    spark: SparkSession,
+    changes: DataFrame,
+    root: str,
+    checkpoint_path: str,
+    ngroup: int = 97,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the materialized per-group aggregate from a streaming
+    change feed of flat (id, change, old_cents, new_cents) rows. The
+    root must be seeded with :func:`seed_view` first."""
+    if V.current_version(root) is None:
+        raise FileNotFoundError(
+            f"stream_ivm_refresh: seed the view first (seed_view) — "
+            f"no published version under {root}"
+        )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        apply_cdf_batch(spark, batch, epoch_id, root, ngroup)
+
+    writer = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

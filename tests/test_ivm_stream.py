@@ -1,0 +1,147 @@
+"""AvailableNow-drain equivalence of the streaming IVM sink against
+the batch incremental_agg_refresh twin (round-7 verdict task #5) —
+the discipline streaming/event_hygiene.py established: the batch twin
+(itself hash-proven equal to a full v2 recompute at the driver gate)
+is the SPEC, the stream must converge to it on the same fixture."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.plans.versioned_queries import (
+    _incremental_agg_refresh,
+    _snap_v1,
+    _snap_v2,
+)
+from bigdata_jobmatching_spark.sources import versioned as V
+from bigdata_jobmatching_spark.streaming import ivm
+
+_SF = "/root/testdata/sf0.001"
+_NGROUP = 97
+
+
+def _flat_cdf(spark):
+    """The planted change feed, flattened for the stream: one row per
+    non-unchanged key, (id, change, old_cents, new_cents)."""
+    diff = V.diff_frames(_snap_v1(spark, _SF), _snap_v2(spark, _SF), ("id",))
+    return diff.filter(F.col("change") != "unchanged").select(
+        "id", "change",
+        F.col("__old_val.cents").alias("old_cents"),
+        F.col("__new_val.cents").alias("new_cents"),
+    )
+
+
+def _write_sliced_cdf(spark, tmp_path, n_slices=4):
+    """One parquet file per id-residue slice, mtimes strictly
+    increasing so maxFilesPerTrigger=1 replays them as separate
+    micro-batches (delta application is commutative, so any slicing
+    is a valid arrival order)."""
+    cdf = _flat_cdf(spark)
+    src = tmp_path / "cdf_src"
+    src.mkdir()
+    for sl in range(n_slices):
+        part_dir = tmp_path / f"__part{sl}"
+        (
+            cdf.filter(F.col("id") % n_slices == sl)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(part_dir))
+        )
+        part_file = next(part_dir.glob("part-*.parquet"))
+        dest = src / f"slice_{sl:03d}.parquet"
+        shutil.move(str(part_file), str(dest))
+        os.utime(dest, (1_700_000_000 + sl, 1_700_000_000 + sl))
+    return str(src)
+
+
+def _seed(spark, root):
+    v1_agg = (
+        _snap_v1(spark, _SF)
+        .groupBy((F.col("id") % _NGROUP).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    ivm.seed_view(v1_agg, root)
+
+
+def _view_rows(spark, root):
+    return sorted(
+        (r.g, r.n_rows, r.sum_cents)
+        for r in V.read_version(spark, root).collect()
+    )
+
+
+def test_ivm_stream_matches_batch(spark, tmp_path):
+    src = _write_sliced_cdf(spark, tmp_path)
+    root = str(tmp_path / "agg_view")
+    _seed(spark, root)
+
+    schema = spark.read.parquet(src).schema
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = ivm.stream_ivm_refresh(
+        spark, changes, root, str(tmp_path / "ck"), ngroup=_NGROUP
+    )
+    q.awaitTermination(300)
+
+    got = _view_rows(spark, root)
+    want = sorted(
+        (r.g, r.n_rows, r.sum_cents)
+        for r in _incremental_agg_refresh(spark, _SF).collect()
+    )
+    assert got == want
+    # the stream really ran multiple delta epochs, not one big batch
+    assert V.current_version(root) >= 4  # seed + 4 slices
+    assert ivm.current_epoch(root) >= 3
+
+
+def test_ivm_replayed_epoch_is_skipped(spark, tmp_path):
+    """Post-swap-crash replay: re-applying the last committed epoch
+    must be a no-op — the failure mode that separates a delta-merge
+    sink from the idempotent SCD1 upsert sink."""
+    root = str(tmp_path / "agg_view")
+    _seed(spark, root)
+    cdf = _flat_cdf(spark)
+
+    assert ivm.apply_cdf_batch(spark, cdf, 0, root, _NGROUP) is True
+    after_first = _view_rows(spark, root)
+    v_after_first = V.current_version(root)
+
+    # replay of epoch 0 (and of the seed epoch -1): skipped, no new
+    # version published, view byte-identical
+    assert ivm.apply_cdf_batch(spark, cdf, 0, root, _NGROUP) is False
+    assert ivm.apply_cdf_batch(spark, cdf, -1, root, _NGROUP) is False
+    assert V.current_version(root) == v_after_first
+    assert _view_rows(spark, root) == after_first
+
+
+def test_ivm_pre_swap_crash_replay_converges(spark, tmp_path):
+    """Pre-swap-crash replay: a version directory written WITHOUT the
+    pointer swap (the other crash window) must not block or corrupt
+    the replayed epoch — it re-applies onto the still-current state."""
+    root = str(tmp_path / "agg_view")
+    _seed(spark, root)
+    cdf = _flat_cdf(spark)
+
+    # simulate the crash: land an orphan version dir, no pointer swap
+    orphan = os.path.join(root, "v00002")
+    V.read_version(spark, root).write.parquet(orphan)
+    with open(os.path.join(orphan, ivm._EPOCH_FILE), "w") as f:
+        f.write("0")
+    assert V.current_version(root) == 1  # pointer untouched
+    assert ivm.current_epoch(root) == -1
+
+    assert ivm.apply_cdf_batch(spark, cdf, 0, root, _NGROUP) is True
+    want = sorted(
+        (r.g, r.n_rows, r.sum_cents)
+        for r in _incremental_agg_refresh(spark, _SF).collect()
+    )
+    assert _view_rows(spark, root) == want
