@@ -931,6 +931,7 @@ def encode_png(
     palette: bytes | None = None,
     interlace: bool = False,
     bit_depth: int = 8,
+    trans: bytes | None = None,
 ) -> bytes:
     """Real PNG from raw pixel bytes (row-major, interleaved).
     ``bit_depth`` 8 (default) or 16 — 16-bit samples are BIG-ENDIAN
@@ -952,6 +953,12 @@ def encode_png(
     concatenation of the 7 filtered pass sub-images (filter state
     resets per pass; empty passes emit nothing). Composes with
     ``palette`` — passes are extracted from the index plane.
+
+    With ``trans`` (round-8, tRNS transparency — PNG spec 11.3.2.1):
+    a per-palette-entry alpha table, at most one byte per PLTE entry;
+    entries beyond the table are fully opaque per spec. Requires
+    ``palette`` — the gray/truecolor single-transparent-color forms
+    are out of subset and rejected here and in the decoder.
     """
     import numpy as np
     import zlib as _z
@@ -969,6 +976,17 @@ def encode_png(
         color_type = 3
     else:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if trans is not None:
+        if palette is None:
+            raise ValueError(
+                "trans requires a palette (gray/truecolor tRNS is out "
+                "of subset)"
+            )
+        if not 1 <= len(trans) <= len(palette) // 3:
+            raise ValueError(
+                f"bad tRNS length {len(trans)} for "
+                f"{len(palette) // 3}-entry palette"
+            )
     stride = width * channels * sb
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
@@ -997,6 +1015,8 @@ def encode_png(
     chunks = [_png_chunk(b"IHDR", ihdr)]
     if palette is not None:
         chunks.append(_png_chunk(b"PLTE", palette))
+    if trans is not None:
+        chunks.append(_png_chunk(b"tRNS", trans))
     chunks.append(_png_chunk(b"IDAT", _z.compress(bytes(raw))))
     chunks.append(_png_chunk(b"IEND", b""))
     return _PNG_SIG + b"".join(chunks)
@@ -1015,10 +1035,12 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
     palette-expansion contract. Adam7 interlaced images (round-7)
     un-filter each of the 7 pass sub-images independently and
     scatter them onto the output grid by the pass origin/step —
-    composing with palette expansion. Returns None for non-PNGs;
-    raises on PNGs the 8-bit subset doesn't cover (16-bit, tRNS
-    transparency) — loud, not silent, per the audit-don't-drop
-    discipline.
+    composing with palette expansion. Palette images with a tRNS
+    alpha table (round-8) expand to RGBA (returned channels = 4,
+    entries beyond the table opaque per spec). Returns None for
+    non-PNGs; raises on PNGs the 8-bit subset doesn't cover (16-bit,
+    gray/truecolor tRNS) — loud, not silent, per the
+    audit-don't-drop discipline.
     """
     return _decode_png_impl(b, want_depth=8)
 
@@ -1045,6 +1067,7 @@ def _decode_png_impl(
     height = channels = 0
     paletted = interlaced = False
     palette: bytes | None = None
+    trans: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos:pos + 4], "big")
@@ -1082,7 +1105,15 @@ def _decode_png_impl(
                 raise ValueError(f"bad PLTE length {ln}")
             palette = bytes(data)
         elif ctype == b"tRNS":
-            raise ValueError("unsupported PNG: tRNS transparency")
+            # round-8: palette-alpha table (spec 11.3.2.1). The
+            # gray/truecolor forms (a single 16-bit transparent color)
+            # stay out of subset — loud, not silent.
+            if not paletted:
+                raise ValueError(
+                    "unsupported PNG: tRNS on color type 0/2 "
+                    "(single-transparent-color form)"
+                )
+            trans = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -1127,6 +1158,16 @@ def _decode_png_impl(
                 f"palette index {int(idx.max())} >= {n_entries} entries"
             )
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_entries, 3)
+        if trans is not None:
+            if len(trans) > n_entries:
+                raise ValueError(
+                    f"tRNS length {len(trans)} > {n_entries} PLTE entries"
+                )
+            # entries beyond the table are fully opaque per spec
+            alpha = np.full(n_entries, 255, dtype=np.uint8)
+            alpha[: len(trans)] = np.frombuffer(trans, dtype=np.uint8)
+            rgba = np.concatenate([pal[idx], alpha[idx][:, None]], axis=1)
+            return width, height, 4, rgba.tobytes()
         return width, height, 3, pal[idx].tobytes()
     return width, height, channels, bytes(out)
 

