@@ -6,6 +6,14 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver) — the number reflects scan+shuffle+compute,
 which is what scales.
+
+Drift triage (round-7 verdict task #7): a single query's figure can
+swing 2-2.4x run-to-run from shared-JVM accumulation when 60+ other
+queries ran first (SCALING.md round-7 addendum 7). Set
+SPARK_GRAFT_BENCH_LEAN=<query>[,<query>...] to time ONLY those
+queries in a lean session — fresh JVM, just the warmup list plus the
+named queries, min-of-N — which is the reproduction standard a
+suspected regression must meet before it counts as one.
 """
 
 from __future__ import annotations
@@ -34,6 +42,14 @@ def main() -> None:
     # name-sorted: timings stay comparable across rounds even when the
     # registry's (gate-driven) ordering changes.
     bench_specs = {n: registry[n] for n in sorted(registry) if BENCH_TAG in registry[n].tags}
+
+    lean = os.environ.get("SPARK_GRAFT_BENCH_LEAN", "").strip()
+    if lean:
+        names = [n.strip() for n in lean.split(",") if n.strip()]
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_LEAN: unknown queries {unknown}")
+        bench_specs = {n: registry[n] for n in sorted(names)}
 
     # Warmup: a trivial plan for JVM startup, then four representative
     # plans at the smoke SF (join+agg+broadcast; regex/text projection;
