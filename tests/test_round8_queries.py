@@ -167,3 +167,57 @@ def test_trns_png_loud_failure_modes():
     spliced = gray[:ihdr_end] + trns + gray[ihdr_end:]
     with _pytest.raises(ValueError, match="color type 0/2"):
         MM.decode_png(spliced)
+
+
+# --- HOF-CSE lint (round-8, strike-four prevention) --------------------------
+
+def test_hof_lint_catches_the_winnowing_trap_shape():
+    """The exact round-7 failure: a tokenize chain referenced inside a
+    transform(sequence(...)) lambda — loop-invariant, re-evaluated per
+    shingle position, O(n^2) regex work per document."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, "/root/repo")
+    from tools.hof_lint import lint, lint_source
+
+    bad = '''
+from pyspark.sql import functions as F
+from ..functions import text as X
+
+def q(d):
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), i + 1, 3))),
+        ).alias("shingles")
+    )
+'''
+    findings = lint_source(bad, Path("planted.py"))
+    assert any("tokens" in f for f in findings), findings
+
+    # per-element work consuming the lambda variable is NOT flagged
+    good = '''
+from pyspark.sql import functions as F
+
+def q(d):
+    return d.select(
+        F.transform(F.col("toks"), lambda w: F.md5(w)).alias("hs")
+    )
+'''
+    assert lint_source(good, Path("planted.py")) == []
+
+    # the SQL-fragment face: expensive call after an arrow, no lambda var
+    sql_bad = '''
+EXPR = "transform(sequence(1, 10), i -> md5(col_name))"
+'''
+    assert lint_source(sql_bad, Path("planted.py"))
+    sql_good = '''
+EXPR = "transform(toks, w -> md5(w))"
+ORACLE = "SELECT list_transform(toks, w -> length(w)), regexp_replace(text, 'x', '') FROM t WHERE 1 = (SELECT max(i -> 1) )"
+'''
+    assert lint_source(sql_good, Path("planted.py")) == []
+
+    # and the live registry is clean
+    assert lint() == []
