@@ -55,11 +55,15 @@ def test_palette_png_loud_failure_modes():
     stripped = good[:plte_at] + good[plte_at + 12 + plte_len:]
     with pytest.raises(ValueError, match="PLTE"):
         MM.decode_png(stripped)
-    # tRNS is out of subset, loudly
+    # palette tRNS is IN subset since round 8: a spliced alpha table
+    # upgrades the decode to RGBA (entry 0 translucent, rest opaque);
+    # gray/truecolor tRNS stays out of subset (test_round8_queries).
     iend_at = good.index(b"IEND") - 4
     trns = MM._png_chunk(b"tRNS", b"\x80")
-    with pytest.raises(ValueError, match="tRNS"):
-        MM.decode_png(good[:iend_at] + trns + good[iend_at:])
+    dw, dh, ch, px = MM.decode_png(good[:iend_at] + trns + good[iend_at:])
+    assert (dw, dh, ch) == (w, h, 4)
+    alphas = {px[i] for i in range(3, len(px), 4)}
+    assert alphas == {0x80, 255}
     # encoder validation
     with pytest.raises(ValueError, match="1 index byte"):
         MM.encode_png(w, h, idx.tobytes(), channels=3, palette=pal)
