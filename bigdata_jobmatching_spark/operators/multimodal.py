@@ -934,9 +934,15 @@ def encode_png(
     trans: bytes | None = None,
 ) -> bytes:
     """Real PNG from raw pixel bytes (row-major, interleaved).
-    ``bit_depth`` 8 (default) or 16 — 16-bit samples are BIG-ENDIAN
+    ``bit_depth`` 8 (default), 16 — 16-bit samples are BIG-ENDIAN
     per spec, and the scanline filters run bytewise with the wider
-    bpp offset (round-7); palette requires depth 8.
+    bpp offset (round-7) — or 1/2/4 (round-8): sub-byte samples
+    arrive UNPACKED (one byte per pixel, values < 2^depth, channels
+    must be 1), are packed MSB-first per scanline with zero-padded
+    row tails, and the filters run over the PACKED bytes with bpp=1
+    per spec; composes with ``palette`` (and palette ``trans``) when
+    the entry count fits the depth. Byte-wide palette requires
+    depth 8.
 
     ``filter_type`` fixes one filter for every scanline; None cycles
     y % 5 so a single image exercises every decoder branch. The
@@ -963,8 +969,79 @@ def encode_png(
     import numpy as np
     import zlib as _z
 
+    if bit_depth in (1, 2, 4):
+        # Round-8: sub-byte depths (spec: legal only for color types 0
+        # and 3). ``pixels`` arrive UNPACKED (one sample byte per
+        # pixel, values < 2^depth) and are packed MSB-first per
+        # scanline, partial trailing byte zero-padded; the filters
+        # then run bytewise over the PACKED bytes with bpp=1 per spec.
+        # Adam7 + sub-byte needs per-pass bit repacking — out of
+        # subset, loudly.
+        if channels != 1:
+            raise ValueError("sub-byte depth requires 1 sample per pixel")
+        if interlace:
+            raise ValueError("sub-byte interlaced PNG is out of subset")
+        if len(pixels) != width * height:
+            raise ValueError(
+                f"need {width * height} unpacked sample bytes, "
+                f"got {len(pixels)}"
+            )
+        max_v = (1 << bit_depth) - 1
+        if palette is not None:
+            if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
+                raise ValueError(f"bad PLTE length {len(palette)}")
+            if len(palette) // 3 > (1 << bit_depth):
+                raise ValueError(
+                    f"{len(palette) // 3} palette entries do not fit "
+                    f"depth {bit_depth}"
+                )
+            color_type = 3
+        else:
+            color_type = 0
+        if trans is not None:
+            if palette is None:
+                raise ValueError(
+                    "trans requires a palette (gray/truecolor tRNS is "
+                    "out of subset)"
+                )
+            if not 1 <= len(trans) <= len(palette) // 3:
+                raise ValueError(
+                    f"bad tRNS length {len(trans)} for "
+                    f"{len(palette) // 3}-entry palette"
+                )
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        if int(a.max(initial=0)) > max_v:
+            raise ValueError(
+                f"sample {int(a.max())} does not fit depth {bit_depth}"
+            )
+        # MSB-first packing: explode each sample to its bits, pad the
+        # row tail to a byte boundary, repack
+        bits = (
+            (a[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(height, width * bit_depth).astype(np.uint8)
+        packed_stride = (width * bit_depth + 7) // 8
+        pad = packed_stride * 8 - width * bit_depth
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        packed = np.packbits(bits, axis=1)
+        raw = _filter_image(
+            packed.tobytes(), packed_stride, height, 1, filter_type, 1
+        )
+        ihdr = (
+            width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([bit_depth, color_type, 0, 0, 0])
+        )
+        chunks = [_png_chunk(b"IHDR", ihdr)]
+        if palette is not None:
+            chunks.append(_png_chunk(b"PLTE", palette))
+        if trans is not None:
+            chunks.append(_png_chunk(b"tRNS", trans))
+        chunks.append(_png_chunk(b"IDAT", _z.compress(bytes(raw))))
+        chunks.append(_png_chunk(b"IEND", b""))
+        return _PNG_SIG + b"".join(chunks)
+
     if bit_depth not in (8, 16):
-        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
+        raise ValueError(f"bit_depth must be 1, 2, 4, 8 or 16, got {bit_depth}")
     sb = bit_depth // 8
     if palette is not None:
         if bit_depth != 8:
@@ -1037,10 +1114,14 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes] | None:
     scatter them onto the output grid by the pass origin/step —
     composing with palette expansion. Palette images with a tRNS
     alpha table (round-8) expand to RGBA (returned channels = 4,
-    entries beyond the table opaque per spec). Returns None for
-    non-PNGs; raises on PNGs the 8-bit subset doesn't cover (16-bit,
-    gray/truecolor tRNS) — loud, not silent, per the
-    audit-don't-drop discipline.
+    entries beyond the table opaque per spec). Sub-byte depths 1/2/4
+    (round-8, color types 0/3 only per spec) un-filter the PACKED
+    scanlines (bpp=1), unpack MSB-first, and either scale grayscale
+    samples to 8-bit by the exact integer 255/(2^d-1) or expand
+    through PLTE. Returns None for non-PNGs; raises on PNGs the
+    8-bit subset doesn't cover (16-bit, gray/truecolor tRNS,
+    sub-byte Adam7) — loud, not silent, per the audit-don't-drop
+    discipline.
     """
     return _decode_png_impl(b, want_depth=8)
 
@@ -1066,6 +1147,7 @@ def _decode_png_impl(
     pos, width = 8, None
     height = channels = 0
     paletted = interlaced = False
+    sub_depth = 0  # 1/2/4 when the stream is sub-byte depth (round-8)
     palette: bytes | None = None
     trans: bytes | None = None
     idat = bytearray()
@@ -1086,7 +1168,21 @@ def _decode_png_impl(
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, _, _, interlace = data[8:13]
-            if (
+            if want_depth == 8 and bit_depth in (1, 2, 4):
+                # round-8: sub-byte depths, legal for color types 0/3
+                # only (spec table 11.1); Adam7 + sub-byte needs
+                # per-pass bit repacking — out of subset, loudly
+                if color_type not in (0, 3):
+                    raise ValueError(
+                        f"illegal PNG: bit_depth={bit_depth} with "
+                        f"color_type={color_type}"
+                    )
+                if interlace != 0:
+                    raise ValueError(
+                        "sub-byte interlaced PNG is out of subset"
+                    )
+                sub_depth = bit_depth
+            elif (
                 bit_depth != want_depth
                 or interlace not in (0, 1)
                 or (color_type != 3 and color_type not in _PNG_CHANNELS)
@@ -1125,7 +1221,26 @@ def _decode_png_impl(
         raw = _z.decompress(bytes(idat))
     except _z.error as e:  # corrupt stream -> loud, typed failure
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    if interlaced:
+    if sub_depth:
+        import numpy as np
+
+        # un-filter over the PACKED bytes (bpp=1 per spec), then
+        # unpack MSB-first and drop the row-tail padding bits
+        packed_stride = (width * sub_depth + 7) // 8
+        packed = _unfilter_image(bytes(raw), packed_stride, height, 1, 1)
+        a = np.frombuffer(bytes(packed), dtype=np.uint8).reshape(
+            height, packed_stride
+        )
+        bits = np.unpackbits(a, axis=1)[:, : width * sub_depth]
+        weights = (1 << np.arange(sub_depth - 1, -1, -1)).astype(np.uint8)
+        samples = (
+            bits.reshape(height, width, sub_depth) * weights
+        ).sum(axis=2).astype(np.uint8)
+        if not paletted:
+            # exact linear scaling to 8-bit: 255/(2^d-1) is an integer
+            samples = samples * np.uint8(255 // ((1 << sub_depth) - 1))
+        out = bytearray(samples.tobytes())
+    elif interlaced:
         import numpy as np
 
         img = np.zeros((height, width, channels * sb), dtype=np.uint8)

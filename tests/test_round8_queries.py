@@ -221,3 +221,70 @@ ORACLE = "SELECT list_transform(toks, w -> length(w)), regexp_replace(text, 'x',
 
     # and the live registry is clean
     assert lint() == []
+
+
+# --- 1/2/4-bit packed-depth PNG (round-8) ------------------------------------
+
+def test_lowbit_png_round_trip_every_depth_and_filter():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    for d in (1, 2, 4):
+        # widths chosen so rows end in partial bytes (the packing edge)
+        for w, h in ((9, 6), (8, 5), (3, 7), (1, 1)):
+            y, x = np.ogrid[0:h, 0:w]
+            v = ((7 + x + 2 * y) % (1 << d)).astype(np.uint8)
+            for ft in (0, 1, 2, 3, 4, None):
+                png = MM.encode_png(
+                    w, h, v.tobytes(), channels=1, filter_type=ft,
+                    bit_depth=d,
+                )
+                dw, dh, ch, px = MM.decode_png(png)
+                assert (dw, dh, ch) == (w, h, 1)
+                assert px == (v * (255 // ((1 << d) - 1))).tobytes()
+
+
+def test_lowbit_palette_trns_composes():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    for d in (2, 4):
+        n_pal = 1 << d
+        w, h = 7, 5
+        y, x = np.ogrid[0:h, 0:w]
+        idx = ((3 + x + 2 * y) % n_pal).astype(np.uint8)
+        pal = bytes(
+            (11 * i + 101 * c) % 256 for i in range(n_pal) for c in range(3)
+        )
+        trans = bytes((5 + 7 * i) % 256 for i in range(n_pal - 1))
+        png = MM.encode_png(
+            w, h, idx.tobytes(), channels=1, filter_type=None, palette=pal,
+            bit_depth=d, trans=trans,
+        )
+        dw, dh, ch, px = MM.decode_png(png)
+        assert (dw, dh, ch) == (w, h, 4)
+        rgb = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        alpha = np.array(list(trans) + [255], dtype=np.uint8)
+        expect = np.concatenate(
+            [rgb[idx], alpha[idx][..., None]], axis=-1
+        ).tobytes()
+        assert px == expect
+
+
+def test_lowbit_png_loud_failure_modes():
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    with _pytest.raises(ValueError, match="out of subset"):
+        MM.encode_png(4, 4, bytes(16), channels=1, bit_depth=2,
+                      interlace=True)
+    with _pytest.raises(ValueError, match="does not fit depth"):
+        MM.encode_png(4, 4, bytes([4]) + bytes(15), channels=1, bit_depth=2)
+    with _pytest.raises(ValueError, match="1 sample per pixel"):
+        MM.encode_png(2, 2, bytes(12), channels=3, bit_depth=4)
+    with _pytest.raises(ValueError, match="do not fit depth"):
+        MM.encode_png(2, 2, bytes(4), channels=1, bit_depth=1,
+                      palette=bytes(9))
