@@ -1014,3 +1014,167 @@ register(QuerySpec(
     "banded near-dup join",
     ("dedup", "minhash", "audit", "agg"),
 ))
+
+
+# --- url_canonical_dedup: URL canonicalization duplicate census ------------
+# Round-8: the web-corpus hygiene op every crawl pipeline runs before
+# content dedup — collapse URL variants that name the same resource.
+# Synthetic URLs planted from orders carry every variation the
+# canonicalizer must erase (scheme/host case, default :80 port,
+# trailing slash, #fragment, utm_* tracking params, query-param
+# order) plus one it must PRESERVE (a non-default :8080 port). The
+# canonical form is built with native regexp/array expressions only
+# (the split feeding the HOF filter is the lambda INPUT — lint-clean);
+# identical regexes run on both engines. Output: duplicate-cluster
+# size histogram with the lexicographically smallest canonical URL
+# per size — the min pins the canonical STRING itself, so a wrong
+# port rule or an unsorted query flips the hash, not just the counts.
+# Scale shape: pure per-row string work on the scan, one aggregation
+# to canonical grain, one tiny histogram aggregation.
+
+def _planted_url(k: F.Column) -> F.Column:
+    host = (
+        F.when(k % 3 == 0, F.lit("Example.COM"))
+        .when(k % 3 == 1, F.lit("example.com"))
+        .otherwise(F.lit("WWW.Other.NET"))
+    )
+    scheme = F.when(k % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP"))
+    port = (
+        F.when(k % 4 == 0, F.lit(":80"))      # default -> dropped
+        .when(k % 4 == 1, F.lit(":8080"))      # non-default -> kept
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/jobs/"), (k % 50).cast("string"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        k % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&b="), (k % 7).cast("string"),
+                 F.lit("&a=1")),
+    ).otherwise(
+        F.concat(F.lit("?a=1&b="), (k % 7).cast("string")),
+    )
+    frag = F.when(k % 3 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _canonical_url(url: F.Column) -> F.Column:
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    after = F.regexp_replace(url, r"^[A-Za-z]+://", "")
+    nofrag = F.regexp_extract(after, r"^([^#]*)", 1)
+    hostport = F.regexp_extract(nofrag, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(nofrag, r"^[^/?]*", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    path_c = F.regexp_replace(path, r"/$", "")
+    path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    q_c = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path_c,
+        F.when(q_c != "", F.concat(F.lit("?"), q_c)).otherwise(F.lit("")),
+    )
+
+
+def _url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(
+        _planted_url(F.col("o_orderkey")).alias("url")
+    )
+    clusters = (
+        o.select(_canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.min("canon").alias("sample_canonical"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_URL_DEDUP_SQL = """
+WITH raw AS (
+  SELECT
+    (CASE o_orderkey % 2 WHEN 0 THEN 'http' ELSE 'HTTP' END)
+    || '://'
+    || (CASE o_orderkey % 3 WHEN 0 THEN 'Example.COM'
+        WHEN 1 THEN 'example.com' ELSE 'WWW.Other.NET' END)
+    || (CASE o_orderkey % 4 WHEN 0 THEN ':80'
+        WHEN 1 THEN ':8080' ELSE '' END)
+    || '/jobs/' || CAST(o_orderkey % 50 AS VARCHAR)
+    || (CASE WHEN o_orderkey % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE o_orderkey % 2
+        WHEN 0 THEN '?utm_source=feed&b=' || CAST(o_orderkey % 7 AS VARCHAR) || '&a=1'
+        ELSE '?a=1&b=' || CAST(o_orderkey % 7 AS VARCHAR) END)
+    || (CASE WHEN o_orderkey % 3 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM orders
+),
+parts AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_extract(regexp_replace(url, '^[A-Za-z]+://', ''), '^([^#]*)', 1) AS nofrag
+  FROM raw
+),
+parts2 AS (
+  SELECT *,
+    regexp_extract(nofrag, '^([^/?]*)', 1) AS hostport,
+    regexp_replace(nofrag, '^[^/?]*', '') AS pathq
+  FROM parts
+),
+parts3 AS (
+  SELECT *,
+    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    regexp_extract(pathq, '^([^?]*)', 1) AS path,
+    regexp_extract(pathq, '\\?(.*)$', 1) AS query
+  FROM parts2
+),
+canon AS (
+  SELECT scheme || '://' || host
+    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+             AND NOT (scheme = 'https' AND port = '443')
+        THEN ':' || port ELSE '' END)
+    || (CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+        ELSE regexp_replace(path, '/$', '') END)
+    || (CASE WHEN array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> p <> '' AND p NOT LIKE 'utm_%')), '&') <> ''
+        THEN '?' || array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> p <> '' AND p NOT LIKE 'utm_%')), '&')
+        ELSE '' END) AS canon
+  FROM parts3
+),
+clusters AS (
+  SELECT canon, COUNT(*) AS cluster_size FROM canon GROUP BY canon
+)
+SELECT cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  MIN(canon) AS sample_canonical
+FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+register(QuerySpec(
+    "url_canonical_dedup", _url_dedup, _URL_DEDUP_SQL,
+    "URL canonicalization duplicate census: scheme/host lowercasing, "
+    "default-port and fragment stripping, tracking-param removal, "
+    "query-param sorting (non-default ports preserved) — cluster-size "
+    "histogram with the min canonical string pinned per size",
+    ("dedup", "text", "agg"),
+))
