@@ -13,7 +13,7 @@ format-agnostic callers. Audio SAMPLES are real too (round-6):
 16-bit PCM needs no codec, so `decode_wav_samples` /
 `wav_sample_stats` extract exact integer energy/peak/zero-crossing
 features from WAV data chunks. Remaining formats whose decode needs
-codec libs this container lacks (progressive JPEG, compressed audio,
+codec libs this container lacks (compressed audio,
 video frames) keep their rows with NULL outputs — audit-don't-drop —
 and the `fake=True` paths remain for deterministic plumbing tests.
 
@@ -88,7 +88,7 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     mean+max over the decoded pixels — a fixed 8-wide vector
     (4 channel means + 4 channel maxes), so ``dim`` must be 8 on that
     path (raises otherwise rather than silently ignoring it).
-    Payloads outside the codecs' reach (progressive JPEG, audio,
+    Payloads outside the codecs' reach (audio,
     video) keep their row with a NULL feature.
     """
     if not fake and dim != 8:
@@ -1320,7 +1320,7 @@ def decode_image_batch(
     the output row carries the decoded geometry and a sha1 over the
     pixel bytes so any downstream can verify the decode bit-for-bit.
     Other formats and corrupt/out-of-subset payloads (bad CRC,
-    16-bit PNG, truncated LZW, interlaced GIF, progressive JPEG —
+    16-bit PNG, truncated LZW, interlaced GIF —
     signalled by ValueError) yield NULLs (audit-don't-drop); Adam7
     interlaced PNGs decode for real since round 7. One Arrow pass,
     no shuffle."""

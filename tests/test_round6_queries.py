@@ -468,12 +468,15 @@ def test_jpeg_decoder_hostile_inputs():
     for cut in (4, 20, len(good) // 2, len(good) - 3):
         with _pytest.raises(ValueError):
             decode_jpeg(good[:cut])
-    # progressive SOF2 is outside the subset -> loud
+    # SOF2 is IN subset since round 8 — but a baseline stream with its
+    # SOF marker flipped to SOF2 is a MALFORMED progressive stream
+    # (its one SOS claims the 0..63 band for a DC scan) and must stay
+    # loud, not decode to garbage
     prog = bytearray(good)
     i = prog.index(0xC0, 2)  # SOF0 marker byte after a 0xFF
     assert prog[i - 1] == 0xFF
     prog[i] = 0xC2
-    with _pytest.raises(ValueError, match="SOF2"):
+    with _pytest.raises(ValueError, match="DC scan with Se"):
         decode_jpeg(bytes(prog))
     # header-only fixture (no SOS) stays loud -> NULL rows downstream
     with _pytest.raises(ValueError):

@@ -288,3 +288,78 @@ def test_lowbit_png_loud_failure_modes():
     with _pytest.raises(ValueError, match="do not fit depth"):
         MM.encode_png(2, 2, bytes(4), channels=1, bit_depth=1,
                       palette=bytes(9))
+
+
+# --- progressive JPEG (round-8) ----------------------------------------------
+
+def test_progressive_jpeg_bit_exact_vs_baseline():
+    """The strongest possible round-trip: progressive and baseline
+    encoders quantize identically, so decoding either stream of the
+    same pixels must produce BIT-IDENTICAL output — across successive
+    approximation depths, spectral band splits, and image sizes."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import jpeg_codec as J
+
+    rng = np.random.RandomState(7)
+    for h, w in [(16, 24), (8, 8)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        want = J.decode_jpeg(J.encode_jpeg_gray(px))
+        for dc_al in (1, 2):
+            for ac_al in (0, 1, 2):
+                for split in (5, 1, 62):
+                    got = J.decode_jpeg(J.encode_jpeg_progressive_gray(
+                        px, dc_al=dc_al, ac_al=ac_al, band_split=split))
+                    assert got == want, (h, w, dc_al, ac_al, split)
+
+
+def test_progressive_jpeg_color_and_restarts():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import jpeg_codec as J
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_progressive_color(rgb))
+            == J.decode_jpeg(J.encode_jpeg_color(rgb)))
+    # DRI persists across scans: restart markers in EVERY scan kind
+    px = rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+    want = J.decode_jpeg(J.encode_jpeg_gray(px))[3]
+    for ri in (1, 2, 5):
+        got = J.decode_jpeg(
+            J.encode_jpeg_progressive_gray(px, restart_interval=ri))[3]
+        assert got == want, ri
+
+
+def test_progressive_jpeg_exact_flat_blocks_and_eob_runs():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import jpeg_codec as J
+
+    vals = (np.arange(16, dtype=np.int64).reshape(4, 4) * 13 % 240)
+    flat = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out = J.decode_jpeg(
+        J.encode_jpeg_progressive_gray(flat, qtable=J.QTABLE_FLAT8))[3]
+    assert out == flat.tobytes()
+    # a constant image drives 64-block cross-scan EOB runs
+    const = np.full((64, 64), 200, dtype=np.uint8)
+    out = J.decode_jpeg(
+        J.encode_jpeg_progressive_gray(const, qtable=J.QTABLE_FLAT8))[3]
+    assert out == const.tobytes()
+
+
+def test_progressive_jpeg_loud_failure_modes():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import jpeg_codec as J
+
+    px = np.full((8, 8), 100, dtype=np.uint8)
+    prog = J.encode_jpeg_progressive_gray(px)
+    # truncation inside a scan stays loud
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(prog[:len(prog) // 2])
+    # a stream with SOF2 but zero scans has no pixels to return
+    eoi = prog.index(b"\xff\xda")
+    with _pytest.raises(ValueError, match="no scan"):
+        J.decode_jpeg(prog[:eoi] + b"\xff\xd9")
