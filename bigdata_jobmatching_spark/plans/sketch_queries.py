@@ -334,3 +334,150 @@ register(QuerySpec(
     "exact-below-k rule, bit-identical IEEE arithmetic",
     ("sketch", "agg", "distinct"),
 ))
+
+
+# --- cm_join_size_estimate: sketch-based join-cardinality audit -------------
+# Round-8: the query-optimizer primitive count-min sketches were
+# invented for (Alon-Matias-Szegedy F2 / Cormode-Muthukrishnan inner
+# products): |R join S on k| = sum_k n_R(k) * n_S(k), upper-bounded by
+# min over hash rows d of the sketch inner product
+# sum_j cm_R[d][j] * cm_S[d][j]. Two estimators over the lake's join
+# keys, each against its exact truth:
+# - self_join_f2: the second frequency moment of lineitem.l_partkey
+#   (self-join size) — the classic AMS demo and the quantity a
+#   skew-aware join planner needs;
+# - lineitem_x_part: the two-relation form against the part table.
+# Scale shape: each sketch is ONE 2048-row mergeable aggregation; the
+# inner products are broadcast-sized math. Headroom: the int64 inner
+# product needs every bucket counter < 3e9 (cnt^2 < 9e18) — holds to
+# ~1.5e12 rows at w=512; the assert_true below raises loudly beyond
+# (rescale to per-thousand counts or widen w first). The exact sides
+# (a groupBy and a join count) are the AUDIT cost, not the production
+# cost — at 100 TB you run only the sketches.
+
+def _cm_sketch(df: DataFrame, key: str) -> DataFrame:
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.expr(_h(i, key, _CM_W)).alias("bucket"))
+        for i in range(_CM_D)
+    ])
+    guarded_cnt = F.coalesce(
+        F.assert_true(
+            F.col("cnt") < F.lit(3_000_000_000),
+            F.lit("cm_join_size_estimate: bucket counter exceeds int64 "
+                  "inner-product headroom — widen the sketch or rescale"),
+        ).cast("long"),
+        F.col("cnt"),
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .groupBy("r.i", "r.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cnt", guarded_cnt)
+    )
+
+
+def _cm_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("k"))
+    pt = load_table(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    sk_li = _cm_sketch(li, "k")
+    sk_pt = _cm_sketch(pt, "k")
+
+    est_self = (
+        sk_li.groupBy("i")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        .agg(F.min("ip").alias("cm_estimate"))
+        .withColumn("estimator", F.lit("self_join_f2"))
+    )
+    a, b = sk_li.alias("a"), sk_pt.alias("b")
+    est_join = (
+        a.join(F.broadcast(b),
+               (F.col("a.i") == F.col("b.i"))
+               & (F.col("a.bucket") == F.col("b.bucket")))
+        .groupBy("a.i")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+        .agg(F.min("ip").alias("cm_estimate"))
+        .withColumn("estimator", F.lit("lineitem_x_part"))
+    )
+
+    per_key = li.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    exact_self = per_key.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact")
+    ).withColumn("estimator", F.lit("self_join_f2"))
+    exact_join = li.join(pt, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    ).withColumn("estimator", F.lit("lineitem_x_part"))
+
+    ests = est_self.unionByName(est_join)
+    exacts = exact_self.unionByName(exact_join)
+    return (
+        ests.join(exacts, "estimator")
+        .select(
+            "estimator",
+            "exact",
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact")).cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("estimator")
+    )
+
+
+def _cm_join_size_sql() -> str:
+    li_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {_h(i, 'l_partkey', _CM_W)} AS bucket FROM lineitem"
+        for i in range(_CM_D)
+    )
+    pt_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {_h(i, 'p_partkey', _CM_W)} AS bucket FROM part"
+        for i in range(_CM_D)
+    )
+    return f"""
+WITH sk_li AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({li_rows})
+  GROUP BY i, bucket
+),
+sk_pt AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({pt_rows})
+  GROUP BY i, bucket
+),
+est_self AS (
+  SELECT 'self_join_f2' AS estimator, MIN(ip) AS cm_estimate
+  FROM (SELECT i, SUM(cnt * cnt) AS ip FROM sk_li GROUP BY i)
+),
+est_join AS (
+  SELECT 'lineitem_x_part' AS estimator, MIN(ip) AS cm_estimate
+  FROM (
+    SELECT a.i, SUM(a.cnt * b.cnt) AS ip
+    FROM sk_li a JOIN sk_pt b ON a.i = b.i AND a.bucket = b.bucket
+    GROUP BY a.i
+  )
+),
+exact_self AS (
+  SELECT 'self_join_f2' AS estimator, CAST(SUM(cnt * cnt) AS BIGINT) AS exact
+  FROM (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey)
+),
+exact_join AS (
+  SELECT 'lineitem_x_part' AS estimator, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ests AS (SELECT * FROM est_self UNION ALL SELECT * FROM est_join),
+exacts AS (SELECT * FROM exact_self UNION ALL SELECT * FROM exact_join)
+SELECT e.estimator, x.exact,
+  CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+  CAST(e.cm_estimate - x.exact AS BIGINT) AS overestimate
+FROM ests e JOIN exacts x ON e.estimator = x.estimator
+ORDER BY e.estimator
+"""
+
+
+register(QuerySpec(
+    "cm_join_size_estimate", _cm_join_size, _cm_join_size_sql(),
+    "sketch-based join-cardinality audit: count-min inner products "
+    "upper-bound the self-join F2 moment of l_partkey and the "
+    "lineitem x part join size, measured against exact truth — the "
+    "AMS/CM primitive a skew-aware join planner runs before choosing "
+    "a strategy",
+    ("sketch", "join", "audit"),
+))
