@@ -1320,7 +1320,7 @@ def decode_image_batch(
     the output row carries the decoded geometry and a sha1 over the
     pixel bytes so any downstream can verify the decode bit-for-bit.
     Other formats and corrupt/out-of-subset payloads (bad CRC,
-    16-bit PNG, truncated LZW, interlaced GIF —
+    16-bit PNG, truncated LZW —
     signalled by ValueError) yield NULLs (audit-don't-drop); Adam7
     interlaced PNGs decode for real since round 7. One Arrow pass,
     no shuffle."""
@@ -1420,9 +1420,10 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
 
 def decode_gif(b: bytes) -> tuple[int, int, int, bytes] | None:
     """(width, height, 3, interleaved RGB bytes) for the first image
-    in a GIF stream, or None for non-GIF payloads. Raises ValueError
-    on interlaced images, missing color tables, and malformed /
-    truncated streams — same subset discipline as :func:`decode_png`."""
+    in a GIF stream, or None for non-GIF payloads. 4-pass interlaced
+    images (round-8) de-interlace via pure row reordering. Raises
+    ValueError on missing color tables and malformed / truncated
+    streams — same subset discipline as :func:`decode_png`."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     packed = b[10]
@@ -1452,8 +1453,7 @@ def decode_gif(b: bytes) -> tuple[int, int, int, bytes] | None:
         h = int.from_bytes(b[i + 7:i + 9], "little")
         ipacked = b[i + 9]
         i += 10
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        gif_interlaced = bool(ipacked & 0x40)
         table = gct
         if ipacked & 0x80:
             n = 3 * (2 << (ipacked & 0x07))
@@ -1479,6 +1479,14 @@ def decode_gif(b: bytes) -> tuple[int, int, int, bytes] | None:
         if i >= len(b):
             raise ValueError("unterminated LZW data")
         idx = _lzw_decode(min_code, bytes(lzw), w * h)
+        if gif_interlaced:
+            # round-8: GIF89a 4-pass interlace is pure row reordering —
+            # the LZW stream carries rows in pass order (0,8,16.. then
+            # 4,12.. then 2,6.. then 1,3,5..); scatter them back
+            deint = bytearray(w * h)
+            for src, dst in enumerate(_gif_interlace_rows(h)):
+                deint[dst * w:(dst + 1) * w] = idx[src * w:(src + 1) * w]
+            idx = bytes(deint)
         n_colors = len(table) // 3
         px = bytearray(w * h * 3)
         for j, ix in enumerate(idx):
@@ -1487,6 +1495,15 @@ def decode_gif(b: bytes) -> tuple[int, int, int, bytes] | None:
             px[3 * j:3 * j + 3] = table[3 * ix:3 * ix + 3]
         return w, h, 3, bytes(px)
     raise ValueError("GIF stream ended before trailer")
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """Real row for each transmitted row of a 4-pass interlaced GIF
+    (spec Appendix E): pass starts/steps (0,8) (4,8) (2,4) (1,2)."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
 
 
 def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
@@ -1527,12 +1544,15 @@ def encode_gif(
     palette: bytes,
     local_table: bool = False,
     animated_89a: bool = True,
+    interlace: bool = False,
 ) -> bytes:
     """Real GIF from palette indices + an RGB palette (3*2^k bytes,
     k in 1..8). ``local_table`` moves the palette into the image
     descriptor (exercising the decoder's LCT branch);
     ``animated_89a`` prepends a Graphic Control Extension so the
-    stream also drives the extension-skip path."""
+    stream also drives the extension-skip path; ``interlace``
+    (round-8) transmits rows in 4-pass order with the descriptor's
+    interlace flag set."""
     n_colors = len(palette) // 3
     if len(palette) != 3 * n_colors or n_colors & (n_colors - 1) or not 2 <= n_colors <= 256:
         raise ValueError(f"palette must be 3*2^k bytes (k in 1..8), got {len(palette)}")
@@ -1554,7 +1574,14 @@ def encode_gif(
         out += b"\x21\xfe\x05spark\x00"             # comment extension
     out += b"\x2c" + bytes(4)  # image at (0,0)
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += bytes([(0x80 | size_field) if local_table else 0x00])
+    ipacked = (0x80 | size_field) if local_table else 0x00
+    if interlace:
+        ipacked |= 0x40
+        reordered = bytearray()
+        for y in _gif_interlace_rows(height):
+            reordered += indices[y * width:(y + 1) * width]
+        indices = bytes(reordered)
+    out += bytes([ipacked])
     if local_table:
         out += palette
     out.append(min_code)

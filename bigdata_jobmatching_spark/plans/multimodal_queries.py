@@ -516,6 +516,97 @@ register(QuerySpec(
 ))
 
 
+# --- interlaced_gif_pixel_stats: REAL 4-pass GIF de-interlace (round-8) ----
+# Closure of the interlaced-GIF gap: payloads are REAL interlaced
+# GIFs (descriptor flag 0x40, rows transmitted in 4-pass order:
+# 0,8,.. / 4,12,.. / 2,6,.. / 1,3,..) with the same planted index map
+# as gif_pixel_stats. Channel sums alone are PERMUTATION-INVARIANT —
+# a decoder that forgot to reorder rows would still pass them — so
+# the gate also hashes a position-weighted sum
+# wsum_c0 = SUM((1 + x + 2y) * c0(x,y)), which pins every row's
+# PLACEMENT (the interlaced-PNG discipline). Heights 2..6 leave some
+# passes empty on every fixture.
+
+_ILACE_GIF_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("sum_c0", T.LongType()),
+    T.StructField("sum_c1", T.LongType()),
+    T.StructField("wsum_c0", T.LongType()),
+])
+
+
+def _planted_ilace_gif(k: int) -> bytes:
+    w, h = k % 7 + 2, k % 5 + 2
+    idx = bytes((k + 7 * x + 13 * y) % 256 for y in range(h) for x in range(w))
+    return MM.encode_gif(
+        w, h, idx, _GIF_PALETTE,
+        local_table=bool(k % 2), animated_89a=bool((k // 2) % 2),
+        interlace=True,
+    )
+
+
+def _ilace_gif_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_ilace_gif(kk)
+                w, h, ch, px = MM.decode_gif(memo[kk])
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, ch).astype(np.int64)
+                )
+                ys, xs = np.ogrid[0:h, 0:w]
+                wgt = 1 + xs + 2 * ys
+                rows.append((
+                    int(k), w, h,
+                    int(a[..., 0].sum()), int(a[..., 1].sum()),
+                    int((wgt * a[..., 0]).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "px_width", "px_height",
+                         "sum_c0", "sum_c1", "wsum_c0"],
+            )
+
+    return p.mapInPandas(batches, _ILACE_GIF_SCHEMA)
+
+
+_ILACE_GIF_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 7 + 2 AS INT) AS px_width,
+    CAST(p_partkey % 1024 % 5 + 2 AS INT) AS px_height
+  FROM part
+),
+xs AS (SELECT *, unnest(range(px_width)) AS x FROM dims),
+xy AS (SELECT *, unnest(range(px_height)) AS y FROM xs)
+SELECT p_partkey, px_width, px_height,
+  CAST(SUM((k + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_c0,
+  CAST(SUM(((k + 7 * x + 13 * y) % 256) * 3 % 256) AS BIGINT) AS sum_c1,
+  CAST(SUM((1 + x + 2 * y) * ((k + 7 * x + 13 * y) % 256)) AS BIGINT)
+    AS wsum_c0
+FROM xy GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "interlaced_gif_pixel_stats", _ilace_gif_pixel_stats, _ILACE_GIF_SQL,
+    "REAL 4-pass interlaced GIF decode (row reordering over the LZW "
+    "stream) verified by channel sums PLUS a position-weighted sum "
+    "that pins every row's placement",
+    ("multimodal", "decode"),
+))
+
+
 # --- jpeg_pixel_stats: REAL baseline-JPEG decode, oracle-verified ---------
 # Round-6 third pixel-real format: payloads are REAL baseline JPEGs —
 # Annex-K Huffman entropy coding, DQT/SOF0/DHT/SOS marker structure,

@@ -363,3 +363,27 @@ def test_progressive_jpeg_loud_failure_modes():
     eoi = prog.index(b"\xff\xda")
     with _pytest.raises(ValueError, match="no scan"):
         J.decode_jpeg(prog[:eoi] + b"\xff\xd9")
+
+
+# --- interlaced GIF (round-8) -------------------------------------------------
+
+def test_gif_interlace_round_trip():
+    """4-pass GIF interlace is pure row reordering: interlaced and
+    plain encodings of the same indices decode identically, across
+    heights that leave passes empty (h=1 has only pass 1; h=2 adds
+    pass 4; odd heights split unevenly)."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    for w, h in ((9, 11), (8, 8), (5, 1), (3, 2), (16, 17)):
+        y, x = np.ogrid[0:h, 0:w]
+        idx = ((3 + x + 2 * y) % 4).astype(np.uint8)
+        pal = bytes((11 * i + 7 * c) % 256 for i in range(4) for c in range(3))
+        plain = MM.decode_gif(MM.encode_gif(w, h, idx.tobytes(), pal))
+        inter = MM.decode_gif(
+            MM.encode_gif(w, h, idx.tobytes(), pal, interlace=True))
+        assert plain == inter, (w, h)
+        if h > 2:  # the wire really is row-reordered
+            assert MM.encode_gif(w, h, idx.tobytes(), pal) != MM.encode_gif(
+                w, h, idx.tobytes(), pal, interlace=True)
