@@ -481,3 +481,140 @@ register(QuerySpec(
     "a strategy",
     ("sketch", "join", "audit"),
 ))
+
+
+# --- log2_quantile_audit: mergeable histogram quantiles vs exact ------------
+# Round-8: quantiles WITHOUT a global sort — the scale path for p50/
+# p95/p99 dashboards. Per event type, a log2-bucket histogram over
+# value cents (bucket = floor(log2(cents)) computed as
+# length(bin(cents)) - 1, pure integer on both engines) is a
+# MERGEABLE summary: counts add across partitions/days, and the
+# q-quantile estimate is the upper bound 2^(bucket+1) - 1 of the
+# first bucket whose cumulative count reaches the nearest-rank
+# ceil(q*n) — guaranteed within 2x of the true value by construction,
+# and the audit MEASURES the gap against the exact nearest-rank
+# quantile (itself computed by rank selection, not interpolation, so
+# both engines pick the identical cent value). Scale shape: the
+# sketch is a per-(type, bucket) hash aggregation (~40 rows total);
+# the exact side is the audit cost only.
+
+_QUANT_QS = (50, 90, 99)
+
+
+def _log2_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents") >= 1)
+    hist = (
+        ev.withColumn("bucket", F.length(F.expr("bin(cents)")) - 1)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    w_rank = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = (
+        load_table(spark, sf, "events").select(
+            "event_type", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).filter(F.col("cents") >= 1)
+        .withColumn("rk", F.row_number().over(w_rank))
+    )
+
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QUANT_QS])).alias("q"))
+    targets = tot.crossJoin(F.broadcast(qs)).select(
+        "event_type", "q", "n",
+        F.ceil(F.col("q") * F.col("n") / 100).cast("long").alias("rank"),
+    )
+    exact = targets.join(
+        ranked,
+        (targets.event_type == ranked.event_type)
+        & (targets.rank == ranked.rk),
+    ).select(
+        targets.event_type, "q", "n",
+        F.col("cents").alias("exact_cents"),
+    )
+    est = (
+        targets.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bucket").alias("est_bucket"))
+        .select(
+            "event_type", "q", "est_bucket",
+            (F.pow(F.lit(2.0), F.col("est_bucket") + 1) - 1)
+            .cast("long").alias("est_cents"),
+        )
+    )
+    return (
+        exact.join(est, ["event_type", "q"])
+        .select(
+            "event_type", "q", "n", "exact_cents", "est_bucket", "est_cents",
+            ratio6("est_cents", "exact_cents").alias("est_over_exact"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+_QUANT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1
+),
+hist AS (
+  SELECT event_type, length(bin(cents)) - 1 AS bucket, COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _QUANT_QS)}]) AS q),
+targets AS (
+  SELECT event_type, q, n,
+    CAST(ceil(q * n / 100.0) AS BIGINT) AS rank
+  FROM tot CROSS JOIN qs
+),
+ranked AS (
+  SELECT event_type, cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY cents, event_id) AS rk
+  FROM ev
+),
+exact AS (
+  SELECT t.event_type, t.q, t.n, r.cents AS exact_cents
+  FROM targets t JOIN ranked r
+    ON t.event_type = r.event_type AND t.rank = r.rk
+),
+est AS (
+  SELECT t.event_type, t.q, MIN(c.bucket) AS est_bucket
+  FROM targets t JOIN cum c ON t.event_type = c.event_type
+  WHERE c.cum >= t.rank
+  GROUP BY 1, 2
+)
+SELECT e.event_type, e.q, e.n, e.exact_cents, s.est_bucket,
+  CAST(power(2.0, s.est_bucket + 1) - 1 AS BIGINT) AS est_cents,
+  {ratio6_sql("CAST(power(2.0, s.est_bucket + 1) - 1 AS BIGINT)",
+              "e.exact_cents")} AS est_over_exact
+FROM exact e JOIN est s ON e.event_type = s.event_type AND e.q = s.q
+ORDER BY e.event_type, e.q
+"""
+
+register(QuerySpec(
+    "log2_quantile_audit", _log2_quantiles, _QUANT_SQL,
+    "mergeable log2-histogram quantiles (p50/p90/p99 per event type) "
+    "vs exact nearest-rank selection: bucket-upper-bound estimates "
+    "with the measured 2x-bounded error — the no-global-sort "
+    "percentile path",
+    ("sketch", "agg", "audit"),
+))
