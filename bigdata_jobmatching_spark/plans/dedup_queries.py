@@ -1178,3 +1178,94 @@ register(QuerySpec(
     "histogram with the min canonical string pinned per size",
     ("dedup", "text", "agg"),
 ))
+
+
+# --- blocking_recall_audit: candidate-generation quality measurement --------
+# Round-8: the third recall audit (after ann_recall_audit and
+# minhash_estimate_error) — this one measures the BLOCKING SCHEME
+# itself, the step every dedup pipeline quietly trusts. On a
+# deterministic 1-in-17 document sample, ground truth is ALL pairs
+# with token-set Jaccard >= 0.8 regardless of block; the production
+# scheme (block on lang|source, the docs_jaccard_pairs key) is scored
+# by pairs completeness (retained/true) and reduction ratio
+# (1 - candidates/all-pairs). On this synthetic corpus the scheme is
+# MEASURABLY lossy (~3% recall at sf0.01) — which is the point: the
+# audit turns "we block on lang+source" from an assumption into a
+# number. Scale note: the truth side is quadratic BY DEFINITION, so
+# it runs on the sample (pairs shrink by 289x) — the same
+# sample-the-truth posture as ann_recall_audit; the production
+# blocking pipeline itself never does all-pairs work.
+
+def _blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        fan_out(load_table(spark, sf, "documents"))
+        .filter(F.col("doc_id") % 17 == 0)
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn(
+            "tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
+        .select("doc_id", "blk", "tokset")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            (F.col("a.blk") == F.col("b.blk")).alias("same_blk"),
+            (S.jaccard(F.col("a.tokset"), F.col("b.tokset")) >= 0.8)
+            .alias("is_true"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all_pairs"),
+        F.sum(F.when(F.col("same_blk"), 1).otherwise(0)).cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("is_true") & F.col("same_blk"), 1).otherwise(0))
+        .cast("long").alias("n_retained"),
+    )
+    recall = F.when(
+        F.col("n_true") > 0, ratio6("n_retained", "n_true")
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        "n_all_pairs", "n_candidates", "n_true", "n_retained",
+        recall.alias("pairs_completeness"),
+        (F.lit(1.0) - ratio6("n_candidates", "n_all_pairs"))
+        .alias("reduction_ratio"),
+    )
+
+
+_BLOCKING_RECALL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang || '|' || source AS blk, {_SQL_TOKSET_H} AS ts
+  FROM documents WHERE doc_id % 17 = 0
+),
+pairs AS (
+  SELECT a.blk = b.blk AS same_blk,
+    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8 AS is_true
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all_pairs,
+    CAST(SUM(CASE WHEN same_blk THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+    CAST(SUM(CASE WHEN is_true AND same_blk THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_retained
+  FROM pairs
+)
+SELECT n_all_pairs, n_candidates, n_true, n_retained,
+  CASE WHEN n_true > 0
+       THEN {ratio6_sql("n_retained", "n_true")} ELSE NULL END
+    AS pairs_completeness,
+  1.0 - {ratio6_sql("n_candidates", "n_all_pairs")} AS reduction_ratio
+FROM agg
+"""
+
+register(QuerySpec(
+    "blocking_recall_audit", _blocking_recall, _BLOCKING_RECALL_SQL,
+    "blocking-scheme quality audit on a 1-in-17 sample: pairs "
+    "completeness and reduction ratio of the lang|source blocking key "
+    "vs exact Jaccard>=0.8 ground truth — the candidate-generation "
+    "recall measurement every dedup pipeline owes its users",
+    ("dedup", "audit", "join"),
+))
