@@ -1929,6 +1929,110 @@ def _tiff_read_values(b, endian, typ, count, val_field) -> list[int]:
     ]
 
 
+def tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF 6.0 LZW (Compression 5): MSB-first bit order, fixed
+    256=Clear / 257=EOI, 12-bit cap, and the spec's EarlyChange —
+    code width grows one code EARLIER than GIF's rule (when the next
+    assigned code would be 2^w - 1). Raises on truncation, codes out
+    of range, and output-length mismatch."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # clear + eoi placeholders
+        return 9
+
+    width = reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                width = reset()
+                prev = None
+                continue
+            if code == EOI:
+                if len(out) != expect:
+                    raise ValueError(
+                        f"TIFF LZW ended with {len(out)} of {expect} bytes"
+                    )
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the cScSc case
+            else:
+                raise ValueError(f"bad TIFF LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            # EarlyChange=1, the convention real writers ship (libtiff,
+            # Adobe): the decoder's table lags the encoder's dictionary
+            # by one entry at equal stream positions, so it must widen
+            # at 2^w - 2 — one earlier than a literal reading of the
+            # TIFF 6.0 prose suggests (the spec's famous off-by-one).
+            # Verified by round-trip against the mirrored encoder rule
+            # (encoder widens when its next free code reaches 2^w - 1).
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+            prev = entry
+            if len(out) > expect:
+                raise ValueError("TIFF LZW produced too many bytes")
+    raise ValueError("TIFF LZW stream ended without EOI")
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Real compressing TIFF-LZW writer (dictionary-based, not
+    literals-only): MSB-first packing, EarlyChange width growth
+    mirroring :func:`tiff_lzw_decode`, Clear emitted before the
+    dictionary would overflow 12 bits."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    dict_, next_code, width = fresh()
+    put(CLEAR, width)
+    cur = b""
+    for bv in data:
+        nxt = cur + bytes([bv])
+        if nxt in dict_:
+            cur = nxt
+            continue
+        put(dict_[cur], width)
+        dict_[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # EarlyChange, mirrored
+        if next_code == 4094:
+            put(CLEAR, width)
+            dict_, next_code, width = fresh()
+        cur = bytes([bv])
+    if cur:
+        put(dict_[cur], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(b: bytes) -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, raw 8-bit pixel bytes) for a
     baseline strip TIFF, or None for non-TIFF payloads. Raises
@@ -1968,8 +2072,11 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytes] | None:
     rows_per_strip = tags.get(278, [h])[0]
     if any(x != 8 for x in bits) or spp not in (1, 3):
         raise ValueError(f"unsupported TIFF depth {bits}x{spp}")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    if comp == 5 and tags.get(317, [1])[0] != 1:
+        raise ValueError(
+            f"unsupported TIFF LZW predictor {tags[317][0]}")
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photo}")
     if len(offsets) != len(counts):
@@ -1981,9 +2088,14 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytes] | None:
             raise ValueError("TIFF strip out of bounds")
         rows = min(rows_per_strip, h - si * rows_per_strip)
         expect = rows * w * spp
-        out += packbits_decode(raw, expect) if comp == 32773 else raw
-        if comp == 1 and len(raw) != expect:
-            raise ValueError("TIFF strip size mismatch")
+        if comp == 32773:
+            out += packbits_decode(raw, expect)
+        elif comp == 5:
+            out += tiff_lzw_decode(raw, expect)
+        else:
+            if len(raw) != expect:
+                raise ValueError("TIFF strip size mismatch")
+            out += raw
     if len(out) != h * w * spp:
         raise ValueError(f"TIFF strips produced {len(out)} of {h * w * spp} bytes")
     if photo == 0:  # WhiteIsZero: invert to BlackIsZero convention
@@ -1999,11 +2111,14 @@ def encode_tiff_pixels(
     endian: str = "little",
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
 ) -> bytes:
     """Real strip TIFF from raw 8-bit pixels — gray or RGB, either
-    byte order, optional PackBits compression and multi-strip
-    layout. Exists so round-trip tests and gate fixtures drive every
-    decoder branch."""
+    byte order, optional PackBits or LZW (round-8, Compression 5,
+    EarlyChange) compression and multi-strip layout. Exists so
+    round-trip tests and gate fixtures drive every decoder branch."""
+    if packbits and lzw:
+        raise ValueError("pick one compression")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     if channels not in (1, 3):
@@ -2014,7 +2129,9 @@ def encode_tiff_pixels(
     for y0 in range(0, height, rps):
         rows = min(rps, height - y0)
         raw = pixels[y0 * width * channels:(y0 + rows) * width * channels]
-        strips.append(packbits_encode(raw) if packbits else raw)
+        strips.append(
+            packbits_encode(raw) if packbits
+            else tiff_lzw_encode(raw) if lzw else raw)
 
     def u(v: int, nb: int) -> bytes:
         return v.to_bytes(nb, e)
@@ -2024,7 +2141,7 @@ def encode_tiff_pixels(
     entries.append((256, 3, 1, [width]))
     entries.append((257, 3, 1, [height]))
     entries.append((258, 3, channels, [8] * channels))
-    entries.append((259, 3, 1, [32773 if packbits else 1]))
+    entries.append((259, 3, 1, [32773 if packbits else 5 if lzw else 1]))
     entries.append((262, 3, 1, [2 if channels == 3 else 1]))
     entries.append((273, 4, len(strips), None))  # offsets patched below
     entries.append((277, 3, 1, [channels]))

@@ -885,6 +885,89 @@ register(QuerySpec(
 ))
 
 
+# --- lzw_tiff_pixel_stats: REAL TIFF LZW (Compression 5) decode (round-8) --
+# The remaining TIFF compression: payloads are REAL LZW-compressed
+# strip TIFFs (MSB-first codes, EarlyChange width growth — the TIFF
+# spec's famous off-by-one, implemented the way real writers ship it)
+# with the same planted pixel formula as tiff_pixel_stats, cycling
+# {gray, RGB} x {little, big endian} and a 3-row strip split so LZW
+# state resets per strip. A wrong width-change point, bit order, or
+# cScSc handling flips the hash.
+
+_LZW_TIFF_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("px_channels", T.IntegerType()),
+    T.StructField("sum_px", T.LongType()),
+])
+
+
+def _planted_lzw_tiff(k: int) -> bytes:
+    w, h = k % 6 + 2, k % 5 + 2
+    ch = 3 if k % 2 else 1
+    px = bytes(
+        (k + 11 * x + 29 * y + 53 * c) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+    return MM.encode_tiff_pixels(
+        w, h, px, channels=ch,
+        endian="big" if (k // 2) % 2 else "little",
+        lzw=True,
+        rows_per_strip=3,
+    )
+
+
+def _lzw_tiff_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                kk = int(k) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_lzw_tiff(kk)
+                w, h, ch, raw = MM.decode_tiff(memo[kk])
+                s = int(
+                    np.frombuffer(raw, dtype=np.uint8).astype(np.int64).sum())
+                rows.append((int(k), w, h, ch, s))
+            yield pd.DataFrame(rows, columns=[
+                "p_partkey", "px_width", "px_height", "px_channels", "sum_px",
+            ])
+
+    return p.mapInPandas(batches, _LZW_TIFF_SCHEMA)
+
+
+_LZW_TIFF_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(p_partkey % 1024 % 6 + 2 AS INT) AS px_width,
+    CAST(p_partkey % 1024 % 5 + 2 AS INT) AS px_height,
+    CAST(CASE WHEN p_partkey % 1024 % 2 = 1 THEN 3 ELSE 1 END AS INT)
+      AS px_channels
+  FROM part
+),
+xs AS (SELECT *, unnest(range(px_width)) AS x FROM dims),
+xy AS (SELECT *, unnest(range(px_height)) AS y FROM xs),
+xyc AS (SELECT *, unnest(range(px_channels)) AS c FROM xy)
+SELECT p_partkey, px_width, px_height, px_channels,
+  CAST(SUM((k + 11 * x + 29 * y + 53 * c) % 256) AS BIGINT) AS sum_px
+FROM xyc GROUP BY 1, 2, 3, 4
+"""
+
+register(QuerySpec(
+    "lzw_tiff_pixel_stats", _lzw_tiff_pixel_stats, _LZW_TIFF_SQL,
+    "REAL LZW-compressed TIFF decode (Compression 5, MSB-first codes, "
+    "EarlyChange width growth, per-strip state resets) verified by "
+    "arithmetic pixel sums",
+    ("multimodal", "decode"),
+))
+
+
 # --- tiff_pixel_stats: REAL TIFF strip decode, oracle-verified ------------
 # Round-6 fourth pixel-real format: payloads are REAL strip TIFFs
 # with planted pixels (k + 9x + 23y + 77c) % 256, fixture variants

