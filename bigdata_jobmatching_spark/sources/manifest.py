@@ -1,0 +1,158 @@
+"""Manifest-based file skipping on plain parquet — the core mechanic
+of every table format (Iceberg manifests, Delta add-file stats),
+implemented on the repo's versioned store with nothing but a JSON
+sidecar.
+
+At 100 TB the decisive scan economics are FILE-level: a query with a
+selective range predicate should open the handful of files whose
+[min, max] span overlaps it, not list-and-footer-probe a million
+files. Engines get row-group skipping from parquet footers for free
+(zonemap_pruning_audit measures that), but footer probing still
+touches every file; a manifest lifts the stats one level up so
+planning is one small-object read.
+
+``write_version_with_manifest`` lands a version directory exactly
+like ``versioned.write_version`` and then collects per-file
+min/max/null-count for the declared stats columns from the parquet
+FOOTERS (pyarrow, no data read) into ``_MANIFEST.json`` inside the
+version dir — written BEFORE the pointer swap, so a published version
+always carries its manifest (the same crash-window discipline as the
+streaming IVM sink's epoch marker).
+
+``read_pruned`` resolves the current version, keeps the files whose
+stats span overlaps the ``[lo, hi]`` predicate (files with no stats
+for the column, or null-only, are conservatively KEPT — skipping must
+never be allowed to change answers), and returns both the pruned
+DataFrame and the (files_total, files_read) economics. Correctness
+contract: for any predicate, the pruned scan filtered by it equals
+the full scan filtered by it — pinned by the gate query
+(plans/layout_queries.manifest_pruning_audit) and tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import versioned as V
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _collect_file_stats(vdir: str, stats_cols: tuple[str, ...]) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(vdir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(vdir, name)
+        md = pq.read_metadata(path)
+        stats: dict[str, dict] = {}
+        for col in stats_cols:
+            lo = hi = None
+            nulls = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                idx = {
+                    rgm.column(i).path_in_schema: i
+                    for i in range(rgm.num_columns)
+                }.get(col)
+                if idx is None:
+                    ok = False
+                    break
+                st = rgm.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+                nulls += st.null_count or 0
+            if ok and lo is not None:
+                # JSON-serializable carriers; dates/timestamps via isoformat
+                ser = (lambda v: v.isoformat() if hasattr(v, "isoformat")
+                       else v)
+                stats[col] = {
+                    "min": ser(lo), "max": ser(hi), "null_count": nulls,
+                }
+        entries.append({
+            "file": name,
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(path),
+            "stats": stats,
+        })
+    return entries
+
+
+def write_version_with_manifest(
+    df: DataFrame,
+    root: str,
+    stats_cols: tuple[str, ...],
+) -> int:
+    """Land ``df`` as the next version with a file-stats manifest;
+    the manifest is inside the version dir, written before the atomic
+    pointer swap."""
+    os.makedirs(root, exist_ok=True)
+    vs = V.list_versions(root)
+    nxt = (vs[-1] + 1) if vs else 1
+    vdir = os.path.join(root, f"v{nxt:05d}")
+    df.write.mode("errorifexists").parquet(vdir)
+    manifest = {
+        "stats_cols": list(stats_cols),
+        "files": _collect_file_stats(vdir, stats_cols),
+    }
+    with open(os.path.join(vdir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    V.publish(root, nxt)
+    return nxt
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    v = V.current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    p = os.path.join(root, f"v{v:05d}", _MANIFEST)
+    if not os.path.isfile(p):
+        raise FileNotFoundError(f"version v{v:05d} carries no manifest")
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """(pruned DataFrame, files_total, files_read) for the predicate
+    ``col BETWEEN lo AND hi``. Files without usable stats for ``col``
+    are conservatively kept — pruning may only skip files PROVABLY
+    outside the range; it must never change an answer."""
+    v = V.current_version(root) if version is None else version
+    man = read_manifest(root, v)
+    vdir = os.path.join(root, f"v{v:05d}")
+    keep = []
+    for entry in man["files"]:
+        st = entry["stats"].get(col)
+        if st is None:
+            keep.append(entry["file"])  # no stats -> cannot skip
+            continue
+        if st["max"] < lo or st["min"] > hi:
+            continue  # provably disjoint
+        keep.append(entry["file"])
+    files_total = len(man["files"])
+    if not keep:
+        # empty relation with the right schema: read one file's schema
+        # without its rows
+        any_file = os.path.join(vdir, man["files"][0]["file"])
+        return (
+            spark.read.parquet(any_file).limit(0), files_total, 0,
+        )
+    df = spark.read.parquet(*[os.path.join(vdir, f) for f in keep])
+    return df, files_total, len(keep)

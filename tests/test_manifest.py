@@ -1,0 +1,104 @@
+"""Manifest-based file skipping (sources/manifest.py): the Iceberg/
+Delta core mechanic on plain parquet. The contract under test: pruning
+may only skip files PROVABLY outside the predicate range — for any
+predicate, pruned-scan-then-filter equals full-scan-then-filter — and
+the manifest always rides inside the published version directory."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigdata_jobmatching_spark.sources import manifest as MF
+from bigdata_jobmatching_spark.sources import versioned as V
+from bigdata_jobmatching_spark.sources.io import load_table
+
+_SF = "/root/testdata/sf0.001"
+# the synthetic lake spans 1995-01..2001-08; one year in the middle
+_LO, _HI = "1997-01-01", "1997-12-31"
+
+
+def _orders_bucketed(spark):
+    """Orders hash-bucketed by order YEAR so each output file covers
+    whole years — range-clustered file-level min/max spans (hashing by
+    a finer grain like month scatters the grain across every file and
+    nothing can prune; the bucket column must be COARSER than the
+    query ranges, the same correlation rule zonemap_pruning_audit
+    measures for sort keys)."""
+    o = load_table(spark, _SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    return o.repartition(8, F.col("yr"))
+
+
+def test_manifest_prunes_and_preserves_answers(spark, tmp_path):
+    root = str(tmp_path / "orders_v")
+    v = MF.write_version_with_manifest(
+        _orders_bucketed(spark), root, stats_cols=("odate",))
+    assert v == 1
+    man = MF.read_manifest(root)
+    assert man["stats_cols"] == ["odate"]
+    assert all(e["rows"] > 0 for e in man["files"])
+    assert all("odate" in e["stats"] for e in man["files"])
+
+    pruned, total, read = MF.read_pruned(spark, root, "odate", _LO, _HI)
+    assert 0 < read < total, (read, total)
+
+    pred = (F.col("odate") >= _LO) & (F.col("odate") <= _HI)
+    full = V.read_version(spark, root)
+    want = full.filter(pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    got = pruned.filter(pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert (got.n, got.c) == (want.n, want.c)
+    assert want.n > 0
+
+
+def test_manifest_disjoint_range_reads_zero_files(spark, tmp_path):
+    root = str(tmp_path / "orders_v")
+    MF.write_version_with_manifest(
+        _orders_bucketed(spark), root, stats_cols=("odate",))
+    pruned, total, read = MF.read_pruned(
+        spark, root, "odate", "2090-01-01", "2090-12-31")
+    assert read == 0 and total > 0
+    assert pruned.count() == 0
+    # schema preserved even for the empty relation
+    assert "o_totalprice" in pruned.columns
+
+
+def test_manifest_conservative_without_stats(spark, tmp_path):
+    """A column the manifest carries no stats for can never be used
+    to skip: every file is kept (skipping must not change answers)."""
+    root = str(tmp_path / "orders_v")
+    MF.write_version_with_manifest(
+        _orders_bucketed(spark), root, stats_cols=("odate",))
+    _, total, read = MF.read_pruned(spark, root, "o_custkey", 0, 1)
+    assert read == total
+
+
+def test_manifest_rides_the_published_version(spark, tmp_path):
+    """The manifest is written inside the version dir BEFORE the
+    pointer swap (the IVM epoch-marker discipline): the published
+    version always carries it, and a second publish gets its own."""
+    root = str(tmp_path / "orders_v")
+    MF.write_version_with_manifest(
+        _orders_bucketed(spark), root, stats_cols=("odate",))
+    MF.write_version_with_manifest(
+        _orders_bucketed(spark).filter(F.col("yr") >= 1996),
+        root, stats_cols=("odate",))
+    assert V.current_version(root) == 2
+    assert os.path.isfile(os.path.join(root, "v00001", "_MANIFEST.json"))
+    assert os.path.isfile(os.path.join(root, "v00002", "_MANIFEST.json"))
+    # time travel keeps each version's own stats
+    m1 = MF.read_manifest(root, 1)
+    m2 = MF.read_manifest(root, 2)
+    lo1 = min(e["stats"]["odate"]["min"] for e in m1["files"])
+    lo2 = min(e["stats"]["odate"]["min"] for e in m2["files"])
+    assert lo1 < "1996-01-01" <= lo2
