@@ -667,3 +667,137 @@ def test_wav_pcm_round_trip_property(ch, n, seed):
     got = decode_wav_samples(w)
     assert got is not None and got[0] == ch
     assert np.array_equal(got[2], vals)
+
+
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 10),
+    d=st.sampled_from([1, 2, 4]),
+    ft=st.sampled_from([0, 1, 2, 3, 4, None]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_lowbit_png_round_trip_property(w, h, d, ft, seed):
+    """Sub-byte PNG (round-8): decode(encode(v)) == scaled v for
+    arbitrary geometry (partial trailing bytes included), depth,
+    filter, and sample content; scaling is the exact 255/(2^d-1)."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        decode_png, encode_png,
+    )
+
+    x, out = seed, bytearray()
+    for _ in range(w * h):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x & ((1 << d) - 1))
+    v = bytes(out)
+    png = encode_png(w, h, v, channels=1, filter_type=ft, bit_depth=d)
+    scale = 255 // ((1 << d) - 1)
+    assert decode_png(png) == (w, h, 1, bytes(b * scale for b in v))
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 8),
+    n_pal_log=st.integers(1, 8),
+    n_trans_off=st.integers(0, 3),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_trns_palette_round_trip_property(w, h, n_pal_log, n_trans_off, seed):
+    """tRNS palette PNG (round-8): RGBA expansion with spec's
+    beyond-table-opaque rule for arbitrary palette/table sizes."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        decode_png, encode_png,
+    )
+
+    n_pal = max(2, 1 << n_pal_log)
+    n_trans = max(1, n_pal - n_trans_off)
+    x = seed
+    def nxt(m):
+        nonlocal x
+        x = (1103515245 * x + 12345) % (1 << 31)
+        return x % m
+    idx = bytes(nxt(n_pal) for _ in range(w * h))
+    pal = bytes(nxt(256) for _ in range(3 * n_pal))
+    trans = bytes(nxt(256) for _ in range(n_trans))
+    png = encode_png(w, h, idx, channels=1, filter_type=None,
+                     palette=pal, trans=trans)
+    dw, dh, ch, px = decode_png(png)
+    assert (dw, dh, ch) == (w, h, 4)
+    for j, i in enumerate(idx):
+        assert px[4 * j:4 * j + 3] == pal[3 * i:3 * i + 3]
+        assert px[4 * j + 3] == (trans[i] if i < n_trans else 255)
+
+
+@given(
+    alphabet=st.integers(1, 256),
+    n=st.integers(0, 30000),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_tiff_lzw_round_trip_property(alphabet, n, seed):
+    """TIFF LZW (round-8): decode(encode(b)) == b across alphabet
+    sizes (small alphabets force deep dictionaries, width growth
+    through 12 bits, and mid-stream Clears) and lengths."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        tiff_lzw_decode, tiff_lzw_encode,
+    )
+
+    x, out = seed, bytearray()
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x % alphabet)
+    d = bytes(out)
+    assert tiff_lzw_decode(tiff_lzw_encode(d), len(d)) == d
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    n_colors_log=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_interlace_round_trip_property(w, h, n_colors_log, seed):
+    """Interlaced GIF (round-8): interlaced and plain encodings of the
+    same indices decode identically for arbitrary geometry (heights
+    that leave passes empty included)."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        decode_gif, encode_gif,
+    )
+
+    n_colors = 1 << max(1, n_colors_log)
+    x = seed
+    def nxt(m):
+        nonlocal x
+        x = (1103515245 * x + 12345) % (1 << 31)
+        return x % m
+    idx = bytes(nxt(n_colors) for _ in range(w * h))
+    pal = bytes(nxt(256) for _ in range(3 * n_colors))
+    assert decode_gif(encode_gif(w, h, idx, pal, interlace=True)) == \
+        decode_gif(encode_gif(w, h, idx, pal))
+
+
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 3),
+    dc_al=st.integers(1, 2),
+    ac_al=st.integers(0, 2),
+    split=st.integers(1, 62),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_jpeg_bit_exact_property(bw, bh, dc_al, ac_al, split, seed):
+    """Progressive JPEG (round-8): for arbitrary pixels and scan
+    structure, the progressive decode is BIT-IDENTICAL to the baseline
+    decode of the same pixels (both encoders quantize identically)."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import jpeg_codec as J
+
+    rng = np.random.RandomState(seed % (2**31))
+    px = rng.randint(0, 256, size=(8 * bh, 8 * bw)).astype(np.uint8)
+    want = J.decode_jpeg(J.encode_jpeg_gray(px))
+    got = J.decode_jpeg(J.encode_jpeg_progressive_gray(
+        px, dc_al=dc_al, ac_al=ac_al, band_split=split))
+    assert got == want
