@@ -447,3 +447,84 @@ def test_tiff_lzw_loud_failure_modes():
     with _pytest.raises(ValueError, match="pick one compression"):
         MM.encode_tiff_pixels(4, 4, bytes(16), channels=1, lzw=True,
                               packbits=True)
+
+
+# --- coverage closure: exercised-nowhere-else helpers (round-8 sweep) --------
+
+def test_decode_kafka_cvs_wire_format(spark):
+    """The CV twin of the tested offer decoder: binary Kafka value ->
+    typed CV columns against the fixed schema (pure transformation, so
+    the batch twin is the streaming semantics)."""
+    import json
+
+    from bigdata_jobmatching_spark.streaming.ingest import decode_kafka_cvs
+
+    payload = {
+        "cv_id": "CV_1", "annees_experience": 4,
+        "competences": ["python", "spark"],
+        "localisation_souhaitee_id": "LOC_3",
+        "salaire_souhaite": 450000.0,
+    }
+    wire = spark.createDataFrame(
+        [(b"k1", json.dumps(payload).encode()), (b"k2", b"not json")],
+        "key binary, value binary",
+    )
+    out = decode_kafka_cvs(wire).collect()
+    by_id = {r.cv_id: r for r in out}
+    assert by_id["CV_1"].annees_experience == 4
+    assert by_id["CV_1"].competences == ["python", "spark"]
+    assert None in by_id  # malformed JSON -> NULL row, not a crash
+
+
+def test_global_topk_plans_as_take_ordered(spark):
+    """global_topk must plan as TakeOrderedAndProject — each partition
+    keeps k rows and only k x P rows reach the merge; a global Sort in
+    the plan would be the 100 TB failure."""
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.operators.topk import global_topk
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    top = global_topk(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert [r.o_totalprice for r in rows] == sorted(
+        (r.o_totalprice for r in rows), reverse=True)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_daily_rollup_stream_matches_batch(spark, tmp_path):
+    """daily_rollup drained AvailableNow equals the same aggregation
+    run as a batch — the event_hygiene equivalence discipline."""
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.streaming.rollup import daily_rollup
+
+    src = str(tmp_path / "ev")
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d} 10:00:00", "click" if i % 2 else "view",
+          float(i)) for i in range(40)],
+        "event_id long, ts_str string, event_type string, value double",
+    ).select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (
+        daily_rollup(stream).writeStream.outputMode("complete")
+        .format("memory").queryName("rollup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r.day), r.event_type, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    want = {
+        (str(r.day), r.event_type, r.n_events, r.total_value)
+        for r in daily_rollup(ev).collect()  # batch: watermark is a no-op
+    }
+    assert got == want and len(want) == 6
