@@ -122,6 +122,61 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def audit_then_publish(
+    df: DataFrame,
+    root: str,
+    audits,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Write-audit-publish (the Iceberg WAP pattern on the versioned
+    store): land ``df`` as an UNPUBLISHED version directory, run every
+    audit against a DataFrame read from the staged files — the audits
+    see exactly the bytes readers would — and only then swap the
+    pointer. A failing audit leaves the staged dir orphaned (evidence
+    for forensics, vacuumable) and the previous version current:
+    readers can never observe data that failed its checks.
+
+    ``audits``: callables taking the staged DataFrame; raise to veto.
+    Returns the published version number.
+    """
+    os.makedirs(root, exist_ok=True)
+    vs = V.list_versions(root)
+    nxt = (vs[-1] + 1) if vs else 1
+    vdir = os.path.join(root, f"v{nxt:05d}")
+    df.write.mode("errorifexists").parquet(vdir)
+    staged = df.sparkSession.read.parquet(vdir)
+    for audit in audits:
+        audit(staged)  # raises -> staged dir stays unpublished
+    if stats_cols:
+        manifest = {
+            "stats_cols": list(stats_cols),
+            "files": _collect_file_stats(vdir, stats_cols),
+        }
+        with open(os.path.join(vdir, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+    V.publish(root, nxt)
+    return nxt
+
+
+def compact_version(
+    spark: SparkSession,
+    root: str,
+    target_files: int,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction as a new version: read the CURRENT
+    version, coalesce to ``target_files``, republish atomically (with
+    a fresh manifest when ``stats_cols`` given). Readers mid-scan on
+    the old version are untouched; rollback is a pointer swap. The
+    operational lever for the 100 TB small-file problem — a streaming
+    sink drips thousands of files per day, and scan cost follows file
+    count until something like this runs."""
+    cur = V.read_version(spark, root).coalesce(target_files)
+    if stats_cols:
+        return audit_then_publish(cur, root, audits=(), stats_cols=stats_cols)
+    return V.write_version(cur, root)
+
+
 def read_pruned(
     spark: SparkSession,
     root: str,

@@ -102,3 +102,60 @@ def test_manifest_rides_the_published_version(spark, tmp_path):
     lo1 = min(e["stats"]["odate"]["min"] for e in m1["files"])
     lo2 = min(e["stats"]["odate"]["min"] for e in m2["files"])
     assert lo1 < "1996-01-01" <= lo2
+
+
+def test_write_audit_publish_vetoes_bad_data(spark, tmp_path):
+    """The WAP contract: a failing audit leaves the previous version
+    current and the staged files unpublished-but-present (forensics);
+    a passing audit publishes atomically."""
+    import pytest
+
+    root = str(tmp_path / "orders_v")
+    good = _orders_bucketed(spark)
+    v1 = MF.audit_then_publish(
+        good, root,
+        audits=[lambda d: None if d.count() > 0 else (_ for _ in ()).throw(
+            ValueError("empty"))],
+        stats_cols=("odate",),
+    )
+    assert v1 == 1 and V.current_version(root) == 1
+
+    def no_nulls(d):
+        n = d.filter(F.col("odate").isNull()).count()
+        if n:
+            raise ValueError(f"{n} null odate rows")
+
+    bad = good.withColumn(
+        "odate",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("odate")),
+    )
+    with pytest.raises(ValueError, match="null odate"):
+        MF.audit_then_publish(bad, root, audits=[no_nulls])
+    # pointer untouched, staged dir orphaned for forensics
+    assert V.current_version(root) == 1
+    assert os.path.isdir(os.path.join(root, "v00002"))
+    # next publish skips past the orphan
+    v3 = MF.audit_then_publish(good, root, audits=[no_nulls],
+                               stats_cols=("odate",))
+    assert v3 == 3 and V.current_version(root) == 3
+
+
+def test_compaction_preserves_data_and_cuts_files(spark, tmp_path):
+    root = str(tmp_path / "orders_v")
+    MF.write_version_with_manifest(
+        _orders_bucketed(spark), root, stats_cols=("odate",))
+    n_before = len(MF.read_manifest(root, 1)["files"])
+    assert n_before > 2
+    v2 = MF.compact_version(spark, root, target_files=2,
+                            stats_cols=("odate",))
+    assert v2 == 2 and V.current_version(root) == 2
+    n_after = len(MF.read_manifest(root, 2)["files"])
+    assert n_after <= 2
+    # byte-equivalent content (order-insensitive)
+    a = sorted(map(tuple, V.read_version(spark, root, 1).collect()))
+    b = sorted(map(tuple, V.read_version(spark, root, 2).collect()))
+    assert a == b
+    # and the compacted version still prunes by manifest
+    _, total, read = MF.read_pruned(spark, root, "odate", "2090-01-01",
+                                    "2090-12-31")
+    assert total == n_after and read == 0
