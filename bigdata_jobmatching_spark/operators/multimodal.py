@@ -1714,9 +1714,9 @@ def gif_frame_census(b: bytes) -> tuple[int, int, int, int] | None:
 
 
 def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
-    """Format-dispatching pixel decode: PNG, GIF, baseline-TIFF or
-    baseline-JPEG payloads return (width, height, channels, raw
-    bytes); other formats None. All four decoders raise ValueError on
+    """Format-dispatching pixel decode: PNG, GIF, TIFF, JPEG or WebP
+    lossless payloads return (width, height, channels, raw bytes);
+    other formats None. All decoders raise ValueError on
     corrupt/out-of-subset streams (loud subset)."""
     d = decode_png(b)
     if d is not None:
@@ -1727,6 +1727,10 @@ def decode_image(b: bytes) -> tuple[int, int, int, bytes] | None:
     d = decode_tiff(b)
     if d is not None:
         return d
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .vp8l_codec import decode_vp8l
+
+        return decode_vp8l(b)
     from .jpeg_codec import decode_jpeg
 
     return decode_jpeg(b)

@@ -801,3 +801,32 @@ def test_progressive_jpeg_bit_exact_property(bw, bh, dc_al, ac_al, split, seed):
     got = J.decode_jpeg(J.encode_jpeg_progressive_gray(
         px, dc_al=dc_al, ac_al=ac_al, band_split=split))
     assert got == want
+
+
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 10),
+    sg=st.booleans(),
+    pb=st.sampled_from([None, 2, 3]),
+    cb=st.sampled_from([0, 3, 6]),
+    lz=st.booleans(),
+    mode=st.integers(0, 13),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_vp8l_round_trip_property(w, h, sg, pb, cb, lz, mode, seed):
+    """VP8L (round-8): decode(encode(rgba)) == rgba across the whole
+    in-subset feature lattice on arbitrary pixels (LCG-generated, so
+    runs/repeats occur and LZ77/cache paths genuinely fire)."""
+    from bigdata_jobmatching_spark.operators.vp8l_codec import (
+        decode_vp8l, encode_vp8l,
+    )
+
+    x, out = seed, bytearray()
+    for _ in range(w * h * 4):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((x >> 7) & 0x3F)  # 64-value alphabet -> repeats
+    rgba = bytes(out)
+    webp = encode_vp8l(w, h, rgba, subtract_green=sg, predictor_bits=pb,
+                       predictor_mode=mode, cache_bits=cb, lz77=lz)
+    assert decode_vp8l(webp) == (w, h, 4, rgba)

@@ -528,3 +528,65 @@ def test_daily_rollup_stream_matches_batch(spark, tmp_path):
         for r in daily_rollup(ev).collect()  # batch: watermark is a no-op
     }
     assert got == want and len(want) == 6
+
+
+# --- VP8L / WebP lossless (round-8) -------------------------------------------
+
+def test_vp8l_feature_matrix_round_trips():
+    """Every in-subset feature combination round-trips: simple/normal
+    prefix codes, subtract-green, predictor (2 block sizes), color
+    cache, LZ77 — on random pixels and edge geometries."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import vp8l_codec as V8
+
+    rng = np.random.RandomState(9)
+    for w, h in ((9, 7), (1, 1), (33, 2)):
+        rgba = rng.randint(0, 256, size=h * w * 4).astype(np.uint8).tobytes()
+        for sg in (False, True):
+            for pb in (None, 2):
+                for cb in (0, 4):
+                    webp = V8.encode_vp8l(
+                        w, h, rgba, subtract_green=sg, predictor_bits=pb,
+                        cache_bits=cb, lz77=True)
+                    assert V8.decode_vp8l(webp) == (w, h, 4, rgba), \
+                        (w, h, sg, pb, cb)
+
+
+def test_vp8l_all_predictor_modes_and_lz77_runs():
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators import vp8l_codec as V8
+
+    flat = (np.ones((6, 40, 4), dtype=np.uint8) * 37).tobytes()
+    for mode in range(14):
+        webp = V8.encode_vp8l(40, 6, flat, predictor_bits=2,
+                              predictor_mode=mode, cache_bits=5, lz77=True)
+        assert V8.decode_vp8l(webp) == (40, 6, 4, flat), mode
+    # tiny alphabet -> SIMPLE codes on the wire
+    two = np.zeros((4, 5, 4), dtype=np.uint8)
+    two[::2] = 200
+    webp = V8.encode_vp8l(5, 4, two.tobytes())
+    assert V8.decode_vp8l(webp) == (5, 4, 4, two.tobytes())
+
+
+def test_vp8l_loud_failure_modes():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.operators import multimodal as MM
+    from bigdata_jobmatching_spark.operators import vp8l_codec as V8
+
+    assert V8.decode_vp8l(b"not webp") is None
+    rgba = np.zeros(4 * 4 * 4, dtype=np.uint8).tobytes()
+    good = V8.encode_vp8l(4, 4, rgba)
+    with _pytest.raises(ValueError):
+        V8.decode_vp8l(good[: len(good) - 6])
+    # lossy VP8 chunk stays loud (not silently empty)
+    lossy = good[:12] + b"VP8 " + good[16:]
+    with _pytest.raises(ValueError, match="not lossless"):
+        V8.decode_vp8l(lossy)
+    # dispatched through decode_image; WAV RIFF payloads don't collide
+    assert MM.decode_image(good) == (4, 4, 4, rgba)
+    wav = MM.make_wav(1, 8000, 16)
+    assert MM.decode_image(wav) is None
