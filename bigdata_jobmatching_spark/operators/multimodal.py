@@ -2031,6 +2031,15 @@ def tiff_lzw_encode(data: bytes) -> bytes:
         cur = bytes([bv])
     if cur:
         put(dict_[cur], width)
+        # stream-end width sync: the decoder appends a table entry for
+        # the FINAL symbol too (the encoder has no matching add — there
+        # is no next byte), so its table reaches next_code and may
+        # cross the EarlyChange boundary right before reading EOI;
+        # mirror that or a boundary-straddling stream ends with EOI
+        # written one bit narrower than the decoder reads it (found by
+        # the hypothesis round-trip property at alphabet=250, n=255).
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     put(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -271,6 +271,11 @@ def test_no_new_unvetted_float_rounding():
         "mixing_queries.py": 2,      # quality band on exact quarters
                                      # (budget + curriculum, same banding)
         "relational_extra2.py": 4,   # share/percent of exact decimal sums
+        "sketch_queries.py": 2,      # r8 log2_quantile_audit: the standard
+                                     # money-grid cents round (value*100
+                                     # lands on grid points, identical on
+                                     # both engines — same class as the
+                                     # versioned_queries rounds)
                                      # + r6 pareto price cents (2-dp money *
                                      # 100 on grid, no midpoint exists)
         "skills_queries.py": 1,      # confidence grid (r03 green)
