@@ -273,7 +273,14 @@ def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
 
 
 def _clamp_add_sub_half(a: int, b: int) -> int:
-    return min(255, max(0, a + (a - b) // 2))
+    # C integer division truncates toward zero (libwebp
+    # ClampedAddSubtractHalf: a + (a - b) / 2); Python's // floors,
+    # which diverges by 1 for negative odd differences — round-9
+    # advice fix, pinned by the independent reference predictor in
+    # tests/test_vp8l_spec.py.
+    d = a - b
+    half = abs(d) // 2
+    return min(255, max(0, a + (half if d >= 0 else -half)))
 
 
 def _select(l, t, tl):  # noqa: E741 - spec naming
@@ -287,8 +294,12 @@ def _predicted_at(out, i, w, mode):
     ``out`` — the ONE routine both the encoder (forward residual) and
     decoder (inverse add) use, so the border conventions cannot
     diverge: (0,0) predicts opaque black, row 0 predicts left,
-    column 0 predicts top, and the rightmost column reuses TOP as its
-    top-right neighbor."""
+    column 0 predicts top, and the rightmost column's top-right
+    neighbor is the LINEAR-BUFFER wraparound — the first pixel of the
+    CURRENT row (spec/libwebp convention: pixels live in one flat
+    array, so top-right of (w-1, y) is index (y-1)*w + w = y*w).
+    Round-9 advice fix; pinned against an independent reference
+    predictor in tests/test_vp8l_spec.py."""
     x, y = i % w, i // w
     if x == 0 and y == 0:
         return (255, 0, 0, 0)
@@ -299,7 +310,9 @@ def _predicted_at(out, i, w, mode):
     l = out[i - 1]  # noqa: E741
     t = out[i - w]
     tl = out[i - w - 1]
-    tr = out[i - w + 1] if x + 1 < w else t
+    # i - w + 1 == y*w (current row's first pixel) when x == w-1:
+    # always already reconstructed, no special case needed.
+    tr = out[i - w + 1]
     return _predict(mode, l, t, tr, tl)
 
 

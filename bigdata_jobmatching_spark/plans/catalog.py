@@ -259,6 +259,37 @@ _DRIVER_VERIFIED_R07: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R08: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r08.json (50/50 sampled green;
+        # includes the round-7 red row inverted_index_stats, now fixed,
+        # 12 first-contact round-8 queries, and 38 rotated re-proofs)
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_exact", "ann_lsh_topk",
+        "benchmark_decontamination", "blocking_recall_audit",
+        "cm_join_size_estimate", "copurchase_triangles",
+        "corpus_stage_counts", "customer_spend_percentiles",
+        "customers_inactive_1998", "doc_pii_scrub", "doc_sequence_packing",
+        "doc_train_val_split", "embedding_centroids", "embedding_dim_stats",
+        "embedding_norm_stats", "events_daily_deltas",
+        "events_retention_cohorts", "events_running_value",
+        "events_sliding_hour_value", "events_user_type_cube",
+        "image_header_dims", "important_stock_shares",
+        "interlaced_gif_pixel_stats", "inverted_index_stats",
+        "job_cv_matching_capped", "job_cv_matching_prefiltered",
+        "large_volume_customers", "log2_quantile_audit",
+        "lowbit_png_pixel_stats", "lzw_tiff_pixel_stats",
+        "media_header_meta", "nation_pair_trade_volumes",
+        "nation_revenue_share", "parts_never_bulk_ordered",
+        "progressive_jpeg_pixel_stats", "purchase_click_attribution",
+        "q6_revenue_delta", "salted_event_type_stats",
+        "signup_followup_counts", "stratified_sample_lcg",
+        "suppliers_with_bulk_shipments", "tfidf_top_terms",
+        "token_budget_selection", "top_parts_per_brand",
+        "top_supplier_revenue", "trns_png_pixel_stats",
+        "url_canonical_dedup", "webp_lossless_pixel_stats",
+    }
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -281,6 +312,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (5, _DRIVER_VERIFIED_R05),
     (6, _DRIVER_VERIFIED_R06),
     (7, _DRIVER_VERIFIED_R07),
+    (8, _DRIVER_VERIFIED_R08),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(
