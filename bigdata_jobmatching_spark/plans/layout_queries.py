@@ -142,3 +142,97 @@ register(QuerySpec(
     "shipdate-clustered layouts — the measured value of a sort key",
     ("layout", "agg", "warehouse", "bench"),
 ))
+
+
+# --- manifest_pruning_audit: file-level skipping, physically -------------
+#
+# zonemap_pruning_audit SIMULATES row-group pruning arithmetically;
+# this query runs the real thing end-to-end through the manifest
+# machinery (sources/manifest.py): it lands `orders` as a versioned
+# table hive-partitioned by order month (one leaf file per month — the
+# hash repartition on the partition column puts each month's rows in
+# exactly one task, so each month dir gets exactly one file), collects
+# per-file min/max o_orderdate from the parquet FOOTERS into
+# _MANIFEST.json, plans a 2-month range scan through read_pruned, and
+# emits both the answer (row count + exact cents sum) computed from
+# the PRUNED scan and the file economics (files_total, files_read).
+#
+# The DuckDB oracle recomputes everything from the raw table: the
+# answer from a full scan (pruning must never change it — the hash
+# pins answer-preservation), and the economics arithmetically (a
+# month-file is read iff its min/max o_orderdate span overlaps the
+# predicate — with month grain that is exactly the months
+# intersecting the window, but the oracle states the footer rule, not
+# the shortcut). At 100 TB this is the manifest's whole value: the
+# plan touches len(keep) files after ONE small-object read, instead
+# of footer-probing every file in the version.
+
+_MAN_LO = "1997-03-01"   # closed BETWEEN window,2 months
+_MAN_HI = "1997-04-30"
+
+
+def _manifest_pruning_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.manifest import read_pruned, write_version_with_manifest
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice",
+    ).withColumn(
+        "om",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int"),
+    )
+    root = tempfile.mkdtemp(prefix="manifest_audit_")
+    # repartition ON the partition column -> each month in one task ->
+    # exactly one leaf file per month dir (deterministic layout the
+    # oracle can reason about)
+    write_version_with_manifest(
+        orders.repartition("om"), root,
+        stats_cols=("o_orderdate",), partition_by=("om",),
+    )
+    pruned, files_total, files_read = read_pruned(
+        spark, root, "o_orderdate", _MAN_LO, _MAN_HI,
+    )
+    return pruned.filter(
+        F.col("o_orderdate").between(_MAN_LO, _MAN_HI)
+    ).agg(
+        F.lit(files_total).cast("long").alias("files_total"),
+        F.lit(files_read).cast("long").alias("files_read"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("sum_price_cents"),
+    )
+
+
+_MANIFEST_SQL = f"""
+WITH files AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS om,
+         MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+  FROM orders GROUP BY 1
+),
+econ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+         CAST(SUM(CASE WHEN mx < DATE '{_MAN_LO}'
+                         OR mn > DATE '{_MAN_HI}'
+                  THEN 0 ELSE 1 END) AS BIGINT) AS files_read
+  FROM files
+),
+answer AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '{_MAN_LO}' AND DATE '{_MAN_HI}'
+)
+SELECT files_total, files_read, n_orders, sum_price_cents
+FROM econ, answer
+"""
+
+register(QuerySpec(
+    "manifest_pruning_audit", _manifest_pruning_audit, _MANIFEST_SQL,
+    "manifest file-skipping run physically: orders landed as a "
+    "month-partitioned version with footer-stats manifest, a 2-month "
+    "range scan planned through read_pruned — answer (vs full-scan "
+    "oracle) AND file economics hash-pinned",
+    ("layout", "manifest", "warehouse", "storage"),
+))

@@ -26,7 +26,17 @@ never be allowed to change answers), and returns both the pruned
 DataFrame and the (files_total, files_read) economics. Correctness
 contract: for any predicate, the pruned scan filtered by it equals
 the full scan filtered by it — pinned by the gate query
-(plans/layout_queries.manifest_pruning_audit) and tests.
+(plans/layout_queries.manifest_pruning_audit, hash-green vs a DuckDB
+oracle that recomputes both the answer AND the file economics
+arithmetically) and by tests/test_manifest.py.
+
+Type contract (stats travel through JSON): predicate bounds must be
+strings, ints, or floats; ``date``/``datetime`` bounds are accepted
+and normalized through the SAME isoformat serializer the manifest
+writer uses (ISO-8601 strings order like the dates they encode, so
+the comparison stays correct). Columns whose footer min/max are not
+JSON-serializable (e.g. raw binary) get NO stats entry — their files
+are conservatively kept, never wrongly skipped.
 """
 
 from __future__ import annotations
@@ -41,13 +51,35 @@ from . import versioned as V
 _MANIFEST = "_MANIFEST.json"
 
 
+def _ser_stat(v):
+    """Manifest JSON carrier for a footer min/max value: dates and
+    timestamps via isoformat (ISO-8601 strings order like the values
+    they encode); anything JSON can't carry raises for the caller to
+    skip."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (str, int, float, bool)) or v is None:
+        return v
+    raise TypeError(f"stat value not JSON-serializable: {type(v)}")
+
+
+def _walk_parquet(vdir: str) -> list[str]:
+    """Relative paths of every data file under the version dir —
+    flat or hive-partitioned (``col=value/`` subdirs) layouts alike."""
+    out = []
+    for base, _dirs, names in os.walk(vdir):
+        for name in names:
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(base, name), vdir)
+                out.append(rel.replace(os.sep, "/"))
+    return sorted(out)
+
+
 def _collect_file_stats(vdir: str, stats_cols: tuple[str, ...]) -> list[dict]:
     import pyarrow.parquet as pq
 
     entries = []
-    for name in sorted(os.listdir(vdir)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in _walk_parquet(vdir):
         path = os.path.join(vdir, name)
         md = pq.read_metadata(path)
         stats: dict[str, dict] = {}
@@ -73,12 +105,15 @@ def _collect_file_stats(vdir: str, stats_cols: tuple[str, ...]) -> list[dict]:
                 hi = mx if hi is None or mx > hi else hi
                 nulls += st.null_count or 0
             if ok and lo is not None:
-                # JSON-serializable carriers; dates/timestamps via isoformat
-                ser = (lambda v: v.isoformat() if hasattr(v, "isoformat")
-                       else v)
-                stats[col] = {
-                    "min": ser(lo), "max": ser(hi), "null_count": nulls,
-                }
+                try:
+                    stats[col] = {
+                        "min": _ser_stat(lo),
+                        "max": _ser_stat(hi),
+                        "null_count": nulls,
+                    }
+                except TypeError:
+                    pass  # un-carriable stats (e.g. binary) -> no
+                    # entry -> read_pruned conservatively keeps
         entries.append({
             "file": name,
             "rows": md.num_rows,
@@ -92,15 +127,22 @@ def write_version_with_manifest(
     df: DataFrame,
     root: str,
     stats_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Land ``df`` as the next version with a file-stats manifest;
     the manifest is inside the version dir, written before the atomic
-    pointer swap."""
+    pointer swap. ``partition_by`` writes a hive layout
+    (``col=value/`` subdirs); the manifest then tracks leaf files by
+    relative path, so ``read_pruned`` skips across partitions and
+    within them alike."""
     os.makedirs(root, exist_ok=True)
     vs = V.list_versions(root)
     nxt = (vs[-1] + 1) if vs else 1
     vdir = os.path.join(root, f"v{nxt:05d}")
-    df.write.mode("errorifexists").parquet(vdir)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(vdir)
     manifest = {
         "stats_cols": list(stats_cols),
         "files": _collect_file_stats(vdir, stats_cols),
@@ -188,7 +230,13 @@ def read_pruned(
     """(pruned DataFrame, files_total, files_read) for the predicate
     ``col BETWEEN lo AND hi``. Files without usable stats for ``col``
     are conservatively kept — pruning may only skip files PROVABLY
-    outside the range; it must never change an answer."""
+    outside the range; it must never change an answer.
+
+    ``lo``/``hi`` must be str, int, or float, matching the stat
+    column's JSON carrier type; date/datetime bounds are normalized
+    through the manifest's own isoformat serializer (documented type
+    contract — round-9 advice fix)."""
+    lo, hi = _ser_stat(lo), _ser_stat(hi)
     v = V.current_version(root) if version is None else version
     man = read_manifest(root, v)
     vdir = os.path.join(root, f"v{v:05d}")

@@ -159,3 +159,73 @@ def test_compaction_preserves_data_and_cuts_files(spark, tmp_path):
     _, total, read = MF.read_pruned(spark, root, "odate", "2090-01-01",
                                     "2090-12-31")
     assert total == n_after and read == 0
+
+
+def test_date_bounds_normalized_like_the_writer(spark, tmp_path):
+    """Round-9 advice fix: date/datetime predicate bounds go through
+    the manifest's own isoformat serializer, so a caller passing real
+    ``datetime.date`` objects gets the same pruning (and the same
+    answers) as one passing ISO strings."""
+    import datetime as dt
+
+    o = load_table(spark, _SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        F.year("o_orderdate").alias("yr"),
+    )
+    root = str(tmp_path / "orders_dt")
+    MF.write_version_with_manifest(
+        o.repartition(8, F.col("yr")), root, stats_cols=("o_orderdate",))
+
+    lo_d, hi_d = dt.date(1997, 1, 1), dt.date(1997, 12, 31)
+    p1, t1, r1 = MF.read_pruned(spark, root, "o_orderdate", lo_d, hi_d)
+    p2, t2, r2 = MF.read_pruned(spark, root, "o_orderdate", _LO, _HI)
+    assert (t1, r1) == (t2, r2) and 0 < r1 < t1
+    pred = F.col("o_orderdate").between(F.lit(lo_d), F.lit(hi_d))
+    assert p1.filter(pred).count() == p2.filter(pred).count() > 0
+
+
+def test_partitioned_layout_prunes_by_leaf_file(spark, tmp_path):
+    """Hive-partitioned versions: the manifest tracks leaf files by
+    relative path and read_pruned skips across partition dirs."""
+    o = load_table(spark, _SF, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    root = str(tmp_path / "orders_part")
+    MF.write_version_with_manifest(
+        o.repartition("yr"), root, stats_cols=("odate",),
+        partition_by=("yr",))
+    man = MF.read_manifest(root)
+    # one leaf file per year dir, tracked by relative path
+    assert all("/" in e["file"] and e["file"].startswith("yr=")
+               for e in man["files"])
+    years = {e["file"].split("/")[0] for e in man["files"]}
+    assert len(years) == len(man["files"])  # exactly one file per year
+
+    pruned, total, read = MF.read_pruned(spark, root, "odate", _LO, _HI)
+    assert read == 1 and total == len(years)
+    pred = (F.col("odate") >= _LO) & (F.col("odate") <= _HI)
+    full = spark.read.parquet(
+        os.path.join(root, "v00001")).filter(pred).count()
+    assert pruned.filter(pred).count() == full > 0
+
+
+def test_binary_stats_columns_conservatively_kept(spark, tmp_path):
+    """A stats column whose footer min/max is raw binary cannot ride
+    JSON: the writer must SKIP its stats (not crash), and read_pruned
+    must then keep every file for predicates on it."""
+    o = load_table(spark, _SF, "orders").select(
+        "o_orderkey",
+        F.sha2(F.col("o_orderkey").cast("string"), 256)
+        .cast("binary").alias("bkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+    root = str(tmp_path / "orders_bin")
+    MF.write_version_with_manifest(
+        o.repartition(4), root, stats_cols=("bkey", "odate"))
+    man = MF.read_manifest(root)
+    assert all("bkey" not in e["stats"] and "odate" in e["stats"]
+               for e in man["files"])
+    _, total, read = MF.read_pruned(spark, root, "bkey", "aa", "bb")
+    assert read == total  # no stats -> nothing skippable
