@@ -139,6 +139,7 @@ def match_lakes(
     out_dir: str,
     top_k: int = 20,
     max_skill_df_frac: float | None = 0.5,
+    matcher: str = "prefiltered",
 ) -> dict:
     """The end-to-end matching landing the reference DECLARED but
     never wired (matching_dag.py:50-57 + the missing consume_cvs):
@@ -151,14 +152,28 @@ def match_lakes(
     Column adaptation happens in :func:`adapt_offer_lake` /
     :func:`adapt_cv_lake`, not in the operator. The
     document-frequency cap is the skew lever — fractional, so the
-    same 0.5 means the same at any scale."""
+    same 0.5 means the same at any scale.
+
+    ``matcher`` defaults to ``"prefiltered"`` (round-9 verdict task
+    #2): rare-skill candidate pruning with EXACT scoring of survivors
+    — 58x cheaper at sf1 than the capped variant, and pruning touches
+    candidate recall only, never a survivor's score. ``"capped"``
+    opts back into the older semantics where above-cap skills are
+    also dropped from survivors' ``n_shared``."""
     from .operators import matching as M
 
     offers = adapt_offer_lake(spark.read.parquet(offers_dir))
     cvs = adapt_cv_lake(spark.read.parquet(cvs_dir))
-    scores = M.match_offers_cvs(
-        offers, cvs, max_skill_df_frac=max_skill_df_frac
-    )
+    if matcher == "prefiltered":
+        scores = M.match_offers_cvs_prefiltered(
+            offers, cvs, max_skill_df_frac=max_skill_df_frac
+        )
+    elif matcher == "capped":
+        scores = M.match_offers_cvs(
+            offers, cvs, max_skill_df_frac=max_skill_df_frac
+        )
+    else:
+        raise ValueError(f"unknown matcher {matcher!r}")
     write_stage(scores, f"{out_dir}/matching_scores", ())
     top = M.top_matches_per_candidate(
         spark.read.parquet(f"{out_dir}/matching_scores"), k=top_k

@@ -858,11 +858,14 @@ register(QuerySpec(
 # every adaptation rule exercised: punctuated/whitespaced locations
 # that must clean to the CV side's LOC_<d> ids, NULL locations
 # (LOC_INCONNU never matches), NULL salary bounds (0.5 neutral), and
-# a NULL experience band. The fractional skill-df cap rides along at
+# a NULL experience band. The query runs the PREFILTERED matcher —
+# match_lakes' round-9 default — with the fractional skill-df cap at
 # its match_lakes default; on this 50-token vocabulary every skill's
-# document frequency is ~6% << 50%, so the cap is provably inert and
-# the oracle need not model it (the cap itself is oracled by
-# job_cv_matching_capped). Scores are 6-dp-rounded doubles identical
+# document frequency is ~6% << 50%, so every skill is below-cap, the
+# candidate set is exactly "pairs sharing >= 1 skill", and the oracle
+# need not model the prefilter (the cap/prefilter mechanics are
+# oracled by job_cv_matching_capped / job_cv_matching_prefiltered).
+# Scores are 6-dp-rounded doubles identical
 # on both engines (job_cv_matching precedent); aggregation converts
 # them to exact micro-units BEFORE summing so group sums are
 # order-independent.
@@ -902,7 +905,7 @@ def _lake_match_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     offers_lake = _lake_offers(spark, sf)
     cvs_lake = normalize_cvs(_raw_cvs(spark, sf))
-    scores = M.match_offers_cvs(
+    scores = M.match_offers_cvs_prefiltered(
         adapt_offer_lake(offers_lake),
         adapt_cv_lake(cvs_lake),
         max_skill_df_frac=0.5,
