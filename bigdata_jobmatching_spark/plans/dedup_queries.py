@@ -1192,14 +1192,32 @@ register(QuerySpec(
 # MEASURABLY lossy (~3% recall at sf0.01) — which is the point: the
 # audit turns "we block on lang+source" from an assumption into a
 # number. Scale note: the truth side is quadratic BY DEFINITION, so
-# it runs on the sample (pairs shrink by 289x) — the same
-# sample-the-truth posture as ann_recall_audit; the production
-# blocking pipeline itself never does all-pairs work.
+# it runs on a sample — and the sampling modulus is SCALE-ADAPTIVE
+# (round-9 verdict task #5): m = 6*max(3, n_docs div 600) + 1, so
+# the sampled-doc count stays ~constant (~100) and the truth side's
+# pair count is flat by construction at every tier (sf0.01 -> m=19,
+# sf0.1 -> m=49, sf1 -> m=499), instead of flat only by operator
+# discipline. The 6k+1 form keeps m coprime to the small mod-2/mod-3
+# cycles synthetic attributes ride on. n_docs enters the PLAN as a
+# broadcast 1-row scalar (no driver collect), and the final select
+# asserts the sample produced at least one pair — a degenerate
+# corpus fails loudly, not with a silently-vacuous audit.
+
+_TRUTH_TARGET_DOCS = 100
+
 
 def _blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    nrow = docs.agg(F.count(F.lit(1)).alias("__n"))
     d = (
-        fan_out(load_table(spark, sf, "documents"))
-        .filter(F.col("doc_id") % 17 == 0)
+        docs.crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "__m",
+            F.lit(6) * F.greatest(
+                F.lit(3), F.expr(f"__n div {6 * _TRUTH_TARGET_DOCS}")
+            ) + F.lit(1),
+        )
+        .filter(F.col("doc_id") % F.col("__m") == 0)
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
         .withColumn(
             "tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
@@ -1226,8 +1244,18 @@ def _blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
     recall = F.when(
         F.col("n_true") > 0, ratio6("n_retained", "n_true")
     ).otherwise(F.lit(None).cast("double"))
+    # loud non-degeneracy: a sample too small to form a single pair
+    # means the audit measured nothing — raise, don't report vacuity
+    pairs_guard = F.coalesce(
+        F.assert_true(
+            F.col("n_all_pairs") >= 1,
+            F.lit("blocking_recall_audit: degenerate sample (<2 docs)"),
+        ).cast("long"),
+        F.col("n_all_pairs"),
+    )
     return agg.select(
-        "n_all_pairs", "n_candidates", "n_true", "n_retained",
+        pairs_guard.alias("n_all_pairs"),
+        "n_candidates", "n_true", "n_retained",
         recall.alias("pairs_completeness"),
         (F.lit(1.0) - ratio6("n_candidates", "n_all_pairs"))
         .alias("reduction_ratio"),
@@ -1235,9 +1263,13 @@ def _blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _BLOCKING_RECALL_SQL = f"""
-WITH t AS (
+WITH m AS (
+  SELECT 6 * greatest(3, COUNT(*) // {6 * _TRUTH_TARGET_DOCS}) + 1 AS m
+  FROM documents
+),
+t AS (
   SELECT doc_id, lang || '|' || source AS blk, {_SQL_TOKSET_H} AS ts
-  FROM documents WHERE doc_id % 17 = 0
+  FROM documents WHERE doc_id % (SELECT m FROM m) = 0
 ),
 pairs AS (
   SELECT a.blk = b.blk AS same_blk,
@@ -1263,9 +1295,11 @@ FROM agg
 
 register(QuerySpec(
     "blocking_recall_audit", _blocking_recall, _BLOCKING_RECALL_SQL,
-    "blocking-scheme quality audit on a 1-in-17 sample: pairs "
-    "completeness and reduction ratio of the lang|source blocking key "
-    "vs exact Jaccard>=0.8 ground truth — the candidate-generation "
-    "recall measurement every dedup pipeline owes its users",
+    "blocking-scheme quality audit on a scale-adaptive sample "
+    "(~100 docs at any tier): pairs completeness and reduction ratio "
+    "of the lang|source blocking key vs exact Jaccard>=0.8 ground "
+    "truth — the candidate-generation recall measurement every dedup "
+    "pipeline owes its users, with flat truth-side cost by "
+    "construction",
     ("dedup", "audit", "join"),
 ))
