@@ -123,6 +123,22 @@ def _collect_file_stats(vdir: str, stats_cols: tuple[str, ...]) -> list[dict]:
     return entries
 
 
+def manifest_attacher(stats_cols: tuple[str, ...]):
+    """A ``pre_publish`` hook (see versioned.write_version) that
+    collects footer stats into ``_MANIFEST.json`` inside the staged
+    version dir — the shared attach step for the batch writer, the
+    WAP publisher, and the streaming sinks, all riding the same
+    sidecar-before-swap crash discipline."""
+    def attach(vdir: str) -> None:
+        manifest = {
+            "stats_cols": list(stats_cols),
+            "files": _collect_file_stats(vdir, stats_cols),
+        }
+        with open(os.path.join(vdir, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+    return attach
+
+
 def write_version_with_manifest(
     df: DataFrame,
     root: str,
@@ -135,22 +151,9 @@ def write_version_with_manifest(
     (``col=value/`` subdirs); the manifest then tracks leaf files by
     relative path, so ``read_pruned`` skips across partitions and
     within them alike."""
-    os.makedirs(root, exist_ok=True)
-    vs = V.list_versions(root)
-    nxt = (vs[-1] + 1) if vs else 1
-    vdir = os.path.join(root, f"v{nxt:05d}")
-    w = df.write.mode("errorifexists")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(vdir)
-    manifest = {
-        "stats_cols": list(stats_cols),
-        "files": _collect_file_stats(vdir, stats_cols),
-    }
-    with open(os.path.join(vdir, _MANIFEST), "w") as f:
-        json.dump(manifest, f)
-    V.publish(root, nxt)
-    return nxt
+    return V.write_version(
+        df, root, partition_by, pre_publish=manifest_attacher(stats_cols),
+    )
 
 
 def read_manifest(root: str, version: int | None = None) -> dict:
@@ -190,12 +193,7 @@ def audit_then_publish(
     for audit in audits:
         audit(staged)  # raises -> staged dir stays unpublished
     if stats_cols:
-        manifest = {
-            "stats_cols": list(stats_cols),
-            "files": _collect_file_stats(vdir, stats_cols),
-        }
-        with open(os.path.join(vdir, _MANIFEST), "w") as f:
-            json.dump(manifest, f)
+        manifest_attacher(stats_cols)(vdir)
     V.publish(root, nxt)
     return nxt
 

@@ -75,12 +75,20 @@ def write_version(
     df: DataFrame,
     root: str,
     partition_by: tuple[str, ...] = (),
+    pre_publish=None,
 ) -> int:
     """Land ``df`` as the next version and atomically publish it.
     Returns the new version number. A reader holding the previous
     version's paths is never disturbed; a crash before the pointer
     swap leaves an unpublished (vacuumable) directory and the old
-    version still current."""
+    version still current.
+
+    ``pre_publish(vdir)``: sidecar hook run after the data lands and
+    STRICTLY BEFORE the pointer swap — the one crash-window
+    discipline every sidecar shares (the manifest writer's
+    ``_MANIFEST.json``, the streaming IVM sink's ``_EPOCH`` marker):
+    a published version always carries its sidecars; a crash mid-hook
+    orphans the whole unpublished dir."""
     os.makedirs(root, exist_ok=True)
     vs = list_versions(root)
     nxt = (vs[-1] + 1) if vs else 1
@@ -89,6 +97,8 @@ def write_version(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(vdir)
+    if pre_publish is not None:
+        pre_publish(vdir)
     _set_pointer(root, nxt)
     return nxt
 
@@ -171,6 +181,7 @@ def merge_version(
     updates: DataFrame,
     key_cols: tuple[str, ...],
     delete_col: str | None = None,
+    pre_publish=None,
 ) -> int:
     """SCD1 MERGE into a versioned stage, landed as a new atomic
     version: on key match the update row replaces the target row,
@@ -193,13 +204,13 @@ def merge_version(
         # Never-published target: the merge degenerates to an insert of
         # the non-tombstone update rows as v1 (a first micro-batch must
         # not require manual seeding).
-        return write_version(live, root)
+        return write_version(live, root, pre_publish=pre_publish)
     cur = read_version(spark, root)
     keys = list(key_cols)
     upd_keys = updates.select(*keys).distinct()
     carry = cur.join(F.broadcast(upd_keys), keys, "left_anti")
     merged = carry.unionByName(live.select(*cur.columns))
-    return write_version(merged, root)
+    return write_version(merged, root, pre_publish=pre_publish)
 
 
 def diff_frames(

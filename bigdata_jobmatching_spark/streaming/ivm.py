@@ -74,35 +74,59 @@ def current_epoch(root: str) -> int:
         return int(f.read().strip())
 
 
-def _publish_with_epoch(df: DataFrame, root: str, epoch_id: int) -> int:
-    """Land ``df`` as the next version with its epoch marker, then
-    swap the pointer — marker strictly before swap (see module
-    docstring for the crash-window analysis)."""
-    os.makedirs(root, exist_ok=True)
-    vs = V.list_versions(root)
-    nxt = (vs[-1] + 1) if vs else 1
-    vdir = os.path.join(root, f"v{nxt:05d}")
-    df.write.mode("errorifexists").parquet(vdir)
-    with open(os.path.join(vdir, _EPOCH_FILE), "w") as f:
-        f.write(str(epoch_id))
-    V.publish(root, nxt)
-    return nxt
+def _publish_with_epoch(
+    df: DataFrame, root: str, epoch_id: int,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Land ``df`` as the next version with its epoch marker (and,
+    with ``stats_cols``, a file-stats manifest) riding the shared
+    pre_publish hook — every sidecar lands strictly before the
+    pointer swap (see module docstring for the crash-window
+    analysis), so manifest-pruned reads work over stream-built
+    versions exactly as over batch-built ones."""
+    from ..sources.manifest import manifest_attacher
+
+    def attach(vdir: str) -> None:
+        if stats_cols:
+            manifest_attacher(stats_cols)(vdir)
+        with open(os.path.join(vdir, _EPOCH_FILE), "w") as f:
+            f.write(str(epoch_id))
+
+    return V.write_version(df, root, pre_publish=attach)
 
 
-def seed_view(agg: DataFrame, root: str) -> int:
+def seed_view(agg: DataFrame, root: str,
+              stats_cols: tuple[str, ...] = ()) -> int:
     """Publish the initial materialized aggregate (epoch -1): columns
     (g, n_rows, sum_cents)."""
-    return _publish_with_epoch(agg, root, -1)
+    return _publish_with_epoch(agg, root, -1, stats_cols)
 
 
 def apply_cdf_batch(
     spark: SparkSession, batch: DataFrame, epoch_id: int, root: str,
-    ngroup: int,
+    ngroup: int, stats_cols: tuple[str, ...] = (),
 ) -> bool:
     """Fold one micro-batch of change rows into the view. Returns
     False when the epoch was already applied (replay after a
-    post-swap crash) and the batch is skipped."""
-    if epoch_id <= current_epoch(root):
+    post-swap crash) and the batch is skipped.
+
+    Epoch-regression guard (round-9 advice fix): checkpoint replay
+    only ever re-delivers the LAST epoch, so an incoming
+    ``epoch_id`` strictly below the published marker means the
+    streaming checkpoint was deleted/recreated while the view root
+    persisted (Spark restarts epochs at 0) — silently skipping every
+    batch until the ids caught up would be silent data loss, so it
+    raises instead: recreate the view root and the checkpoint
+    TOGETHER."""
+    cur_epoch = current_epoch(root)
+    if epoch_id < cur_epoch:
+        raise RuntimeError(
+            f"stream_ivm_refresh: epoch regression (incoming {epoch_id} "
+            f"< published marker {cur_epoch}) — the checkpoint was "
+            f"recreated against a persisted view root; recreate "
+            f"{root!r} and the checkpoint together"
+        )
+    if epoch_id == cur_epoch:
         return False
     cur = V.read_version(spark, root).select("g", "n_rows", "sum_cents")
     merged = (
@@ -114,7 +138,7 @@ def apply_cdf_batch(
         )
         .filter(F.col("n_rows") > 0)
     )
-    _publish_with_epoch(merged, root, epoch_id)
+    _publish_with_epoch(merged, root, epoch_id, stats_cols)
     return True
 
 
@@ -125,10 +149,14 @@ def stream_ivm_refresh(
     checkpoint_path: str,
     ngroup: int = 97,
     available_now: bool = True,
+    stats_cols: tuple[str, ...] = (),
 ) -> StreamingQuery:
     """Maintain the materialized per-group aggregate from a streaming
     change feed of flat (id, change, old_cents, new_cents) rows. The
-    root must be seeded with :func:`seed_view` first."""
+    root must be seeded with :func:`seed_view` first. With
+    ``stats_cols``, every published view version carries a file-stats
+    manifest, so manifest-pruned reads skip over stream-built tables
+    too."""
     if V.current_version(root) is None:
         raise FileNotFoundError(
             f"stream_ivm_refresh: seed the view first (seed_view) — "
@@ -136,7 +164,7 @@ def stream_ivm_refresh(
         )
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        apply_cdf_batch(spark, batch, epoch_id, root, ngroup)
+        apply_cdf_batch(spark, batch, epoch_id, root, ngroup, stats_cols)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)

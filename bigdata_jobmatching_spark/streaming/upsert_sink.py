@@ -57,10 +57,18 @@ def stream_upsert_dimension(
     checkpoint_path: str,
     delete_col: str | None = None,
     available_now: bool = True,
+    stats_cols: tuple[str, ...] = (),
 ) -> StreamingQuery:
     """Maintain a versioned dimension from a streaming change feed.
     ``changes`` must carry the dimension columns plus ``ts_col`` and
-    ``id_col`` (and optionally ``delete_col`` tombstones)."""
+    ``id_col`` (and optionally ``delete_col`` tombstones). With
+    ``stats_cols``, every merged version carries a file-stats
+    manifest (written before the pointer swap via the shared
+    pre_publish hook), so manifest-pruned reads skip over
+    stream-maintained dimensions too."""
+    from ..sources.manifest import manifest_attacher
+
+    pre_publish = manifest_attacher(stats_cols) if stats_cols else None
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
@@ -68,7 +76,8 @@ def stream_upsert_dimension(
         collapsed = latest_per_key(batch, key_cols, ts_col, id_col).drop(
             ts_col, id_col
         )
-        V.merge_version(spark, root, collapsed, key_cols, delete_col=delete_col)
+        V.merge_version(spark, root, collapsed, key_cols,
+                        delete_col=delete_col, pre_publish=pre_publish)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)

@@ -115,12 +115,120 @@ def test_ivm_replayed_epoch_is_skipped(spark, tmp_path):
     after_first = _view_rows(spark, root)
     v_after_first = V.current_version(root)
 
-    # replay of epoch 0 (and of the seed epoch -1): skipped, no new
-    # version published, view byte-identical
+    # replay of the LAST committed epoch: skipped, no new version
+    # published, view byte-identical
     assert ivm.apply_cdf_batch(spark, cdf, 0, root, _NGROUP) is False
-    assert ivm.apply_cdf_batch(spark, cdf, -1, root, _NGROUP) is False
     assert V.current_version(root) == v_after_first
     assert _view_rows(spark, root) == after_first
+
+
+def test_ivm_epoch_regression_raises(spark, tmp_path):
+    """Round-9 advice fix: checkpoint replay only re-delivers the LAST
+    epoch, so an epoch strictly below the published marker means the
+    checkpoint was recreated against a persisted view root (Spark
+    restarts epochs at 0) — that must raise loudly, not silently drop
+    every batch until the ids catch up."""
+    import pytest
+
+    root = str(tmp_path / "agg_view")
+    _seed(spark, root)
+    cdf = _flat_cdf(spark)
+    assert ivm.apply_cdf_batch(spark, cdf, 0, root, _NGROUP) is True
+    assert ivm.apply_cdf_batch(spark, cdf, 1, root, _NGROUP) is True
+
+    with pytest.raises(RuntimeError, match="epoch regression"):
+        ivm.apply_cdf_batch(spark, cdf, 0, root, _NGROUP)
+    # replay of the last epoch still skips cleanly
+    assert ivm.apply_cdf_batch(spark, cdf, 1, root, _NGROUP) is False
+
+
+def test_ivm_stream_versions_carry_manifests_and_prune(spark, tmp_path):
+    """Round-9 verdict task #6: with stats_cols, every stream-published
+    view version carries _MANIFEST.json (written before the pointer
+    swap), and manifest-pruned reads over the stream-built table
+    preserve answers while skipping files."""
+    from bigdata_jobmatching_spark.sources import manifest as MF
+
+    src = _write_sliced_cdf(spark, tmp_path)
+    root = str(tmp_path / "agg_view")
+    v1_agg = (
+        _snap_v1(spark, _SF)
+        .groupBy((F.col("id") % _NGROUP).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        # spread groups across files so a range predicate can skip:
+        # 8 range partitions on g -> disjoint per-file g spans
+        .repartitionByRange(8, "g")
+    )
+    ivm.seed_view(v1_agg, root, stats_cols=("g",))
+
+    schema = spark.read.parquet(src).schema
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = ivm.stream_ivm_refresh(
+        spark, changes, root, str(tmp_path / "ck"), ngroup=_NGROUP,
+        stats_cols=("g",),
+    )
+    q.awaitTermination(300)
+
+    # every published version carries its manifest
+    for v in V.list_versions(root):
+        assert MF.read_manifest(root, v)["stats_cols"] == ["g"]
+
+    pruned, total, read = MF.read_pruned(spark, root, "g", 10, 20)
+    # answers preserved vs the full current version
+    pred = F.col("g").between(10, 20)
+    want = sorted(
+        (r.g, r.n_rows, r.sum_cents)
+        for r in V.read_version(spark, root).filter(pred).collect()
+    )
+    got = sorted(
+        (r.g, r.n_rows, r.sum_cents)
+        for r in pruned.filter(pred).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_upsert_sink_versions_carry_manifests(spark, tmp_path):
+    """The SCD1 upsert sink shares the same pre_publish discipline:
+    stream-merged dimension versions carry manifests and prune."""
+    import json as _json
+
+    from bigdata_jobmatching_spark.sources import manifest as MF
+    from bigdata_jobmatching_spark.streaming.upsert_sink import (
+        stream_upsert_dimension,
+    )
+
+    rows = [
+        {"k": i, "val": f"v{i}", "ts": 1000 + i, "cid": i} for i in range(64)
+    ]
+    src = tmp_path / "dim_src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    changes = (
+        spark.readStream.schema("k INT, val STRING, ts LONG, cid LONG")
+        .json(str(src))
+    )
+    root = str(tmp_path / "dim_v")
+    q = stream_upsert_dimension(
+        spark, changes, root, ("k",), "ts", "cid",
+        str(tmp_path / "dim_ck"), stats_cols=("k",),
+    )
+    q.awaitTermination(300)
+
+    v = V.current_version(root)
+    assert v is not None
+    assert MF.read_manifest(root, v)["stats_cols"] == ["k"]
+    pruned, total, read = MF.read_pruned(spark, root, "k", 0, 1000)
+    assert read <= total
+    assert pruned.count() == V.read_version(spark, root).count() == 64
 
 
 def test_ivm_pre_swap_crash_replay_converges(spark, tmp_path):
