@@ -42,19 +42,133 @@ def quality_check(spark: SparkSession, out_dir: str, strict: bool = True) -> dic
     """File+row counts per stage directory; strict mode raises when a
     required stage is empty (processing_spark_dag.py:55-88 semantics,
     with row counts added — file existence alone passes on an empty
-    parquet write)."""
+    parquet write). Versioned directories (a ``_CURRENT`` pointer)
+    are counted at their CURRENT version only — orphaned staged
+    versions (failed WAP audits) don't inflate the stats."""
+    from .sources import versioned as V
+
     stats: dict[str, dict] = {}
     problems: list[str] = []
     for name, required in STAGES + tuple((f"warehouse/{t}", True) for t in WAREHOUSE_TABLES):
         d = Path(out_dir) / name
-        files = len(list(d.rglob("*.parquet"))) if d.exists() else 0
-        rows = spark.read.parquet(str(d)).count() if files else 0
+        if (d / "_CURRENT").exists():
+            v = V.current_version(str(d))
+            vdir = d / f"v{v:05d}"
+            files = len(list(vdir.rglob("*.parquet")))
+            rows = V.read_version(spark, str(d)).count() if files else 0
+        else:
+            files = len(list(d.rglob("*.parquet"))) if d.exists() else 0
+            rows = spark.read.parquet(str(d)).count() if files else 0
         stats[name] = {"required": required, "files": files, "rows": rows}
         if required and rows == 0:
             problems.append(name)
     if strict and problems:
         raise ValueError(f"quality gate: no output for required stages {problems}")
     return stats
+
+
+def _row_floor_audit(name: str, min_rows: int):
+    """WAP veto: a stage that produced fewer than ``min_rows`` rows
+    must not publish (the reference's file-count check upgraded to a
+    real gate on the staged bytes)."""
+    def audit(staged: DataFrame) -> None:
+        n = staged.count()
+        if n < min_rows:
+            raise ValueError(
+                f"WAP veto for {name}: {n} rows < floor {min_rows}")
+    return audit
+
+
+def _fact_fk_audit(spark: SparkSession, wh_dir: str):
+    """WAP veto on the staged fact: every FK value must exist in the
+    just-published dim versions (the fk_integrity_audit pre-flight,
+    run against the exact bytes readers would see). Dims are
+    broadcast-joined — at 100 TB the fact never shuffles for this."""
+    from .sources import versioned as V
+
+    def audit(staged_fact: DataFrame) -> None:
+        dims = {
+            t: V.read_version(spark, f"{wh_dir}/{t}")
+            for t in ("dim_entreprise", "dim_localisation", "dim_competence")
+        }
+        edges = (
+            ("entreprise_id",
+             dims["dim_entreprise"].select("entreprise_id"),
+             F.col("entreprise_id").alias("k")),
+            ("localisation_id",
+             dims["dim_localisation"].select("localisation_id"),
+             F.col("localisation_id").alias("k")),
+            ("competences_ids",
+             dims["dim_competence"].select("competence_id"),
+             F.explode("competences_ids").alias("k")),
+        )
+        for col, dim, child_key in edges:
+            parent = dim.toDF("k").distinct()
+            orphans = (
+                staged_fact.select(child_key)
+                .filter(F.col("k").isNotNull())
+                .distinct()
+                .join(F.broadcast(parent), "k", "left_anti")
+                .count()
+            )
+            if orphans:
+                raise ValueError(
+                    f"WAP veto for fact_offres: {orphans} orphan "
+                    f"{col} key(s) missing from the dimension")
+    return audit
+
+
+def publish_warehouse_wap(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    wh_dir: str,
+    min_fact_rows: int = 1,
+) -> dict[str, int]:
+    """Publish the star schema as VERSIONED warehouse tables through
+    write-audit-publish (round-9 verdict task #7): each table lands as
+    an unpublished staged version, its audits run against the staged
+    bytes, and only then does the pointer swap — a poisoned batch
+    leaves the previous version current and the staged dir orphaned
+    for forensics.
+
+    Vetoes: a row-count floor on every table (dims >= 1 row, fact >=
+    ``min_fact_rows``) and the FK-integrity pre-flight on the fact
+    (every entreprise/localisation/competence key resolves against
+    the just-published dim versions). Publish order is dims-then-fact
+    so the fact's FK audit sees the dim bytes it will be joined with;
+    a fact veto leaves the new dims published, which is safe — ids
+    are deterministic functions of the names, so the previous fact
+    version still resolves against them.
+
+    The fact keeps the warehouse layout (partition by publication
+    date + cluster-key sortWithinPartitions, create_tables.sql:91-92
+    parity) and every table carries a file-stats manifest."""
+    from .sources.manifest import audit_then_publish
+
+    versions: dict[str, int] = {}
+    dim_pks = {
+        "dim_entreprise": "entreprise_id",
+        "dim_localisation": "localisation_id",
+        "dim_competence": "competence_id",
+    }
+    for name, pk in dim_pks.items():
+        versions[name] = audit_then_publish(
+            tables[name], f"{wh_dir}/{name}",
+            audits=[_row_floor_audit(name, 1)],
+            stats_cols=(pk,),
+        )
+    fact = tables["fact_offres"].sortWithinPartitions(
+        "entreprise_id", "localisation_id", "secteur_id")
+    versions["fact_offres"] = audit_then_publish(
+        fact, f"{wh_dir}/fact_offres",
+        audits=[
+            _row_floor_audit("fact_offres", min_fact_rows),
+            _fact_fk_audit(spark, wh_dir),
+        ],
+        stats_cols=("entreprise_id",),
+        partition_by=("date_publication",),
+    )
+    return versions
 
 
 def run_staged_pipeline(
@@ -99,7 +213,7 @@ def run_staged_pipeline(
         write_stage(with_sectors, f"{out_dir}/sectors_enriched", ("source",))
 
     wh = P.build_warehouse(spark, spark.read.parquet(f"{out_dir}/sectors_enriched"))
-    P.write_warehouse(wh, f"{out_dir}/warehouse")
+    publish_warehouse_wap(spark, wh, f"{out_dir}/warehouse")
 
     return quality_check(spark, out_dir, strict=strict)
 

@@ -172,6 +172,7 @@ def audit_then_publish(
     root: str,
     audits,
     stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Write-audit-publish (the Iceberg WAP pattern on the versioned
     store): land ``df`` as an UNPUBLISHED version directory, run every
@@ -188,8 +189,14 @@ def audit_then_publish(
     vs = V.list_versions(root)
     nxt = (vs[-1] + 1) if vs else 1
     vdir = os.path.join(root, f"v{nxt:05d}")
-    df.write.mode("errorifexists").parquet(vdir)
-    staged = df.sparkSession.read.parquet(vdir)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(vdir)
+    # read back under the writer's declared schema: an EMPTY staged
+    # write (zero files) must reach the audits as an empty frame so
+    # the row-floor veto fires — not die in schema inference
+    staged = df.sparkSession.read.schema(df.schema).parquet(vdir)
     for audit in audits:
         audit(staged)  # raises -> staged dir stays unpublished
     if stats_cols:

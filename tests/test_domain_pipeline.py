@@ -599,10 +599,13 @@ def test_domain_pipeline_resume_parity(spark, raw, tmp_path, monkeypatch):
 
     from bigdata_jobmatching_spark import orchestrate as O
 
+    from bigdata_jobmatching_spark.sources import versioned as V
+
     out = str(tmp_path / "dom")
     O.run_staged_pipeline(spark, raw, out)
     wh1 = sorted(
-        map(tuple, spark.read.parquet(f"{out}/warehouse/fact_offres").collect())
+        map(tuple,
+            V.read_version(spark, f"{out}/warehouse/fact_offres").collect())
     )
 
     # crash simulation: sectors stage uncommitted
@@ -618,6 +621,50 @@ def test_domain_pipeline_resume_parity(spark, raw, tmp_path, monkeypatch):
     O.run_staged_pipeline(spark, raw, out, resume=True)
     assert calls == ["sectors_enriched"], calls
     wh2 = sorted(
-        map(tuple, spark.read.parquet(f"{out}/warehouse/fact_offres").collect())
+        map(tuple,
+            V.read_version(spark, f"{out}/warehouse/fact_offres").collect())
     )
     assert wh1 == wh2
+
+
+def test_warehouse_wap_vetoes_poisoned_batch(spark, result, tmp_path):
+    """Round-9 verdict task #7: the warehouse publish goes through
+    write-audit-publish — a poisoned fact (orphan FK, or an empty
+    batch) must leave the previous version current and the staged dir
+    orphaned; a clean batch publishes atomically."""
+    import pytest
+
+    from bigdata_jobmatching_spark import orchestrate as O
+    from bigdata_jobmatching_spark.sources import versioned as V
+
+    tables = {k: v for k, v in result.items() if k != "offers_enriched"}
+    wh = str(tmp_path / "wh")
+    v = O.publish_warehouse_wap(spark, tables, wh)
+    assert all(n == 1 for n in v.values())
+    n_fact_v1 = V.read_version(spark, f"{wh}/fact_offres").count()
+    assert n_fact_v1 == tables["fact_offres"].count()
+
+    # poison 1: a fact row pointing at a nonexistent enterprise
+    poisoned = tables["fact_offres"].unionByName(
+        tables["fact_offres"].limit(1).withColumn(
+            "entreprise_id", F.lit("ENT_DOES_NOT_EXIST"))
+    )
+    with pytest.raises(ValueError, match="orphan entreprise_id"):
+        O.publish_warehouse_wap(spark, {**tables, "fact_offres": poisoned}, wh)
+    # fact pointer untouched (dims re-published at v2 is by-design)
+    assert V.current_version(f"{wh}/fact_offres") == 1
+    assert V.read_version(spark, f"{wh}/fact_offres").count() == n_fact_v1
+
+    # poison 2: empty fact fails the row floor
+    with pytest.raises(ValueError, match="row"):
+        O.publish_warehouse_wap(
+            spark, {**tables, "fact_offres": tables["fact_offres"].limit(0)},
+            wh)
+    assert V.current_version(f"{wh}/fact_offres") == 1
+
+    # clean batch publishes (skipping the orphaned staged versions)
+    v2 = O.publish_warehouse_wap(spark, tables, wh)
+    assert v2["fact_offres"] > 1
+    assert V.current_version(f"{wh}/fact_offres") == v2["fact_offres"]
+    assert (V.read_version(spark, f"{wh}/fact_offres").count()
+            == n_fact_v1)
