@@ -20,22 +20,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_components(rows) -> dict:
+    """Driver-side union-find (path halving + union by size) over a
+    bounded edge list; component label = min node id, matching the
+    distributed path's contract exactly."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in rows:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    # min node id per root -> label every node with its root's min
+    root_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = root_min.get(r)
+        root_min[r] = v if m is None or v < m else m
+    return {v: root_min[find(v)] for v in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "m",
     dst: str = "n",
     max_iter: int = 20,
+    small_graph_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label propagation to fixpoint. ``edges`` holds undirected pairs
     (any orientation). Returns (node, component) where component is
     the minimum node id reachable; only nodes appearing in edges are
     returned (isolated nodes are the caller's passthrough).
+
+    Small-graph fast path (round-9: the docs_dedup_cluster_sizes
+    lean-bench mover): when the materialized edge set is at most
+    ``small_graph_max_edges`` rows, components are computed with a
+    driver-side union-find over ONE bounded collect (the documented
+    exception class — same posture as the ANN operators' bounded
+    query-side collect) instead of ~10 scheduler-bound stages per
+    propagation round. The bound is checked on the ACTUAL count, the
+    collect is at most ~16 bytes/edge (16 MB at the default cap), and
+    the label contract (component = min reachable node id) is
+    identical, property-tested against the distributed path. Above
+    the threshold — the real 100 TB regime — the distributed
+    iteration runs unchanged. Pass ``small_graph_max_edges=0`` to
+    force the distributed path.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # materialize the symmetric edge set ONCE: without this the whole
+    # materialize the (half) edge set ONCE: without this the whole
     # upstream pair-generation (blocking join + similarity filter)
-    # re-executes inside every propagation iteration.
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    # re-executes inside every propagation iteration / the collect.
+    half = e.localCheckpoint()
+    if half.count() <= small_graph_max_edges:
+        labels = _union_find_components(
+            (r[0], r[1]) for r in half.collect()
+        )
+        spark = edges.sparkSession
+        out_schema = half.select(
+            F.col("a").alias("node"), F.col("a").alias("component")
+        ).schema
+        return spark.createDataFrame(
+            list(labels.items()), schema=out_schema)
+    sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     # initial label: min(self, direct neighbors)
     labels = (
         sym.union(sym.select("a", F.col("a").alias("b")))

@@ -83,6 +83,44 @@ def test_connected_components_chain(spark):
     )
     cc = {r.node: r.component for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the distributed path (forced) agrees
+    cc2 = {
+        r.node: r.component
+        for r in connected_components(edges, small_graph_max_edges=0).collect()
+    }
+    assert cc2 == cc
+
+
+def test_connected_components_paths_agree_on_random_graphs(spark):
+    """The small-graph union-find fast path and the distributed label
+    propagation must produce IDENTICAL labelings (component = min
+    reachable node id) on random graphs with chains, cliques, and
+    isolated pairs."""
+    import random
+
+    from bigdata_jobmatching_spark.operators.graph import (
+        connected_components,
+    )
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        nodes = list(range(200))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # plus a long chain to exercise the pointer-jumping path
+        edges += [(1000 + i, 1001 + i) for i in range(40)]
+        df = spark.createDataFrame(edges, "m long, n long")
+        fast = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        dist = {
+            r.node: r.component
+            for r in connected_components(
+                df, small_graph_max_edges=0).collect()
+        }
+        assert fast == dist, seed
 
 
 def test_keep_best_collapses_chain_to_one(spark):
