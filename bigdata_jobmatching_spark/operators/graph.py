@@ -86,9 +86,8 @@ def connected_components(
     # re-executes inside every propagation iteration / the collect.
     half = e.localCheckpoint()
     if half.count() <= small_graph_max_edges:
-        labels = _union_find_components(
-            (r[0], r[1]) for r in half.collect()
-        )
+        rows = half.collect()  # bounded by the count check just above
+        labels = _union_find_components((r[0], r[1]) for r in rows)
         spark = edges.sparkSession
         out_schema = half.select(
             F.col("a").alias("node"), F.col("a").alias("component")

@@ -2087,9 +2087,13 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytes] | None:
         raise ValueError(f"unsupported TIFF depth {bits}x{spp}")
     if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
-    if comp == 5 and tags.get(317, [1])[0] != 1:
+    predictor = tags.get(317, [1])[0]
+    if comp == 5 and predictor not in (1, 2):
         raise ValueError(
-            f"unsupported TIFF LZW predictor {tags[317][0]}")
+            f"unsupported TIFF LZW predictor {predictor}")
+    if comp != 5 and predictor != 1:
+        raise ValueError(
+            f"TIFF predictor {predictor} outside LZW is out of subset")
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photo}")
     if len(offsets) != len(counts):
@@ -2111,6 +2115,15 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytes] | None:
             out += raw
     if len(out) != h * w * spp:
         raise ValueError(f"TIFF strips produced {len(out)} of {h * w * spp} bytes")
+    if predictor == 2:
+        # horizontal differencing (the standard LZW companion): each
+        # row stores per-channel deltas; undo cumulatively per row.
+        # Rows never span strips, so strip boundaries need no care.
+        stride = w * spp
+        for y in range(h):
+            base = y * stride
+            for i in range(base + spp, base + stride):
+                out[i] = (out[i] + out[i - spp]) & 0xFF
     if photo == 0:  # WhiteIsZero: invert to BlackIsZero convention
         out = bytearray(255 - v for v in out)
     return w, h, spp, bytes(out)
@@ -2125,17 +2138,31 @@ def encode_tiff_pixels(
     packbits: bool = False,
     rows_per_strip: int | None = None,
     lzw: bool = False,
+    predictor2: bool = False,
 ) -> bytes:
     """Real strip TIFF from raw 8-bit pixels — gray or RGB, either
     byte order, optional PackBits or LZW (round-8, Compression 5,
-    EarlyChange) compression and multi-strip layout. Exists so
-    round-trip tests and gate fixtures drive every decoder branch."""
+    EarlyChange) compression, horizontal-differencing predictor
+    (round-9, tag 317 = 2, LZW only — the standard pairing) and
+    multi-strip layout. Exists so round-trip tests and gate fixtures
+    drive every decoder branch."""
     if packbits and lzw:
         raise ValueError("pick one compression")
+    if predictor2 and not lzw:
+        raise ValueError("predictor2 pairs with LZW")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     if channels not in (1, 3):
         raise ValueError("gray or RGB only")
+    if predictor2:
+        diffed = bytearray(pixels)
+        stride = width * channels
+        for y in range(height):
+            base = y * stride
+            # difference right-to-left so each delta uses ORIGINALs
+            for i in range(base + stride - 1, base + channels - 1, -1):
+                diffed[i] = (diffed[i] - diffed[i - channels]) & 0xFF
+        pixels = bytes(diffed)
     e = endian
     rps = rows_per_strip or height
     strips = []
@@ -2160,6 +2187,8 @@ def encode_tiff_pixels(
     entries.append((277, 3, 1, [channels]))
     entries.append((278, 3, 1, [rps]))
     entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    if predictor2:
+        entries.append((317, 3, 1, [2]))
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     # out-of-line arrays land right after the IFD

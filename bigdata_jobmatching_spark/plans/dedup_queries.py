@@ -1303,3 +1303,207 @@ register(QuerySpec(
     "construction",
     ("dedup", "audit", "join"),
 ))
+
+
+# --- semantic_dedup_stats: SemDeDup-style embedding dedup (round-9) --------
+# The modern LLM-corpus dedup step the token-level family can't see:
+# near-duplicate MEANING (paraphrases, templated rewrites) found in
+# embedding space. Pipeline per the SemDeDup recipe: (1) cluster the
+# embeddings (here: one exact nearest-seed assignment against K fixed
+# seed vectors — the first Lloyd step of embedding_kmeans_exact, same
+# portable argmin(dist*K+cid) encoding); (2) within each cluster,
+# mark pairs with cosine >= tau; (3) keep one representative per
+# near-dup neighborhood — a vector is DROPPED iff some smaller-id
+# vector in its cluster is tau-close (greedy min-id keep, the
+# deterministic stand-in for SemDeDup's keep-farthest-from-centroid).
+#
+# Every number is EXACT integer arithmetic: coordinates quantize to
+# micro-units (floor(x*1e6), one IEEE multiply + floor, identical on
+# both engines) and the cosine threshold test is squared into
+# DECIMAL(38)/HUGEINT — dot >= 0 AND 400*dot^2 >= 49*|a|^2*|b|^2 is
+# exactly cos >= 0.35 on the quantized vectors, so no float ever
+# reaches the hash (unlike embeddings_near_dup_cosine, which oracles
+# the float path at 6 dp). Scale shape: one broadcast join against
+# K*64 seed rows, then a self-join CONFINED to cluster blocks — the
+# SemDeDup point is exactly that clustering makes the quadratic step
+# tractable; at 100 TB the cluster count grows with the corpus so
+# block sizes stay bounded.
+
+_SD_K = 8
+_SD_SCALE = 1_000_000
+
+
+def _sd_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id", "j",
+        F.floor(F.col("x").cast("double") * _SD_SCALE)
+        .cast("long").alias("q"),
+    )
+
+
+def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # eager lineage cuts (house index_queries pattern): qv and the assigned
+    # long-form table are each consumed by several downstream
+    # branches whose subtrees differ after aliasing, which defeats
+    # exchange reuse — without the cut the whole quantize+assign
+    # chain re-executes per branch (plan-audit exchange blowup).
+    qv = _sd_quantized(spark, sf).localCheckpoint(eager=True)
+    cent = qv.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").cast("int").alias("cid"), "j",
+        F.col("q").alias("c"),
+    )
+    d = F.col("q") - F.col("c")
+    asg = (
+        qv.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(d * d).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.col("dist") * _SD_K + F.col("cid")).alias("enc"))
+        .select("vec_id", (F.col("enc") % _SD_K).cast("int").alias("cluster"))
+    )
+    v = qv.join(asg, "vec_id").localCheckpoint(eager=True)
+    # per-vector squared norm (int64: 64 * (4.2e6)^2 ~ 1.1e15)
+    norms = v.groupBy("cluster", "vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")).localCheckpoint(
+        eager=True)
+    # within-cluster pair dot products at (pair, j) grain -> one
+    # shuffle on (cluster, j) for the join, one on the pair key
+    a = v.select("cluster", F.col("vec_id").alias("id_a"), "j",
+                 F.col("q").alias("qa"))
+    b = v.select("cluster", F.col("vec_id").alias("id_b"), "j",
+                 F.col("q").alias("qb"))
+    dots = (
+        a.join(b, ["cluster", "j"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("cluster", "id_a", "id_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # norms is vector-count-sized (one row per vec) — broadcast, the
+    # pair stream never shuffles on the id keys; pairs is then cut
+    # once so its two consumers don't re-run the self-join
+    pairs = (
+        dots
+        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_a"),
+                                       F.col("n2").alias("na"))), "id_a")
+        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_b"),
+                                       F.col("n2").alias("nb"))), "id_b")
+        .filter(
+            (F.col("dot") >= 0)
+            & (dec("dot") * dec("dot") * F.lit(400).cast("decimal(38,0)")
+               >= dec("na") * dec("nb") * F.lit(49).cast("decimal(38,0)"))
+        )
+        .select("cluster", "id_a", "id_b", "dot")
+        .localCheckpoint(eager=True)
+    )
+    per_cluster = norms.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    pair_stats = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dec("dot")).cast("decimal(38,0)").alias("sum_pair_dot"),
+        # a vector is dropped iff it appears as id_b in ANY pair of
+        # its cluster: distinct-aggregates fold the dedup into the
+        # same shuffle instead of a separate distinct + groupBy
+        F.count_distinct(F.col("id_b")).cast("long").alias("n_dropped"),
+        F.sum_distinct(F.col("id_b")).cast("long").alias("sum_dropped_ids"),
+    )
+    return (
+        per_cluster
+        .join(F.broadcast(pair_stats), "cluster", "left")
+        .select(
+            "cluster", "n_vecs",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("sum_pair_dot", F.lit(0).cast("decimal(38,0)"))
+            .alias("sum_pair_dot"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long")
+            .alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long").alias("n_kept"),
+            F.coalesce("sum_dropped_ids", F.lit(0)).cast("long")
+            .alias("sum_dropped_ids"),
+        )
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, j,
+    CAST(floor(CAST(x AS DOUBLE) * {_SD_SCALE}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+      unnest(generate_series(0, len(embedding) - 1)) AS j,
+      unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, j, q AS c FROM qv
+  WHERE vec_id < {_SD_K}
+),
+asg AS (
+  SELECT vec_id,
+    CAST(MIN(dist * {_SD_K} + cid) % {_SD_K} AS INT) AS cluster
+  FROM (
+    SELECT qv.vec_id, cent.cid,
+      SUM((qv.q - cent.c) * (qv.q - cent.c)) AS dist
+    FROM qv JOIN cent USING (j)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+v AS MATERIALIZED (
+  SELECT asg.cluster, qv.vec_id, qv.j, qv.q
+  FROM qv JOIN asg USING (vec_id)
+),
+norms AS MATERIALIZED (
+  SELECT cluster, vec_id, SUM(q * q) AS n2
+  FROM v GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+    SUM(a.q * b.q) AS dot
+  FROM v a JOIN v b ON a.cluster = b.cluster AND a.j = b.j
+    AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+),
+pairs AS MATERIALIZED (
+  SELECT d.cluster, d.id_a, d.id_b, d.dot
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE d.dot >= 0
+    AND CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 400
+        >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * 49
+),
+per_cluster AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM norms GROUP BY 1
+),
+pair_stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(CAST(dot AS HUGEINT)) AS DECIMAL(38, 0)) AS sum_pair_dot,
+    CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped,
+    CAST(SUM(DISTINCT id_b) AS BIGINT) AS sum_dropped_ids
+  FROM pairs GROUP BY 1
+)
+SELECT p.cluster, p.n_vecs,
+  COALESCE(ps.n_pairs, 0) AS n_pairs,
+  COALESCE(ps.sum_pair_dot, CAST(0 AS DECIMAL(38, 0))) AS sum_pair_dot,
+  COALESCE(ps.n_dropped, 0) AS n_dropped,
+  CAST(p.n_vecs - COALESCE(ps.n_dropped, 0) AS BIGINT) AS n_kept,
+  COALESCE(ps.sum_dropped_ids, 0) AS sum_dropped_ids
+FROM per_cluster p
+LEFT JOIN pair_stats ps USING (cluster)
+"""
+
+register(QuerySpec(
+    "semantic_dedup_stats", _semantic_dedup, _SEMANTIC_DEDUP_SQL,
+    "SemDeDup-style semantic dedup profile: exact nearest-seed "
+    "cluster blocking, quantized-integer cosine threshold squared "
+    "into DECIMAL(38) (no float reaches the hash), greedy min-id "
+    "representative per tau-neighborhood — per-cluster kept/dropped "
+    "census",
+    ("dedup", "vector", "join", "agg"),
+))

@@ -890,9 +890,13 @@ register(QuerySpec(
 # strip TIFFs (MSB-first codes, EarlyChange width growth — the TIFF
 # spec's famous off-by-one, implemented the way real writers ship it)
 # with the same planted pixel formula as tiff_pixel_stats, cycling
-# {gray, RGB} x {little, big endian} and a 3-row strip split so LZW
-# state resets per strip. A wrong width-change point, bit order, or
-# cScSc handling flips the hash.
+# {gray, RGB} x {little, big endian} x {predictor 1, 2 — round-9:
+# horizontal differencing, the standard LZW pairing} and a 3-row
+# strip split so LZW state resets per strip. Differencing is a
+# lossless re-encoding, so the oracle's arithmetic pixel formula is
+# unchanged — a wrong undifference order or channel stride flips the
+# hash. A wrong width-change point, bit order, or cScSc handling
+# flips it too.
 
 _LZW_TIFF_SCHEMA = T.StructType([
     T.StructField("p_partkey", T.LongType()),
@@ -915,6 +919,7 @@ def _planted_lzw_tiff(k: int) -> bytes:
         endian="big" if (k // 2) % 2 else "little",
         lzw=True,
         rows_per_strip=3,
+        predictor2=(k % 3 == 0),
     )
 
 

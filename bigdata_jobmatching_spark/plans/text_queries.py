@@ -1562,3 +1562,74 @@ register(QuerySpec(
     "data-derived query terms, inverted-index plan shape",
     ("text", "retrieval", "join", "bench"),
 ))
+
+
+# --- doc_unigram_surprisal: CCNet-style LM quality scoring (round-9) -------
+# The perplexity-filter step of CCNet/RefinedWeb-style pipelines,
+# made engine-exact: a unigram LM is fit on the corpus itself
+# (token -> count, N = total tokens) and each document is scored by
+# its mean token surprisal. Logarithms are the engine-fragile part —
+# so surprisal is computed in FLOORED BITS with pure integers:
+# floor(log2(N / count)) == length(bin(N div count)) - 1, because an
+# integer quotient and its rational value always share a power-of-2
+# bucket. bin() exists on both engines (Spark F.bin, DuckDB bin) and
+# is exact at any int64 — no float log ever runs. High mean
+# surprisal = rare-token gibberish, low = boilerplate; both tails are
+# what the filter drops.
+#
+# Scale shape: token explode -> one count aggregation (map-side
+# combinable) -> broadcast-sized LM joined back to the token stream
+# -> per-doc aggregation. The LM table is vocabulary-sized; at 100 TB
+# the join stays broadcast while the token stream only shuffles at
+# doc grain.
+
+def _doc_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("n_total div cnt"))) - 1)
+            .cast("long").alias("sbits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("sbits").cast("long").alias("surprisal_bits"),
+        ratio6("sum(sbits)", "count(1)").alias("mean_surprisal_bits"),
+    )
+
+
+_SURPRISAL_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+lm AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+),
+total AS (SELECT SUM(cnt) AS n_total FROM lm),
+scored AS (
+  SELECT t.doc_id,
+    CAST(length(bin((SELECT n_total FROM total) // l.cnt)) - 1 AS BIGINT)
+      AS sbits
+  FROM toks t JOIN lm l USING (tok)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(sbits) AS BIGINT) AS surprisal_bits,
+  {ratio6_sql("SUM(sbits)", "COUNT(*)")} AS mean_surprisal_bits
+FROM scored GROUP BY doc_id
+"""
+
+register(QuerySpec(
+    "doc_unigram_surprisal", _doc_unigram_surprisal, _SURPRISAL_SQL,
+    "CCNet-style unigram-LM quality score: per-doc mean token "
+    "surprisal in floored bits — floor(log2(N/count)) computed as "
+    "length(bin(N div count))-1, pure integers, no float log on "
+    "either engine",
+    ("text", "quality", "agg", "join"),
+))

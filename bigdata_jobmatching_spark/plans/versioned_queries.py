@@ -187,3 +187,79 @@ register(QuerySpec(
     "with |changes|) — hash-proven equal to a full v2 recompute",
     ("versioned", "agg", "join", "bench"),
 ))
+
+
+# --- schema_evolution_audit: schema-on-read over versions (round-9) --------
+# The table-format behavior the versioned store was missing: a column
+# ADDED in a later version must not invalidate time travel. Two
+# versions are landed physically (v1 without the om column, v2 with
+# it) and both are read through read_version_evolved, which
+# reconciles any historical version to the CURRENT schema — typed
+# NULL backfill for added columns, current column order — so the two
+# reads union cleanly. The audit profiles each version's evolved
+# read: row count, NULL count of the added column (v1 rows must be
+# ALL null there — a default-filled or garbage backfill flips the
+# hash), and exact key/om sums the DuckDB oracle recomputes from the
+# raw table. Scale: reconciliation is a projection folded into the
+# scan; historical versions are never rewritten.
+
+def _schema_evolution_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.io import load_table
+    from ..sources.versioned import (
+        read_version_evolved, write_version,
+    )
+
+    o = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    v1_df = o.filter(k % 3 == 0).select(
+        k.alias("id"), (k * 2).alias("k2"))
+    v2_df = o.filter(k % 3 == 1).select(
+        k.alias("id"), (k * 2).alias("k2"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("om"),
+    )
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    write_version(v1_df, root)
+    write_version(v2_df, root)
+    evolved = (
+        read_version_evolved(spark, root, 1)
+        .withColumn("version", F.lit(1))
+        .unionByName(
+            read_version_evolved(spark, root, 2)
+            .withColumn("version", F.lit(2)))
+    )
+    return evolved.groupBy("version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("om").isNull().cast("int")).cast("long")
+        .alias("n_null_om"),
+        F.sum("k2").cast("long").alias("sum_k2"),
+        F.sum(F.coalesce("om", F.lit(0))).cast("long").alias("sum_om"),
+    )
+
+
+_SCHEMA_EVO_SQL = """
+SELECT 1 AS version,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_null_om,
+  CAST(SUM(o_orderkey * 2) AS BIGINT) AS sum_k2,
+  CAST(0 AS BIGINT) AS sum_om
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 2,
+  CAST(COUNT(*) AS BIGINT),
+  CAST(0 AS BIGINT),
+  CAST(SUM(o_orderkey * 2) AS BIGINT),
+  CAST(SUM(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 = 1
+"""
+
+register(QuerySpec(
+    "schema_evolution_audit", _schema_evolution_audit, _SCHEMA_EVO_SQL,
+    "schema-on-read time travel: a column added in v2 reconciles to "
+    "typed NULLs when v1 is read under the current schema — evolved "
+    "reads of both physically-landed versions profiled and "
+    "value-oracled against the raw table",
+    ("versioned", "storage", "agg"),
+))

@@ -175,6 +175,52 @@ def vacuum(
     return deleted
 
 
+def schema_changes(old, new) -> dict:
+    """Field-level diff between two StructTypes: columns ``added`` in
+    new, ``removed`` from old, and ``retyped`` (same name, different
+    dataType) — the compatibility taxonomy every table format's
+    schema-evolution rules are built from."""
+    of = {f.name: f.dataType for f in old.fields}
+    nf = {f.name: f.dataType for f in new.fields}
+    return {
+        "added": sorted(set(nf) - set(of)),
+        "removed": sorted(set(of) - set(nf)),
+        "retyped": sorted(
+            n for n in set(of) & set(nf) if of[n] != nf[n]),
+    }
+
+
+def read_version_evolved(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read reconciled to the CURRENT version's schema —
+    the schema-on-read half of table-format schema evolution: columns
+    added since the requested version come back as typed NULLs,
+    columns since removed are dropped, and the column order is the
+    current schema's, so any historical version unions cleanly with
+    the present one. Type CHANGES are incompatible evolution and
+    raise (a silent cast would reinterpret old bytes).
+
+    At 100 TB this is what makes additive schema changes free: no
+    rewrite of historical versions, reconciliation is a projection
+    Catalyst folds into the scan."""
+    cur = read_version(spark, root).schema
+    df = read_version(spark, root, version)
+    ch = schema_changes(df.schema, cur)
+    if ch["retyped"]:
+        raise ValueError(
+            f"incompatible schema evolution: columns retyped "
+            f"{ch['retyped']} between v{version} and current")
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(*[
+        F.col(f.name) if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in cur.fields
+    ])
+
+
 def merge_version(
     spark: SparkSession,
     root: str,

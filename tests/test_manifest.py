@@ -229,3 +229,34 @@ def test_binary_stats_columns_conservatively_kept(spark, tmp_path):
                for e in man["files"])
     _, total, read = MF.read_pruned(spark, root, "bkey", "aa", "bb")
     assert read == total  # no stats -> nothing skippable
+
+
+def test_schema_evolution_reader_contract(spark, tmp_path):
+    """read_version_evolved: added columns backfill as typed NULLs,
+    removed columns drop, column order follows the current schema,
+    and a retype raises (round-9 schema-on-read)."""
+    import pytest
+
+    root = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, old STRING")
+    V.write_version(v1, root)
+    v2 = spark.createDataFrame([(3, 30)], "id long, extra long")
+    V.write_version(v2, root)
+
+    e1 = V.read_version_evolved(spark, root, 1)
+    assert e1.columns == ["id", "extra"]  # current order, 'old' dropped
+    assert [f.dataType.simpleString() for f in e1.schema.fields] == [
+        "bigint", "bigint"]
+    rows = sorted((r.id, r.extra) for r in e1.collect())
+    assert rows == [(1, None), (2, None)]
+    # unions cleanly with the current version
+    both = e1.unionByName(V.read_version_evolved(spark, root, 2))
+    assert both.count() == 3
+
+    v3 = spark.createDataFrame([(4, "x")], "id long, extra STRING")
+    V.write_version(v3, root)  # retype extra: long -> string
+    with pytest.raises(ValueError, match="retyped"):
+        V.read_version_evolved(spark, root, 2)
+    changes = V.schema_changes(v1.schema, v3.schema)
+    assert changes == {"added": ["extra"], "removed": ["old"],
+                       "retyped": []}

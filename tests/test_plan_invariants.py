@@ -71,9 +71,11 @@ def test_no_driver_collect_in_query_paths():
         for i, line in enumerate(py.read_text().splitlines(), 1):
             if ".collect()" in line.split("#")[0]:
                 offenders.append((str(py.relative_to(root)), line.strip()))
-    # allowed sites: the limit-bounded ANN query-set collect, and the
+    # allowed sites: the limit-bounded ANN query-set collect, the
     # state-inspection loop over a streaming query's operator METADATA
-    # (bounded by plan size — a handful of operators — never by data)
+    # (bounded by plan size — a handful of operators — never by data),
+    # and the connected-components small-graph union-find fast path
+    # (gated on an actual count <= small_graph_max_edges, r9)
     assert sorted(offenders) == sorted([
         (
             "streaming/state_inspect.py",
@@ -82,6 +84,10 @@ def test_no_driver_collect_in_query_paths():
         (
             "operators/similarity_search.py",
             "q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()",
+        ),
+        (
+            "operators/graph.py",
+            "rows = half.collect()  # bounded by the count check just above",
         ),
     ]), offenders
 

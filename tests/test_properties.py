@@ -752,6 +752,34 @@ def test_tiff_lzw_round_trip_property(alphabet, n, seed):
 
 
 @given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 9),
+    ch=st.sampled_from([1, 3]),
+    endian=st.sampled_from(["little", "big"]),
+    rps=st.sampled_from([None, 2, 3]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_tiff_predictor2_round_trip_property(w, h, ch, endian, rps, seed):
+    """TIFF horizontal-differencing predictor (round-9, tag 317=2):
+    decode(encode(px, lzw+predictor2)) == px across channel counts,
+    byte orders, and strip splits (rows never span strips, so the
+    undifference must restart per row, not per strip)."""
+    from bigdata_jobmatching_spark.operators.multimodal import (
+        decode_tiff, encode_tiff_pixels,
+    )
+
+    x, out = seed, bytearray()
+    for _ in range(w * h * ch):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((x >> 5) & 0xFF)
+    px = bytes(out)
+    t = encode_tiff_pixels(w, h, px, channels=ch, endian=endian,
+                           lzw=True, predictor2=True, rows_per_strip=rps)
+    assert decode_tiff(t) == (w, h, ch, px)
+
+
+@given(
     w=st.integers(1, 12),
     h=st.integers(1, 12),
     n_colors_log=st.integers(1, 8),
