@@ -1323,14 +1323,29 @@ register(QuerySpec(
 # DECIMAL(38)/HUGEINT — dot >= 0 AND 400*dot^2 >= 49*|a|^2*|b|^2 is
 # exactly cos >= 0.35 on the quantized vectors, so no float ever
 # reaches the hash (unlike embeddings_near_dup_cosine, which oracles
-# the float path at 6 dp). Scale shape: one broadcast join against
-# K*64 seed rows, then a self-join CONFINED to cluster blocks — the
-# SemDeDup point is exactly that clustering makes the quadratic step
-# tractable; at 100 TB the cluster count grows with the corpus so
-# block sizes stay bounded.
+# the float path at 6 dp).
+#
+# Scale shape: one broadcast join against K*64 seed rows, then a
+# self-join CONFINED to (cluster, sig) blocks, where sig is a
+# SCALE-ADAPTIVE sign-bit sub-bucket (the blocking_recall_audit
+# lesson applied at design time, after the first sf1 curve measured
+# the fixed-K=8 variant at 52x on the last 10x): each vector gets
+# _SD_BITS_MAX sign bits from an integer LCG plane family
+# (coef = ((1103515245*(k+12345)+12345) mod 2^31) mod 2001 - 1000 —
+# pure int64, both engines compute the planes arithmetically, no
+# literals, no floats), and the block key uses the PREFIX of
+# b = min(12, floor(log2(max(1, n div (K*50))))) bits, so expected
+# block size stays ~50 vectors at every tier and the pair count is
+# linear in the corpus by construction (b enters the plan from a
+# broadcast count — no driver collect). At sf<=0.01 b=0 and blocks
+# are exactly the K clusters. The recall trade (tau-close pairs
+# split by a sign bit are missed) is the standard SemDeDup-style
+# approximation; candidates that survive are still EXACT-scored.
 
 _SD_K = 8
 _SD_SCALE = 1_000_000
+_SD_BITS_MAX = 12
+_SD_SUB_TARGET = 50  # aim ~50 vectors per (cluster, sig) block
 
 
 def _sd_quantized(spark: SparkSession, sf: str) -> DataFrame:
@@ -1364,19 +1379,61 @@ def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min(F.col("dist") * _SD_K + F.col("cid")).alias("enc"))
         .select("vec_id", (F.col("enc") % _SD_K).cast("int").alias("cluster"))
     )
-    v = qv.join(asg, "vec_id").localCheckpoint(eager=True)
+    # scale-adaptive sign-bit sub-bucket: integer LCG planes computed
+    # arithmetically (broadcast 768-row table from spark.range — no
+    # literal bloat), dot signs at (vec, bit) grain, bits assembled
+    # in bit order; the block key takes a data-sized PREFIX
+    planes = spark.range(_SD_BITS_MAX * 64).select(
+        F.expr("id div 64").cast("int").alias("bit"),
+        (F.col("id") % 64).cast("int").alias("j"),
+        (((F.lit(1103515245) * (F.col("id") + 12345) + 12345)
+          % F.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
+    )
+    bitchar = (
+        qv.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "bit")
+        .agg(F.sum(F.col("q") * F.col("coef")).alias("s"))
+        .select(
+            "vec_id", "bit",
+            F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            .alias("ch"),
+        )
+    )
+    sigs = bitchar.groupBy("vec_id").agg(
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("bit", "ch"))),
+            lambda x: x["ch"],
+        )).alias("sigfull"))
+    nrow = asg.agg(F.count(F.lit(1)).alias("__n"))
+    v = (
+        qv.join(asg, "vec_id").join(sigs, "vec_id")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "b",
+            F.least(
+                F.lit(_SD_BITS_MAX),
+                F.length(F.bin(F.greatest(
+                    F.lit(1),
+                    F.expr(f"__n div {_SD_K * _SD_SUB_TARGET}")))) - 1,
+            ),
+        )
+        .withColumn("sig", F.expr("substring(sigfull, 1, b)"))
+        .select("cluster", "sig", "vec_id", "j", "q")
+        .localCheckpoint(eager=True)
+    )
     # per-vector squared norm (int64: 64 * (4.2e6)^2 ~ 1.1e15)
     norms = v.groupBy("cluster", "vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("n2")).localCheckpoint(
         eager=True)
-    # within-cluster pair dot products at (pair, j) grain -> one
-    # shuffle on (cluster, j) for the join, one on the pair key
-    a = v.select("cluster", F.col("vec_id").alias("id_a"), "j",
+    # pair dot products CONFINED to (cluster, sig) blocks at
+    # (pair, j) grain -> one shuffle on the block key for the join,
+    # one on the pair key
+    a = v.select("cluster", "sig", F.col("vec_id").alias("id_a"), "j",
                  F.col("q").alias("qa"))
-    b = v.select("cluster", F.col("vec_id").alias("id_b"), "j",
+    b = v.select("cluster", "sig", F.col("vec_id").alias("id_b"), "j",
                  F.col("q").alias("qb"))
     dots = (
-        a.join(b, ["cluster", "j"])
+        a.join(b, ["cluster", "sig", "j"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("cluster", "id_a", "id_b")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
@@ -1453,9 +1510,32 @@ asg AS (
     GROUP BY 1, 2
   ) GROUP BY 1
 ),
+planes AS (
+  SELECT CAST(k // 64 AS INT) AS bit, CAST(k % 64 AS INT) AS j,
+    ((1103515245 * (k + 12345) + 12345) % 2147483648) % 2001 - 1000
+      AS coef
+  FROM (SELECT unnest(generate_series(0, {_SD_BITS_MAX * 64 - 1})) AS k)
+),
+sigs AS (
+  SELECT vec_id,
+    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+      AS sigfull
+  FROM (
+    SELECT qv.vec_id, p.bit, SUM(qv.q * p.coef) AS s
+    FROM qv JOIN planes p USING (j) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+nb AS (
+  SELECT least({_SD_BITS_MAX},
+    length(bin(greatest(1, COUNT(*) // {_SD_K * _SD_SUB_TARGET}))) - 1)
+    AS b
+  FROM asg
+),
 v AS MATERIALIZED (
-  SELECT asg.cluster, qv.vec_id, qv.j, qv.q
-  FROM qv JOIN asg USING (vec_id)
+  SELECT asg.cluster,
+    substring(s.sigfull, 1, (SELECT b FROM nb)) AS sig,
+    qv.vec_id, qv.j, qv.q
+  FROM qv JOIN asg USING (vec_id) JOIN sigs s USING (vec_id)
 ),
 norms AS MATERIALIZED (
   SELECT cluster, vec_id, SUM(q * q) AS n2
@@ -1464,8 +1544,8 @@ norms AS MATERIALIZED (
 dots AS (
   SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
     SUM(a.q * b.q) AS dot
-  FROM v a JOIN v b ON a.cluster = b.cluster AND a.j = b.j
-    AND a.vec_id < b.vec_id
+  FROM v a JOIN v b ON a.cluster = b.cluster AND a.sig = b.sig
+    AND a.j = b.j AND a.vec_id < b.vec_id
   GROUP BY 1, 2, 3
 ),
 pairs AS MATERIALIZED (
@@ -1501,9 +1581,10 @@ LEFT JOIN pair_stats ps USING (cluster)
 register(QuerySpec(
     "semantic_dedup_stats", _semantic_dedup, _SEMANTIC_DEDUP_SQL,
     "SemDeDup-style semantic dedup profile: exact nearest-seed "
-    "cluster blocking, quantized-integer cosine threshold squared "
-    "into DECIMAL(38) (no float reaches the hash), greedy min-id "
-    "representative per tau-neighborhood — per-cluster kept/dropped "
-    "census",
+    "cluster blocking + scale-adaptive integer-LCG sign-bit "
+    "sub-buckets (~50 vecs/block at any tier), quantized-integer "
+    "cosine threshold squared into DECIMAL(38) (no float reaches "
+    "the hash), greedy min-id representative per tau-neighborhood — "
+    "per-cluster kept/dropped census",
     ("dedup", "vector", "join", "agg"),
 ))
