@@ -15,10 +15,14 @@ Decoder subset (grown stage-wise, loud outside it):
   channel, the spec's top/left border + linear-buffer TR rules),
   COLOR (cross-color: tiled signed-multiply deltas, red restored
   before blue), and COLOR_INDEXING (delta-coded palette, sub-byte
-  pixel bundling for <= 16 colors at reduced coded width).
-Out of subset (ValueError): meta prefix codes (multiple groups), and
-color-indexing combined with any other transform (real-world palette
-WebPs use it alone). The fixture encoder emits real streams with
+  pixel bundling for <= 16 colors at reduced coded width);
+- META prefix codes (round-9, spec 5.2.2): a tiled meta image maps
+  each pixel position to one of several prefix-code groups
+  ((red<<8)|green indexing, shared color cache, per-SYMBOL-position
+  group choice).
+Out of subset (ValueError): color-indexing combined with any other
+transform (real-world palette WebPs use it alone). The fixture
+encoder emits real streams with
 canonical Huffman codes built from the image's frequencies and can
 plant every in-subset decoder path: simple AND normal prefix codes,
 subtract-green, a uniform-mode PREDICTOR transform whose forward
@@ -375,18 +379,41 @@ _LEN_CODES = 24
 _DIST_CODES = 40
 
 
-def _decode_entropy_image(r: _BitReader, w: int, h: int,
-                          cache_bits: int) -> list:
-    """Decode one entropy-coded ARGB image with a single prefix-code
-    group (the subset: no meta codes). Returns a flat list of
-    (a, r, g, b) tuples."""
-    cache_size = (1 << cache_bits) if cache_bits else 0
+def _read_code_group(r: _BitReader, cache_size: int) -> tuple:
+    """One prefix-code group: (green+length+cache, red, blue, alpha,
+    distance) codes in spec order."""
     green_alpha = _GREEN_LITS + _LEN_CODES + cache_size
-    green = _read_prefix_code(r, green_alpha)
-    red = _read_prefix_code(r, 256)
-    blue = _read_prefix_code(r, 256)
-    alpha = _read_prefix_code(r, 256)
-    dist = _read_prefix_code(r, _DIST_CODES)
+    return (
+        _read_prefix_code(r, green_alpha),
+        _read_prefix_code(r, 256),
+        _read_prefix_code(r, 256),
+        _read_prefix_code(r, 256),
+        _read_prefix_code(r, _DIST_CODES),
+    )
+
+
+def _decode_entropy_image(r: _BitReader, w: int, h: int,
+                          cache_bits: int, meta=None) -> list:
+    """Decode one entropy-coded ARGB image. ``meta`` is None for a
+    single prefix-code group (sub-images, simple main images), or
+    (tile_bits, tile_w, tile_group_indices) from the meta prefix
+    image (spec 5.2.2): the group used for each SYMBOL is the one of
+    the pixel position where the symbol starts; the color cache is
+    shared across groups. Returns a flat list of (a, r, g, b)."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if meta is None:
+        groups = [_read_code_group(r, cache_size)]
+
+        def group_at(pos: int) -> tuple:
+            return groups[0]
+    else:
+        mbits, mt_w, idxs = meta
+        n_groups = max(idxs) + 1
+        groups = [_read_code_group(r, cache_size) for _ in range(n_groups)]
+
+        def group_at(pos: int) -> tuple:
+            x, y = pos % w, pos // w
+            return groups[idxs[(y >> mbits) * mt_w + (x >> mbits)]]
 
     cache = [(0, 0, 0, 0)] * cache_size
     px: list = []
@@ -400,6 +427,7 @@ def _decode_entropy_image(r: _BitReader, w: int, h: int,
             cache[key] = p
 
     while len(px) < n:
+        green, red, blue, alpha, dist = group_at(len(px))
         s = green.read(r)
         if s < _GREEN_LITS:
             g = s
@@ -507,13 +535,21 @@ def decode_vp8l(b: bytes) -> tuple[int, int, int, bytes] | None:
             "VP8L color-indexing combined with other transforms is "
             "out of subset")
 
-    # color cache + meta codes for the main image
+    # color cache + meta prefix codes for the main image
     cache_bits = r.read(4) if r.read(1) else 0
     if cache_bits > 11:
         raise ValueError(f"bad VP8L cache bits {cache_bits}")
-    if r.read(1):
-        raise ValueError("meta prefix codes out of subset")
-    px = _decode_entropy_image(r, w, h, cache_bits)
+    meta = None
+    if r.read(1):  # meta prefix codes (spec 5.2.2, round-9)
+        mbits = r.read(3) + 2
+        mt_w = (w + (1 << mbits) - 1) >> mbits
+        mt_h = (h + (1 << mbits) - 1) >> mbits
+        sub_cache = r.read(4) if r.read(1) else 0
+        mimg = _decode_entropy_image(r, mt_w, mt_h, sub_cache)
+        # group index rides (red << 8) | green of each tile pixel
+        idxs = [(p[1] << 8) | p[2] for p in mimg]
+        meta = (mbits, mt_w, idxs)
+    px = _decode_entropy_image(r, w, h, cache_bits, meta)
 
     # apply transforms in reverse order
     for t in reversed(transforms):
@@ -742,6 +778,63 @@ def _emit_entropy_image(wtr: _BitWriter, w: int, tokens: list,
             put("g", _GREEN_LITS + _LEN_CODES + tok[1])
 
 
+def _emit_entropy_image_grouped(
+    wtr: _BitWriter, pixels: list, w: int, mbits: int, tw_t: int,
+    gidx: list, n_groups: int,
+) -> None:
+    """Literal-only emission under META prefix codes: per-group
+    canonical code tables built from that group's own pixel
+    frequencies (the whole point of meta codes — different statistics
+    per region), then each pixel's symbols written with the codes of
+    its tile's group."""
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
+    ]
+
+    def grp(pos: int) -> int:
+        x, y = pos % w, pos // w
+        return gidx[(y >> mbits) * tw_t + (x >> mbits)]
+
+    for i, (a, rr, g, bb) in enumerate(pixels):
+        f = freqs[grp(i)]
+        for d, s in (("g", g), ("r", rr), ("b", bb), ("a", a)):
+            f[d][s] = f[d].get(s, 0) + 1
+    tables = []
+    for f in freqs:
+        for d, fb in (("g", 0), ("r", 0), ("b", 0), ("a", 255)):
+            if not f[d]:
+                f[d][fb] = 1
+        lens = {
+            "g": _huffman_lengths(f["g"], _GREEN_LITS + _LEN_CODES),
+            "r": _huffman_lengths(f["r"], 256),
+            "b": _huffman_lengths(f["b"], 256),
+            "a": _huffman_lengths(f["a"], 256),
+            "d": _huffman_lengths({0: 1}, _DIST_CODES),
+        }
+        for k in ("g", "r", "b", "a", "d"):
+            _write_prefix_code(wtr, lens[k])
+        codes = {k: _canonical_codes_msb(v) for k, v in lens.items()}
+        singles = {
+            k: sum(1 for l in v if l > 0) == 1 for k, v in lens.items()
+        }
+        tables.append((codes, singles))
+
+    def put(ti: int, k: str, sym: int) -> None:
+        codes, singles = tables[ti]
+        if singles[k]:
+            return
+        c, n = codes[k][sym]
+        for i in range(n - 1, -1, -1):
+            wtr.write((c >> i) & 1, 1)
+
+    for i, (a, rr, g, bb) in enumerate(pixels):
+        t = grp(i)
+        put(t, "g", g)
+        put(t, "r", rr)
+        put(t, "b", bb)
+        put(t, "a", a)
+
+
 def _tokenize(px: list, cache_bits: int, lz77: bool) -> list:
     """Token stream for the coded pixel list: distance-1 runs >= 4
     become LZ77 copies (plane code 2, the 2-D map's (1,0) entry);
@@ -789,6 +882,7 @@ def encode_vp8l(
     lz77: bool = False,
     cross_color: tuple[int, int, int] | None = None,
     palette: bool = False,
+    meta_split: int | None = None,
 ) -> bytes:
     """Real VP8L stream (no meta codes — one prefix-code group) with
     canonical Huffman codes built from the image's frequencies.
@@ -919,10 +1013,36 @@ def encode_vp8l(
         wtr.write(cache_bits, 4)
     else:
         wtr.write(0, 1)
-    wtr.write(0, 1)  # no meta prefix codes
-
-    _emit_entropy_image(
-        wtr, coded_width, _tokenize(px, cache_bits, lz77), cache_bits)
+    if meta_split is not None:
+        # META prefix codes (round-9): split tiles into a left/right
+        # group pair, each with its own code tables. Literal-only by
+        # construction (group choice is per-symbol-position; copies
+        # and cache hits would need position bookkeeping the fixture
+        # doesn't exercise).
+        if cache_bits or lz77 or palette:
+            raise ValueError(
+                "meta_split is literal-only (no cache/lz77/palette)")
+        if not 2 <= meta_split <= 9:
+            raise ValueError("meta_split must be 2..9 (tile bits)")
+        mbits = meta_split
+        bs = 1 << mbits
+        tw_t = (coded_width + bs - 1) // bs
+        th_t = (height + bs - 1) // bs
+        half = (tw_t + 1) // 2
+        gidx = [0 if tx < half else 1
+                for ty in range(th_t) for tx in range(tw_t)]
+        n_groups = max(gidx) + 1
+        wtr.write(1, 1)  # meta prefix codes present
+        wtr.write(mbits - 2, 3)
+        wtr.write(0, 1)  # meta image: no color cache
+        _emit_entropy_image(
+            wtr, tw_t, [("lit", (0, 0, i, 0)) for i in gidx], 0)
+        _emit_entropy_image_grouped(
+            wtr, px, coded_width, mbits, tw_t, gidx, n_groups)
+    else:
+        wtr.write(0, 1)  # no meta prefix codes
+        _emit_entropy_image(
+            wtr, coded_width, _tokenize(px, cache_bits, lz77), cache_bits)
 
     payload = wtr.done()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload

@@ -1155,13 +1155,15 @@ register(QuerySpec(
 # subtract-green, the PREDICTOR transform (mode = k mod 14), a color
 # cache, distance-1-run LZ77 (row-constant patterns on k % 4 == 0 so
 # back-references actually fire), and — round-9 — the CROSS-COLOR
-# transform (k % 6 == 0: signed-multiply tile deltas) and the
+# transform (k % 6 == 0: signed-multiply tile deltas), the
 # COLOR-INDEXING transform (k % 11 == 0: delta-coded palette with
-# sub-byte pixel bundling, alone per the subset fence). All four
-# transforms are lossless re-encodings, so the oracle's arithmetic
-# pixel recomputation is UNCHANGED — a decoder bug in any transform
-# flips the hash. Channel sums plus a position-weighted sum (pinning
-# pixel PLACEMENT through the inverses) are the verified values.
+# sub-byte pixel bundling, alone per the subset fence), and META
+# prefix codes (80 keys: two code groups over left/right tile
+# halves, per-symbol-position group choice). All are lossless
+# re-encodings, so the oracle's arithmetic pixel recomputation is
+# UNCHANGED — a decoder bug in any of them flips the hash. Channel
+# sums plus a position-weighted sum (pinning pixel PLACEMENT through
+# the inverses) are the verified values.
 
 _WEBP_STATS_SCHEMA = T.StructType([
     T.StructField("p_partkey", T.LongType()),
@@ -1188,6 +1190,10 @@ def _planted_webp(k: int) -> bytes:
          for c in range(4)], axis=-1,
     )
     use_palette = k % 11 == 0  # <= 35 distinct colors on these dims
+    # meta prefix codes are literal-only in the fixture encoder, so
+    # they take the keys where neither cache nor lz77 nor palette fire
+    use_meta = (k % 7 == 3 and k % 5 != 0 and k % 4 != 0
+                and not use_palette)
     return encode_vp8l(
         w, h, rgba.tobytes(),
         subtract_green=bool(k % 2) and not use_palette,
@@ -1200,6 +1206,7 @@ def _planted_webp(k: int) -> bytes:
             if k % 6 == 0 and not use_palette else None
         ),
         palette=use_palette,
+        meta_split=2 if use_meta else None,
     )
 
 

@@ -861,6 +861,11 @@ def test_vp8l_round_trip_property(w, h, sg, pb, cb, lz, mode, seed):
                        predictor_mode=mode, cache_bits=cb, lz77=lz,
                        cross_color=cc)
     assert decode_vp8l(webp) == (w, h, 4, rgba)
+    if not cb and not lz:  # meta codes are literal-only
+        webp_m = encode_vp8l(
+            w, h, rgba, subtract_green=sg, predictor_bits=pb,
+            predictor_mode=mode, cross_color=cc, meta_split=2)
+        assert decode_vp8l(webp_m) == (w, h, 4, rgba)
 
 
 @given(
