@@ -975,12 +975,10 @@ def encode_png(
         # pixel, values < 2^depth) and are packed MSB-first per
         # scanline, partial trailing byte zero-padded; the filters
         # then run bytewise over the PACKED bytes with bpp=1 per spec.
-        # Adam7 + sub-byte needs per-pass bit repacking — out of
-        # subset, loudly.
+        # Round-9: composes with Adam7 — each pass repacks ITS OWN
+        # rows to its own packed stride (pass-row tails re-pad).
         if channels != 1:
             raise ValueError("sub-byte depth requires 1 sample per pixel")
-        if interlace:
-            raise ValueError("sub-byte interlaced PNG is out of subset")
         if len(pixels) != width * height:
             raise ValueError(
                 f"need {width * height} unpacked sample bytes, "
@@ -1014,22 +1012,38 @@ def encode_png(
             raise ValueError(
                 f"sample {int(a.max())} does not fit depth {bit_depth}"
             )
-        # MSB-first packing: explode each sample to its bits, pad the
-        # row tail to a byte boundary, repack
-        bits = (
-            (a[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
-        ).reshape(height, width * bit_depth).astype(np.uint8)
-        packed_stride = (width * bit_depth + 7) // 8
-        pad = packed_stride * 8 - width * bit_depth
-        if pad:
-            bits = np.pad(bits, ((0, 0), (0, pad)))
-        packed = np.packbits(bits, axis=1)
-        raw = _filter_image(
-            packed.tobytes(), packed_stride, height, 1, filter_type, 1
-        )
+
+        def pack_rows(arr) -> tuple[bytes, int]:
+            # MSB-first packing: explode each sample to its bits, pad
+            # the row tail to a byte boundary, repack
+            ph, pw = arr.shape
+            bits = (
+                (arr[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+            ).reshape(ph, pw * bit_depth).astype(np.uint8)
+            pstride = (pw * bit_depth + 7) // 8
+            pad = pstride * 8 - pw * bit_depth
+            if pad:
+                bits = np.pad(bits, ((0, 0), (0, pad)))
+            return np.packbits(bits, axis=1).tobytes(), pstride
+
+        if interlace:
+            raw = bytearray()
+            for xs, ys, xstep, ystep in _ADAM7:
+                sub = a[ys::ystep, xs::xstep]
+                ph, pw = sub.shape
+                if ph == 0 or pw == 0:
+                    continue
+                packed_b, pstride = pack_rows(sub)
+                raw += _filter_image(
+                    packed_b, pstride, ph, 1, filter_type, 1)
+        else:
+            packed_b, packed_stride = pack_rows(a)
+            raw = _filter_image(
+                packed_b, packed_stride, height, 1, filter_type, 1
+            )
         ihdr = (
             width.to_bytes(4, "big") + height.to_bytes(4, "big")
-            + bytes([bit_depth, color_type, 0, 0, 0])
+            + bytes([bit_depth, color_type, 0, 0, int(interlace)])
         )
         chunks = [_png_chunk(b"IHDR", ihdr)]
         if palette is not None:
@@ -1170,17 +1184,15 @@ def _decode_png_impl(
             bit_depth, color_type, _, _, interlace = data[8:13]
             if want_depth == 8 and bit_depth in (1, 2, 4):
                 # round-8: sub-byte depths, legal for color types 0/3
-                # only (spec table 11.1); Adam7 + sub-byte needs
-                # per-pass bit repacking — out of subset, loudly
+                # only (spec table 11.1); round-9: composes with
+                # Adam7 (per-pass packed strides + bit repacking)
                 if color_type not in (0, 3):
                     raise ValueError(
                         f"illegal PNG: bit_depth={bit_depth} with "
                         f"color_type={color_type}"
                     )
-                if interlace != 0:
-                    raise ValueError(
-                        "sub-byte interlaced PNG is out of subset"
-                    )
+                if interlace not in (0, 1):
+                    raise ValueError(f"bad PNG interlace {interlace}")
                 sub_depth = bit_depth
             elif (
                 bit_depth != want_depth
@@ -1224,18 +1236,40 @@ def _decode_png_impl(
     if sub_depth:
         import numpy as np
 
-        # un-filter over the PACKED bytes (bpp=1 per spec), then
-        # unpack MSB-first and drop the row-tail padding bits
-        packed_stride = (width * sub_depth + 7) // 8
-        packed = _unfilter_image(bytes(raw), packed_stride, height, 1, 1)
-        a = np.frombuffer(bytes(packed), dtype=np.uint8).reshape(
-            height, packed_stride
-        )
-        bits = np.unpackbits(a, axis=1)[:, : width * sub_depth]
         weights = (1 << np.arange(sub_depth - 1, -1, -1)).astype(np.uint8)
-        samples = (
-            bits.reshape(height, width, sub_depth) * weights
-        ).sum(axis=2).astype(np.uint8)
+
+        def unpack_pass(data: bytes, pw: int, ph: int):
+            # un-filter over the PACKED bytes (bpp=1 per spec), then
+            # unpack MSB-first and drop the row-tail padding bits
+            pstride = (pw * sub_depth + 7) // 8
+            packed = _unfilter_image(data, pstride, ph, 1, 1)
+            a = np.frombuffer(bytes(packed), dtype=np.uint8).reshape(
+                ph, pstride
+            )
+            bits = np.unpackbits(a, axis=1)[:, : pw * sub_depth]
+            return (
+                bits.reshape(ph, pw, sub_depth) * weights
+            ).sum(axis=2).astype(np.uint8)
+
+        if interlaced:
+            # round-9: sub-byte Adam7 — every pass repacks its own
+            # rows, so each pass has its OWN packed stride
+            samples = np.zeros((height, width), dtype=np.uint8)
+            off = 0
+            for xs, ys, xstep, ystep in _ADAM7:
+                pw = (width - xs + xstep - 1) // xstep
+                ph = (height - ys + ystep - 1) // ystep
+                if pw == 0 or ph == 0:
+                    continue
+                pstride = (pw * sub_depth + 7) // 8
+                sz = (pstride + 1) * ph
+                samples[ys::ystep, xs::xstep] = unpack_pass(
+                    raw[off:off + sz], pw, ph)
+                off += sz
+            if off != len(raw):
+                raise ValueError("PNG pixel stream length mismatch")
+        else:
+            samples = unpack_pass(bytes(raw), width, height)
         if not paletted:
             # exact linear scaling to 8-bit: 255/(2^d-1) is an integer
             samples = samples * np.uint8(255 // ((1 << sub_depth) - 1))

@@ -1416,8 +1416,12 @@ def _planted_lowbit_png(k: int) -> bytes:
     w, h, d = k % 7 + 2, k % 5 + 2, (1, 2, 4)[k % 3]
     y, x = np.ogrid[0:h, 0:w]
     v = ((k + x + 2 * y) % (1 << d)).astype(np.uint8)
+    # round-9: every other key lands Adam7-interlaced — sub-byte
+    # passes repack to per-pass strides, a lossless re-encoding the
+    # unchanged arithmetic oracle pins
     return MM.encode_png(
-        w, h, v.tobytes(), channels=1, filter_type=None, bit_depth=d
+        w, h, v.tobytes(), channels=1, filter_type=None, bit_depth=d,
+        interlace=(k % 2 == 1),
     )
 
 

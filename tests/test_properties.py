@@ -692,7 +692,12 @@ def test_lowbit_png_round_trip_property(w, h, d, ft, seed):
     v = bytes(out)
     png = encode_png(w, h, v, channels=1, filter_type=ft, bit_depth=d)
     scale = 255 // ((1 << d) - 1)
-    assert decode_png(png) == (w, h, 1, bytes(b * scale for b in v))
+    want = (w, h, 1, bytes(b * scale for b in v))
+    assert decode_png(png) == want
+    # round-9: Adam7 composes with sub-byte depths (per-pass strides)
+    png_i = encode_png(w, h, v, channels=1, filter_type=ft, bit_depth=d,
+                       interlace=True)
+    assert decode_png(png_i) == want
 
 
 @given(
