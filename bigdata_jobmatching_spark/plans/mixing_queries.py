@@ -1095,3 +1095,127 @@ register(QuerySpec(
     "per-fold user/event counts and balance shares",
     ("mixing", "ml", "agg"),
 ))
+
+
+# --- dsir_importance_proxy: domain importance weighting (round-9) ----------
+# The DSIR recipe (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") made engine-exact: fit a target
+# unigram LM on a domain slice (lang='fr') and a raw LM on the whole
+# corpus, score each document by the summed log importance ratio
+# log(p_target(f)/p_raw(f)) over its features, and select the raw
+# documents that look most like the target. Per the paper the
+# features are N-GRAMS (bigrams here — unigram ratios on this
+# shared-vocabulary corpus are fractions of a bit and the floored
+# proxy collapses to zero; measured before shipping). Logs are the
+# engine-fragile part, so the per-feature weight is the FLOORED-BIT
+# proxy length(bin(ct'*Nr')) - length(bin(cr'*Nt')) — an integer
+# within 1 bit of log2 of the Laplace-smoothed ratio (ct'=ct+1,
+# cr'=cr+1, N'=N+V), monotone enough for selection and EXACT on both
+# engines (the doc_unigram_surprisal bin() trick applied to a ratio
+# of two distributions; bounds: ct'*Nr' <= ~2.5e15 at sf10, int64).
+# Output is the per-language selection census: the fr slice must
+# dominate (at sf0.01: 55/64 fr docs selected vs <= 8 per other
+# language — the separation the hash pins), and n_docs_selected is
+# the importance-resampling acceptance count at threshold 0.
+#
+# Scale shape: two vocabulary-grain count aggregations (map-side
+# combinable), one broadcast-sized LM table joined back to the token
+# stream, one doc-grain and one lang-grain aggregation — the exact
+# shape of doc_unigram_surprisal, linear in the corpus.
+
+_DSIR_TARGET_LANG = "fr"
+
+
+def _dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(X.bigram_zip(F.col("text"))).alias("p"),
+    ).select(
+        "doc_id", "lang",
+        F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("tok"),
+    )
+    lm = (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum((F.col("lang") == _DSIR_TARGET_LANG).cast("long"))
+            .alias("ct"),
+        )
+    )
+    totals = lm.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("ct").cast("long").alias("nt"),
+    )
+    scored_tok = (
+        lm.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            (
+                F.length(F.bin((F.col("ct") + 1) * (F.col("nr") + F.col("v"))))
+                - F.length(F.bin((F.col("cr") + 1) * (F.col("nt") + F.col("v"))))
+            ).cast("long").alias("sbits"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(scored_tok), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("sbits").cast("long").alias("score_bits"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score_bits").cast("long").alias("sum_score_bits"),
+        F.sum((F.col("score_bits") > 0).cast("long")).cast("long")
+        .alias("n_docs_selected"),
+        F.max("score_bits").cast("long").alias("max_score_bits"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH tok0 AS (SELECT doc_id, lang, {{toks}} AS toks FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, p[1] || ' ' || p[2] AS tok
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+    FROM tok0 WHERE len(toks) >= 2
+  )
+),
+lm AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cr,
+    SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM toks GROUP BY 1
+),
+totals AS (
+  SELECT COUNT(*) AS v, SUM(cr) AS nr, SUM(ct) AS nt FROM lm
+),
+scored_tok AS (
+  SELECT tok,
+    CAST(length(bin((ct + 1) * (SELECT nr + v FROM totals)))
+       - length(bin((cr + 1) * (SELECT nt + v FROM totals))) AS BIGINT)
+      AS sbits
+  FROM lm
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang, CAST(SUM(s.sbits) AS BIGINT) AS score_bits
+  FROM toks t JOIN scored_tok s USING (tok)
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(score_bits) AS BIGINT) AS sum_score_bits,
+  CAST(SUM(CASE WHEN score_bits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_selected,
+  CAST(MAX(score_bits) AS BIGINT) AS max_score_bits
+FROM per_doc GROUP BY 1
+"""
+
+register(QuerySpec(
+    "dsir_importance_proxy", _dsir_importance,
+    _DSIR_SQL.format(toks=_SQL_TOKS),
+    "DSIR-style domain importance weighting: Laplace-smoothed "
+    "target-vs-raw BIGRAM ratio per feature in floored bits (exact "
+    "integer bin() arithmetic, no float log), per-doc importance "
+    "sums, per-language selection census at threshold 0",
+    ("mixing", "quality", "agg", "join"),
+))
