@@ -1586,5 +1586,5 @@ register(QuerySpec(
     "cosine threshold squared into DECIMAL(38) (no float reaches "
     "the hash), greedy min-id representative per tau-neighborhood — "
     "per-cluster kept/dropped census",
-    ("dedup", "vector", "join", "agg"),
+    ("dedup", "vector", "join", "agg", "bench"),
 ))

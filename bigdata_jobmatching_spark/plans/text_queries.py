@@ -1631,5 +1631,5 @@ register(QuerySpec(
     "surprisal in floored bits — floor(log2(N/count)) computed as "
     "length(bin(N div count))-1, pure integers, no float log on "
     "either engine",
-    ("text", "quality", "agg", "join"),
+    ("text", "quality", "agg", "join", "bench"),
 ))
