@@ -263,3 +263,67 @@ register(QuerySpec(
     "value-oracled against the raw table",
     ("versioned", "storage", "agg"),
 ))
+
+
+# --- mor_delete_audit: merge-on-read delete resolution (round-9) -----------
+# The GDPR-purge path at 100 TB: deletes publish TOMBSTONES (cost =
+# |keys|), reads resolve base-minus-keys, waves stack, and time
+# travel sees each wave's view. This query lands orders as a
+# materialized version, publishes two stacked MOR delete waves
+# (custkey % 7 == 0, then orderkey % 10 == 3), reads the resolved
+# CURRENT view through read_version_mor, and profiles it per order
+# priority with exact key/cents sums the DuckDB oracle recomputes
+# from the raw table by applying the same two predicates. A wrong
+# chain walk, a tombstone wave dropped or double-applied, or an
+# anti-join on the wrong key grain flips the hash.
+
+def _mor_delete_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import mor as M
+    from ..sources import versioned as Vv
+    from ..sources.io import load_table
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="mor_audit_")
+    Vv.write_version(o, root)
+    M.delete_keys_mor(
+        spark, root,
+        o.filter(F.col("o_custkey") % 7 == 0).select("o_orderkey"),
+        ("o_orderkey",),
+    )
+    M.delete_keys_mor(
+        spark, root,
+        o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey"),
+        ("o_orderkey",),
+    )
+    resolved = M.read_version_mor(spark, root)
+    return resolved.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+_MOR_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders
+WHERE o_custkey % 7 <> 0 AND o_orderkey % 10 <> 3
+GROUP BY 1
+"""
+
+register(QuerySpec(
+    "mor_delete_audit", _mor_delete_audit, _MOR_SQL,
+    "merge-on-read deletes resolved: two stacked tombstone waves "
+    "(publish cost = |keys|) anti-joined off the base scan in one "
+    "broadcast, per-priority census value-oracled against the raw "
+    "table under the same predicates",
+    ("versioned", "storage", "agg"),
+))

@@ -162,6 +162,21 @@ def vacuum(
     keep_set = set(complete[-keep:]) if keep > 0 else set()
     if cur is not None:
         keep_set.add(cur)
+    # merge-on-read awareness (round-9): a kept MOR version is only
+    # readable with its base chain — pin the transitive _BASE closure
+    # so vacuum can never orphan a surviving delete layer
+    frontier = list(keep_set)
+    while frontier:
+        v = frontier.pop()
+        bp = os.path.join(root, f"v{v:05d}", "_BASE")
+        if os.path.isfile(bp):
+            import json as _json
+
+            with open(bp) as f:
+                b = _json.load(f)["base"]
+            if b not in keep_set:
+                keep_set.add(b)
+                frontier.append(b)
     now = time.time()
     deleted = []
     for v in vs:
@@ -173,6 +188,56 @@ def vacuum(
         shutil.rmtree(vdir)
         deleted.append(v)
     return deleted
+
+
+def write_version_optimistic(
+    df: DataFrame,
+    root: str,
+    partition_by: tuple[str, ...] = (),
+    pre_publish=None,
+    max_retries: int = 5,
+) -> int:
+    """Optimistic-concurrency commit (the Iceberg/Delta writer loop):
+    claim the next version number by CREATING its directory —
+    ``mkdir`` is atomic on a filesystem, so two concurrent writers
+    racing for v000NN get exactly one winner — and on a collision
+    re-read the version list and retry with the next number, up to
+    ``max_retries`` times. The loser never overwrites the winner's
+    files and never blocks it; the pointer swap stays last.
+
+    This is the missing piece that makes the versioned store safe for
+    CONCURRENT batch jobs (two compactions, a backfill racing a
+    scheduled load): plain write_version computes next = last + 1
+    once and dies on the collision instead of retrying."""
+    os.makedirs(root, exist_ok=True)
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        vs = list_versions(root)
+        nxt = (vs[-1] + 1) if vs else 1
+        vdir = os.path.join(root, f"v{nxt:05d}")
+        try:
+            os.mkdir(vdir)  # atomic claim: exactly one winner per number
+        except FileExistsError as e:
+            last_err = e
+            continue
+        w = df.write.mode("overwrite")  # claimed dir is empty and OURS
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(vdir)
+        if pre_publish is not None:
+            pre_publish(vdir)
+        # monotone publish: a slower writer must not move the pointer
+        # BACKWARD over a concurrent commit that already published a
+        # higher version — its own commit then stands as a complete,
+        # immediately-superseded version (readable by number, like an
+        # Iceberg snapshot that lost the pointer race)
+        cur = current_version(root)
+        if cur is None or cur < nxt:
+            _set_pointer(root, nxt)
+        return nxt
+    raise RuntimeError(
+        f"write_version_optimistic: lost the version race "
+        f"{max_retries} times under {root}") from last_err
 
 
 def schema_changes(old, new) -> dict:

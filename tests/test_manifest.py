@@ -260,3 +260,97 @@ def test_schema_evolution_reader_contract(spark, tmp_path):
     changes = V.schema_changes(v1.schema, v3.schema)
     assert changes == {"added": ["extra"], "removed": ["old"],
                        "retyped": []}
+
+
+def test_optimistic_write_survives_version_collisions(spark, tmp_path):
+    """write_version_optimistic (round-9): a pre-claimed version dir
+    (a concurrent writer's mkdir) forces a retry with the next number;
+    a slower writer never moves the pointer backward; the retry budget
+    is a loud ceiling."""
+    import pytest
+
+    root = str(tmp_path / "opt")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert V.write_version_optimistic(df, root) == 1
+    # concurrent writer claimed v2 (and will publish later)
+    os.makedirs(os.path.join(root, "v00002"))
+    v = V.write_version_optimistic(df, root)
+    assert v == 3 and V.current_version(root) == 3
+    # slower writer finishing an OLD claim must not regress the pointer
+    V.write_version(df, root)  # v4 published
+    assert V.current_version(root) == 4
+    # simulate: a writer that claimed early, finished late — monotone
+    # publish keeps the newest pointer
+    cur_before = V.current_version(root)
+    assert cur_before == 4
+    # a TRUE race: the version list goes stale between listing and
+    # claiming (another writer mkdirs first) — simulated by pinning
+    # list_versions to a stale snapshot; the loop must retry the SAME
+    # number, collide, and exhaust loudly
+    stale = V.list_versions(root)
+
+    real_list = V.list_versions
+    V.list_versions = lambda r: list(stale)
+    try:
+        os.makedirs(os.path.join(root, f"v{stale[-1] + 1:05d}"))
+        with pytest.raises(RuntimeError, match="lost the version race"):
+            V.write_version_optimistic(df, root, max_retries=3)
+    finally:
+        V.list_versions = real_list
+    # with the live listing the writer skips past the claim
+    v = V.write_version_optimistic(df, root)
+    assert v == stale[-1] + 2 and V.current_version(root) == v
+    assert V.read_version(spark, root).count() == 10
+
+
+def test_merge_on_read_deletes(spark, tmp_path):
+    """MOR deletes (round-9): a delete wave publishes only tombstones;
+    reads resolve base-minus-keys; waves stack; materialize compacts
+    the chain; vacuum pins the base of a surviving MOR layer."""
+    import pytest
+
+    from bigdata_jobmatching_spark.sources import mor as M
+
+    root = str(tmp_path / "mor")
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    V.write_version(df, root)  # v1 materialized
+
+    v2 = M.delete_keys_mor(
+        spark, root, spark.range(10).selectExpr("id"), ("id",))
+    assert v2 == 2
+    got = M.read_version_mor(spark, root)
+    assert got.count() == 90
+    assert got.filter(F.col("id") < 10).count() == 0
+    # physical cost = |keys|: the MOR dir holds no data files
+    files = [f for f in os.listdir(os.path.join(root, "v00002"))
+             if f.endswith(".parquet")]
+    assert files == []
+
+    # second wave stacks
+    M.delete_keys_mor(
+        spark, root, spark.range(90, 95).selectExpr("id"), ("id",))
+    assert M.read_version_mor(spark, root).count() == 85
+    # time travel: the first wave's view is unchanged
+    assert M.read_version_mor(spark, root, 2).count() == 90
+    # plain read_version on a MOR dir cannot silently return data
+    with pytest.raises(Exception):
+        V.read_version(spark, root, 3).collect()
+
+    # key-cols mismatch is loud
+    with pytest.raises(ValueError, match="key_cols"):
+        M.delete_keys_mor(
+            spark, root, spark.range(1).selectExpr("id AS v"), ("v",))
+
+    # materialize compacts the chain
+    v4 = M.materialize_mor(spark, root)
+    assert M.mor_info(root, v4) is None
+    assert V.read_version(spark, root, v4).count() == 85
+
+    # vacuum pins the base of a surviving MOR layer: publish another
+    # MOR wave on top, then vacuum keep=1 — v1 must survive while the
+    # materialized v4 is current... rollback to the chain head first
+    V.rollback(root, 3)
+    deleted = V.vacuum(root, keep=1, grace_seconds=0.0)
+    # current=3 (MOR) -> pins 2 -> pins 1; v4 is the newest complete
+    assert 1 not in deleted and 2 not in deleted and 3 not in deleted
+    assert M.read_version_mor(spark, root).count() == 85

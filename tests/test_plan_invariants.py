@@ -291,8 +291,10 @@ def test_no_new_unvetted_float_rounding():
         "skills_queries.py": 1,      # confidence grid (r03 green)
         "text_queries.py": 1,        # tf-idf score chain (r03 green)
         "vector_queries.py": 6,      # cosine score_decimals precedent (r03 green)
-        "versioned_queries.py": 3,   # r6 diff snapshots: acctbal cents
+        "versioned_queries.py": 4,   # r6 diff snapshots: acctbal cents
                                      # (money-grid class) in v1/v2/inserts
+                                     # + r9 mor_delete_audit price cents
+                                     # (same money-grid class)
     }
     plans = Path("bigdata_jobmatching_spark/plans")
     got = {
