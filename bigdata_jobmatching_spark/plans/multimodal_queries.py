@@ -1852,3 +1852,112 @@ register(QuerySpec(
     "channel sums + placement-pinning weighted sum",
     ("multimodal", "decode"),
 ))
+
+
+# --- flac_sample_stats: REAL FLAC decode (round-9, ninth codec) ------------
+# Audio beyond PCM-on-disk: payloads are REAL FLAC streams (metadata
+# blocks, CRC-8-verified frame headers, CRC-16-verified frames,
+# UTF-8-coded frame numbers) with the fixture cycling the whole
+# in-subset lattice by key: mono/stereo, all four channel assignments
+# (independent, left/side, side/right, mid/side — the lossless
+# decorrelations), FIXED predictor orders 0-4, CONSTANT subframes,
+# and Rice partition orders 0-2 across multiple frames per stream.
+# The planted samples are the WAV fixture's sawtooth family, so the
+# DuckDB oracle recomputes the exact integer features arithmetically
+# — a wrong predictor inversion, Rice zigzag, partition split, or
+# side-channel reconstruction flips the hash.
+
+_FLAC_STATS_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_abs_c0", T.LongType()),
+    T.StructField("sum_sq_c0", T.LongType()),
+    T.StructField("peak_c0", T.IntegerType()),
+    T.StructField("sum_abs_c1", T.LongType()),
+])
+
+
+def _planted_flac(k: int) -> bytes:
+    from ..operators.flac_codec import encode_flac
+
+    nch = k % 2 + 1
+    n = k % 60 + 40
+    c0 = [(k * 31 + i * 17) % 2001 - 1000 for i in range(n)]
+    chans = [c0]
+    mode = "indep"
+    if nch == 2:
+        chans.append([(k * 13 + i * 7) % 1601 - 800 for i in range(n)])
+        mode = ("indep", "left_side", "side_right", "mid_side")[
+            (k // 2) % 4]
+    return encode_flac(
+        8000 + (k % 3) * 8000, chans, blocksize=32, channel_mode=mode,
+        fixed_order=k % 5, partition_order=k % 3,
+    )
+
+
+def _flac_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.flac_codec import decode_flac
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for key in pdf["p_partkey"]:
+                kk = int(key) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_flac(kk)
+                rate, nch, chans = decode_flac(memo[kk])
+                c0 = chans[0]
+                rows.append((
+                    int(key), rate, nch, len(c0),
+                    sum(abs(v) for v in c0),
+                    sum(v * v for v in c0),
+                    max(abs(v) for v in c0),
+                    sum(abs(v) for v in chans[1]) if nch == 2 else 0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "sample_rate", "n_channels",
+                         "n_samples", "sum_abs_c0", "sum_sq_c0",
+                         "peak_c0", "sum_abs_c1"],
+            )
+
+    return p.mapInPandas(batches, _FLAC_STATS_SCHEMA)
+
+
+_FLAC_STATS_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(8000 + (p_partkey % 1024 % 3) * 8000 AS INT) AS sample_rate,
+    CAST(p_partkey % 1024 % 2 + 1 AS INT) AS n_channels,
+    CAST(p_partkey % 1024 % 60 + 40 AS BIGINT) AS n_samples
+  FROM part
+),
+xs AS (SELECT *, unnest(range(n_samples)) AS i FROM dims),
+vals AS (
+  SELECT p_partkey, sample_rate, n_channels, n_samples,
+    (k * 31 + i * 17) % 2001 - 1000 AS x0,
+    (k * 13 + i * 7) % 1601 - 800 AS x1
+  FROM xs
+)
+SELECT p_partkey, sample_rate, n_channels, n_samples,
+  CAST(SUM(abs(x0)) AS BIGINT) AS sum_abs_c0,
+  CAST(SUM(x0 * x0) AS BIGINT) AS sum_sq_c0,
+  CAST(MAX(abs(x0)) AS INT) AS peak_c0,
+  CAST(CASE WHEN n_channels = 2 THEN SUM(abs(x1)) ELSE 0 END AS BIGINT)
+    AS sum_abs_c1
+FROM vals GROUP BY 1, 2, 3, 4
+"""
+
+register(QuerySpec(
+    "flac_sample_stats", _flac_sample_stats, _FLAC_STATS_SQL,
+    "REAL FLAC decode (ninth codec): CRC-verified frames, FIXED "
+    "predictors 0-4, partitioned Rice, all four stereo "
+    "decorrelations — exact integer audio features hash-checked "
+    "against arithmetic recomputation",
+    ("multimodal", "decode", "audio"),
+))

@@ -905,3 +905,57 @@ def test_vp8l_palette_round_trip_property(w, h, ncol, cb, lz, seed):
     rgba = b"".join(px)
     webp = encode_vp8l(w, h, rgba, palette=True, cache_bits=cb, lz77=lz)
     assert decode_vp8l(webp) == (w, h, 4, rgba)
+
+
+@given(
+    nch=st.integers(1, 3),
+    mode_i=st.integers(0, 3),
+    n=st.integers(1, 400),
+    bs=st.sampled_from([32, 64, 192, 256]),
+    order=st.sampled_from([None, 0, 1, 2, 3, 4]),
+    po=st.integers(0, 3),
+    step=st.integers(1, 900),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_round_trip_property(nch, mode_i, n, bs, order, po, step,
+                                  seed):
+    """FLAC (round-9, ninth codec): decode(encode(samples)) == samples
+    across channel counts, all four stereo decorrelations, FIXED
+    orders (pinned and auto), Rice partition orders, block sizes, and
+    tail frames shorter than the predictor order."""
+    from bigdata_jobmatching_spark.operators.flac_codec import (
+        decode_flac, encode_flac,
+    )
+
+    x = seed
+    chans = []
+    for c in range(nch):
+        vals, v = [], 0
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            v = max(-32768, min(32767, v + (x % (2 * step + 1)) - step))
+            vals.append(v)
+        chans.append(vals)
+    mode = "indep"
+    if nch == 2:
+        mode = ("indep", "left_side", "side_right", "mid_side")[mode_i]
+    s = encode_flac(44100, chans, blocksize=bs, channel_mode=mode,
+                    fixed_order=order, partition_order=po)
+    assert decode_flac(s) == (44100, nch, chans)
+
+
+@given(data=st.binary(min_size=8, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_flac_garbage_is_loud_or_none(data):
+    """Arbitrary bytes either miss the magic (None) or raise a typed
+    ValueError — never silently-wrong samples."""
+    import pytest
+
+    from bigdata_jobmatching_spark.operators.flac_codec import decode_flac
+
+    if data[:4] != b"fLaC":
+        assert decode_flac(data) is None
+    else:
+        with pytest.raises(ValueError):
+            decode_flac(data)
