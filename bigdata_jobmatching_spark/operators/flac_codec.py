@@ -16,10 +16,10 @@ Decoder subset (loud ValueError outside it):
 - channel assignments: independent, left/side, right/side, mid/side
   (the lossless stereo decorrelations);
 - 16-bit samples (the WAV-family grain used across this repo).
-Out of subset: LPC subframes (type 32+) — the one FLAC feature whose
-coefficients are stream-supplied rather than closed-form; CONSTANT/
-VERBATIM/FIXED cover every fixture and a large share of real
-encoders' easy frames.
+- LPC subframes (orders 1-32): stream-supplied quantized integer
+  coefficients, 4-bit precision field, 5-bit shift, the same
+  partitioned-Rice residuals — with FIXED/CONSTANT/VERBATIM this
+  closes the full subframe taxonomy for 16-bit streams.
 
 The fixture encoder emits REAL streams: correct CRC-8/CRC-16, exact
 FIXED-order residuals (same closed-form predictors the decoder
@@ -362,8 +362,35 @@ def decode_flac(b: bytes):
                 vals = list(warm)
                 for i in range(order, blocksize):
                     vals.append(res[i - order] + _fixed_predict(order, vals, i))
-            elif stype >= 32:
-                raise ValueError("FLAC LPC subframes out of subset")
+            elif stype >= 32:  # LPC order 1..32 (round-9: fence closed)
+                order = stype - 31
+                warm = []
+                for _ in range(order):
+                    v = r.read(eff)
+                    if v >= (1 << (eff - 1)):
+                        v -= 1 << eff
+                    warm.append(v)
+                prec = r.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid FLAC qlp precision 1111")
+                shift = r.read(5)
+                if shift >= 16:
+                    shift -= 32  # signed; negative shifts are illegal
+                if shift < 0:
+                    raise ValueError("negative FLAC qlp shift")
+                coefs = []
+                for _ in range(order):
+                    c = r.read(prec)
+                    if c >= (1 << (prec - 1)):
+                        c -= 1 << prec
+                    coefs.append(c)
+                res = _residuals_read(r, blocksize, order)
+                vals = list(warm)
+                for i in range(order, blocksize):
+                    pred = sum(
+                        c * vals[i - k - 1] for k, c in enumerate(coefs)
+                    ) >> shift
+                    vals.append(res[i - order] + pred)
             else:
                 raise ValueError(f"reserved FLAC subframe type {stype}")
             if wasted:
@@ -427,32 +454,16 @@ def _rice_param_for(res: list) -> int:
     return p
 
 
-def _write_subframe(w: _BitWriter, vals: list, sbits: int,
-                    order: int | None, porder: int) -> None:
-    w.write(0, 1)  # padding
-    if order is None:
-        order = _best_fixed_order(vals)
-    if len(set(vals)) == 1:
-        w.write(0, 6)  # CONSTANT
-        w.write(0, 1)  # no wasted bits
-        w.write(vals[0] & ((1 << sbits) - 1), sbits)
-        return
-    order = min(order, len(vals))
-    w.write(8 + order, 6)  # FIXED
-    w.write(0, 1)  # no wasted bits
-    for v in vals[:order]:
-        w.write(v & ((1 << sbits) - 1), sbits)
-    res = [vals[i] - _fixed_predict(order, vals, i)
-           for i in range(order, len(vals))]
+def _write_rice_residuals(w: _BitWriter, res: list, bs: int, order: int,
+                          porder: int) -> None:
     # the first partition must still fit the warmup samples (spec:
     # its residual count is blocksize/nparts - order) — short tail
-    # frames fall back to one partition
-    while porder and len(vals) >> porder < order:
+    # frames fall back to fewer partitions
+    while porder and bs >> porder < order:
         porder -= 1
     w.write(0, 2)  # method 0: 4-bit rice params
     w.write(porder, 4)
     nparts = 1 << porder
-    bs = len(vals)
     idx = 0
     for p in range(nparts):
         n = bs // nparts - (order if p == 0 else 0)
@@ -464,6 +475,45 @@ def _write_subframe(w: _BitWriter, vals: list, sbits: int,
             _rice_write(w, v, param)
 
 
+def _write_subframe(w: _BitWriter, vals: list, sbits: int,
+                    order: int | None, porder: int,
+                    lpc=None) -> None:
+    w.write(0, 1)  # padding
+    if len(set(vals)) == 1:
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(vals[0] & ((1 << sbits) - 1), sbits)
+        return
+    if lpc is not None and len(vals) > len(lpc[0]):
+        coefs, prec, shift = lpc
+        order = len(coefs)
+        w.write(31 + order, 6)  # LPC
+        w.write(0, 1)  # no wasted bits
+        for v in vals[:order]:
+            w.write(v & ((1 << sbits) - 1), sbits)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c & ((1 << prec) - 1), prec)
+        res = [
+            vals[i] - (sum(c * vals[i - k - 1]
+                           for k, c in enumerate(coefs)) >> shift)
+            for i in range(order, len(vals))
+        ]
+        _write_rice_residuals(w, res, len(vals), order, porder)
+        return
+    if order is None:
+        order = _best_fixed_order(vals)
+    order = min(order, len(vals))
+    w.write(8 + order, 6)  # FIXED
+    w.write(0, 1)  # no wasted bits
+    for v in vals[:order]:
+        w.write(v & ((1 << sbits) - 1), sbits)
+    res = [vals[i] - _fixed_predict(order, vals, i)
+           for i in range(order, len(vals))]
+    _write_rice_residuals(w, res, len(vals), order, porder)
+
+
 def encode_flac(
     rate: int,
     channels: list,
@@ -471,13 +521,17 @@ def encode_flac(
     channel_mode: str = "indep",
     fixed_order: int | None = None,
     partition_order: int = 0,
+    lpc: tuple | None = None,
 ) -> bytes:
     """Real in-subset FLAC stream from 16-bit sample lists (one list
     per channel). ``channel_mode``: 'indep', 'left_side',
     'side_right', 'mid_side' (stereo only). ``fixed_order`` pins the
     FIXED predictor order (None = per-subframe best by |residual|);
     ``partition_order`` picks 2^k Rice partitions (k must divide the
-    blocksize evenly)."""
+    blocksize evenly). ``lpc`` = (coefs, precision_bits, shift) emits
+    LPC subframes with those stream-supplied integer coefficients
+    (round-9: any coefficient set round-trips exactly — residuals are
+    computed with the same >>shift prediction the decoder inverts)."""
     nch = len(channels)
     total = len(channels[0])
     if any(len(c) != total for c in channels):
@@ -542,7 +596,7 @@ def encode_flac(
                 subs = [(mid, 16), (side, 17)]
         for vals, sbits in subs:
             po = partition_order if bs % (1 << partition_order) == 0 else 0
-            _write_subframe(body_w, vals, sbits, fixed_order, po)
+            _write_subframe(body_w, vals, sbits, fixed_order, po, lpc=lpc)
         frame = hdr + body_w.done()
         frame += _crc16(frame).to_bytes(2, "big")
         out += frame

@@ -1861,7 +1861,9 @@ register(QuerySpec(
 # in-subset lattice by key: mono/stereo, all four channel assignments
 # (independent, left/side, side/right, mid/side — the lossless
 # decorrelations), FIXED predictor orders 0-4, CONSTANT subframes,
-# and Rice partition orders 0-2 across multiple frames per stream.
+# and Rice partition orders 0-2 across multiple frames per stream,
+# plus LPC subframes (k % 7 == 0: stream-supplied quantized integer
+# coefficients with the >>shift prediction).
 # The planted samples are the WAV fixture's sawtooth family, so the
 # DuckDB oracle recomputes the exact integer features arithmetically
 # — a wrong predictor inversion, Rice zigzag, partition split, or
@@ -1891,9 +1893,13 @@ def _planted_flac(k: int) -> bytes:
         chans.append([(k * 13 + i * 7) % 1601 - 800 for i in range(n)])
         mode = ("indep", "left_side", "side_right", "mid_side")[
             (k // 2) % 4]
+    # every 7th key emits LPC subframes (stream-supplied integer
+    # coefficients, round-9) instead of FIXED — same samples, so the
+    # arithmetic oracle is unchanged
+    lpc = ([26, -14, 4], 6, 4) if k % 7 == 0 else None
     return encode_flac(
         8000 + (k % 3) * 8000, chans, blocksize=32, channel_mode=mode,
-        fixed_order=k % 5, partition_order=k % 3,
+        fixed_order=k % 5, partition_order=k % 3, lpc=lpc,
     )
 
 
@@ -1956,8 +1962,8 @@ FROM vals GROUP BY 1, 2, 3, 4
 register(QuerySpec(
     "flac_sample_stats", _flac_sample_stats, _FLAC_STATS_SQL,
     "REAL FLAC decode (ninth codec): CRC-verified frames, FIXED "
-    "predictors 0-4, partitioned Rice, all four stereo "
-    "decorrelations — exact integer audio features hash-checked "
-    "against arithmetic recomputation",
+    "predictors 0-4 + LPC subframes, partitioned Rice, all four "
+    "stereo decorrelations — exact integer audio features "
+    "hash-checked against arithmetic recomputation",
     ("multimodal", "decode", "audio"),
 ))

@@ -943,6 +943,12 @@ def test_flac_round_trip_property(nch, mode_i, n, bs, order, po, step,
     s = encode_flac(44100, chans, blocksize=bs, channel_mode=mode,
                     fixed_order=order, partition_order=po)
     assert decode_flac(s) == (44100, nch, chans)
+    # LPC subframes (round-9): arbitrary integer coefficient sets
+    # round-trip exactly under the same lattice
+    lpc = ([26, -14, 4], 6, 4) if seed % 2 else ([1 << 3, -3], 5, 3)
+    s2 = encode_flac(44100, chans, blocksize=bs, channel_mode=mode,
+                     partition_order=po, lpc=lpc)
+    assert decode_flac(s2) == (44100, nch, chans)
 
 
 @given(data=st.binary(min_size=8, max_size=200))
