@@ -220,7 +220,9 @@ def write_version_optimistic(
         except FileExistsError as e:
             last_err = e
             continue
-        w = df.write.mode("overwrite")  # claimed dir is empty and OURS
+        # append INTO the claimed empty dir: overwrite would delete
+        # and recreate it, momentarily releasing the claim to a racer
+        w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(vdir)

@@ -278,9 +278,11 @@ def test_lowbit_png_loud_failure_modes():
 
     from bigdata_jobmatching_spark.operators import multimodal as MM
 
-    with _pytest.raises(ValueError, match="out of subset"):
-        MM.encode_png(4, 4, bytes(16), channels=1, bit_depth=2,
-                      interlace=True)
+    # round-9: sub-byte + Adam7 is now IN subset (per-pass repacked
+    # strides) — the former loud fence must round-trip instead
+    png_i = MM.encode_png(4, 4, bytes(16), channels=1, bit_depth=2,
+                          interlace=True)
+    assert MM.decode_png(png_i) == (4, 4, 1, bytes(16))
     with _pytest.raises(ValueError, match="does not fit depth"):
         MM.encode_png(4, 4, bytes([4]) + bytes(15), channels=1, bit_depth=2)
     with _pytest.raises(ValueError, match="1 sample per pixel"):
