@@ -475,3 +475,120 @@ def substring_dup_stats(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
     )
+
+
+def semantic_dedup_pairs(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_seeds: int = 8,
+    sub_target: int = 50,
+    tau_sq: tuple[int, int] = (49, 400),
+    sig_bits_max: int = 12,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate MEANING pairs (id_a, id_b) —
+    the operator behind plans/dedup_queries.semantic_dedup_stats,
+    which is its external value oracle.
+
+    Blocking: one exact nearest-seed assignment against the first
+    ``n_seeds`` vectors (integer micro-quantized coordinates,
+    portable argmin(dist*K+cid) encoding) composed with a
+    SCALE-ADAPTIVE sign-bit sub-bucket (integer LCG planes, block-key
+    prefix of min(sig_bits_max, floor(log2(n div (K*sub_target))))
+    bits from a broadcast count) so expected block size stays
+    ~``sub_target`` vectors at any corpus size — the measured fix for
+    the fixed-K quadratic (SCALING round-9 addendum 2).
+
+    Matching: quantized-integer cosine threshold squared into
+    DECIMAL(38) — dot >= 0 AND den*dot^2 >= num*|a|^2*|b|^2 is
+    exactly cos >= sqrt(num/den) with no float anywhere.
+    """
+    F_ = F
+    tau_num, tau_den = tau_sq
+    qv = vecs.select(
+        F_.col(id_col).alias("__id"),
+        F_.posexplode(vec_col).alias("j", "x"),
+    ).select(
+        "__id", "j",
+        F_.floor(F_.col("x").cast("double") * 1_000_000)
+        .cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+    cent = qv.filter(F_.col("__id") < n_seeds).select(
+        F_.col("__id").cast("int").alias("cid"), "j",
+        F_.col("q").alias("c"),
+    )
+    d = F_.col("q") - F_.col("c")
+    asg = (
+        qv.join(F_.broadcast(cent), "j")
+        .groupBy("__id", "cid")
+        .agg(F_.sum(d * d).alias("dist"))
+        .groupBy("__id")
+        .agg(F_.min(F_.col("dist") * n_seeds + F_.col("cid")).alias("enc"))
+        .select("__id", (F_.col("enc") % n_seeds).cast("int").alias("cluster"))
+    )
+    planes = vecs.sparkSession.range(sig_bits_max * 64).select(
+        F_.expr("id div 64").cast("int").alias("bit"),
+        (F_.col("id") % 64).cast("int").alias("j"),
+        (((F_.lit(1103515245) * (F_.col("id") + 12345) + 12345)
+          % F_.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
+    )
+    bitchar = (
+        qv.join(F_.broadcast(planes), "j")
+        .groupBy("__id", "bit")
+        .agg(F_.sum(F_.col("q") * F_.col("coef")).alias("s"))
+        .select(
+            "__id", "bit",
+            F_.when(F_.col("s") >= 0, F_.lit("1")).otherwise(F_.lit("0"))
+            .alias("ch"),
+        )
+    )
+    sigs = bitchar.groupBy("__id").agg(
+        F_.concat_ws("", F_.transform(
+            F_.array_sort(F_.collect_list(F_.struct("bit", "ch"))),
+            lambda x: x["ch"],
+        )).alias("sigfull"))
+    nrow = asg.agg(F_.count(F_.lit(1)).alias("__n"))
+    v = (
+        qv.join(asg, "__id").join(sigs, "__id")
+        .crossJoin(F_.broadcast(nrow))
+        .withColumn(
+            "b",
+            F_.least(
+                F_.lit(sig_bits_max),
+                F_.length(F_.bin(F_.greatest(
+                    F_.lit(1),
+                    F_.expr(f"__n div {n_seeds * sub_target}")))) - 1,
+            ),
+        )
+        .withColumn("sig", F_.expr("substring(sigfull, 1, b)"))
+        .select("cluster", "sig", "__id", "j", "q")
+        .localCheckpoint(eager=True)
+    )
+    norms = v.groupBy("__id").agg(
+        F_.sum(F_.col("q") * F_.col("q")).alias("n2"))
+    a = v.select("cluster", "sig", F_.col("__id").alias("id_a"), "j",
+                 F_.col("q").alias("qa"))
+    b = v.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
+                 F_.col("q").alias("qb"))
+    dots = (
+        a.join(b, ["cluster", "sig", "j"])
+        .filter(F_.col("id_a") < F_.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("dot"))
+    )
+    dec = lambda c: F_.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        dots
+        .join(F_.broadcast(norms.select(F_.col("__id").alias("id_a"),
+                                        F_.col("n2").alias("na"))), "id_a")
+        .join(F_.broadcast(norms.select(F_.col("__id").alias("id_b"),
+                                        F_.col("n2").alias("nb"))), "id_b")
+        .filter(
+            (F_.col("dot") >= 0)
+            & (dec("dot") * dec("dot")
+               * F_.lit(tau_den).cast("decimal(38,0)")
+               >= dec("na") * dec("nb")
+               * F_.lit(tau_num).cast("decimal(38,0)"))
+        )
+        .select("id_a", "id_b")
+    )

@@ -76,6 +76,24 @@ def substring_dedup_docs(
     return docs.join(heavy, "doc_id", "left_anti")
 
 
+def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """SemDeDup stage (round-9): drop near-duplicate MEANING the
+    token-level stages can't see. Pairs come from the scale-adaptive
+    blocked exact-integer cosine operator (semantic_dedup_pairs, whose
+    mechanics the semantic_dedup_stats gate query value-oracles);
+    keep-best resolves each component by the same
+    longest-text-then-id rule as the other dedup stages. Documents
+    without an embedding pass through untouched (left join grain)."""
+    vecs = embeddings.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    pairs = D.semantic_dedup_pairs(vecs, "vec_id", "embedding")
+    return D.keep_best(
+        docs, pairs, "doc_id",
+        order_cols=[F.length("text").desc(), F.col("doc_id")],
+    )
+
+
 def scrub_pii(docs: DataFrame) -> DataFrame:
     clean = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
@@ -105,6 +123,7 @@ def corpus_gate(
     out_dir: str,
     strict: bool = True,
     observed: dict[str, dict] | None = None,
+    stages: tuple[str, ...] = CORPUS_STAGES,
 ) -> dict:
     """Row counts per stage; strict mode enforces that every stage is
     non-empty AND that the filter/dedup stages are monotone
@@ -117,7 +136,7 @@ def corpus_gate(
     stats: dict[str, dict] = {}
     problems: list[str] = []
     rows_seq: list[int] = []
-    for name in CORPUS_STAGES:
+    for name in stages:
         d = Path(out_dir) / name
         files = len(list(d.rglob("*.parquet"))) if d.exists() else 0
         rows = spark.read.parquet(str(d)).count() if files else 0
@@ -133,8 +152,9 @@ def corpus_gate(
         if rows == 0:
             problems.append(f"{name} empty")
         rows_seq.append(rows)
-    for prev, cur, name in zip(rows_seq, rows_seq[1:], CORPUS_STAGES[1:]):
-        if name in ("exact_deduped", "near_deduped", "substring_deduped") and cur > prev:
+    for prev, cur, name in zip(rows_seq, rows_seq[1:], stages[1:]):
+        if name in ("exact_deduped", "near_deduped", "substring_deduped",
+                    "semantic_deduped") and cur > prev:
             problems.append(f"{name} grew the corpus ({prev} -> {cur})")
     if strict and problems:
         raise ValueError(f"corpus gate: {problems}")
@@ -155,6 +175,7 @@ def run_corpus_pipeline(
     strict: bool = True,
     min_quality: float = 0.5,
     resume: bool = False,
+    embeddings: DataFrame | None = None,
 ) -> dict:
     """Run the staged chain. With ``resume=True``, stages whose
     directory already committed (_SUCCESS present) are skipped and
@@ -188,9 +209,20 @@ def run_corpus_pipeline(
         lambda: substring_dedup_docs(spark.read.parquet(f"{out_dir}/near_deduped")),
         ("source",),
     )
+    scrub_input = "substring_deduped"
+    if embeddings is not None:
+        stage(
+            "semantic_deduped",
+            lambda: semantic_dedup_docs(
+                spark.read.parquet(f"{out_dir}/substring_deduped"),
+                embeddings,
+            ),
+            ("source",),
+        )
+        scrub_input = "semantic_deduped"
     stage(
         "scrubbed",
-        lambda: scrub_pii(spark.read.parquet(f"{out_dir}/substring_deduped")),
+        lambda: scrub_pii(spark.read.parquet(f"{out_dir}/{scrub_input}")),
         ("source",),
         metrics={
             # free in-flight PII audit: residual raw emails after the
@@ -207,7 +239,12 @@ def run_corpus_pipeline(
         metrics={"total_tokens": F.sum("n_tokens")},
     )
 
-    stats = corpus_gate(spark, out_dir, strict=strict, observed=obs)
+    stages = CORPUS_STAGES
+    if embeddings is not None:
+        i = stages.index("substring_deduped") + 1
+        stages = stages[:i] + ("semantic_deduped",) + stages[i:]
+    stats = corpus_gate(spark, out_dir, strict=strict, observed=obs,
+                        stages=stages)
     if strict and obs.get("scrubbed", {}).get("residual_emails"):
         raise ValueError(
             f"corpus gate: {obs['scrubbed']['residual_emails']} docs "

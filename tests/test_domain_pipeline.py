@@ -668,3 +668,37 @@ def test_warehouse_wap_vetoes_poisoned_batch(spark, result, tmp_path):
     assert V.current_version(f"{wh}/fact_offres") == v2["fact_offres"]
     assert (V.read_version(spark, f"{wh}/fact_offres").count()
             == n_fact_v1)
+
+
+def test_corpus_pipeline_semantic_stage(spark, tmp_path):
+    """The optional SemDeDup stage (round-9): with embeddings given,
+    semantic_deduped lands between substring_deduped and scrubbed,
+    only shrinks the corpus, and the gate tracks it; operator pair
+    count matches the oracled gate query's census on the same data."""
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.operators import dedup as D
+    from bigdata_jobmatching_spark.plans.dedup_queries import (
+        _semantic_dedup,
+    )
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    stats = OC.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "corpus"), embeddings=emb)
+    assert "semantic_deduped" in stats
+    assert (stats["semantic_deduped"]["rows"]
+            <= stats["substring_deduped"]["rows"])
+    assert stats["scrubbed"]["rows"] == stats["semantic_deduped"]["rows"]
+    assert stats["semantic_deduped"]["rows"] > 0
+
+    # operator == gate-query mechanics: total pair count agrees
+    n_pairs_op = D.semantic_dedup_pairs(emb, "vec_id", "embedding").count()
+    n_pairs_q = sum(
+        r.n_pairs for r in _semantic_dedup(spark, sf).collect())
+    assert n_pairs_op == n_pairs_q > 0
+
+    # without embeddings the stage is absent (backward compatible)
+    stats2 = OC.run_corpus_pipeline(spark, docs, str(tmp_path / "c2"))
+    assert "semantic_deduped" not in stats2
