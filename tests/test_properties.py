@@ -965,3 +965,34 @@ def test_flac_garbage_is_loud_or_none(data):
     else:
         with pytest.raises(ValueError):
             decode_flac(data)
+
+
+@given(flip_seed=st.integers(0, 2**31), seed=st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_flac_frame_corruption_never_silently_wrong(flip_seed, seed):
+    """Corruption safety (round-9): flipping any single byte in the
+    FRAME region of a valid FLAC stream must raise ValueError (CRC-8
+    header check / CRC-16 frame check / structural guards) — never
+    return samples different from the original. Flips in the METADATA
+    region may legally alter declared rate/shape (not CRC-protected
+    by the format), so the property targets the frames, which carry
+    all sample data."""
+    from bigdata_jobmatching_spark.operators.flac_codec import (
+        decode_flac, encode_flac,
+    )
+
+    x, vals, v = seed, [], 0
+    for _ in range(300):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        v = max(-32768, min(32767, v + (x % 401) - 200))
+        vals.append(v)
+    stream = bytearray(encode_flac(44100, [vals], blocksize=128))
+    frames_start = 4 + 4 + 34  # magic + STREAMINFO header + body
+    pos = frames_start + flip_seed % (len(stream) - frames_start)
+    stream[pos] ^= 1 + (flip_seed // max(len(stream), 1)) % 255
+    try:
+        got = decode_flac(bytes(stream))
+    except ValueError:
+        return  # loud failure: the desired outcome
+    assert got == (44100, 1, [vals]), \
+        "corrupt FLAC frame must not silently decode to altered samples"
