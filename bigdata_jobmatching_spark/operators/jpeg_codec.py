@@ -14,7 +14,9 @@ EOB runs, AC refinement with correction bits — coefficients
 accumulate across scans, dequant+IDCT runs once at EOI), grayscale
 or 3-component YCbCr, sampling factors whose max is <= 2, restart
 markers (which persist across progressive scans per spec).
-Arithmetic coding, 12-bit and hierarchical raise ValueError
+12-bit extended-sequential grayscale (SOF1, round-9: 2048 level
+shift, 16-category DC table, uint16 output) is in subset; arithmetic
+coding, 12-bit progressive/color, and hierarchical raise ValueError
 (loud-subset discipline, same as the PNG/GIF codecs).
 
 The encoder exists for fixtures/tests: grayscale or 4:4:4 YCbCr,
@@ -201,7 +203,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
     """(width, height, channels, raw 8-bit pixel bytes) for a baseline
     OR progressive (round-8, SOF2) JPEG, or None for non-JPEG
     payloads. channels is 1 (grayscale) or 3 (RGB from YCbCr, BT.601
-    integer-rounded). Progressive streams accumulate coefficients
+    integer-rounded). 12-bit extended-sequential grayscale (SOF1,
+    round-9) returns little-endian uint16 sample bytes instead. Progressive streams accumulate coefficients
     across scans (DC first/refine, AC first/refine with EOB runs and
     successive approximation per T.81 Annex G) and run dequant+IDCT
     once at EOI. Raises ValueError on arithmetic/12-bit/hierarchical/
@@ -215,6 +218,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
     w = h = 0
     restart_interval = 0
     progressive = False
+    precision = 8
     coef: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag int64
     scans_done = 0
     i = 2
@@ -258,7 +262,17 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
                 j += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
-            if seg[0] != 8:
+            if seg[0] == 12:
+                # round-9: 12-bit extended sequential (SOF1 only —
+                # T.81 restricts baseline SOF0 to 8-bit), grayscale
+                if marker != 0xC1:
+                    raise ValueError(
+                        "12-bit JPEG is supported for extended "
+                        "sequential (SOF1) only")
+                if seg[5] != 1:
+                    raise ValueError("12-bit JPEG subset is grayscale")
+                precision = 12
+            elif seg[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {seg[0]}")
             progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
@@ -313,14 +327,14 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
                 scan.append((comp, tt >> 4, tt & 0x0F))
             return _decode_scan(
                 b, i + 2 + seg_len, w, h, comps, scan, qtables,
-                huff_dc, huff_ac, restart_interval,
+                huff_dc, huff_ac, restart_interval, precision,
             )
         i += 2 + seg_len
     raise ValueError("JPEG stream ended before SOS")
 
 
 def _decode_scan(b, pos, w, h, comps, scan, qtables, huff_dc, huff_ac,
-                 restart_interval):
+                 restart_interval, precision=8):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -381,7 +395,8 @@ def _decode_scan(b, pos, w, h, comps, scan, qtables, huff_dc, huff_ac,
                             k += 1
                         block = np.zeros(64)
                         block[ZIGZAG] = (coefs * q).astype(np.float64)
-                        px = idct2(block.reshape(8, 8)) + 128.0
+                        px = idct2(block.reshape(8, 8)) \
+                            + float(1 << (precision - 1))
                         y0 = (my * cv + v) * 8
                         x0 = (mx * ch + hh) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
@@ -397,6 +412,9 @@ def _decode_scan(b, pos, w, h, comps, scan, qtables, huff_dc, huff_ac,
             p = np.repeat(p, vmax // c["v"], axis=0)
         out_planes.append(p[:h, :w])
     if len(comps) == 1:
+        if precision == 12:
+            gray = np.clip(np.rint(out_planes[0]), 0, 4095).astype("<u2")
+            return w, h, 1, gray.tobytes()
         gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
     y, cb, cr = out_planes
@@ -608,6 +626,7 @@ def _finish_progressive(w, h, comps, coef, qtables):
             plane = np.repeat(plane, vmax // c["v"], axis=0)
         out_planes.append(plane[:h, :w])
     if len(comps) == 1:
+        # progressive is 8-bit only (the SOF guard rejects 12-bit SOF2)
         gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
     y, cb, cr = out_planes
@@ -736,6 +755,98 @@ def encode_jpeg_gray(
         b"\xff\xd8"
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + dri
+        + _seg(0xDA, sos)
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
+# 12-bit DC categories reach 0..15; a 16-entry canonical table at a
+# single code length covers them (incomplete Huffman trees are legal
+# in JPEG — the decoder walks canonical codes, not a full tree).
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+
+
+def encode_jpeg12_gray(
+    pixels: np.ndarray,
+    qtable: np.ndarray = QTABLE_FLAT8,
+    restart_interval: int = 0,
+) -> bytes:
+    """12-bit extended-sequential (SOF1) grayscale JPEG from an
+    (h, w) uint16 array of samples < 4096 (round-9). Same pipeline as
+    the 8-bit encoder with the wider level shift (2048), a 16-category
+    DC table, and the flat 255-symbol AC table (which covers the
+    12-bit size range Annex K's baseline table cannot). With
+    QTABLE_FLAT8 and flat blocks the stream decodes EXACTLY."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if int(pixels.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be < 4096")
+    dc_codes = _canonical_codes(_DC12_BITS, _DC12_VALS)
+    ac_codes = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    wtr = _BitWriter()
+    pred = 0
+    done = 0
+    q_zig = qtable.astype(np.float64)[ZIGZAG]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if restart_interval and done and done % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes(
+                    [0xFF, 0xD0 + (done // restart_interval - 1) % 8])
+                pred = 0
+            done += 1
+            blk = pixels[8 * by:8 * by + 8, 8 * bx:8 * bx + 8].astype(
+                np.float64) - 2048.0
+            coefs = fdct2(blk).reshape(64)[ZIGZAG]
+            qz = np.rint(coefs / q_zig).astype(np.int64)
+            diff = int(qz[0]) - pred
+            pred = int(qz[0])
+            t, bits = _magnitude(diff)
+            c, ln = dc_codes[t]
+            wtr.put(c, ln)
+            if t:
+                wtr.put(bits, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(qz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.put(c, ln)
+                    run -= 16
+                t, bits = _magnitude(v)
+                c, ln = ac_codes[(run << 4) | t]
+                wtr.put(c, ln)
+                wtr.put(bits, t)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]
+                wtr.put(c, ln)
+    wtr.flush()
+
+    dqt = bytes([0x00]) + bytes(int(x) for x in qtable[ZIGZAG])
+    sof = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval else b""
+    )
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC1, sof)  # SOF1: extended sequential
         + _seg(0xC4, dht_dc)
         + _seg(0xC4, dht_ac)
         + dri

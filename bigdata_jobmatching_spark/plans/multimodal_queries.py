@@ -1967,3 +1967,102 @@ register(QuerySpec(
     "hash-checked against arithmetic recomputation",
     ("multimodal", "decode", "audio"),
 ))
+
+
+# --- jpeg12_pixel_stats: REAL 12-bit JPEG decode (round-9) ------------------
+# Extended-sequential SOF1 at 12-bit precision — the scientific/
+# medical grayscale profile. Same exactness trick as the 8-bit gate:
+# flat 8x8 blocks with a flat DC-step-8 quant table make the whole
+# Huffman + dequant + IDCT pipeline value-exact (decoded = planted),
+# so the DuckDB oracle recomputes the 12-bit sums arithmetically. A
+# wrong level shift (128 vs 2048), clamp ceiling, DC category table,
+# or sample width flips the hash.
+
+_JPEG12_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("max_px", T.IntegerType()),
+])
+
+
+def _planted_jpeg12(k: int) -> bytes:
+    import numpy as np
+
+    from ..operators.jpeg_codec import QTABLE_FLAT8, encode_jpeg12_gray
+
+    w, h = 8 * (k % 3 + 1), 8 * (k % 2 + 1)
+    px = np.zeros((h, w), dtype=np.uint16)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            px[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = (
+                (k * 977 + 5 * bx + 11 * by) % 3800 + 100
+            )
+    return encode_jpeg12_gray(
+        px, QTABLE_FLAT8, restart_interval=2 if k % 2 else 0)
+
+
+def _jpeg12_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.jpeg_codec import decode_jpeg
+
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, bytes] = {}
+        for pdf in it:
+            rows = []
+            for key in pdf["p_partkey"]:
+                kk = int(key) % 1024
+                if kk not in memo:
+                    memo[kk] = _planted_jpeg12(kk)
+                w, h, ch, raw = decode_jpeg(memo[kk])
+                a = np.frombuffer(raw, dtype="<u2").astype(np.int64)
+                rows.append((int(key), w, h, int(a.sum()), int(a.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["p_partkey", "px_width", "px_height",
+                         "sum_px", "max_px"],
+            )
+
+    return p.mapInPandas(batches, _JPEG12_SCHEMA)
+
+
+_JPEG12_SQL = """
+WITH dims AS (
+  SELECT p_partkey, p_partkey % 1024 AS k,
+    CAST(8 * (p_partkey % 1024 % 3 + 1) AS INT) AS px_width,
+    CAST(8 * (p_partkey % 1024 % 2 + 1) AS INT) AS px_height
+  FROM part
+),
+blocks AS (
+  SELECT p_partkey, px_width, px_height, k,
+    unnest(generate_series(0, px_width // 8 - 1)) AS bx
+  FROM dims
+),
+cells AS (
+  SELECT p_partkey, px_width, px_height, k, bx,
+    unnest(generate_series(0, px_height // 8 - 1)) AS by
+  FROM blocks
+),
+vals AS (
+  SELECT p_partkey, px_width, px_height,
+    (k * 977 + 5 * bx + 11 * by) % 3800 + 100 AS v
+  FROM cells
+)
+SELECT p_partkey, px_width, px_height,
+  CAST(SUM(v * 64) AS BIGINT) AS sum_px,
+  CAST(MAX(v) AS INT) AS max_px
+FROM vals GROUP BY 1, 2, 3
+"""
+
+register(QuerySpec(
+    "jpeg12_pixel_stats", _jpeg12_pixel_stats, _JPEG12_SQL,
+    "REAL 12-bit extended-sequential JPEG decode (SOF1 grayscale, "
+    "2048 level shift, 16-category DC table): exact flat-block "
+    "pipeline, 12-bit sums and peaks hash-checked against arithmetic "
+    "recomputation",
+    ("multimodal", "decode"),
+))

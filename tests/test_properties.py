@@ -996,3 +996,33 @@ def test_flac_frame_corruption_never_silently_wrong(flip_seed, seed):
         return  # loud failure: the desired outcome
     assert got == (44100, 1, [vals]), \
         "corrupt FLAC frame must not silently decode to altered samples"
+
+
+@given(
+    wb=st.integers(1, 3), hb=st.integers(1, 2),
+    ri=st.sampled_from([0, 2]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg12_flat_block_exactness_property(wb, hb, ri, seed):
+    """12-bit JPEG (round-9): flat 8x8 blocks with the flat DC-step-8
+    table decode EXACTLY at any block layout / restart interval —
+    and the output is genuinely 12-bit (uint16 samples up to 4095)."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.jpeg_codec import (
+        QTABLE_FLAT8, decode_jpeg, encode_jpeg12_gray,
+    )
+
+    w, h = 8 * wb, 8 * hb
+    x = seed
+    px = np.zeros((h, w), dtype=np.uint16)
+    for by in range(hb):
+        for bx in range(wb):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            px[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = x % 4096
+    s = encode_jpeg12_gray(px, QTABLE_FLAT8, restart_interval=ri)
+    dw, dh, ch, raw = decode_jpeg(s)
+    got = np.frombuffer(raw, dtype="<u2").reshape(dh, dw)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert (got == px).all()
