@@ -1340,7 +1340,12 @@ register(QuerySpec(
 # broadcast count — no driver collect). At sf<=0.01 b=0 and blocks
 # are exactly the K clusters. The recall trade (tau-close pairs
 # split by a sign bit are missed) is the standard SemDeDup-style
-# approximation; candidates that survive are still EXACT-scored.
+# approximation; candidates that survive are still EXACT-scored —
+# and the trade is MEASURED, not assumed: semantic_blocking_recall_
+# audit puts the pinned 6-bit prefix at ~9% pairs-completeness /
+# ~96% reduction at tau=0.35 on this corpus (consistent with the
+# (1 - theta/pi)^bits sign-bit theory; real SemDeDup runs at
+# tau >= 0.95 where the same bits retain far more).
 
 _SD_K = 8
 _SD_SCALE = 1_000_000
@@ -1587,4 +1592,217 @@ register(QuerySpec(
     "the hash), greedy min-id representative per tau-neighborhood — "
     "per-cluster kept/dropped census",
     ("dedup", "vector", "join", "agg", "bench"),
+))
+
+
+# --- semantic_blocking_recall_audit: audit the round's OWN shortcut --------
+# semantic_dedup_stats' scale lever is the sign-bit sub-bucket; this
+# query measures what that bucket COSTS in recall. Posture: the
+# ann_recall_audit QUERY-SAMPLED form, not the pair-sampled
+# blocking_recall_audit form — tau-true pairs are ~0.07% of
+# within-cluster pairs on this corpus, so a pair-sampled truth side
+# holds ~0 true pairs and the audit would be vacuous (measured before
+# shipping). Instead ~100 scale-adaptively sampled QUERY vectors
+# (the 6k+1 modulus family) are scored against the FULL corpus within
+# their nearest-seed cluster: truth = quantized cos >= 0.35 (exact
+# DECIMAL(38) arithmetic), retained = same PINNED 6-bit sig prefix —
+# the width the adaptive formula picks at sf1, so the audit measures
+# the scale path's operating point rather than the degenerate 0-bit
+# prefix tiny tiers use. Truth cost is queries x corpus = LINEAR in
+# the corpus with a flat query count; the base rate per query is
+# preserved, so n_true stays measurable at every tier.
+
+_SEM_AUDIT_BITS = 6
+
+
+def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
+    qv_all = _sd_quantized(spark, sf).localCheckpoint(eager=True)
+    cent = qv_all.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").cast("int").alias("cid"), "j",
+        F.col("q").alias("c"),
+    )
+    d = F.col("q") - F.col("c")
+    asg = (
+        qv_all.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(d * d).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.col("dist") * _SD_K + F.col("cid")).alias("enc"))
+        .select("vec_id", (F.col("enc") % _SD_K).cast("int").alias("cluster"))
+    )
+    planes = spark.range(_SEM_AUDIT_BITS * 64).select(
+        F.expr("id div 64").cast("int").alias("bit"),
+        (F.col("id") % 64).cast("int").alias("j"),
+        (((F.lit(1103515245) * (F.col("id") + 12345) + 12345)
+          % F.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
+    )
+    sigs = (
+        qv_all.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "bit")
+        .agg(F.sum(F.col("q") * F.col("coef")).alias("s"))
+        .select("vec_id", "bit",
+                F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                .alias("ch"))
+        .groupBy("vec_id")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("bit", "ch"))),
+            lambda x: x["ch"])).alias("sig"))
+    )
+    v = (
+        qv_all.join(asg, "vec_id").join(sigs, "vec_id")
+        .select("cluster", "sig", "vec_id", "j", "q")
+        .localCheckpoint(eager=True)
+    )
+    norms = v.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2"))
+    # query sample: scale-adaptive modulus -> ~100 query vectors
+    nrow = v.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).alias("__n"))
+    m_col = (F.lit(6) * F.greatest(
+        F.lit(3), F.expr(f"__n div {6 * _TRUTH_TARGET_DOCS}")) + F.lit(1))
+    a = (
+        v.crossJoin(F.broadcast(nrow))
+        .withColumn("__m", m_col)
+        .filter(F.col("vec_id") % F.col("__m") == 0)
+        .select("cluster", F.col("sig").alias("sig_a"),
+                F.col("vec_id").alias("id_a"), "j", F.col("q").alias("qa"))
+    )
+    # TRUTH: each sampled query against the FULL corpus in its
+    # cluster — linear in the corpus with a flat query count
+    b = v.select("cluster", F.col("sig").alias("sig_b"),
+                 F.col("vec_id").alias("id_b"), "j", F.col("q").alias("qb"))
+    dots = (
+        a.join(b, ["cluster", "j"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("cluster", "sig_a", "sig_b", "id_a", "id_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        dots
+        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_a"),
+                                       F.col("n2").alias("na"))), "id_a")
+        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_b"),
+                                       F.col("n2").alias("nb"))), "id_b")
+        .select(
+            (F.col("sig_a") == F.col("sig_b")).alias("same_blk"),
+            ((F.col("dot") >= 0)
+             & (dec("dot") * dec("dot") * F.lit(400).cast("decimal(38,0)")
+                >= dec("na") * dec("nb")
+                * F.lit(49).cast("decimal(38,0)"))).alias("is_true"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_query_pairs"),
+        F.sum(F.when(F.col("same_blk"), 1).otherwise(0)).cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("is_true") & F.col("same_blk"), 1).otherwise(0))
+        .cast("long").alias("n_retained"),
+    )
+    recall = F.when(
+        F.col("n_true") > 0, ratio6("n_retained", "n_true")
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        "n_query_pairs", "n_candidates", "n_true", "n_retained",
+        recall.alias("pairs_completeness"),
+        (F.lit(1.0) - ratio6("n_candidates", "n_query_pairs"))
+        .alias("reduction_ratio"),
+    )
+
+
+_SEM_RECALL_SQL = f"""
+WITH qv_all AS MATERIALIZED (
+  SELECT vec_id, j,
+    CAST(floor(CAST(x AS DOUBLE) * {_SD_SCALE}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+      unnest(generate_series(0, len(embedding) - 1)) AS j,
+      unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+  )
+),
+m AS (
+  SELECT 6 * greatest(3, COUNT(DISTINCT vec_id)
+                         // {6 * _TRUTH_TARGET_DOCS}) + 1 AS m
+  FROM qv_all
+),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, j, q AS c FROM qv_all
+  WHERE vec_id < {_SD_K}
+),
+asg AS (
+  SELECT vec_id,
+    CAST(MIN(dist * {_SD_K} + cid) % {_SD_K} AS INT) AS cluster
+  FROM (
+    SELECT qv.vec_id, cent.cid,
+      SUM((qv.q - cent.c) * (qv.q - cent.c)) AS dist
+    FROM qv_all qv JOIN cent USING (j)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+planes AS (
+  SELECT CAST(k // 64 AS INT) AS bit, CAST(k % 64 AS INT) AS j,
+    ((1103515245 * (k + 12345) + 12345) % 2147483648) % 2001 - 1000
+      AS coef
+  FROM (SELECT unnest(generate_series(0, {_SEM_AUDIT_BITS * 64 - 1})) AS k)
+),
+sigs AS (
+  SELECT vec_id,
+    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+      AS sig
+  FROM (
+    SELECT qv.vec_id, p.bit, SUM(qv.q * p.coef) AS s
+    FROM qv_all qv JOIN planes p USING (j) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+v AS MATERIALIZED (
+  SELECT asg.cluster, s.sig, qv.vec_id, qv.j, qv.q
+  FROM qv_all qv JOIN asg USING (vec_id) JOIN sigs s USING (vec_id)
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY 1
+),
+dots AS (
+  SELECT a.cluster, a.sig AS sig_a, b.sig AS sig_b,
+    a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.q * b.q) AS dot
+  FROM v a JOIN v b ON a.cluster = b.cluster AND a.j = b.j
+    AND a.vec_id != b.vec_id
+  WHERE a.vec_id % (SELECT m FROM m) = 0
+  GROUP BY 1, 2, 3, 4, 5
+),
+pairs AS (
+  SELECT d.sig_a = d.sig_b AS same_blk,
+    (d.dot >= 0 AND CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 400
+       >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * 49) AS is_true
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_query_pairs,
+    CAST(SUM(CASE WHEN same_blk THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_candidates,
+    CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+    CAST(SUM(CASE WHEN is_true AND same_blk THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_retained
+  FROM pairs
+)
+SELECT n_query_pairs, n_candidates, n_true, n_retained,
+  CASE WHEN n_true > 0
+       THEN {ratio6_sql("n_retained", "n_true")} ELSE NULL END
+    AS pairs_completeness,
+  1.0 - {ratio6_sql("n_candidates", "n_query_pairs")} AS reduction_ratio
+FROM agg
+"""
+
+register(QuerySpec(
+    "semantic_blocking_recall_audit", _semantic_blocking_recall,
+    _SEM_RECALL_SQL,
+    "recall audit of semantic dedup's OWN sign-bit sub-bucket: "
+    "query-sampled pairs completeness and reduction ratio of a "
+    "pinned 6-bit prefix vs exact within-cluster cosine truth over "
+    "the full corpus — the shortcut's cost measured, not assumed",
+    ("dedup", "vector", "audit"),
 ))
