@@ -76,6 +76,43 @@ def substring_dedup_docs(
     return docs.join(heavy, "doc_id", "left_anti")
 
 
+def surprisal_band_filter(
+    docs: DataFrame, lo_milli_bits: int = 2000, hi_milli_bits: int = 15000
+) -> DataFrame:
+    """CCNet-style LM quality band (round-9): fit a unigram LM on the
+    corpus itself, score each doc by mean token surprisal in floored
+    bits (the doc_unigram_surprisal mechanics — pure-integer
+    floor(log2) via bin(), no float log), and keep the docs whose
+    mean lands inside [lo, hi] milli-bits: the low tail is
+    boilerplate/repetition, the high tail rare-token gibberish. The
+    band test is integer cross-multiplication (sum*1000 vs
+    bound*count) — no ratio ever computed. Empty docs carry no
+    signal and pass through."""
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("n_total div cnt"))) - 1)
+            .cast("long").alias("sbits"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"),
+             F.sum("sbits").alias("sum_bits"))
+    )
+    keep = scored.filter(
+        (F.col("sum_bits") * 1000 >= F.lit(lo_milli_bits) * F.col("n_toks"))
+        & (F.col("sum_bits") * 1000 <= F.lit(hi_milli_bits) * F.col("n_toks"))
+    ).select("doc_id")
+    with_toks = docs.join(keep, "doc_id", "semi")
+    empty = docs.join(scored.select("doc_id"), "doc_id", "anti")
+    return with_toks.unionByName(empty)
+
+
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     """SemDeDup stage (round-9): drop near-duplicate MEANING the
     token-level stages can't see. Pairs come from the scale-adaptive
@@ -153,8 +190,8 @@ def corpus_gate(
             problems.append(f"{name} empty")
         rows_seq.append(rows)
     for prev, cur, name in zip(rows_seq, rows_seq[1:], stages[1:]):
-        if name in ("exact_deduped", "near_deduped", "substring_deduped",
-                    "semantic_deduped") and cur > prev:
+        if name in ("surprisal_filtered", "exact_deduped", "near_deduped",
+                    "substring_deduped", "semantic_deduped") and cur > prev:
             problems.append(f"{name} grew the corpus ({prev} -> {cur})")
     if strict and problems:
         raise ValueError(f"corpus gate: {problems}")
@@ -176,6 +213,7 @@ def run_corpus_pipeline(
     min_quality: float = 0.5,
     resume: bool = False,
     embeddings: DataFrame | None = None,
+    surprisal_band: tuple[int, int] | None = None,
 ) -> dict:
     """Run the staged chain. With ``resume=True``, stages whose
     directory already committed (_SUCCESS present) are skipped and
@@ -194,9 +232,20 @@ def run_corpus_pipeline(
         )
 
     stage("filtered", lambda: quality_filter(docs, min_quality), ("source",))
+    dedup_input = "filtered"
+    if surprisal_band is not None:
+        lo, hi = surprisal_band
+        stage(
+            "surprisal_filtered",
+            lambda: surprisal_band_filter(
+                spark.read.parquet(f"{out_dir}/filtered"), lo, hi),
+            ("source",),
+        )
+        dedup_input = "surprisal_filtered"
     stage(
         "exact_deduped",
-        lambda: exact_dedup_docs(spark.read.parquet(f"{out_dir}/filtered")),
+        lambda: exact_dedup_docs(
+            spark.read.parquet(f"{out_dir}/{dedup_input}")),
         ("source",),
     )
     stage(
@@ -240,6 +289,9 @@ def run_corpus_pipeline(
     )
 
     stages = CORPUS_STAGES
+    if surprisal_band is not None:
+        i = stages.index("filtered") + 1
+        stages = stages[:i] + ("surprisal_filtered",) + stages[i:]
     if embeddings is not None:
         i = stages.index("substring_deduped") + 1
         stages = stages[:i] + ("semantic_deduped",) + stages[i:]

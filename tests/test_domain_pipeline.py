@@ -702,3 +702,26 @@ def test_corpus_pipeline_semantic_stage(spark, tmp_path):
     # without embeddings the stage is absent (backward compatible)
     stats2 = OC.run_corpus_pipeline(spark, docs, str(tmp_path / "c2"))
     assert "semantic_deduped" not in stats2
+
+
+def test_corpus_pipeline_surprisal_band(spark, tmp_path):
+    """The optional CCNet surprisal band (round-9): with a band given,
+    surprisal_filtered lands after the quality filter, only shrinks
+    the corpus, keeps the mid-band mass, and the gate tracks it; with
+    a band no real doc can fail, nothing is dropped."""
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    stats = OC.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "c1"), surprisal_band=(2000, 15000))
+    assert "surprisal_filtered" in stats
+    assert (0 < stats["surprisal_filtered"]["rows"]
+            <= stats["filtered"]["rows"])
+
+    # an all-pass band keeps every filtered doc (incl. empties)
+    stats2 = OC.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "c2"), surprisal_band=(0, 10 ** 6))
+    assert (stats2["surprisal_filtered"]["rows"]
+            == stats2["filtered"]["rows"])
