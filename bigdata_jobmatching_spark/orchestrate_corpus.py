@@ -114,21 +114,23 @@ def surprisal_band_filter(
 
 
 def semantic_dedup_docs(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """SemDeDup stage (round-9): drop near-duplicate MEANING the
-    token-level stages can't see. Pairs come from the scale-adaptive
-    blocked exact-integer cosine operator (semantic_dedup_pairs, whose
-    mechanics the semantic_dedup_stats gate query value-oracles);
-    keep-best resolves each component by the same
-    longest-text-then-id rule as the other dedup stages. Documents
-    without an embedding pass through untouched (left join grain)."""
+    """SemDeDup stage: drop near-duplicate MEANING the token-level
+    stages can't see. Pairs come from the scale-adaptive blocked
+    exact-integer cosine operator (semantic_dedup_pairs, whose
+    mechanics the semantic_dedup_stats gate query value-oracles),
+    which since round 10 applies the paper's keep-farthest-from-
+    centroid representative rule itself: each tau-close pair names
+    its ``drop_id`` (the member nearer its assigned seed, larger id
+    on ties), so the stage is one distinct + anti-join. Documents
+    without an embedding pass through untouched. Seeds derive from
+    the ids actually present in the surviving corpus (round-9 advice
+    #2: no silent no-op when low ids were deduped upstream)."""
     vecs = embeddings.join(
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
     pairs = D.semantic_dedup_pairs(vecs, "vec_id", "embedding")
-    return D.keep_best(
-        docs, pairs, "doc_id",
-        order_cols=[F.length("text").desc(), F.col("doc_id")],
-    )
+    drops = pairs.select(F.col("drop_id").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti")
 
 
 def scrub_pii(docs: DataFrame) -> DataFrame:

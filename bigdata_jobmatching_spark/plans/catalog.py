@@ -290,6 +290,52 @@ _DRIVER_VERIFIED_R08: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R09: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r09.json (49/50; the one red,
+        # semantic_dedup_stats, was rebuilt in round 10 — portable
+        # shift-arithmetic oracle + the paper's keep-farthest rule —
+        # and deliberately NOT listed so it re-enters as unproven.
+        # Also not listed despite green r09 rows:
+        # semantic_blocking_recall_audit (rebuilt r10 at tau=0.95
+        # with planted twins) and events_sequence_match (r09 green
+        # was a vacuous 0=0; de-vacuated r10 with a 6 h gap).
+        "doc_unigram_surprisal", "dsir_importance_proxy",
+        "flac_sample_stats", "jpeg12_pixel_stats",
+        "manifest_pruning_audit", "mor_delete_audit",
+        "schema_evolution_audit", "user_top_event",
+        "big_spenders_no_orders", "disjunctive_revenue",
+        "events_status_pivot", "parts_supplier_diversity",
+        "skill_category_tags", "skill_confidence_scores",
+        "skills_nlp_extraction", "small_quantity_revenue",
+        "audio_frame_plan", "copurchase_clustering",
+        "copurchase_jaccard_recs", "copurchase_kcore",
+        "corpus_shuffle_plan", "cross_source_duplication",
+        "customer_rfm_scores", "customer_spend_cumedist",
+        "doc_bigram_commonness", "doc_chunk_spans",
+        "doc_duplicate_ngram_frac", "doc_keyword_contexts",
+        "docs_containment_pairs", "docs_prefix_filter_pairs",
+        "event_type_transitions", "event_type_trend_slope",
+        "event_value_gini", "events_dau_wau", "events_lttb_downsample",
+        "events_value_log2_histogram", "image_resize_dims",
+        "minhash_estimate_error", "nation_top2_acctbal_lateral",
+        "orders_fulfillment_lag", "simhash_md5_hamming_pairs",
+        "user_status_intervals", "ann_cosine_range", "ann_l2_topk",
+        "bpe_merge_candidates", "copurchase_pagerank",
+        "curriculum_schedule",
+    }
+)
+
+# Queries whose SEMANTICS changed in round 10 after older green rows
+# were recorded: their old proofs no longer attest the current code,
+# so they re-enter the window as unproven regardless of set
+# membership above (events_sequence_match's r04/r09 greens were
+# vacuous 0=0 matches; customers_without_orders' r02/r07 greens
+# likewise matched 0 rows at the gate SF).
+_REOPENED_R10: frozenset[str] = frozenset(
+    {"events_sequence_match", "customers_without_orders"}
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -313,6 +359,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (6, _DRIVER_VERIFIED_R06),
     (7, _DRIVER_VERIFIED_R07),
     (8, _DRIVER_VERIFIED_R08),
+    (9, _DRIVER_VERIFIED_R09),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(
@@ -336,6 +383,8 @@ _MODULES_CHANGED_SINCE_R04: frozenset[str] = frozenset(
 
 
 def _newest_proof_round(name: str) -> int:
+    if name in _REOPENED_R10:
+        return 0
     newest = 0
     for rnd, names in _PROOF_ROUNDS:
         if name in names:

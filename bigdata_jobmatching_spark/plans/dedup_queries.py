@@ -9,7 +9,7 @@ records the weaker rows-only check) and get unit-tested instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
@@ -1305,47 +1305,39 @@ register(QuerySpec(
 ))
 
 
-# --- semantic_dedup_stats: SemDeDup-style embedding dedup (round-9) --------
+# --- semantic_dedup_stats: SemDeDup embedding dedup (r9, rebuilt r10) ------
 # The modern LLM-corpus dedup step the token-level family can't see:
 # near-duplicate MEANING (paraphrases, templated rewrites) found in
-# embedding space. Pipeline per the SemDeDup recipe: (1) cluster the
-# embeddings (here: one exact nearest-seed assignment against K fixed
-# seed vectors — the first Lloyd step of embedding_kmeans_exact, same
-# portable argmin(dist*K+cid) encoding); (2) within each cluster,
-# mark pairs with cosine >= tau; (3) keep one representative per
-# near-dup neighborhood — a vector is DROPPED iff some smaller-id
-# vector in its cluster is tau-close (greedy min-id keep, the
-# deterministic stand-in for SemDeDup's keep-farthest-from-centroid).
+# embedding space. Pipeline per the SemDeDup recipe, all mechanics in
+# operators/dedup.semantic_blocks + semantic_dedup_pairs (this query
+# is their external value oracle): (1) exact nearest-seed cluster
+# over the n_seeds smallest ids PRESENT in the input (round-9 advice
+# #2: no silent no-op seed set); (2) scale-adaptive integer-LCG
+# sign-bit sub-bucket, block width b = min(12, floor(log2(max(1,
+# n div (K*50))))) from a broadcast count vs a 13-row power-of-two
+# ladder; (3) tau-close pairs (quantized-integer cosine squared into
+# DECIMAL(38)/HUGEINT: dot >= 0 AND 400*dot^2 >= 49*|a|^2*|b|^2 is
+# exactly cos >= 0.35 — no float reaches the hash); (4) the paper's
+# keep-farthest-from-centroid representative rule, deterministic:
+# each pair drops the member NEARER its assigned seed (exact
+# quantized squared distance), larger id on ties — round-9 verdict
+# task #3, replacing the greedy min-id stand-in.
 #
-# Every number is EXACT integer arithmetic: coordinates quantize to
-# micro-units (floor(x*1e6), one IEEE multiply + floor, identical on
-# both engines) and the cosine threshold test is squared into
-# DECIMAL(38)/HUGEINT — dot >= 0 AND 400*dot^2 >= 49*|a|^2*|b|^2 is
-# exactly cos >= 0.35 on the quantized vectors, so no float ever
-# reaches the hash (unlike embeddings_near_dup_cosine, which oracles
-# the float path at 6 dp).
+# Round-10 rebuild note: the r09 gate red-rowed this query
+# (rows/schema matched, hash didn't) while three local DuckDB twins
+# passed. The oracle below eliminates the constructs that could
+# render engine-dependently — no bin(), no string_agg, no
+# computed-length substring; bit packing and prefix selection are
+# pure shift arithmetic, identical by definition on both engines.
 #
-# Scale shape: one broadcast join against K*64 seed rows, then a
-# self-join CONFINED to (cluster, sig) blocks, where sig is a
-# SCALE-ADAPTIVE sign-bit sub-bucket (the blocking_recall_audit
-# lesson applied at design time, after the first sf1 curve measured
-# the fixed-K=8 variant at 52x on the last 10x): each vector gets
-# _SD_BITS_MAX sign bits from an integer LCG plane family
-# (coef = ((1103515245*(k+12345)+12345) mod 2^31) mod 2001 - 1000 —
-# pure int64, both engines compute the planes arithmetically, no
-# literals, no floats), and the block key uses the PREFIX of
-# b = min(12, floor(log2(max(1, n div (K*50))))) bits, so expected
-# block size stays ~50 vectors at every tier and the pair count is
-# linear in the corpus by construction (b enters the plan from a
-# broadcast count — no driver collect). At sf<=0.01 b=0 and blocks
-# are exactly the K clusters. The recall trade (tau-close pairs
-# split by a sign bit are missed) is the standard SemDeDup-style
-# approximation; candidates that survive are still EXACT-scored —
-# and the trade is MEASURED, not assumed: semantic_blocking_recall_
-# audit puts the pinned 6-bit prefix at ~9% pairs-completeness /
-# ~96% reduction at tau=0.35 on this corpus (consistent with the
-# (1 - theta/pi)^bits sign-bit theory; real SemDeDup runs at
-# tau >= 0.95 where the same bits retain far more).
+# Scale shape: one broadcast join against K*64 seed rows, a
+# self-join CONFINED to (cluster, sig) blocks of expected size ~50
+# at every tier (pair count linear in the corpus by construction;
+# b enters the plan from a broadcast count — no driver collect).
+# The recall trade of the sign-bit shortcut is MEASURED, not
+# assumed: semantic_blocking_recall_audit (below) runs at the
+# paper's tau=0.95 operating point with planted near-duplicate
+# twins and prices the 6-bit prefix at ~60% pairs-completeness.
 
 _SD_K = 8
 _SD_SCALE = 1_000_000
@@ -1353,124 +1345,24 @@ _SD_BITS_MAX = 12
 _SD_SUB_TARGET = 50  # aim ~50 vectors per (cluster, sig) block
 
 
-def _sd_quantized(spark: SparkSession, sf: str) -> DataFrame:
-    e = load_table(spark, sf, "embeddings")
-    return e.select(
-        "vec_id", F.posexplode("embedding").alias("j", "x")
-    ).select(
-        "vec_id", "j",
-        F.floor(F.col("x").cast("double") * _SD_SCALE)
-        .cast("long").alias("q"),
-    )
-
-
 def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    # eager lineage cuts (house index_queries pattern): qv and the assigned
-    # long-form table are each consumed by several downstream
-    # branches whose subtrees differ after aliasing, which defeats
-    # exchange reuse — without the cut the whole quantize+assign
-    # chain re-executes per branch (plan-audit exchange blowup).
-    qv = _sd_quantized(spark, sf).localCheckpoint(eager=True)
-    cent = qv.filter(F.col("vec_id") < _SD_K).select(
-        F.col("vec_id").cast("int").alias("cid"), "j",
-        F.col("q").alias("c"),
-    )
-    d = F.col("q") - F.col("c")
-    asg = (
-        qv.join(F.broadcast(cent), "j")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(d * d).alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min(F.col("dist") * _SD_K + F.col("cid")).alias("enc"))
-        .select("vec_id", (F.col("enc") % _SD_K).cast("int").alias("cluster"))
-    )
-    # scale-adaptive sign-bit sub-bucket: integer LCG planes computed
-    # arithmetically (broadcast 768-row table from spark.range — no
-    # literal bloat), dot signs at (vec, bit) grain, bits assembled
-    # in bit order; the block key takes a data-sized PREFIX
-    planes = spark.range(_SD_BITS_MAX * 64).select(
-        F.expr("id div 64").cast("int").alias("bit"),
-        (F.col("id") % 64).cast("int").alias("j"),
-        (((F.lit(1103515245) * (F.col("id") + 12345) + 12345)
-          % F.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
-    )
-    bitchar = (
-        qv.join(F.broadcast(planes), "j")
-        .groupBy("vec_id", "bit")
-        .agg(F.sum(F.col("q") * F.col("coef")).alias("s"))
-        .select(
-            "vec_id", "bit",
-            F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            .alias("ch"),
-        )
-    )
-    sigs = bitchar.groupBy("vec_id").agg(
-        F.concat_ws("", F.transform(
-            F.array_sort(F.collect_list(F.struct("bit", "ch"))),
-            lambda x: x["ch"],
-        )).alias("sigfull"))
-    nrow = asg.agg(F.count(F.lit(1)).alias("__n"))
-    v = (
-        qv.join(asg, "vec_id").join(sigs, "vec_id")
-        .crossJoin(F.broadcast(nrow))
-        .withColumn(
-            "b",
-            F.least(
-                F.lit(_SD_BITS_MAX),
-                F.length(F.bin(F.greatest(
-                    F.lit(1),
-                    F.expr(f"__n div {_SD_K * _SD_SUB_TARGET}")))) - 1,
-            ),
-        )
-        .withColumn("sig", F.expr("substring(sigfull, 1, b)"))
-        .select("cluster", "sig", "vec_id", "j", "q")
-        .localCheckpoint(eager=True)
-    )
-    # per-vector squared norm (int64: 64 * (4.2e6)^2 ~ 1.1e15)
-    norms = v.groupBy("cluster", "vec_id").agg(
-        F.sum(F.col("q") * F.col("q")).alias("n2")).localCheckpoint(
-        eager=True)
-    # pair dot products CONFINED to (cluster, sig) blocks at
-    # (pair, j) grain -> one shuffle on the block key for the join,
-    # one on the pair key
-    a = v.select("cluster", "sig", F.col("vec_id").alias("id_a"), "j",
-                 F.col("q").alias("qa"))
-    b = v.select("cluster", "sig", F.col("vec_id").alias("id_b"), "j",
-                 F.col("q").alias("qb"))
-    dots = (
-        a.join(b, ["cluster", "sig", "j"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("cluster", "id_a", "id_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
+    e = load_table(spark, sf, "embeddings")
+    parts = D.semantic_blocks(
+        e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET, _SD_BITS_MAX)
+    _, asg, _ = parts
+    pairs = D.semantic_dedup_pairs(
+        e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET,
+        tau_sq=(49, 400), sig_bits_max=_SD_BITS_MAX,
+        details=True, parts=parts,
+    ).localCheckpoint(eager=True)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    # norms is vector-count-sized (one row per vec) — broadcast, the
-    # pair stream never shuffles on the id keys; pairs is then cut
-    # once so its two consumers don't re-run the self-join
-    pairs = (
-        dots
-        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_a"),
-                                       F.col("n2").alias("na"))), "id_a")
-        .join(F.broadcast(norms.select(F.col("vec_id").alias("id_b"),
-                                       F.col("n2").alias("nb"))), "id_b")
-        .filter(
-            (F.col("dot") >= 0)
-            & (dec("dot") * dec("dot") * F.lit(400).cast("decimal(38,0)")
-               >= dec("na") * dec("nb") * F.lit(49).cast("decimal(38,0)"))
-        )
-        .select("cluster", "id_a", "id_b", "dot")
-        .localCheckpoint(eager=True)
-    )
-    per_cluster = norms.groupBy("cluster").agg(
+    per_cluster = asg.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"))
     pair_stats = pairs.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(dec("dot")).cast("decimal(38,0)").alias("sum_pair_dot"),
-        # a vector is dropped iff it appears as id_b in ANY pair of
-        # its cluster: distinct-aggregates fold the dedup into the
-        # same shuffle instead of a separate distinct + groupBy
-        F.count_distinct(F.col("id_b")).cast("long").alias("n_dropped"),
-        F.sum_distinct(F.col("id_b")).cast("long").alias("sum_dropped_ids"),
+        F.count_distinct(F.col("drop_id")).cast("long").alias("n_dropped"),
+        F.sum_distinct(F.col("drop_id")).cast("long").alias("sum_dropped_ids"),
     )
     return (
         per_cluster
@@ -1501,13 +1393,18 @@ WITH qv AS MATERIALIZED (
     FROM embeddings
   )
 ),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {_SD_K})
+),
 cent AS (
-  SELECT CAST(vec_id AS INT) AS cid, j, q AS c FROM qv
-  WHERE vec_id < {_SD_K}
+  SELECT s.cid, qv.j, qv.q AS c FROM qv JOIN seeds s USING (vec_id)
 ),
 asg AS (
   SELECT vec_id,
-    CAST(MIN(dist * {_SD_K} + cid) % {_SD_K} AS INT) AS cluster
+    CAST(CAST(MIN(dist * {_SD_K} + cid) AS BIGINT) % {_SD_K} AS INT)
+      AS cluster,
+    CAST(MIN(dist * {_SD_K} + cid) AS BIGINT) // {_SD_K} AS seed_dist
   FROM (
     SELECT qv.vec_id, cent.cid,
       SUM((qv.q - cent.c) * (qv.q - cent.c)) AS dist
@@ -1523,28 +1420,29 @@ planes AS (
 ),
 sigs AS (
   SELECT vec_id,
-    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
-      AS sigfull
+    CAST(SUM(CASE WHEN s >= 0
+             THEN CAST(1 AS BIGINT) << ({_SD_BITS_MAX - 1} - bit)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sigint
   FROM (
     SELECT qv.vec_id, p.bit, SUM(qv.q * p.coef) AS s
     FROM qv JOIN planes p USING (j) GROUP BY 1, 2
   ) GROUP BY 1
 ),
-nb AS (
-  SELECT least({_SD_BITS_MAX},
-    length(bin(greatest(1, COUNT(*) // {_SD_K * _SD_SUB_TARGET}))) - 1)
-    AS b
-  FROM asg
+nbits AS (
+  SELECT CAST(MAX(CASE WHEN (CAST(1 AS BIGINT) << i) <= m
+                  THEN i ELSE 0 END) AS INT) AS b
+  FROM (SELECT greatest(1, COUNT(*) // {_SD_K * _SD_SUB_TARGET}) AS m
+        FROM asg) mm,
+       (SELECT unnest(generate_series(0, {_SD_BITS_MAX})) AS i) ii
 ),
 v AS MATERIALIZED (
   SELECT asg.cluster,
-    substring(s.sigfull, 1, (SELECT b FROM nb)) AS sig,
+    sigs.sigint >> ({_SD_BITS_MAX} - (SELECT b FROM nbits)) AS sig,
     qv.vec_id, qv.j, qv.q
-  FROM qv JOIN asg USING (vec_id) JOIN sigs s USING (vec_id)
+  FROM qv JOIN asg USING (vec_id) JOIN sigs USING (vec_id)
 ),
 norms AS MATERIALIZED (
-  SELECT cluster, vec_id, SUM(q * q) AS n2
-  FROM v GROUP BY 1, 2
+  SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY 1
 ),
 dots AS (
   SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1554,23 +1452,28 @@ dots AS (
   GROUP BY 1, 2, 3
 ),
 pairs AS MATERIALIZED (
-  SELECT d.cluster, d.id_a, d.id_b, d.dot
+  SELECT d.cluster, d.id_a, d.id_b, d.dot,
+    CASE WHEN sb.seed_dist < sa.seed_dist THEN d.id_b
+         WHEN sb.seed_dist > sa.seed_dist THEN d.id_a
+         ELSE d.id_b END AS drop_id
   FROM dots d
   JOIN norms na ON na.vec_id = d.id_a
   JOIN norms nb ON nb.vec_id = d.id_b
+  JOIN asg sa ON sa.vec_id = d.id_a
+  JOIN asg sb ON sb.vec_id = d.id_b
   WHERE d.dot >= 0
     AND CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 400
         >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * 49
 ),
 per_cluster AS (
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
-  FROM norms GROUP BY 1
+  FROM asg GROUP BY 1
 ),
 pair_stats AS (
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
     CAST(SUM(CAST(dot AS HUGEINT)) AS DECIMAL(38, 0)) AS sum_pair_dot,
-    CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped,
-    CAST(SUM(DISTINCT id_b) AS BIGINT) AS sum_dropped_ids
+    CAST(COUNT(DISTINCT drop_id) AS BIGINT) AS n_dropped,
+    CAST(SUM(DISTINCT drop_id) AS BIGINT) AS sum_dropped_ids
   FROM pairs GROUP BY 1
 )
 SELECT p.cluster, p.n_vecs,
@@ -1585,42 +1488,78 @@ LEFT JOIN pair_stats ps USING (cluster)
 
 register(QuerySpec(
     "semantic_dedup_stats", _semantic_dedup, _SEMANTIC_DEDUP_SQL,
-    "SemDeDup-style semantic dedup profile: exact nearest-seed "
+    "SemDeDup semantic dedup profile: input-derived nearest-seed "
     "cluster blocking + scale-adaptive integer-LCG sign-bit "
     "sub-buckets (~50 vecs/block at any tier), quantized-integer "
-    "cosine threshold squared into DECIMAL(38) (no float reaches "
-    "the hash), greedy min-id representative per tau-neighborhood — "
-    "per-cluster kept/dropped census",
+    "cosine threshold squared into DECIMAL(38), and the paper's "
+    "keep-farthest-from-centroid representative rule (exact seed "
+    "distance ranking, min-id tiebreak) — per-cluster kept/dropped "
+    "census; oracle uses shift arithmetic only (no bin/string "
+    "rendering)",
     ("dedup", "vector", "join", "agg", "bench"),
 ))
 
 
-# --- semantic_blocking_recall_audit: audit the round's OWN shortcut --------
+# --- semantic_blocking_recall_audit: audit the shortcut at tau=0.95 --------
 # semantic_dedup_stats' scale lever is the sign-bit sub-bucket; this
-# query measures what that bucket COSTS in recall. Posture: the
-# ann_recall_audit QUERY-SAMPLED form, not the pair-sampled
-# blocking_recall_audit form — tau-true pairs are ~0.07% of
-# within-cluster pairs on this corpus, so a pair-sampled truth side
-# holds ~0 true pairs and the audit would be vacuous (measured before
-# shipping). Instead ~100 scale-adaptively sampled QUERY vectors
-# (the 6k+1 modulus family) are scored against the FULL corpus within
-# their nearest-seed cluster: truth = quantized cos >= 0.35 (exact
-# DECIMAL(38) arithmetic), retained = same PINNED 6-bit sig prefix —
-# the width the adaptive formula picks at sf1, so the audit measures
-# the scale path's operating point rather than the degenerate 0-bit
-# prefix tiny tiers use. Truth cost is queries x corpus = LINEAR in
-# the corpus with a flat query count; the base rate per query is
-# preserved, so n_true stays measurable at every tier.
+# query measures what that bucket COSTS in recall AT THE PAPER'S
+# OPERATING POINT (SemDeDup dedups at cosine >= ~0.95). The r09
+# audit ran tau=0.35 because that is where this synthetic corpus has
+# natural pairs — but the corpus has NO pairs above cosine 0.61, so
+# a tau=0.95 audit on raw data would be a vacuous 0-true-pairs green
+# (the exact failure mode round-9 verdict #2 flags elsewhere).
+# Round-10 posture: PLANT the truth. The corpus is augmented with
+# one deterministic near-duplicate twin per vector (id + 10^7,
+# coordinates perturbed by an integer LCG in [-48000, 48000] micro
+# units — measured twin cosine ~0.976, 100% above 0.95 on this
+# corpus, sign-bit retention ~0.6 at 6 bits, consistent with the
+# (1 - theta/pi)^bits theory at theta ~12.5 deg). Truth is still
+# MEASURED, never assumed: every sampled query is exact-scored
+# against its full within-cluster candidate set, planted or not.
+# Query-sampled posture as before (~n/19 query vectors vs the FULL
+# augmented corpus in-cluster): truth cost stays linear in the
+# corpus with a flat query count.
 
 _SEM_AUDIT_BITS = 6
+_SEM_TWIN_OFFSET = 10_000_000
+_SEM_TWIN_AMP = 48_000  # perturbation amplitude, micro-units
+
+
+def _sd_augmented(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized embeddings + one LCG-perturbed twin per vector."""
+    e = load_table(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id", "j",
+        F.floor(F.col("x").cast("double") * _SD_SCALE)
+        .cast("long").alias("q"),
+    )
+    twin = base.select(
+        (F.col("vec_id") + _SEM_TWIN_OFFSET).alias("vec_id"), "j",
+        (F.col("q")
+         + ((F.lit(1103515245) * (F.col("vec_id") * 64 + F.col("j"))
+             + 54321) % F.lit(2 ** 31)) % (2 * _SEM_TWIN_AMP + 1)
+         - _SEM_TWIN_AMP).alias("q"),
+    )
+    return base.unionByName(twin)
+
+
+_TRUTH_TARGET_DOCS_SEM = 100
 
 
 def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
-    qv_all = _sd_quantized(spark, sf).localCheckpoint(eager=True)
-    cent = qv_all.filter(F.col("vec_id") < _SD_K).select(
-        F.col("vec_id").cast("int").alias("cid"), "j",
-        F.col("q").alias("c"),
+    qv_all = _sd_augmented(spark, sf).localCheckpoint(eager=True)
+    seeds = (
+        qv_all.select("vec_id").distinct().orderBy("vec_id").limit(_SD_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("cid"),
+        )
     )
+    cent = qv_all.join(F.broadcast(seeds), "vec_id").select(
+        "cid", "j", F.col("q").alias("c"))
     d = F.col("q") - F.col("c")
     asg = (
         qv_all.join(F.broadcast(cent), "j")
@@ -1640,13 +1579,11 @@ def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
         qv_all.join(F.broadcast(planes), "j")
         .groupBy("vec_id", "bit")
         .agg(F.sum(F.col("q") * F.col("coef")).alias("s"))
-        .select("vec_id", "bit",
-                F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
-                .alias("ch"))
         .groupBy("vec_id")
-        .agg(F.concat_ws("", F.transform(
-            F.array_sort(F.collect_list(F.struct("bit", "ch"))),
-            lambda x: x["ch"])).alias("sig"))
+        .agg(F.sum(F.expr(
+            f"CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+            f"{_SEM_AUDIT_BITS - 1} - bit) ELSE CAST(0 AS BIGINT) END"
+        )).alias("sig"))
     )
     v = (
         qv_all.join(asg, "vec_id").join(sigs, "vec_id")
@@ -1655,20 +1592,20 @@ def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
     norms = v.groupBy("vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("n2"))
-    # query sample: scale-adaptive modulus -> ~100 query vectors
-    nrow = v.select("vec_id").distinct().agg(
-        F.count(F.lit(1)).alias("__n"))
+    # query sample: scale-adaptive modulus over ORIGINAL ids only
+    # (each sampled query's planted twin is guaranteed in-corpus)
+    nrow = v.filter(F.col("vec_id") < _SEM_TWIN_OFFSET).select(
+        "vec_id").distinct().agg(F.count(F.lit(1)).alias("__n"))
     m_col = (F.lit(6) * F.greatest(
-        F.lit(3), F.expr(f"__n div {6 * _TRUTH_TARGET_DOCS}")) + F.lit(1))
+        F.lit(3), F.expr(f"__n div {6 * _TRUTH_TARGET_DOCS_SEM}")) + F.lit(1))
     a = (
         v.crossJoin(F.broadcast(nrow))
         .withColumn("__m", m_col)
-        .filter(F.col("vec_id") % F.col("__m") == 0)
+        .filter((F.col("vec_id") < _SEM_TWIN_OFFSET)
+                & (F.col("vec_id") % F.col("__m") == 0))
         .select("cluster", F.col("sig").alias("sig_a"),
                 F.col("vec_id").alias("id_a"), "j", F.col("q").alias("qa"))
     )
-    # TRUTH: each sampled query against the FULL corpus in its
-    # cluster — linear in the corpus with a flat query count
     b = v.select("cluster", F.col("sig").alias("sig_b"),
                  F.col("vec_id").alias("id_b"), "j", F.col("q").alias("qb"))
     dots = (
@@ -1689,7 +1626,7 @@ def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
             ((F.col("dot") >= 0)
              & (dec("dot") * dec("dot") * F.lit(400).cast("decimal(38,0)")
                 >= dec("na") * dec("nb")
-                * F.lit(49).cast("decimal(38,0)"))).alias("is_true"),
+                * F.lit(361).cast("decimal(38,0)"))).alias("is_true"),
         )
     )
     agg = pairs.agg(
@@ -1713,7 +1650,7 @@ def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SEM_RECALL_SQL = f"""
-WITH qv_all AS MATERIALIZED (
+WITH base AS MATERIALIZED (
   SELECT vec_id, j,
     CAST(floor(CAST(x AS DOUBLE) * {_SD_SCALE}) AS BIGINT) AS q
   FROM (
@@ -1723,18 +1660,30 @@ WITH qv_all AS MATERIALIZED (
     FROM embeddings
   )
 ),
+qv_all AS MATERIALIZED (
+  SELECT vec_id, j, q FROM base
+  UNION ALL
+  SELECT vec_id + {_SEM_TWIN_OFFSET} AS vec_id, j,
+    q + ((1103515245 * (vec_id * 64 + j) + 54321) % 2147483648)
+        % {2 * _SEM_TWIN_AMP + 1} - {_SEM_TWIN_AMP} AS q
+  FROM base
+),
 m AS (
   SELECT 6 * greatest(3, COUNT(DISTINCT vec_id)
-                         // {6 * _TRUTH_TARGET_DOCS}) + 1 AS m
-  FROM qv_all
+                         // {6 * _TRUTH_TARGET_DOCS_SEM}) + 1 AS m
+  FROM base
+),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM qv_all ORDER BY vec_id LIMIT {_SD_K})
 ),
 cent AS (
-  SELECT CAST(vec_id AS INT) AS cid, j, q AS c FROM qv_all
-  WHERE vec_id < {_SD_K}
+  SELECT s.cid, qv.j, qv.q AS c FROM qv_all qv JOIN seeds s USING (vec_id)
 ),
 asg AS (
   SELECT vec_id,
-    CAST(MIN(dist * {_SD_K} + cid) % {_SD_K} AS INT) AS cluster
+    CAST(CAST(MIN(dist * {_SD_K} + cid) AS BIGINT) % {_SD_K} AS INT)
+      AS cluster
   FROM (
     SELECT qv.vec_id, cent.cid,
       SUM((qv.q - cent.c) * (qv.q - cent.c)) AS dist
@@ -1750,8 +1699,9 @@ planes AS (
 ),
 sigs AS (
   SELECT vec_id,
-    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
-      AS sig
+    CAST(SUM(CASE WHEN s >= 0
+             THEN CAST(1 AS BIGINT) << ({_SEM_AUDIT_BITS - 1} - bit)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
   FROM (
     SELECT qv.vec_id, p.bit, SUM(qv.q * p.coef) AS s
     FROM qv_all qv JOIN planes p USING (j) GROUP BY 1, 2
@@ -1769,13 +1719,14 @@ dots AS (
     a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.q * b.q) AS dot
   FROM v a JOIN v b ON a.cluster = b.cluster AND a.j = b.j
     AND a.vec_id != b.vec_id
-  WHERE a.vec_id % (SELECT m FROM m) = 0
+  WHERE a.vec_id < {_SEM_TWIN_OFFSET}
+    AND a.vec_id % (SELECT m FROM m) = 0
   GROUP BY 1, 2, 3, 4, 5
 ),
 pairs AS (
   SELECT d.sig_a = d.sig_b AS same_blk,
     (d.dot >= 0 AND CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 400
-       >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * 49) AS is_true
+       >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * 361) AS is_true
   FROM dots d
   JOIN norms na ON na.vec_id = d.id_a
   JOIN norms nb ON nb.vec_id = d.id_b
@@ -1800,9 +1751,11 @@ FROM agg
 register(QuerySpec(
     "semantic_blocking_recall_audit", _semantic_blocking_recall,
     _SEM_RECALL_SQL,
-    "recall audit of semantic dedup's OWN sign-bit sub-bucket: "
-    "query-sampled pairs completeness and reduction ratio of a "
-    "pinned 6-bit prefix vs exact within-cluster cosine truth over "
-    "the full corpus — the shortcut's cost measured, not assumed",
+    "recall audit of semantic dedup's sign-bit sub-bucket AT THE "
+    "SEMDEDUP OPERATING POINT tau=0.95: planted LCG-perturbed twin "
+    "vectors (cos ~0.976) make the truth side non-vacuous on a "
+    "corpus with no natural pairs above 0.61; query-sampled pairs "
+    "completeness + reduction ratio of a pinned 6-bit prefix, truth "
+    "exact-scored, never assumed",
     ("dedup", "vector", "audit"),
 ))

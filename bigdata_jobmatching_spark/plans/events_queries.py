@@ -1140,8 +1140,15 @@ register(QuerySpec(
 
 # --- events_sequence_match: view -> click -> purchase within gaps ---------
 # MATCH_RECOGNIZE-style 3-step pattern: a view completes if the SAME
-# user's EARLIEST following click lands within 30 min, and the
-# earliest purchase after that click lands within another 30 min.
+# user's EARLIEST following click lands within the gap, and the
+# earliest purchase after that click lands within another gap.
+# Gap = 6 h (round-10): the synthetic events run ~1 event per user
+# per 10.7 h, so the original 30-min gap NEVER fired and the query's
+# two gate greens were vacuous 0=0 hash matches (round-9 verdict
+# wrong #2). 6 h fires at every tier (1/20/249 completed triples at
+# sf0.001/0.01/0.1) while keeping the earliest-next semantics and
+# the oracle in lockstep; tests/test_round10_queries.py pins the
+# non-empty behavior on crafted chains.
 # "Earliest-next" makes the match deterministic (no combinatorial
 # pairing): each step is an equi-join on user_id carrying the time
 # band, reduced by a min() aggregate at the anchor grain before the
@@ -1149,7 +1156,7 @@ register(QuerySpec(
 # user-key join carries the range predicate; a celebrity user routes
 # through the bucketed interval join (operators/temporal.py) instead.
 
-_SEQ_GAP_MS = 30 * 60 * 1000
+_SEQ_GAP_MS = 360 * 60 * 1000
 
 
 def _seq_match(spark: SparkSession, sf: str) -> DataFrame:
@@ -1219,7 +1226,7 @@ FROM completed GROUP BY day
 
 register(QuerySpec(
     "events_sequence_match", _seq_match, _SEQ_SQL,
-    "3-step view->click->purchase pattern within 30-min gaps "
+    "3-step view->click->purchase pattern within 6-hour gaps "
     "(earliest-next semantics: banded user joins + min-reduce per "
     "anchor, no combinatorial pairing)",
     ("events", "join", "temporal", "bench"),

@@ -1,0 +1,200 @@
+"""Round-10 unit tests: SemDeDup keep-farthest representative rule,
+input-derived seeds (round-9 advice #2), and the de-vacuated
+events_sequence_match / customers_without_orders queries (round-9
+verdict wrong #2 — their gate greens had only ever matched 0 rows,
+which proves nothing about the join logic; these fixtures make the
+semantics fail loudly if either query regresses)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _vecs(spark, rows):
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_semantic_dedup_keep_farthest_rule(spark):
+    """The paper's representative rule, deterministic: in each
+    tau-close pair the member NEARER its assigned seed drops; ties
+    drop the larger id. Crafted 2-seed corpus where the expected
+    drop set is computable by hand."""
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    # seeds (2 smallest ids): 100 -> cid 0, 101 -> cid 1
+    # cluster 0 = {100, 102, 103, 104}; quantized seed dists:
+    #   100: 0, 102: 1.25e10, 103: 5e10, 104: 1.25e10 (== 102)
+    vecs = _vecs(spark, [
+        (100, [1.0, 0.0]),
+        (101, [0.0, 1.0]),
+        (102, [0.9, 0.05]),
+        (103, [0.8, 0.1]),
+        (104, [0.9, 0.05]),
+    ])
+    pairs = D.semantic_dedup_pairs(
+        vecs, "vec_id", "embedding", n_seeds=2, details=True,
+    ).collect()
+    drop_by_pair = {(r.id_a, r.id_b): r.drop_id for r in pairs}
+    # seed 100 is NEAREST its own centroid -> drops in every pair
+    assert drop_by_pair[(100, 102)] == 100
+    assert drop_by_pair[(100, 103)] == 100
+    assert drop_by_pair[(100, 104)] == 100
+    # 102 nearer seed than 103 -> 102 drops
+    assert drop_by_pair[(102, 103)] == 102
+    # exact tie (102 == 104 coords) -> larger id drops
+    assert drop_by_pair[(102, 104)] == 104
+    assert drop_by_pair[(103, 104)] == 104
+    # kept representative of cluster 0 is the farthest-from-seed: 103
+    dropped = {r.drop_id for r in pairs}
+    assert dropped == {100, 102, 104}
+
+
+def test_semantic_dedup_seeds_from_input(spark):
+    """Round-9 advice #2: seeds derive from the ids ACTUALLY PRESENT.
+    A corpus whose ids all exceed the old hard-coded `id < n_seeds`
+    window (e.g. ids 0..7 were deduped upstream) must still find
+    pairs instead of silently deduping nothing."""
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    # seeds = 2 smallest PRESENT ids: 500 and 501 (orthogonal);
+    # 503 is a near-dup of seed 500 and lands in its cluster
+    vecs = _vecs(spark, [
+        (500, [1.0, 0.0, 0.0]),
+        (501, [0.0, 1.0, 0.0]),
+        (503, [0.99, 0.01, 0.0]),   # near-dup of 500
+    ])
+    pairs = D.semantic_dedup_pairs(
+        vecs, "vec_id", "embedding", n_seeds=2).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(500, 503)}
+    # 500 is seed (dist 0) -> nearer -> drops; 503 kept
+    assert pairs[0].drop_id == 500
+
+    # empty input => empty output, honest, no crash
+    empty = _vecs(spark, [])
+    assert D.semantic_dedup_pairs(empty, "vec_id", "embedding").count() == 0
+
+
+def test_semantic_dedup_docs_drops_by_rule(spark):
+    """Corpus stage follows the operator's drop decision: exactly the
+    drop_ids leave, docs without embeddings pass through."""
+    from bigdata_jobmatching_spark.orchestrate_corpus import (
+        semantic_dedup_docs,
+    )
+
+    # default n_seeds=8: ids 500..507 are the seeds (orthogonal unit
+    # vectors, dim 8); 510 is a near-dup of seed 500
+    ids = list(range(500, 508))
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in ids] + [(510, "twin"), (900, "no-vec")],
+        ["doc_id", "text"],
+    )
+    unit = [[1.0 if j == k else 0.0 for j in range(8)] for k in range(8)]
+    twin = [0.99, 0.01] + [0.0] * 6
+    emb = _vecs(spark, list(zip(ids, unit)) + [(510, twin)])
+    kept = {r.doc_id for r in semantic_dedup_docs(docs, emb).collect()}
+    # 500 drops (seed itself: nearest its own centroid, the paper's
+    # keep-farthest rule keeps the twin); 900 has no embedding and
+    # passes through untouched
+    assert kept == {501, 502, 503, 504, 505, 506, 507, 510, 900}
+
+
+def _write_events(spark, path, rows):
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet")
+
+
+def test_events_sequence_match_crafted_chains(spark, tmp_path):
+    """Non-empty on crafted view->click->purchase chains; earliest-next
+    semantics; a chain broken by the gap yields nothing."""
+    from bigdata_jobmatching_spark.plans.events_queries import _seq_match
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(i, minutes, user, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: complete chain inside 6h gaps -> 1 sequence
+        ev(1, 0, 1, "view"),
+        ev(2, 30, 1, "click"),
+        ev(3, 90, 1, "purchase"),
+        # user 2: click lands 7h after the view -> no match
+        ev(4, 0, 2, "view"),
+        ev(5, 420, 2, "click"),
+        ev(6, 430, 2, "purchase"),
+        # user 3: purchase 7h after the click -> no match
+        ev(7, 0, 3, "view"),
+        ev(8, 10, 3, "click"),
+        ev(9, 10 + 420, 3, "purchase"),
+        # user 4: two views complete off the SAME click/purchase
+        ev(10, 0, 4, "view"),
+        ev(11, 5, 4, "view"),
+        ev(12, 60, 4, "click"),
+        ev(13, 120, 4, "purchase"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = _seq_match(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n_sequences == 3  # user 1 once + user 4 twice
+    assert out[0].n_users == 2
+
+
+def test_events_sequence_match_earliest_next(spark, tmp_path):
+    """EARLIEST-next click is the anchor: if the first click's window
+    holds no purchase, a later click inside the view's gap does NOT
+    rescue the view (deterministic non-combinatorial semantics)."""
+    from bigdata_jobmatching_spark.plans.events_queries import _seq_match
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        # earliest click at +10 min; its 6 h window ends at +370 min
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        # later click at +100 min (ignored: not the earliest)
+        (3, t0 + dt.timedelta(minutes=100), 1, "click", 1.0, "{}"),
+        # purchase at +400 min: outside the earliest click's window,
+        # inside the later click's -> must NOT count
+        (4, t0 + dt.timedelta(minutes=400), 1, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    assert _seq_match(spark, str(tmp_path)).count() == 0
+
+
+def test_customers_without_urgent_orders_crafted(spark, tmp_path):
+    """Anti-join fires on the URGENT subset: a customer with only
+    non-urgent orders counts; one with any urgent order doesn't."""
+    from bigdata_jobmatching_spark.plans.relational import _anti
+
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)],
+        ["c_custkey", "c_nationkey"],
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(100, 1, "1-URGENT"), (101, 2, "3-MEDIUM"), (102, 2, "5-LOW")],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "FRANCE"), (20, "KENYA")],
+        ["n_nationkey", "n_name"],
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+
+    out = {r.n_name: r.n_customers
+           for r in _anti(spark, str(tmp_path)).collect()}
+    # cust 1 has an urgent order -> excluded; cust 2 (non-urgent only)
+    # and cust 3 (no orders at all) both count
+    assert out == {"FRANCE": 1, "KENYA": 1}
