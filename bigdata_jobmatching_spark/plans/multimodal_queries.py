@@ -11,10 +11,12 @@ synthesis or the parser drifts, the hash fails.
 from __future__ import annotations
 
 import functools
+import math
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import multimodal as MM
@@ -2065,4 +2067,221 @@ register(QuerySpec(
     "pipeline, 12-bit sums and peaks hash-checked against arithmetic "
     "recomputation",
     ("multimodal", "decode"),
+))
+
+
+# --- image_phash_near_dups: perceptual image dedup (round-10) --------------
+# The codec investment paying into the mission (round-9 verdict task
+# #5): image NEAR-duplicate detection — the visual analogue of the
+# text near-dup family — as real decoded-pixel perceptual hashing
+# with the same banded-Hamming blocking as simhash_md5_hamming_pairs.
+#
+# Payloads are REAL 32x32 grayscale PNGs (stdlib-zlib codec) whose
+# content is an integer-LCG noise field keyed by img = p_partkey div
+# 8; near-duplicates are PLANTED as variants vr = (p_partkey % 8)
+# div 2 that swap the ~4*vr per-331 pixel stripe to a second LCG
+# (measured: same-image variant pHash Hamming mostly <= 12,
+# cross-image minimum 18, median 33 — clean separation). The div-8
+# grouping bounds every near-dup clique at 8 keys (2 per variant),
+# so the candidate pair count stays <= 28 per group — LINEAR in the
+# corpus at any scale (a %-based image space would grow cliques with
+# the corpus and go quadratic — measured 567k pairs at sf0.1 before
+# this grouping, ~40k after). The Spark
+# side runs encode -> decode -> integer 8x32 DCT (quantized cosine
+# table, scale 4096, embedded identically in both engines) -> 63-bit
+# mean-threshold hash (DC excluded, so the hash never touches the
+# sign bit); the DuckDB oracle recomputes pixels, DCT, hash, bands,
+# and pairs arithmetically. A flipped bit anywhere in the codec or
+# the hash pipeline flips the gate hash.
+#
+# Scale shape: hashing is decode-where-scanned (payloads never
+# shuffle); the pair stage is a band equi-join — 4 bands of 16 bits,
+# pigeonhole-lossless for Hamming <= 3 and measured-complete for the
+# planted variants here — never an all-pairs compare. At 100 TB the
+# band join shuffles ~4 rows per image and hot bands (e.g. flat
+# monochrome images hashing alike) are the skew risk, same knobs as
+# the text LSH family.
+
+_PH_SCALE = 4096
+_PH_MAXDIST = 12
+_PH_DCT = [
+    [round(math.cos((2 * x + 1) * u * math.pi / 64) * _PH_SCALE)
+     for x in range(32)]
+    for u in range(8)
+]
+
+_PH_SCHEMA = T.StructType([
+    T.StructField("p_partkey", T.LongType()),
+    T.StructField("ph", T.LongType()),
+])
+
+
+def _phash_of(img: int, vr: int) -> int:
+    """Synth PNG -> REAL decode -> integer-DCT pHash (63 bits)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    idx = (yy * 32 + xx).astype(np.int64)
+
+    # multiply-xorshift mix, NOT a bare LCG: consecutive images must
+    # not be windows of one linear stream or their DCT signs correlate
+    # (measured: single-LCG content put 0.5% of CROSS-image pairs
+    # under the Hamming threshold and defeated the band blocking;
+    # this mix gives bit bias 0.44-0.56, cross minimum 16, zero cross
+    # pairs <= 12 over 44k sampled)
+    def mix(a, salt):
+        a1 = (a + salt) % (2 ** 31)
+        h1 = (a1 * 2654435761 + 1) % (2 ** 31)
+        h2 = np.bitwise_xor(h1, h1 // 65536)
+        h3 = (h2 * 1103515245 + 12345) % (2 ** 31)
+        h4 = np.bitwise_xor(h3, h3 // 32768)
+        return h4 % 240
+
+    a = img * 1024 + idx
+    pix = np.where(idx % 331 < vr * 4, mix(a, 999999937),
+                   mix(a, 0)).astype(np.uint8)
+    png = MM.encode_png(32, 32, pix.tobytes(), channels=1)
+    w, h, ch, raw = MM.decode_png(png)
+    assert (w, h, ch) == (32, 32, 1)
+    P = np.frombuffer(raw, np.uint8).reshape(32, 32).astype(np.int64)
+    Tm = np.array(_PH_DCT, np.int64)
+    # P is row-major [y][x]; transpose so the first DCT axis runs over
+    # x — C[u][v] = sum_{x,y} T[u][x] * P[y][x] * T[v][y], matching the
+    # oracle's (u = horizontal, v = vertical) orientation
+    C = (Tm @ P.T @ Tm.T).flatten()
+    vals = C[1:]  # drop DC
+    s = int(vals.sum())
+    out = 0
+    for i, c in enumerate(vals):
+        if int(c) * 63 > s:
+            out |= 1 << i
+    return out
+
+
+def _image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[tuple[int, int], int] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                key = (int(k) // 8, (int(k) % 8) // 2)
+                if key not in memo:
+                    memo[key] = _phash_of(*key)
+                rows.append((int(k), memo[key]))
+            yield pd.DataFrame(rows, columns=["p_partkey", "ph"])
+
+    sig = p.mapInPandas(batches, _PH_SCHEMA).localCheckpoint(eager=False)
+    bands = sig.select(
+        "p_partkey", "ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(ph, {b * 16}) & 65535").alias("key"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("p_partkey", "ph", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("p_partkey").alias("id_a"), F.col("ph").alias("ph_a"),
+        "band", "key")
+    b = bands.select(
+        F.col("p_partkey").alias("id_b"), F.col("ph").alias("ph_b"),
+        "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PH_MAXDIST)
+    )
+
+
+_PH_T_VALUES = ",\n    ".join(
+    f"({u}, {x}, {_PH_DCT[u][x]})" for u in range(8) for x in range(32)
+)
+
+_PHASH_SQL = f"""
+WITH t(u, x, tv) AS (VALUES
+    {_PH_T_VALUES}),
+imgs AS (
+  SELECT DISTINCT p_partkey // 8 AS img, (p_partkey % 8) // 2 AS vr
+  FROM part
+),
+grid AS (
+  SELECT xs.x, ys.y, ys.y * 32 + xs.x AS idx
+  FROM (SELECT unnest(range(32)) AS x) xs,
+       (SELECT unnest(range(32)) AS y) ys
+),
+px AS (
+  SELECT img, vr, x, y,
+    CASE WHEN idx % 331 < vr * 4 THEN pa ELSE pb END AS p
+  FROM (
+    SELECT img, vr, x, y, idx,
+      xor(h3a, h3a // 32768) % 240 AS pa,
+      xor(h3b, h3b // 32768) % 240 AS pb
+    FROM (
+      SELECT img, vr, x, y, idx,
+        (xor(h1a, h1a // 65536) * 1103515245 + 12345) % 2147483648 AS h3a,
+        (xor(h1b, h1b // 65536) * 1103515245 + 12345) % 2147483648 AS h3b
+      FROM (
+        SELECT img, vr, x, y, idx,
+          (((img * 1024 + idx + 999999937) % 2147483648)
+            * 2654435761 + 1) % 2147483648 AS h1a,
+          (((img * 1024 + idx) % 2147483648)
+            * 2654435761 + 1) % 2147483648 AS h1b
+        FROM imgs, grid
+      )
+    )
+  )
+),
+r AS (
+  SELECT px.img, px.vr, t.u, px.y, SUM(px.p * t.tv) AS rv
+  FROM px JOIN t ON t.x = px.x
+  GROUP BY 1, 2, 3, 4
+),
+c AS (
+  SELECT r.img, r.vr, r.u, t.u AS v2, SUM(r.rv * t.tv) AS cv
+  FROM r JOIN t ON t.x = r.y
+  GROUP BY 1, 2, 3, 4
+),
+ac AS (SELECT * FROM c WHERE NOT (u = 0 AND v2 = 0)),
+s AS (SELECT img, vr, SUM(cv) AS sv FROM ac GROUP BY 1, 2),
+hh AS (
+  SELECT ac.img, ac.vr,
+    CAST(SUM(CASE WHEN ac.cv * 63 > s.sv
+             THEN CAST(1 AS BIGINT) << CAST(ac.u * 8 + ac.v2 - 1 AS INT)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+  FROM ac JOIN s USING (img, vr) GROUP BY 1, 2
+),
+sig AS (
+  SELECT p.p_partkey, hh.ph
+  FROM part p JOIN hh ON hh.img = p.p_partkey // 8
+    AND hh.vr = (p.p_partkey % 8) // 2
+),
+b AS (
+  SELECT p_partkey, ph, band,
+    (ph >> CAST(band * 16 AS INT)) & 65535 AS key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bs
+),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS id_a, b2.p_partkey AS id_b,
+    CAST(bit_count(xor(a.ph, b2.ph)) AS INT) AS hamming
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+    AND a.p_partkey < b2.p_partkey
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_PH_MAXDIST}
+"""
+
+register(QuerySpec(
+    "image_phash_near_dups", _image_phash_pairs, _PHASH_SQL,
+    "perceptual image near-dup pairs: REAL PNG decode -> integer-DCT "
+    "pHash (quantized cosine table, 63-bit mean-threshold hash) -> "
+    "banded 16-bit Hamming join, planted LCG variant images as truth "
+    "— the visual member of the near-dup dedup family",
+    ("multimodal", "dedup", "decode", "join", "bench"),
 ))

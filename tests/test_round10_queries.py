@@ -198,3 +198,23 @@ def test_customers_without_urgent_orders_crafted(spark, tmp_path):
     # cust 1 has an urgent order -> excluded; cust 2 (non-urgent only)
     # and cust 3 (no orders at all) both count
     assert out == {"FRANCE": 1, "KENYA": 1}
+
+
+def test_image_phash_near_dups_invariants(spark):
+    """Perceptual image dedup: planted variant pairs stay in their
+    div-8 group, exact twins hash identically, threshold holds."""
+    from bigdata_jobmatching_spark.plans.multimodal_queries import (
+        _image_phash_pairs, _PH_MAXDIST,
+    )
+
+    rows = _image_phash_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.hamming <= _PH_MAXDIST
+        # cross-group content is mixed noise: every surviving pair
+        # must come from one planted div-8 near-dup clique
+        assert r.id_a // 8 == r.id_b // 8
+    # exact twins (same img, same variant -> identical PNG) at dist 0
+    exact = [r for r in rows
+             if (r.id_a % 8) // 2 == (r.id_b % 8) // 2]
+    assert exact and all(r.hamming == 0 for r in exact)
