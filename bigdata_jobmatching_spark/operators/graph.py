@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _union_find_components(rows) -> dict:
@@ -89,9 +90,17 @@ def connected_components(
         rows = half.collect()  # bounded by the count check just above
         labels = _union_find_components((r[0], r[1]) for r in rows)
         spark = edges.sparkSession
-        out_schema = half.select(
-            F.col("a").alias("node"), F.col("a").alias("component")
-        ).schema
+        # schema from the UNION of both endpoint columns: src and dst
+        # may differ in width (int vs long) and component labels can
+        # come from either side, so a src-only schema could mistype or
+        # reject dst-sourced labels (round-9 advice fix) — the union
+        # coerces to the common type, mirroring the distributed
+        # path's sym union
+        node_t = half.select(F.col("a").alias("node")).union(
+            half.select(F.col("b"))).schema["node"].dataType
+        out_schema = StructType([
+            StructField("node", node_t), StructField("component", node_t),
+        ])
         return spark.createDataFrame(
             list(labels.items()), schema=out_schema)
     sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()

@@ -45,6 +45,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from . import versioned as V
 
@@ -123,17 +124,24 @@ def _collect_file_stats(vdir: str, stats_cols: tuple[str, ...]) -> list[dict]:
     return entries
 
 
-def manifest_attacher(stats_cols: tuple[str, ...]):
+def manifest_attacher(stats_cols: tuple[str, ...], schema_json: str | None = None):
     """A ``pre_publish`` hook (see versioned.write_version) that
     collects footer stats into ``_MANIFEST.json`` inside the staged
     version dir — the shared attach step for the batch writer, the
     WAP publisher, and the streaming sinks, all riding the same
-    sidecar-before-swap crash discipline."""
+    sidecar-before-swap crash discipline.
+
+    ``schema_json`` (the writer's declared ``df.schema.json()``) rides
+    along when given, so a ZERO-file version (legal after an empty
+    staged write) stays readable with its declared schema — the
+    footer-less case schema inference cannot cover."""
     def attach(vdir: str) -> None:
         manifest = {
             "stats_cols": list(stats_cols),
             "files": _collect_file_stats(vdir, stats_cols),
         }
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         with open(os.path.join(vdir, _MANIFEST), "w") as f:
             json.dump(manifest, f)
     return attach
@@ -152,7 +160,8 @@ def write_version_with_manifest(
     relative path, so ``read_pruned`` skips across partitions and
     within them alike."""
     return V.write_version(
-        df, root, partition_by, pre_publish=manifest_attacher(stats_cols),
+        df, root, partition_by,
+        pre_publish=manifest_attacher(stats_cols, df.schema.json()),
     )
 
 
@@ -200,7 +209,7 @@ def audit_then_publish(
     for audit in audits:
         audit(staged)  # raises -> staged dir stays unpublished
     if stats_cols:
-        manifest_attacher(stats_cols)(vdir)
+        manifest_attacher(stats_cols, df.schema.json())(vdir)
     V.publish(root, nxt)
     return nxt
 
@@ -255,12 +264,29 @@ def read_pruned(
             continue  # provably disjoint
         keep.append(entry["file"])
     files_total = len(man["files"])
+    if not man["files"]:
+        # a version whose manifest lists zero data files is legal
+        # (audit_then_publish supports empty staged writes): return an
+        # empty relation under the manifest's declared schema instead
+        # of indexing into the empty list (round-9 advice fix); plain
+        # schema inference has no footer to read here
+        sj = man.get("schema")
+        if sj is None:
+            raise FileNotFoundError(
+                f"v{v:05d} under {root} lists zero files and its "
+                "manifest predates schema carriage — unreadable")
+        schema = T.StructType.fromJson(json.loads(sj))
+        return spark.read.schema(schema).parquet(vdir), 0, 0
+    # basePath keeps hive partition columns reconstructable from the
+    # leaf paths, so a pruned scan of a partition_by layout has the
+    # SAME schema as read_version and predicates on the partition
+    # column keep working (round-9 advice fix: without it the pruned
+    # frame silently lacked the partition column)
+    reader = spark.read.option("basePath", vdir)
     if not keep:
         # empty relation with the right schema: read one file's schema
         # without its rows
         any_file = os.path.join(vdir, man["files"][0]["file"])
-        return (
-            spark.read.parquet(any_file).limit(0), files_total, 0,
-        )
-    df = spark.read.parquet(*[os.path.join(vdir, f) for f in keep])
+        return reader.parquet(any_file).limit(0), files_total, 0
+    df = reader.parquet(*[os.path.join(vdir, f) for f in keep])
     return df, files_total, len(keep)

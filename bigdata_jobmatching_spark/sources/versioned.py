@@ -64,6 +64,24 @@ def current_version(root: str) -> int | None:
     return int(m.group(1))
 
 
+_PUB_PREFIX = "_PUBLISHED_v"
+
+
+def _publish_marker(root: str, version: int) -> None:
+    # atomic, idempotent, append-only: exists-after-create is the only
+    # contract, so concurrent publishers never conflict
+    open(os.path.join(root, f"{_PUB_PREFIX}{version:05d}"), "a").close()
+
+
+def _max_published(root: str) -> int | None:
+    vs = [
+        int(n[len(_PUB_PREFIX):])
+        for n in os.listdir(root)
+        if n.startswith(_PUB_PREFIX)
+    ]
+    return max(vs, default=None)
+
+
 def _set_pointer(root: str, version: int) -> None:
     tmp = _pointer_path(root) + ".tmp"
     with open(tmp, "w") as f:
@@ -232,10 +250,28 @@ def write_version_optimistic(
         # BACKWARD over a concurrent commit that already published a
         # higher version — its own commit then stands as a complete,
         # immediately-superseded version (readable by number, like an
-        # Iceberg snapshot that lost the pointer race)
+        # Iceberg snapshot that lost the pointer race).
+        #
+        # The bare check-then-act (read current, then swap) can still
+        # interleave so the lower writer's swap lands last (round-9
+        # advice #5). Publishing therefore ALSO drops an append-only
+        # _PUBLISHED_vNNNNN marker (atomic create, never mutated), and
+        # every writer self-heals after its swap: if the pointer sits
+        # below the max published marker, restore it. A regression is
+        # now transient — bounded by the last racer's heal step — and
+        # markers distinguish PUBLISHED versions from mkdir-claimed
+        # in-flight ones, so the heal can never point at a half-written
+        # directory. Residual window: a reader between the losing swap
+        # and the heal sees the superseded (complete, consistent)
+        # version; with no OS lock that window cannot be closed, only
+        # kept self-correcting.
+        _publish_marker(root, nxt)
         cur = current_version(root)
         if cur is None or cur < nxt:
             _set_pointer(root, nxt)
+        hi = _max_published(root)
+        if hi is not None and (current_version(root) or 0) < hi:
+            _set_pointer(root, hi)
         return nxt
     raise RuntimeError(
         f"write_version_optimistic: lost the version race "

@@ -354,3 +354,107 @@ def test_merge_on_read_deletes(spark, tmp_path):
     # current=3 (MOR) -> pins 2 -> pins 1; v4 is the newest complete
     assert 1 not in deleted and 2 not in deleted and 3 not in deleted
     assert M.read_version_mor(spark, root).count() == 85
+
+
+def test_pruned_scan_keeps_partition_column(spark, tmp_path):
+    """Round-10 advice fix: a pruned scan of a hive-partitioned layout
+    reconstructs the partition column (basePath), so its schema equals
+    read_version's and predicates on the partition column work."""
+    o = load_table(spark, _SF, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    root = str(tmp_path / "orders_part")
+    MF.write_version_with_manifest(
+        o.repartition("yr"), root, stats_cols=("odate",),
+        partition_by=("yr",))
+
+    pruned, total, read = MF.read_pruned(spark, root, "odate", _LO, _HI)
+    assert 0 < read < total
+    # partition column present, same column set as the full read
+    assert set(pruned.columns) == set(V.read_version(spark, root).columns)
+    # predicate ON the partition column: pruned == full
+    full_97 = V.read_version(spark, root).filter(F.col("yr") == 1997)
+    assert pruned.filter(F.col("yr") == 1997).count() == full_97.count() > 0
+    # and the empty-keep path keeps the partition column too
+    nothing, _, read0 = MF.read_pruned(
+        spark, root, "odate", "2090-01-01", "2090-12-31")
+    assert read0 == 0 and "yr" in nothing.columns
+
+
+def test_read_pruned_zero_file_manifest(spark, tmp_path):
+    """Round-10 advice fix: a version whose manifest lists ZERO data
+    files (empty staged write) reads as an empty relation under the
+    declared schema instead of raising IndexError."""
+    import glob
+    import json as _json
+
+    root = str(tmp_path / "empty_v")
+    empty = load_table(spark, _SF, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    ).limit(0)
+    MF.audit_then_publish(empty, root, audits=(), stats_cols=("odate",))
+    # this Spark config still emits one 0-row part file; reduce the
+    # version to the TRUE zero-file state (the one AQE-pruned writers
+    # produce) so the guard's exact branch is exercised
+    vdir = os.path.join(root, "v00001")
+    for f in glob.glob(os.path.join(vdir, "*.parquet")):
+        os.remove(f)
+    mpath = os.path.join(vdir, "_MANIFEST.json")
+    with open(mpath) as fh:
+        man = _json.load(fh)
+    man["files"] = []
+    with open(mpath, "w") as fh:
+        _json.dump(man, fh)
+    assert MF.read_manifest(root)["files"] == []
+
+    pruned, total, read = MF.read_pruned(
+        spark, root, "odate", "1990-01-01", "2099-12-31")
+    assert (total, read) == (0, 0)
+    assert pruned.count() == 0
+    assert set(pruned.columns) == {"o_orderkey", "odate"}
+
+
+def test_optimistic_pointer_self_heals(spark, tmp_path):
+    """Round-10 advice fix: publishing drops append-only _PUBLISHED
+    markers and every optimistic writer restores the pointer to the
+    max published version — a lost pointer race is transient, not
+    permanent."""
+    root = str(tmp_path / "heal")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    V.write_version_optimistic(df, root)
+    V.write_version_optimistic(df, root)
+    assert V.current_version(root) == 2
+    # simulate the lost race: a lower writer's pointer swap landed
+    # AFTER the higher publish (check-then-act interleave)
+    V._set_pointer(root, 1)
+    assert V.current_version(root) == 1  # regressed
+    # the next optimistic writer self-heals past its own publish
+    v = V.write_version_optimistic(df, root)
+    assert v == 3 and V.current_version(root) == 3
+    # markers track every publish
+    assert V._max_published(root) == 3
+
+
+def test_connected_components_mixed_endpoint_types(spark):
+    """Round-10 advice fix: the small-graph fast path builds its
+    output schema from BOTH endpoint columns, so int src + long dst
+    (with component labels sourced from the dst side) round-trips."""
+    from pyspark.sql import types as TT
+
+    from bigdata_jobmatching_spark.operators.graph import (
+        connected_components,
+    )
+
+    schema = TT.StructType([
+        TT.StructField("m", TT.IntegerType()),
+        TT.StructField("n", TT.LongType()),
+    ])
+    # component labels: {5,7,2} -> 2 (dst-sourced long), {9,8} -> 8
+    edges = spark.createDataFrame(
+        [(5, 2), (7, 2), (9, 8)], schema)
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {2: 2, 5: 2, 7: 2, 8: 8, 9: 8}
