@@ -84,10 +84,16 @@ def main() -> None:
         ).mode("overwrite").save()
 
     # min-of-N: this box runs with heavy co-tenant load (single-query
-    # swings of 4x run-to-run with byte-identical plans were measured),
-    # so each query executes N times and reports its FASTEST wall —
-    # the number closest to the plan's true cost. N=2 by default.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # swings of 4x run-to-run with byte-identical plans were measured;
+    # round-9's own suite-warmed vs quiet-box spread was 70.0 s vs
+    # 66.3 s same-day), so each query executes N times and reports its
+    # FASTEST wall — the number closest to the plan's true cost.
+    # N=3 since round 10 (r9 verdict task #8), and the emitted JSON
+    # carries a protocol field recording the policy plus box state
+    # (load averages before/after), so a cross-round comparison can
+    # tell ambient noise from real regressions.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
         best = None
@@ -99,12 +105,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()
     print(json.dumps({
         "metric": "bench_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": {
+            "policy": "min-of-N wall, noop sink, warm JVM",
+            "repeats": max(1, repeats),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "os_cpus": os.cpu_count(),
+            "loadavg_1m_start": round(load_start[0], 2),
+            "loadavg_1m_end": round(load_end[0], 2),
+        },
     }))
     spark.stop()
 

@@ -76,8 +76,24 @@ def substring_dedup_docs(
     return docs.join(heavy, "doc_id", "left_anti")
 
 
+def fit_unigram_lm(docs: DataFrame) -> DataFrame:
+    """Corpus unigram LM — (tok, cnt) counts over the tokenized
+    corpus. Split out of surprisal_band_filter (round-10) so the
+    STREAMING face can fit the LM once on a reference corpus and
+    score every micro-batch against the frozen model, the way a
+    production CCNet stage runs (the LM is a training-time artifact,
+    not re-fit per batch)."""
+    return (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def surprisal_band_filter(
-    docs: DataFrame, lo_milli_bits: int = 2000, hi_milli_bits: int = 15000
+    docs: DataFrame,
+    lo_milli_bits: int = 2000,
+    hi_milli_bits: int = 15000,
+    lm: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style LM quality band (round-9): fit a unigram LM on the
     corpus itself, score each doc by mean token surprisal in floored
@@ -87,10 +103,17 @@ def surprisal_band_filter(
     boilerplate/repetition, the high tail rare-token gibberish. The
     band test is integer cross-multiplication (sum*1000 vs
     bound*count) — no ratio ever computed. Empty docs carry no
-    signal and pass through."""
+    signal and pass through.
+
+    ``lm``: a precomputed :func:`fit_unigram_lm` frame. Default None
+    self-fits on ``docs`` (the batch stage). A FROZEN lm is the
+    streaming contract; tokens absent from a frozen lm drop out of a
+    doc's score (they carry no model probability), which cannot
+    happen in the self-fit path."""
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
-    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    if lm is None:
+        lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = lm.agg(F.sum("cnt").cast("long").alias("n_total"))
     scored = (
         toks.join(F.broadcast(lm), "tok")
