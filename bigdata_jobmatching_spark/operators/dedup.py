@@ -543,6 +543,10 @@ def semantic_blocks(
     cent = qv.join(F_.broadcast(seeds), "__id").select(
         "cid", "j", F_.col("q").alias("c"))
     d = F_.col("q") - F_.col("c")
+    # eager cut: asg feeds per-cluster stats, the block table AND both
+    # keep-farthest sides — without it each consumer re-runs the whole
+    # quantize+assign chain (the exchange-blowup class plan_audit's
+    # snapshot guards; one row per vector, same size class as v)
     asg = (
         qv.join(F_.broadcast(cent), "j")
         .groupBy("__id", "cid")
@@ -554,6 +558,7 @@ def semantic_blocks(
             (F_.col("enc") % n_seeds).cast("int").alias("cluster"),
             F_.expr(f"enc div {n_seeds}").alias("seed_dist"),
         )
+        .localCheckpoint(eager=True)
     )
     # integer LCG hyperplanes; sign bits packed into one BIGINT via
     # shift arithmetic (portable: both engines shift, nothing renders)
@@ -597,7 +602,8 @@ def semantic_blocks(
         .localCheckpoint(eager=True)
     )
     norms = v.groupBy("__id").agg(
-        F_.sum(F_.col("q") * F_.col("q")).alias("n2"))
+        F_.sum(F_.col("q") * F_.col("q")).alias("n2")).localCheckpoint(
+        eager=True)
     return v, asg, norms
 
 

@@ -2117,30 +2117,17 @@ _PH_SCHEMA = T.StructType([
 
 
 def _phash_of(img: int, vr: int) -> int:
-    """Synth PNG -> REAL decode -> integer-DCT pHash (63 bits)."""
+    """Synth PNG -> REAL decode -> integer-DCT pHash (63 bits).
+
+    Pixel content is _ph_pixels' multiply-xorshift mix, NOT a bare
+    LCG: consecutive images must not be windows of one linear stream
+    or their DCT signs correlate (measured: single-LCG content put
+    0.5% of CROSS-image pairs under the Hamming threshold and
+    defeated the band blocking; the mix gives bit bias 0.44-0.56,
+    cross minimum 16, zero cross pairs <= 12 over 44k sampled)."""
     import numpy as np
 
-    yy, xx = np.mgrid[0:32, 0:32]
-    idx = (yy * 32 + xx).astype(np.int64)
-
-    # multiply-xorshift mix, NOT a bare LCG: consecutive images must
-    # not be windows of one linear stream or their DCT signs correlate
-    # (measured: single-LCG content put 0.5% of CROSS-image pairs
-    # under the Hamming threshold and defeated the band blocking;
-    # this mix gives bit bias 0.44-0.56, cross minimum 16, zero cross
-    # pairs <= 12 over 44k sampled)
-    def mix(a, salt):
-        a1 = (a + salt) % (2 ** 31)
-        h1 = (a1 * 2654435761 + 1) % (2 ** 31)
-        h2 = np.bitwise_xor(h1, h1 // 65536)
-        h3 = (h2 * 1103515245 + 12345) % (2 ** 31)
-        h4 = np.bitwise_xor(h3, h3 // 32768)
-        return h4 % 240
-
-    a = img * 1024 + idx
-    pix = np.where(idx % 331 < vr * 4, mix(a, 999999937),
-                   mix(a, 0)).astype(np.uint8)
-    png = MM.encode_png(32, 32, pix.tobytes(), channels=1)
+    png = MM.encode_png(32, 32, _ph_pixels(img, vr).tobytes(), channels=1)
     w, h, ch, raw = MM.decode_png(png)
     assert (w, h, ch) == (32, 32, 1)
     P = np.frombuffer(raw, np.uint8).reshape(32, 32).astype(np.int64)
@@ -2162,12 +2149,17 @@ def _image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # div-8 images are UNIQUE per clique, so the memo's hit rate
+        # is the 2 keys per (img, vr) — bound it so a 10^9-part scan
+        # cannot grow a per-worker dict without limit
         memo: dict[tuple[int, int], int] = {}
         for pdf in it:
             rows = []
             for k in pdf["p_partkey"]:
                 key = (int(k) // 8, (int(k) % 8) // 2)
                 if key not in memo:
+                    if len(memo) >= 65536:
+                        memo.clear()
                     memo[key] = _phash_of(*key)
                 rows.append((int(k), memo[key]))
             yield pd.DataFrame(rows, columns=["p_partkey", "ph"])
@@ -2284,4 +2276,184 @@ register(QuerySpec(
     "banded 16-bit Hamming join, planted LCG variant images as truth "
     "— the visual member of the near-dup dedup family",
     ("multimodal", "dedup", "decode", "join", "bench"),
+))
+
+
+# --- image_dhash_hamming_pairs: gradient-hash near-dups (round-10) ---------
+# The second perceptual member: difference hash over the REAL
+# decode -> nearest-resample path (resample_nearest, the same
+# operator image_resize_pixel_stats value-oracles), so this query
+# exercises the resize machinery inside a dedup join the way pHash
+# exercises the DCT. Same planted image family as
+# image_phash_near_dups (mixed-noise 32x32 PNGs, div-8 cliques,
+# stripe-swapped variants); the hash is 63 gradient bits over the
+# 9x8 nearest-resampled grid (bit = right neighbor strictly
+# brighter), measured separation: same-image variants <= 5,
+# cross-image minimum 15 over 44k pairs -> threshold 6 with zero
+# planted false positives. Banded 16-bit Hamming join as the rest of
+# the family; pair count linear by the div-8 clique bound.
+
+_DH_MAXDIST = 6
+_DH_TW, _DH_TH = 9, 8
+
+
+def _ph_pixels(img: int, vr: int):
+    """Shared planted-image synthesis (see image_phash_near_dups)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    idx = (yy * 32 + xx).astype(np.int64)
+
+    def mix(a, salt):
+        a1 = (a + salt) % (2 ** 31)
+        h1 = (a1 * 2654435761 + 1) % (2 ** 31)
+        h2 = np.bitwise_xor(h1, h1 // 65536)
+        h3 = (h2 * 1103515245 + 12345) % (2 ** 31)
+        h4 = np.bitwise_xor(h3, h3 // 32768)
+        return h4 % 240
+
+    a = img * 1024 + idx
+    return np.where(idx % 331 < vr * 4, mix(a, 999999937),
+                    mix(a, 0)).astype(np.uint8)
+
+
+def _dhash_of(img: int, vr: int) -> int:
+    """Synth PNG -> REAL decode -> REAL nearest-resample -> dHash."""
+    import numpy as np
+
+    png = MM.encode_png(32, 32, _ph_pixels(img, vr).tobytes(), channels=1)
+    w, h, ch, raw = MM.decode_png(png)
+    assert (w, h, ch) == (32, 32, 1)
+    small = np.frombuffer(
+        MM.resample_nearest(raw, 32, 32, 1, _DH_TW, _DH_TH), np.uint8,
+    ).reshape(_DH_TH, _DH_TW).astype(np.int64)
+    out = 0
+    pos = 0
+    for y in range(8):
+        for x in range(8):
+            if pos < 63 and small[y][x + 1] > small[y][x]:
+                out |= 1 << pos
+            pos += 1
+    return out
+
+
+def _image_dhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # div-8 images are UNIQUE per clique, so the memo's hit rate
+        # is the 2 keys per (img, vr) — bound it so a 10^9-part scan
+        # cannot grow a per-worker dict without limit
+        memo: dict[tuple[int, int], int] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                key = (int(k) // 8, (int(k) % 8) // 2)
+                if key not in memo:
+                    if len(memo) >= 65536:
+                        memo.clear()
+                    memo[key] = _dhash_of(*key)
+                rows.append((int(k), memo[key]))
+            yield pd.DataFrame(rows, columns=["p_partkey", "ph"])
+
+    sig = p.mapInPandas(batches, _PH_SCHEMA).localCheckpoint(eager=False)
+    bands = sig.select(
+        "p_partkey", "ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(ph, {b * 16}) & 65535").alias("key"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("p_partkey", "ph", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("p_partkey").alias("id_a"), F.col("ph").alias("ph_a"),
+        "band", "key")
+    b = bands.select(
+        F.col("p_partkey").alias("id_b"), F.col("ph").alias("ph_b"),
+        "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _DH_MAXDIST)
+    )
+
+
+_DHASH_SQL = f"""
+WITH imgs AS (
+  SELECT DISTINCT p_partkey // 8 AS img, (p_partkey % 8) // 2 AS vr
+  FROM part
+),
+grid AS (
+  SELECT txs.tx, tys.ty,
+    ((tys.ty * 32) // {_DH_TH}) * 32 + ((txs.tx * 32) // {_DH_TW}) AS idx
+  FROM (SELECT unnest(range({_DH_TW})) AS tx) txs,
+       (SELECT unnest(range({_DH_TH})) AS ty) tys
+),
+px AS (
+  SELECT img, vr, tx, ty,
+    CASE WHEN idx % 331 < vr * 4 THEN pa ELSE pb END AS p
+  FROM (
+    SELECT img, vr, tx, ty, idx,
+      xor(h3a, h3a // 32768) % 240 AS pa,
+      xor(h3b, h3b // 32768) % 240 AS pb
+    FROM (
+      SELECT img, vr, tx, ty, idx,
+        (xor(h1a, h1a // 65536) * 1103515245 + 12345) % 2147483648 AS h3a,
+        (xor(h1b, h1b // 65536) * 1103515245 + 12345) % 2147483648 AS h3b
+      FROM (
+        SELECT img, vr, tx, ty, idx,
+          (((img * 1024 + idx + 999999937) % 2147483648)
+            * 2654435761 + 1) % 2147483648 AS h1a,
+          (((img * 1024 + idx) % 2147483648)
+            * 2654435761 + 1) % 2147483648 AS h1b
+        FROM imgs, grid
+      )
+    )
+  )
+),
+bits AS (
+  SELECT a.img, a.vr, a.ty * 8 + a.tx AS pos,
+    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON b.img = a.img AND b.vr = a.vr
+    AND b.ty = a.ty AND b.tx = a.tx + 1
+  WHERE a.tx < 8 AND a.ty * 8 + a.tx < 63
+),
+hh AS (
+  SELECT img, vr,
+    CAST(SUM(CAST(bit AS BIGINT) << pos) AS BIGINT) AS ph
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT p.p_partkey, hh.ph
+  FROM part p JOIN hh ON hh.img = p.p_partkey // 8
+    AND hh.vr = (p.p_partkey % 8) // 2
+),
+b AS (
+  SELECT p_partkey, ph, band,
+    (ph >> CAST(band * 16 AS INT)) & 65535 AS key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bs
+),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS id_a, b2.p_partkey AS id_b,
+    CAST(bit_count(xor(a.ph, b2.ph)) AS INT) AS hamming
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+    AND a.p_partkey < b2.p_partkey
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_DH_MAXDIST}
+"""
+
+register(QuerySpec(
+    "image_dhash_hamming_pairs", _image_dhash_pairs, _DHASH_SQL,
+    "gradient-hash image near-dup pairs: REAL PNG decode -> REAL "
+    "nearest-resample to 9x8 -> 63-bit dHash -> banded 16-bit "
+    "Hamming join — the resize path exercised inside a dedup join, "
+    "planted variant truth",
+    ("multimodal", "dedup", "decode", "join"),
 ))

@@ -218,3 +218,18 @@ def test_image_phash_near_dups_invariants(spark):
     exact = [r for r in rows
              if (r.id_a % 8) // 2 == (r.id_b % 8) // 2]
     assert exact and all(r.hamming == 0 for r in exact)
+
+
+def test_image_dhash_invariants(spark):
+    """dHash twin of the pHash invariants: real resample path, div-8
+    cliques, exact twins at distance 0."""
+    from bigdata_jobmatching_spark.plans.multimodal_queries import (
+        _DH_MAXDIST, _image_dhash_pairs,
+    )
+
+    rows = _image_dhash_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.hamming <= _DH_MAXDIST and r.id_a // 8 == r.id_b // 8
+               for r in rows)
+    exact = [r for r in rows if (r.id_a % 8) // 2 == (r.id_b % 8) // 2]
+    assert exact and all(r.hamming == 0 for r in exact)

@@ -101,6 +101,23 @@ def main() -> int:
             if sh != dh:
                 ndiff = sum(1 for a, b in zip(sh, dh) if a != b)
                 problems.append(f"value-hash mismatch ({ndiff}/{len(sh)} rows differ)")
+                # per-column decomposition (round-9 verdict #1: localize
+                # WHICH column diverges when the row hash can't say) —
+                # compare each column's sorted canonical value multiset
+                s_by = {c: sorted(canon_value(r[i]) for r in s_rows)
+                        for i, c in enumerate(s_cols)}
+                d_by = {c: sorted(canon_value(r[i]) for r in d_rows)
+                        for i, c in enumerate(d_cols)}
+                bad_cols = [c for c in sorted(s_by) if s_by[c] != d_by.get(c)]
+                print(f"    diverging columns: {bad_cols or 'NONE'}"
+                      " (column multisets equal -> divergence is in the"
+                      " row-wise pairing)" if not bad_cols else
+                      f"    diverging columns: {bad_cols}")
+                for c in bad_cols[:2]:
+                    s_only = [v for v in s_by[c] if v not in d_by.get(c, [])]
+                    d_only = [v for v in d_by.get(c, []) if v not in s_by[c]]
+                    print(f"    col {c}: spark-only {s_only[:3]} "
+                          f"duck-only {d_only[:3]}")
                 s_set = set(sh)
                 d_map = {}
                 order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
