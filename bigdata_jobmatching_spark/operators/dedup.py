@@ -20,6 +20,8 @@ Scale notes
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -484,11 +486,14 @@ def semantic_blocks(
     n_seeds: int = 8,
     sub_target: int = 50,
     sig_bits_max: int = 12,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> "SemanticParts":
     """Shared SemDeDup blocking machinery: quantize -> nearest-seed
     cluster -> scale-adaptive sign-bit sub-bucket.
 
-    Returns ``(v, asg, norms)``:
+    Returns a :class:`SemanticParts` ``(v, asg, norms, cent, nb)``;
+    ``cent`` (the seed coordinates) and ``nb`` (the 1-row block-width
+    table) let :func:`semantic_match_against` score a SECOND corpus
+    against this corpus's frozen block structure. The first three:
 
     - ``v``: long-form ``(cluster, sig, __id, j, q)`` — one row per
       (vector, dimension), block key = (cluster, sig);
@@ -604,7 +609,8 @@ def semantic_blocks(
     norms = v.groupBy("__id").agg(
         F_.sum(F_.col("q") * F_.col("q")).alias("n2")).localCheckpoint(
         eager=True)
-    return v, asg, norms
+    return SemanticParts(v, asg, norms, cent.localCheckpoint(eager=True),
+                         nb.localCheckpoint(eager=True))
 
 
 def semantic_dedup_pairs(
@@ -616,7 +622,7 @@ def semantic_dedup_pairs(
     tau_sq: tuple[int, int] = (49, 400),
     sig_bits_max: int = 12,
     details: bool = False,
-    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    parts: "SemanticParts | None" = None,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate MEANING pairs with the paper's
     keep-farthest-from-centroid representative rule, deterministic:
@@ -645,8 +651,9 @@ def semantic_dedup_pairs(
     """
     F_ = F
     tau_num, tau_den = tau_sq
-    v, asg, norms = parts if parts is not None else semantic_blocks(
+    blocks = parts if parts is not None else semantic_blocks(
         vecs, id_col, vec_col, n_seeds, sub_target, sig_bits_max)
+    v, asg, norms = blocks.v, blocks.asg, blocks.norms
     a = v.select("cluster", "sig", F_.col("__id").alias("id_a"), "j",
                  F_.col("q").alias("qa"))
     b = v.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
@@ -688,3 +695,115 @@ def semantic_dedup_pairs(
         return pairs.select(
             "cluster", "id_a", "id_b", "dot", "da", "db", "drop_id")
     return pairs.select("id_a", "id_b", "drop_id")
+
+
+class SemanticParts(NamedTuple):
+    """Frozen SemDeDup block structure of one corpus (semantic_blocks)."""
+
+    v: DataFrame        # (cluster, sig, __id, j, q) long-form blocks
+    asg: DataFrame      # (__id, cluster, seed_dist)
+    norms: DataFrame    # (__id, n2)
+    cent: DataFrame     # (cid, j, c) seed coordinates
+    nb: DataFrame       # 1-row (b) block width
+
+
+def semantic_match_against(
+    new_vecs: DataFrame,
+    ref: SemanticParts,
+    id_col: str,
+    vec_col: str,
+    n_seeds: int = 8,
+    tau_sq: tuple[int, int] = (49, 400),
+    sig_bits_max: int = 12,
+) -> DataFrame:
+    """Cross-corpus SemDeDup match: ids of ``new_vecs`` that are
+    tau-close to AT LEAST one vector of the frozen reference corpus,
+    inside the reference's own (cluster, sig) block structure — the
+    incremental-corpus shape: dedup what ARRIVES against what is
+    ALREADY KEPT, without ever re-pairing the reference with itself.
+
+    New vectors cluster against the reference's seeds (broadcast
+    ``ref.cent``), take sign bits from the same integer-LCG planes,
+    and cut their prefix at the reference's frozen block width
+    (``ref.nb``) — so an incoming vector lands in exactly the block
+    its tau-neighbors live in, and the only join is (cluster, sig, j)
+    against ``ref.v``. Returns distinct ``(match_id)`` rows.
+
+    Scale: per arriving batch of m vectors the work is m*64 quantize
+    rows, one broadcast join against K*64 seeds, and a block join
+    whose expected fan-out is the reference block size (~sub_target)
+    — linear in the batch, independent of reference self-pair count.
+    """
+    F_ = F
+    tau_num, tau_den = tau_sq
+    qv = new_vecs.select(
+        F_.col(id_col).alias("__id"),
+        F_.posexplode(vec_col).alias("j", "x"),
+    ).select(
+        "__id", "j",
+        F_.floor(F_.col("x").cast("double") * 1_000_000)
+        .cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+    d = F_.col("q") - F_.col("c")
+    asg_new = (
+        qv.join(F_.broadcast(ref.cent), "j")
+        .groupBy("__id", "cid")
+        .agg(F_.sum(d * d).alias("dist"))
+        .groupBy("__id")
+        .agg(F_.min(F_.col("dist") * n_seeds + F_.col("cid")).alias("enc"))
+        .select("__id", (F_.col("enc") % n_seeds).cast("int").alias("cluster"))
+    )
+    planes = new_vecs.sparkSession.range(sig_bits_max * 64).select(
+        F_.expr("id div 64").cast("int").alias("bit"),
+        (F_.col("id") % 64).cast("int").alias("j"),
+        (((F_.lit(1103515245) * (F_.col("id") + 12345) + 12345)
+          % F_.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
+    )
+    sigs_new = (
+        qv.join(F_.broadcast(planes), "j")
+        .groupBy("__id", "bit")
+        .agg(F_.sum(F_.col("q") * F_.col("coef")).alias("s"))
+        .groupBy("__id")
+        .agg(F_.sum(F_.expr(
+            f"CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+            f"{sig_bits_max - 1} - bit) ELSE CAST(0 AS BIGINT) END"
+        )).alias("sigint"))
+    )
+    v_new = (
+        qv.join(asg_new, "__id").join(sigs_new, "__id")
+        .crossJoin(F_.broadcast(ref.nb))
+        .withColumn(
+            "sig", F_.expr(f"shiftright(sigint, {sig_bits_max} - b)"))
+        .select("cluster", "sig", "__id", "j", "q")
+        .localCheckpoint(eager=True)
+    )
+    norms_new = v_new.groupBy("__id").agg(
+        F_.sum(F_.col("q") * F_.col("q")).alias("n2"))
+    a = v_new.select("cluster", "sig", F_.col("__id").alias("id_a"), "j",
+                     F_.col("q").alias("qa"))
+    b = ref.v.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
+                     F_.col("q").alias("qb"))
+    dots = (
+        a.join(b, ["cluster", "sig", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("dot"))
+    )
+    dec = lambda c: F_.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        dots
+        .join(F_.broadcast(norms_new.select(F_.col("__id").alias("id_a"),
+                                            F_.col("n2").alias("na"))),
+              "id_a")
+        .join(F_.broadcast(ref.norms.select(F_.col("__id").alias("id_b"),
+                                            F_.col("n2").alias("nb2"))),
+              "id_b")
+        .filter(
+            (F_.col("dot") >= 0)
+            & (dec("dot") * dec("dot")
+               * F_.lit(tau_den).cast("decimal(38,0)")
+               >= dec("na") * dec("nb2")
+               * F_.lit(tau_num).cast("decimal(38,0)"))
+        )
+        .select(F_.col("id_a").alias("match_id"))
+        .distinct()
+    )

@@ -1349,7 +1349,7 @@ def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     parts = D.semantic_blocks(
         e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET, _SD_BITS_MAX)
-    _, asg, _ = parts
+    asg = parts.asg
     pairs = D.semantic_dedup_pairs(
         e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET,
         tau_sq=(49, 400), sig_bits_max=_SD_BITS_MAX,
@@ -1758,4 +1758,203 @@ register(QuerySpec(
     "completeness + reduction ratio of a pinned 6-bit prefix, truth "
     "exact-scored, never assumed",
     ("dedup", "vector", "audit"),
+))
+
+
+# --- semantic_incremental_match: cross-corpus SemDeDup (round-10) ----------
+# The INCREMENTAL corpus shape: what arrives gets deduped against
+# what is already kept, without re-pairing the kept corpus with
+# itself — operators/dedup.semantic_match_against, the machinery the
+# streaming semantic stage (streaming/corpus_stream.py) runs per
+# micro-batch; this query is its external value oracle.
+#
+# Incoming probes are planted from the corpus itself: one
+# LCG-perturbed twin per vector (id + 10^7, +-48000 micro-units —
+# cos ~0.976 to its base, tau-close at the query's tau=0.35 whenever
+# blocking lands it beside its base) and one NEGATED probe per
+# vector (id + 2*10^7, exact sign flip — its own base can never
+# match through the dot >= 0 gate; it may still legitimately match
+# some OTHER vector at cos <= -0.35 to ITS base, which the exact
+# arithmetic scores identically on both engines). Output is the
+# global census (n_in, n_matched, n_kept, sum_matched_ids) — the id
+# sum pins the exact match SET, not just its size.
+
+_SIM_TWIN_OFF = 10_000_000
+_SIM_NEG_OFF = 20_000_000
+
+
+def _semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    ref = D.semantic_blocks(e, "vec_id", "embedding",
+                            _SD_K, _SD_SUB_TARGET, _SD_BITS_MAX)
+    twin = e.select(
+        (F.col("vec_id") + _SIM_TWIN_OFF).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + "
+            "CAST(((1103515245 * (vec_id * 64 + j) + 54321) % 2147483648)"
+            f" % {2 * _SEM_TWIN_AMP + 1} - {_SEM_TWIN_AMP} AS DOUBLE)"
+            " / 1000000.0)"
+        ).alias("embedding"),
+    )
+    neg = e.select(
+        (F.col("vec_id") + _SIM_NEG_OFF).alias("vec_id"),
+        F.expr("transform(embedding, x -> -CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    inc = twin.unionByName(neg)
+    matched = D.semantic_match_against(
+        inc, ref, "vec_id", "embedding", _SD_K,
+        tau_sq=(49, 400), sig_bits_max=_SD_BITS_MAX)
+    flagged = inc.select("vec_id").join(
+        matched.withColumnRenamed("match_id", "vec_id")
+        .withColumn("m", F.lit(1)),
+        "vec_id", "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_matched"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("m"), F.lit(0)))
+        .cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("m") == 1, F.col("vec_id"))),
+                   F.lit(0)).cast("long").alias("sum_matched_ids"),
+    )
+
+
+_SEMANTIC_INCREMENTAL_SQL = f"""
+WITH raw AS MATERIALIZED (
+  SELECT vec_id, j, CAST(x AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id,
+      unnest(generate_series(0, len(embedding) - 1)) AS j,
+      unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+  )
+),
+qv AS MATERIALIZED (
+  SELECT vec_id, j, CAST(floor(x * {_SD_SCALE}) AS BIGINT) AS q FROM raw
+),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {_SD_K})
+),
+cent AS (
+  SELECT s.cid, qv.j, qv.q AS c FROM qv JOIN seeds s USING (vec_id)
+),
+asg AS (
+  SELECT vec_id,
+    CAST(CAST(MIN(dist * {_SD_K} + cid) AS BIGINT) % {_SD_K} AS INT)
+      AS cluster
+  FROM (
+    SELECT qv.vec_id, cent.cid,
+      SUM((qv.q - cent.c) * (qv.q - cent.c)) AS dist
+    FROM qv JOIN cent USING (j) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+planes AS (
+  SELECT CAST(k // 64 AS INT) AS bit, CAST(k % 64 AS INT) AS j,
+    ((1103515245 * (k + 12345) + 12345) % 2147483648) % 2001 - 1000
+      AS coef
+  FROM (SELECT unnest(generate_series(0, {_SD_BITS_MAX * 64 - 1})) AS k)
+),
+sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN s >= 0
+             THEN CAST(1 AS BIGINT) << ({_SD_BITS_MAX - 1} - bit)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sigint
+  FROM (
+    SELECT qv.vec_id, p.bit, SUM(qv.q * p.coef) AS s
+    FROM qv JOIN planes p USING (j) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+nbits AS (
+  SELECT CAST(MAX(CASE WHEN (CAST(1 AS BIGINT) << i) <= m
+                  THEN i ELSE 0 END) AS INT) AS b
+  FROM (SELECT greatest(1, COUNT(*) // {_SD_K * _SD_SUB_TARGET}) AS m
+        FROM asg) mm,
+       (SELECT unnest(generate_series(0, {_SD_BITS_MAX})) AS i) ii
+),
+v AS MATERIALIZED (
+  SELECT asg.cluster,
+    sigs.sigint >> ({_SD_BITS_MAX} - (SELECT b FROM nbits)) AS sig,
+    qv.vec_id, qv.j, qv.q
+  FROM qv JOIN asg USING (vec_id) JOIN sigs USING (vec_id)
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY 1
+),
+inc AS MATERIALIZED (
+  SELECT vec_id + {_SIM_TWIN_OFF} AS vid, j,
+    CAST(floor((x + CAST(((1103515245 * (vec_id * 64 + j) + 54321)
+        % 2147483648) % {2 * _SEM_TWIN_AMP + 1} - {_SEM_TWIN_AMP}
+        AS DOUBLE) / 1000000.0) * {_SD_SCALE}) AS BIGINT) AS q
+  FROM raw
+  UNION ALL
+  SELECT vec_id + {_SIM_NEG_OFF} AS vid, j,
+    CAST(floor((-x) * {_SD_SCALE}) AS BIGINT) AS q
+  FROM raw
+),
+asg_in AS (
+  SELECT vid,
+    CAST(CAST(MIN(dist * {_SD_K} + cid) AS BIGINT) % {_SD_K} AS INT)
+      AS cluster
+  FROM (
+    SELECT inc.vid, cent.cid,
+      SUM((inc.q - cent.c) * (inc.q - cent.c)) AS dist
+    FROM inc JOIN cent USING (j) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+sigs_in AS (
+  SELECT vid,
+    CAST(SUM(CASE WHEN s >= 0
+             THEN CAST(1 AS BIGINT) << ({_SD_BITS_MAX - 1} - bit)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sigint
+  FROM (
+    SELECT inc.vid, p.bit, SUM(inc.q * p.coef) AS s
+    FROM inc JOIN planes p USING (j) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+v_in AS MATERIALIZED (
+  SELECT asg_in.cluster,
+    sigs_in.sigint >> ({_SD_BITS_MAX} - (SELECT b FROM nbits)) AS sig,
+    inc.vid, inc.j, inc.q
+  FROM inc JOIN asg_in USING (vid) JOIN sigs_in USING (vid)
+),
+norms_in AS MATERIALIZED (
+  SELECT vid, SUM(q * q) AS n2 FROM v_in GROUP BY 1
+),
+dots AS (
+  SELECT a.vid, b.vec_id AS rid, SUM(a.q * b.q) AS dot
+  FROM v_in a JOIN v b ON a.cluster = b.cluster AND a.sig = b.sig
+    AND a.j = b.j
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT DISTINCT d.vid
+  FROM dots d
+  JOIN norms_in na ON na.vid = d.vid
+  JOIN norms nb ON nb.vec_id = d.rid
+  WHERE d.dot >= 0
+    AND CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 400
+        >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * 49
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+  CAST(SUM(CASE WHEN m.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_matched,
+  CAST(SUM(CASE WHEN m.vid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(COALESCE(SUM(CASE WHEN m.vid IS NOT NULL THEN i.vid END), 0)
+    AS BIGINT) AS sum_matched_ids
+FROM (SELECT DISTINCT vid FROM inc) i
+LEFT JOIN matched m USING (vid)
+"""
+
+register(QuerySpec(
+    "semantic_incremental_match", _semantic_incremental,
+    _SEMANTIC_INCREMENTAL_SQL,
+    "cross-corpus SemDeDup census: planted twin + negated probes "
+    "matched against the frozen reference block structure "
+    "(semantic_match_against — the incremental/streaming dedup "
+    "shape: arriving data vs kept corpus, never re-pairing the "
+    "corpus with itself); id-sum pins the exact match set",
+    ("dedup", "vector", "join", "agg"),
 ))

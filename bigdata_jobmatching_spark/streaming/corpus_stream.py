@@ -34,6 +34,7 @@ reused across every epoch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .. import orchestrate_corpus as OC
@@ -74,6 +75,64 @@ def stream_surprisal_stage(
         # its own directory with identical deterministic rows
         kept.write.mode("overwrite").parquet(
             f"{out_root}/epoch={epoch_id}")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_semantic_dedup_stage(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    ref_embeddings: DataFrame,
+    out_root: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 8,
+    tau_sq: tuple[int, int] = (49, 400),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming SemDeDup in the INCREMENTAL shape: each micro-batch
+    of arriving documents (carrying their embedding column) is
+    matched against the FROZEN reference corpus's block structure
+    (operators/dedup.semantic_match_against — value-oracled by the
+    semantic_incremental_match gate query) and tau-close arrivals are
+    dropped. The reference blocks are built ONCE (semantic_blocks,
+    eagerly checkpointed), so per-epoch work is linear in the batch:
+    quantize, one broadcast seed join, one block join — the kept
+    corpus is never re-paired with itself.
+
+    Same epoch discipline as the surprisal stage: per-epoch monotone
+    gate (a dedup filter can only shrink), idempotent ``epoch=N``
+    overwrite landing (matching against a frozen reference is
+    deterministic, so a crash-replayed epoch rewrites identical
+    rows)."""
+    from ..operators import dedup as D
+
+    ref = D.semantic_blocks(ref_embeddings, "vec_id", "embedding", n_seeds)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        n_in = batch.count()
+        if n_in == 0:
+            return
+        drops = D.semantic_match_against(
+            batch.select(F.col(id_col), F.col(vec_col)),
+            ref, id_col, vec_col, n_seeds, tau_sq,
+        ).withColumnRenamed("match_id", id_col)
+        kept = batch.join(drops, id_col, "left_anti").localCheckpoint(
+            eager=True)
+        n_out = kept.count()
+        if n_out > n_in:
+            raise ValueError(
+                f"corpus gate (epoch {epoch_id}): semantic stage grew "
+                f"its input ({n_in} -> {n_out})"
+            )
+        kept.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
 
     writer = (
         docs_stream.writeStream.foreachBatch(apply_batch)

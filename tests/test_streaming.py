@@ -403,3 +403,62 @@ def test_kafka_wire_source_semantics(spark, tmp_path):
     vals = {bytes(r.value) for r in
             spark.read.parquet(out).select("value").collect()}
     assert vals == {b"fresh"}
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Round-10: streaming SemDeDup in the incremental shape — micro-
+    batched arrivals matched against a frozen reference corpus keep
+    exactly the docs a one-shot batch match keeps; planted twins drop,
+    the per-epoch monotone gate holds."""
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.operators import dedup as D
+    from bigdata_jobmatching_spark.sources.io import load_table
+    from bigdata_jobmatching_spark.streaming.corpus_stream import (
+        stream_semantic_dedup_stage,
+    )
+
+    ref = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # arrivals: LCG-perturbed twins (tau-close to their base -> drop
+    # whenever blocking lands them beside it) + negated probes
+    twin = ref.select(
+        (F.col("vec_id") + 10_000_000).alias("doc_id"),
+        F.expr(
+            "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + "
+            "CAST(((1103515245 * (vec_id * 64 + j) + 54321) % 2147483648)"
+            " % 96001 - 48000 AS DOUBLE) / 1000000.0)"
+        ).alias("embedding"),
+    )
+    neg = ref.select(
+        (F.col("vec_id") + 20_000_000).alias("doc_id"),
+        F.expr("transform(embedding, x -> -CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    arrivals = twin.unionByName(neg)
+    src = str(tmp_path / "src")
+    arrivals.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_semantic_dedup_stage(
+        spark, stream, ref, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.select("epoch").distinct().count() > 1  # really streamed
+
+    # batch twin: one-shot match of ALL arrivals against the same ref
+    parts = D.semantic_blocks(ref, "vec_id", "embedding")
+    drops = D.semantic_match_against(
+        spark.read.parquet(src), parts, "doc_id", "embedding",
+    ).withColumnRenamed("match_id", "doc_id")
+    want = spark.read.parquet(src).join(drops, "doc_id", "left_anti")
+
+    got_ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    want_ids = sorted(r.doc_id for r in want.select("doc_id").collect())
+    assert got_ids == want_ids
+    n_in = arrivals.count()
+    assert 0 < len(got_ids) < n_in  # some dropped, some kept
