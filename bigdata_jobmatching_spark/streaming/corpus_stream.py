@@ -141,3 +141,74 @@ def stream_semantic_dedup_stage(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_corpus_stages(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    lm: DataFrame,
+    ref_embeddings: DataFrame,
+    out_root: str,
+    checkpoint_path: str,
+    min_quality: float = 0.5,
+    lo_milli_bits: int = 2000,
+    hi_milli_bits: int = 15000,
+    tau_sq: tuple[int, int] = (49, 400),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The full STREAMING corpus ingest: quality filter -> CCNet
+    surprisal band (frozen LM) -> incremental semantic dedup vs the
+    frozen reference corpus -> PII scrub, all inside one foreachBatch
+    — the continuous-arrival face of run_corpus_pipeline for every
+    stage whose semantics do not require global stream state.
+
+    The batch pipeline's within-corpus stages (exact/near/substring
+    dedup) are deliberately NOT in this chain: their semantics are
+    corpus-global (keep-BEST of a dup group needs the whole group),
+    so a per-epoch version would silently change answers with batch
+    boundaries. What streams here is exactly what is
+    epoch-independent: stateless filters, a frozen LM, and matching
+    against a frozen reference — so stream == batch holds row-for-row
+    (the equivalence test), and a crash-replayed epoch is idempotent.
+
+    Rows must carry the document columns plus an ``embedding``
+    column; the per-epoch monotone gate checks every stage shrinks
+    its input."""
+    from ..operators import dedup as D
+
+    lm_frozen = lm.localCheckpoint(eager=True)
+    ref = D.semantic_blocks(ref_embeddings, "vec_id", "embedding")
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        n_in = batch.count()
+        if n_in == 0:
+            return
+        counts = {"in": n_in}
+        cur = OC.quality_filter(batch, min_quality).localCheckpoint(
+            eager=True)
+        counts["filtered"] = cur.count()
+        cur = OC.surprisal_band_filter(
+            cur, lo_milli_bits, hi_milli_bits, lm=lm_frozen,
+        ).localCheckpoint(eager=True)
+        counts["surprisal"] = cur.count()
+        drops = D.semantic_match_against(
+            cur, ref, "doc_id", "embedding", tau_sq=tau_sq,
+        ).withColumnRenamed("match_id", "doc_id")
+        cur = cur.join(drops, "doc_id", "left_anti")
+        cur = OC.scrub_pii(cur).localCheckpoint(eager=True)
+        counts["out"] = cur.count()
+        seq = list(counts.values())
+        if any(b > a for a, b in zip(seq, seq[1:])):
+            raise ValueError(
+                f"corpus gate (epoch {epoch_id}): a stage grew its "
+                f"input ({counts})"
+            )
+        cur.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

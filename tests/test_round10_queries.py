@@ -233,3 +233,20 @@ def test_image_dhash_invariants(spark):
                for r in rows)
     exact = [r for r in rows if (r.id_a % 8) // 2 == (r.id_b % 8) // 2]
     assert exact and all(r.hamming == 0 for r in exact)
+
+
+def test_semantic_match_against_self_is_total(spark):
+    """Sanity law: matching a corpus against ITSELF flags every
+    vector (each lands in its own block and has cos=1 with itself,
+    which passes any tau < 1) — and the result is a subset of the
+    probe ids."""
+    from bigdata_jobmatching_spark.operators import dedup as D
+    from bigdata_jobmatching_spark.sources.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    parts = D.semantic_blocks(e, "vec_id", "embedding")
+    got = {r.match_id for r in
+           D.semantic_match_against(e, parts, "vec_id", "embedding")
+           .collect()}
+    want = {r.vec_id for r in e.select("vec_id").collect()}
+    assert got == want

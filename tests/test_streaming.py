@@ -462,3 +462,62 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     assert got_ids == want_ids
     n_in = arrivals.count()
     assert 0 < len(got_ids) < n_in  # some dropped, some kept
+
+
+def test_stream_corpus_stages_match_batch(spark, tmp_path):
+    """Round-10 capstone: the full streaming corpus chain (quality ->
+    frozen-LM surprisal -> incremental semantic dedup vs a frozen
+    reference -> PII scrub) over micro-batches == the same chain run
+    in one batch pass; every per-epoch gate holds."""
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.operators import dedup as D
+    from bigdata_jobmatching_spark.sources.io import load_table
+    from bigdata_jobmatching_spark.streaming.corpus_stream import (
+        stream_corpus_stages,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    # arrivals: docs 250.. with their embeddings; reference corpus:
+    # embeddings of docs 0..249 (so some arrivals semantically match
+    # the reference and drop, most survive)
+    ref = emb.filter(F.col("vec_id") < 250)
+    arrivals = docs.filter(F.col("doc_id") >= 250).join(
+        emb.withColumnRenamed("vec_id", "doc_id").select(
+            "doc_id", "embedding"),
+        "doc_id",
+    )
+    src = str(tmp_path / "src")
+    arrivals.repartition(4).write.parquet(src)
+
+    lm = OC.fit_unigram_lm(spark.read.parquet(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = stream_corpus_stages(
+        spark, stream, lm, ref, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out)
+    assert got.select("epoch").distinct().count() > 1
+
+    # batch twin: identical chain, one pass, same frozen inputs
+    b = OC.quality_filter(spark.read.parquet(src), 0.5)
+    b = OC.surprisal_band_filter(b, 2000, 15000, lm=lm)
+    parts = D.semantic_blocks(ref, "vec_id", "embedding")
+    drops = D.semantic_match_against(
+        b, parts, "doc_id", "embedding",
+    ).withColumnRenamed("match_id", "doc_id")
+    b = OC.scrub_pii(b.join(drops, "doc_id", "left_anti"))
+
+    got_rows = sorted((r.doc_id, r.text) for r in
+                      got.select("doc_id", "text").collect())
+    want_rows = sorted((r.doc_id, r.text) for r in
+                       b.select("doc_id", "text").collect())
+    assert got_rows == want_rows
+    assert 0 < len(got_rows) < arrivals.count()
