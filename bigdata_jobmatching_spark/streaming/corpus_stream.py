@@ -212,3 +212,30 @@ def stream_corpus_stages(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_epochs(
+    spark: SparkSession,
+    epochs_root: str,
+    table_root: str,
+    stats_cols: tuple[str, ...] = (),
+    target_files: int = 8,
+) -> int:
+    """Fold a streaming stage's ``epoch=N`` landing directories into
+    ONE published version of the versioned store — the small-file
+    answer for the streaming corpus sinks: a day of 30 s epochs is
+    thousands of directories whose scan cost grows with file count,
+    and this turns them into ``target_files`` footer-tracked files
+    behind an atomic pointer (with a stats manifest when
+    ``stats_cols`` given, so manifest-pruned reads work on
+    stream-built corpora too). Readers of the epoch dirs mid-compact
+    are untouched; the versioned table is the handoff point.
+
+    Returns the published version number."""
+    from ..sources import manifest as MF
+    from ..sources import versioned as V
+
+    df = spark.read.parquet(epochs_root).drop("epoch").coalesce(target_files)
+    if stats_cols:
+        return MF.write_version_with_manifest(df, table_root, stats_cols)
+    return V.write_version(df, table_root)

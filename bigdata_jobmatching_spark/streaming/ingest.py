@@ -249,3 +249,49 @@ def stream_kafka_offers_to_lake(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def stream_kafka_cvs_to_lake(
+    spark: SparkSession,
+    broker_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    topic: str = "candidate_cvs_raw",
+    source_format: str = "kafka_wire",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The CV twin of :func:`stream_kafka_offers_to_lake` — the
+    reference DECLARED this consumer and never wrote it
+    (PLAN_REALISATION.md:260-271: consume_cvs.py missing); here the
+    full path executes: subscribe -> drop tombstones -> decode
+    against CV_SCHEMA -> normalize -> (scraped_date, source_site)
+    partitioned lake, checkpointed."""
+    if source_format == "kafka_wire":
+        from ..sources.kafka_wire import register_kafka_wire
+
+        register_kafka_wire(spark)
+        reader = spark.readStream.format("kafka_wire").option(
+            "path", broker_path)
+    else:
+        reader = spark.readStream.format(source_format).option(
+            "kafka.bootstrap.servers", broker_path)
+    wire = (
+        reader.option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", 10_000)
+        .load()
+    )
+    cvs = decode_kafka_cvs(wire.filter("value IS NOT NULL"))
+    normalized = normalize_cvs(cvs)
+    writer = (
+        normalized.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("scraped_date", "source_site")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

@@ -521,3 +521,72 @@ def test_stream_corpus_stages_match_batch(spark, tmp_path):
                        b.select("doc_id", "text").collect())
     assert got_rows == want_rows
     assert 0 < len(got_rows) < arrivals.count()
+
+
+def test_kafka_wire_cv_consume(spark, tmp_path):
+    """The declared-but-never-written CV consumer, executing: CV JSON
+    through the kafka_wire log -> decode vs CV_SCHEMA -> normalized
+    partitioned lake."""
+    from bigdata_jobmatching_spark.sources import kafka_wire as KW
+    from bigdata_jobmatching_spark.streaming.ingest import (
+        stream_kafka_cvs_to_lake,
+    )
+    from tests.fixtures import make_cvs
+
+    broker = str(tmp_path / "broker")
+    cvs = make_cvs(12)
+    KW.produce(
+        broker, "candidate_cvs_raw",
+        [(c["cv_id"].encode(), json.dumps(c).encode()) for c in cvs],
+        partitions=2,
+    )
+    out, ckpt = str(tmp_path / "cv_lake"), str(tmp_path / "cv_ckpt")
+    q = stream_kafka_cvs_to_lake(spark, broker, out, ckpt)
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    assert landed.count() == len(cvs)
+    assert {r.cv_id for r in landed.select("cv_id").collect()} == {
+        c["cv_id"] for c in cvs}
+
+
+def test_compact_epochs_into_versioned_table(spark, tmp_path):
+    """Streaming epoch dirs fold into one manifest-carrying published
+    version: same rows, bounded file count, manifest-pruned reads
+    work on the stream-built table."""
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+    from bigdata_jobmatching_spark.sources import manifest as MF
+    from bigdata_jobmatching_spark.sources import versioned as V
+    from bigdata_jobmatching_spark.sources.io import load_table
+    from bigdata_jobmatching_spark.streaming.corpus_stream import (
+        compact_epochs,
+        stream_surprisal_stage,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    lm = OC.fit_unigram_lm(spark.read.parquet(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = str(tmp_path / "epochs")
+    q = stream_surprisal_stage(
+        spark, stream, lm, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    table = str(tmp_path / "corpus_table")
+    v = compact_epochs(spark, out, table, stats_cols=("doc_id",),
+                       target_files=2)
+    assert v == 1
+    compacted = V.read_version(spark, table)
+    n_epoch_rows = spark.read.parquet(out).count()
+    assert compacted.count() == n_epoch_rows > 0
+    assert "epoch" not in compacted.columns
+    man = MF.read_manifest(table)
+    assert 0 < len(man["files"]) <= 2
+    # manifest-pruned read answers exactly like the full table
+    lo = compacted.agg({"doc_id": "min"}).first()[0]
+    pruned, total, read = MF.read_pruned(spark, table, "doc_id", lo, lo)
+    assert pruned.filter(f"doc_id = {lo}").count() == \
+        compacted.filter(f"doc_id = {lo}").count() == 1
