@@ -536,9 +536,13 @@ def semantic_blocks(
         F_.floor(F_.col("x").cast("double") * 1_000_000)
         .cast("long").alias("q"),
     ).localCheckpoint(eager=True)
-    # seeds = n_seeds smallest surviving ids, rank-indexed 0..n_seeds-1
+    # seeds = n_seeds smallest surviving ids, rank-indexed 0..n_seeds-1.
+    # j == 0 is one row per vector already (posexplode emits position
+    # 0 for every non-empty embedding), so the seed scan is a filter +
+    # TakeOrdered — never a full-corpus distinct shuffle
     seeds = (
-        qv.select("__id").distinct().orderBy("__id").limit(n_seeds)
+        qv.filter(F_.col("j") == 0).select("__id")
+        .orderBy("__id").limit(n_seeds)
         .select(
             "__id",
             (F_.row_number().over(Window.orderBy("__id")) - 1)

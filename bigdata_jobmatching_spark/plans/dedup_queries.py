@@ -1551,7 +1551,8 @@ _TRUTH_TARGET_DOCS_SEM = 100
 def _semantic_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
     qv_all = _sd_augmented(spark, sf).localCheckpoint(eager=True)
     seeds = (
-        qv_all.select("vec_id").distinct().orderBy("vec_id").limit(_SD_K)
+        qv_all.filter(F.col("j") == 0).select("vec_id")
+        .orderBy("vec_id").limit(_SD_K)
         .select(
             "vec_id",
             (F.row_number().over(Window.orderBy("vec_id")) - 1)
