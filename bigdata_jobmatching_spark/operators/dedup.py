@@ -479,6 +479,52 @@ def substring_dup_stats(
     )
 
 
+def _sd_quantize(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Micro-quantized long form (__id, j, q) — q = floor(x * 1e6),
+    one IEEE multiply + floor, identical on any engine. Shared by the
+    within-corpus and cross-corpus semantic paths; eagerly cut because
+    every consumer fans out into several branches."""
+    return vecs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(vec_col).alias("j", "x"),
+    ).select(
+        "__id", "j",
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("long").alias("q"),
+    ).localCheckpoint(eager=True)
+
+
+def _sd_planes(spark, sig_bits_max: int) -> DataFrame:
+    """Integer-LCG hyperplane table (bit, j, coef) — arithmetic, not
+    literals, so the plan stays O(1) nodes. MUST stay bit-identical
+    between the corpus that built the blocks and anything matched
+    against them; sharing this one definition makes that structural."""
+    return spark.range(sig_bits_max * 64).select(
+        F.expr("id div 64").cast("int").alias("bit"),
+        (F.col("id") % 64).cast("int").alias("j"),
+        (((F.lit(1103515245) * (F.col("id") + 12345) + 12345)
+          % F.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
+    )
+
+
+def _sd_sigints(qv: DataFrame, planes: DataFrame,
+                sig_bits_max: int) -> DataFrame:
+    """Sign-bit signatures (__id, sigint): dot each vector with every
+    plane, pack the sign bits MSB-first into one BIGINT via shift
+    arithmetic (nothing renders — the round-9 red-row lesson)."""
+    return (
+        qv.join(F.broadcast(planes), "j")
+        .groupBy("__id", "bit")
+        .agg(F.sum(F.col("q") * F.col("coef")).alias("s"))
+        .groupBy("__id")
+        .agg(F.sum(F.expr(
+            f"CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+            f"{sig_bits_max - 1} - bit) ELSE CAST(0 AS BIGINT) END"
+        )).alias("sigint"))
+    )
+
+
+
 def semantic_blocks(
     vecs: DataFrame,
     id_col: str,
@@ -528,14 +574,7 @@ def semantic_blocks(
     """
     F_ = F
     spark = vecs.sparkSession
-    qv = vecs.select(
-        F_.col(id_col).alias("__id"),
-        F_.posexplode(vec_col).alias("j", "x"),
-    ).select(
-        "__id", "j",
-        F_.floor(F_.col("x").cast("double") * 1_000_000)
-        .cast("long").alias("q"),
-    ).localCheckpoint(eager=True)
+    qv = _sd_quantize(vecs, id_col, vec_col)
     # seeds = n_seeds smallest surviving ids, rank-indexed 0..n_seeds-1.
     # j == 0 is one row per vector already (posexplode emits position
     # 0 for every non-empty embedding), so the seed scan is a filter +
@@ -569,24 +608,7 @@ def semantic_blocks(
         )
         .localCheckpoint(eager=True)
     )
-    # integer LCG hyperplanes; sign bits packed into one BIGINT via
-    # shift arithmetic (portable: both engines shift, nothing renders)
-    planes = spark.range(sig_bits_max * 64).select(
-        F_.expr("id div 64").cast("int").alias("bit"),
-        (F_.col("id") % 64).cast("int").alias("j"),
-        (((F_.lit(1103515245) * (F_.col("id") + 12345) + 12345)
-          % F_.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
-    )
-    sigs = (
-        qv.join(F_.broadcast(planes), "j")
-        .groupBy("__id", "bit")
-        .agg(F_.sum(F_.col("q") * F_.col("coef")).alias("s"))
-        .groupBy("__id")
-        .agg(F_.sum(F_.expr(
-            f"CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
-            f"{sig_bits_max - 1} - bit) ELSE CAST(0 AS BIGINT) END"
-        )).alias("sigint"))
-    )
+    sigs = _sd_sigints(qv, _sd_planes(spark, sig_bits_max), sig_bits_max)
     # b from a broadcast count vs a 13-row power-of-two ladder
     ladder = spark.range(sig_bits_max + 1).select(
         F_.col("id").cast("int").alias("i"),
@@ -740,14 +762,7 @@ def semantic_match_against(
     """
     F_ = F
     tau_num, tau_den = tau_sq
-    qv = new_vecs.select(
-        F_.col(id_col).alias("__id"),
-        F_.posexplode(vec_col).alias("j", "x"),
-    ).select(
-        "__id", "j",
-        F_.floor(F_.col("x").cast("double") * 1_000_000)
-        .cast("long").alias("q"),
-    ).localCheckpoint(eager=True)
+    qv = _sd_quantize(new_vecs, id_col, vec_col)
     d = F_.col("q") - F_.col("c")
     asg_new = (
         qv.join(F_.broadcast(ref.cent), "j")
@@ -757,22 +772,8 @@ def semantic_match_against(
         .agg(F_.min(F_.col("dist") * n_seeds + F_.col("cid")).alias("enc"))
         .select("__id", (F_.col("enc") % n_seeds).cast("int").alias("cluster"))
     )
-    planes = new_vecs.sparkSession.range(sig_bits_max * 64).select(
-        F_.expr("id div 64").cast("int").alias("bit"),
-        (F_.col("id") % 64).cast("int").alias("j"),
-        (((F_.lit(1103515245) * (F_.col("id") + 12345) + 12345)
-          % F_.lit(2 ** 31)) % 2001 - 1000).alias("coef"),
-    )
-    sigs_new = (
-        qv.join(F_.broadcast(planes), "j")
-        .groupBy("__id", "bit")
-        .agg(F_.sum(F_.col("q") * F_.col("coef")).alias("s"))
-        .groupBy("__id")
-        .agg(F_.sum(F_.expr(
-            f"CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
-            f"{sig_bits_max - 1} - bit) ELSE CAST(0 AS BIGINT) END"
-        )).alias("sigint"))
-    )
+    sigs_new = _sd_sigints(
+        qv, _sd_planes(new_vecs.sparkSession, sig_bits_max), sig_bits_max)
     v_new = (
         qv.join(asg_new, "__id").join(sigs_new, "__id")
         .crossJoin(F_.broadcast(ref.nb))

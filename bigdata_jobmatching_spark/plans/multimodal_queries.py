@@ -2116,6 +2116,60 @@ _PH_SCHEMA = T.StructType([
 ])
 
 
+def _hash_hamming_pairs(spark: SparkSession, sf: str, hash_of,
+                        maxdist: int) -> DataFrame:
+    """Shared perceptual-hash pair pipeline (pHash and dHash differ
+    ONLY in the per-image hash function and threshold): planted div-8
+    clique images, bounded per-worker memo, 4x16-bit banded Hamming
+    self-join — one definition, so a banding or memo fix can never
+    silently fork the two queries' blocking behavior."""
+    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # div-8 images are UNIQUE per clique, so the memo's hit rate
+        # is the 2 keys per (img, vr) — bound it so a 10^9-part scan
+        # cannot grow a per-worker dict without limit
+        memo: dict[tuple[int, int], int] = {}
+        for pdf in it:
+            rows = []
+            for k in pdf["p_partkey"]:
+                key = (int(k) // 8, (int(k) % 8) // 2)
+                if key not in memo:
+                    if len(memo) >= 65536:
+                        memo.clear()
+                    memo[key] = hash_of(*key)
+                rows.append((int(k), memo[key]))
+            yield pd.DataFrame(rows, columns=["p_partkey", "ph"])
+
+    sig = p.mapInPandas(batches, _PH_SCHEMA).localCheckpoint(eager=False)
+    bands = sig.select(
+        "p_partkey", "ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(ph, {b * 16}) & 65535").alias("key"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("p_partkey", "ph", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("p_partkey").alias("id_a"), F.col("ph").alias("ph_a"),
+        "band", "key")
+    b = bands.select(
+        F.col("p_partkey").alias("id_b"), F.col("ph").alias("ph_b"),
+        "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= maxdist)
+    )
+
+
 def _phash_of(img: int, vr: int) -> int:
     """Synth PNG -> REAL decode -> integer-DCT pHash (63 bits).
 
@@ -2146,51 +2200,7 @@ def _phash_of(img: int, vr: int) -> int:
 
 
 def _image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # div-8 images are UNIQUE per clique, so the memo's hit rate
-        # is the 2 keys per (img, vr) — bound it so a 10^9-part scan
-        # cannot grow a per-worker dict without limit
-        memo: dict[tuple[int, int], int] = {}
-        for pdf in it:
-            rows = []
-            for k in pdf["p_partkey"]:
-                key = (int(k) // 8, (int(k) % 8) // 2)
-                if key not in memo:
-                    if len(memo) >= 65536:
-                        memo.clear()
-                    memo[key] = _phash_of(*key)
-                rows.append((int(k), memo[key]))
-            yield pd.DataFrame(rows, columns=["p_partkey", "ph"])
-
-    sig = p.mapInPandas(batches, _PH_SCHEMA).localCheckpoint(eager=False)
-    bands = sig.select(
-        "p_partkey", "ph",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"shiftright(ph, {b * 16}) & 65535").alias("key"),
-            )
-            for b in range(4)
-        ])).alias("bk"),
-    ).select("p_partkey", "ph", "bk.band", "bk.key")
-    a = bands.select(
-        F.col("p_partkey").alias("id_a"), F.col("ph").alias("ph_a"),
-        "band", "key")
-    b = bands.select(
-        F.col("p_partkey").alias("id_b"), F.col("ph").alias("ph_b"),
-        "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= _PH_MAXDIST)
-    )
+    return _hash_hamming_pairs(spark, sf, _phash_of, _PH_MAXDIST)
 
 
 _PH_T_VALUES = ",\n    ".join(
@@ -2338,51 +2348,7 @@ def _dhash_of(img: int, vr: int) -> int:
 
 
 def _image_dhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    p = fan_out(load_table(spark, sf, "part")).select("p_partkey")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # div-8 images are UNIQUE per clique, so the memo's hit rate
-        # is the 2 keys per (img, vr) — bound it so a 10^9-part scan
-        # cannot grow a per-worker dict without limit
-        memo: dict[tuple[int, int], int] = {}
-        for pdf in it:
-            rows = []
-            for k in pdf["p_partkey"]:
-                key = (int(k) // 8, (int(k) % 8) // 2)
-                if key not in memo:
-                    if len(memo) >= 65536:
-                        memo.clear()
-                    memo[key] = _dhash_of(*key)
-                rows.append((int(k), memo[key]))
-            yield pd.DataFrame(rows, columns=["p_partkey", "ph"])
-
-    sig = p.mapInPandas(batches, _PH_SCHEMA).localCheckpoint(eager=False)
-    bands = sig.select(
-        "p_partkey", "ph",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"shiftright(ph, {b * 16}) & 65535").alias("key"),
-            )
-            for b in range(4)
-        ])).alias("bk"),
-    ).select("p_partkey", "ph", "bk.band", "bk.key")
-    a = bands.select(
-        F.col("p_partkey").alias("id_a"), F.col("ph").alias("ph_a"),
-        "band", "key")
-    b = bands.select(
-        F.col("p_partkey").alias("id_b"), F.col("ph").alias("ph_b"),
-        "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= _DH_MAXDIST)
-    )
+    return _hash_hamming_pairs(spark, sf, _dhash_of, _DH_MAXDIST)
 
 
 _DHASH_SQL = f"""

@@ -129,20 +129,39 @@ def _read_slice(
             if hi is not None and i >= hi:
                 break
             rec = json.loads(line)
+            # tz-AWARE instant: a naive datetime would be read in the
+            # session timezone and shift the stored instant whenever
+            # that is not UTC — a parity break with format("kafka"),
+            # which always lands the true epoch instant
             yield (
                 _unb64(rec["k"]), _unb64(rec["v"]), topic, partition, i,
                 _dt.datetime.fromtimestamp(
-                    rec["ts"] / 1000.0, tz=_dt.timezone.utc
-                ).replace(tzinfo=None),
+                    rec["ts"] / 1000.0, tz=_dt.timezone.utc),
                 0,  # timestampType: CREATE_TIME, like the connector
             )
+
+
+# (file byte size -> line count) per partition file: the log is
+# append-only, so an unchanged size means an unchanged count — end
+# offsets stay O(1) per idle trigger instead of re-counting the whole
+# log every 30 s forever (a continuously-running stream would
+# otherwise pay O(total) per trigger even with zero new records)
+_COUNT_CACHE: dict[str, tuple[int, int]] = {}
 
 
 def _end_offsets(path: str, topic: str) -> dict[str, int]:
     out: dict[str, int] = {}
     for p in _list_partitions(path, topic):
-        with open(_partition_file(path, topic, p)) as fh:
-            out[str(p)] = sum(1 for _ in fh)
+        f = _partition_file(path, topic, p)
+        size = os.path.getsize(f)
+        cached = _COUNT_CACHE.get(f)
+        if cached is not None and cached[0] == size:
+            out[str(p)] = cached[1]
+            continue
+        with open(f) as fh:
+            n = sum(1 for _ in fh)
+        _COUNT_CACHE[f] = (size, n)
+        out[str(p)] = n
     return out
 
 

@@ -256,21 +256,25 @@ def write_version_optimistic(
         # interleave so the lower writer's swap lands last (round-9
         # advice #5). Publishing therefore ALSO drops an append-only
         # _PUBLISHED_vNNNNN marker (atomic create, never mutated), and
-        # every writer self-heals after its swap: if the pointer sits
-        # below the max published marker, restore it. A regression is
-        # now transient — bounded by the last racer's heal step — and
-        # markers distinguish PUBLISHED versions from mkdir-claimed
-        # in-flight ones, so the heal can never point at a half-written
-        # directory. Residual window: a reader between the losing swap
-        # and the heal sees the superseded (complete, consistent)
-        # version; with no OS lock that window cannot be closed, only
-        # kept self-correcting.
+        # every writer runs a CONVERGING heal loop: swap toward the
+        # max published marker, then RE-CHECK AFTER the swap and
+        # repeat until the pointer is at least the marker max. The
+        # post-write re-check is what makes a regression self-correct:
+        # any heal write that lands stale is followed by that same
+        # writer's re-read, which sees every marker created before it
+        # and swaps again — a stale pointer survives only if a writer
+        # dies between its swap and its re-check, and then only until
+        # any later publish runs its own loop. Markers distinguish
+        # PUBLISHED versions from mkdir-claimed in-flight ones, so the
+        # heal can never point at a half-written directory; a plain
+        # write_version (no marker) that published a HIGHER version
+        # breaks the loop via cur >= hi and is never regressed.
         _publish_marker(root, nxt)
-        cur = current_version(root)
-        if cur is None or cur < nxt:
-            _set_pointer(root, nxt)
-        hi = _max_published(root)
-        if hi is not None and (current_version(root) or 0) < hi:
+        for _ in range(8):
+            hi = _max_published(root) or nxt
+            cur = current_version(root)
+            if cur is not None and cur >= hi:
+                break
             _set_pointer(root, hi)
         return nxt
     raise RuntimeError(

@@ -265,22 +265,11 @@ def stream_kafka_cvs_to_lake(
     (PLAN_REALISATION.md:260-271: consume_cvs.py missing); here the
     full path executes: subscribe -> drop tombstones -> decode
     against CV_SCHEMA -> normalize -> (scraped_date, source_site)
-    partitioned lake, checkpointed."""
-    if source_format == "kafka_wire":
-        from ..sources.kafka_wire import register_kafka_wire
-
-        register_kafka_wire(spark)
-        reader = spark.readStream.format("kafka_wire").option(
-            "path", broker_path)
-    else:
-        reader = spark.readStream.format(source_format).option(
-            "kafka.bootstrap.servers", broker_path)
-    wire = (
-        reader.option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", 10_000)
-        .load()
-    )
+    partitioned lake, checkpointed. The wire source is
+    :func:`read_kafka_offer_stream` — topic-generic despite the name:
+    it returns connector-shaped rows for whatever topic it is given,
+    and only the decode step downstream is schema-specific."""
+    wire = read_kafka_offer_stream(spark, broker_path, topic, source_format)
     cvs = decode_kafka_cvs(wire.filter("value IS NOT NULL"))
     normalized = normalize_cvs(cvs)
     writer = (

@@ -103,19 +103,26 @@ def main() -> int:
                 problems.append(f"value-hash mismatch ({ndiff}/{len(sh)} rows differ)")
                 # per-column decomposition (round-9 verdict #1: localize
                 # WHICH column diverges when the row hash can't say) —
-                # compare each column's sorted canonical value multiset
-                s_by = {c: sorted(canon_value(r[i]) for r in s_rows)
+                # Counter multisets so duplicate-count-only divergences
+                # still show concrete values (a plain membership scan
+                # would print empty diffs for exactly that class)
+                from collections import Counter
+                s_by = {c: Counter(canon_value(r[i]) for r in s_rows)
                         for i, c in enumerate(s_cols)}
-                d_by = {c: sorted(canon_value(r[i]) for r in d_rows)
+                d_by = {c: Counter(canon_value(r[i]) for r in d_rows)
                         for i, c in enumerate(d_cols)}
                 bad_cols = [c for c in sorted(s_by) if s_by[c] != d_by.get(c)]
-                print(f"    diverging columns: {bad_cols or 'NONE'}"
-                      " (column multisets equal -> divergence is in the"
-                      " row-wise pairing)" if not bad_cols else
-                      f"    diverging columns: {bad_cols}")
+                if bad_cols:
+                    print(f"    diverging columns: {bad_cols}")
+                else:
+                    print("    diverging columns: NONE (column multisets"
+                          " equal -> divergence is in the row-wise"
+                          " pairing)")
                 for c in bad_cols[:2]:
-                    s_only = [v for v in s_by[c] if v not in d_by.get(c, [])]
-                    d_only = [v for v in d_by.get(c, []) if v not in s_by[c]]
+                    s_only = list((s_by[c] - d_by.get(c, Counter()))
+                                  .elements())
+                    d_only = list((d_by.get(c, Counter()) - s_by[c])
+                                  .elements())
                     print(f"    col {c}: spark-only {s_only[:3]} "
                           f"duck-only {d_only[:3]}")
                 s_set = set(sh)
