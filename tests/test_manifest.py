@@ -458,3 +458,32 @@ def test_connected_components_mixed_endpoint_types(spark):
     got = {r.node: r.component
            for r in connected_components(edges).collect()}
     assert got == {2: 2, 5: 2, 7: 2, 8: 8, 9: 8}
+
+
+def test_optimistic_writers_concurrent_stress(spark, tmp_path):
+    """Round-10 review fix: N threads race optimistic commits; every
+    writer gets a distinct version, all versions stay readable, and
+    the pointer converges to the max published marker (the heal
+    loop's contract) with no regression left behind."""
+    import threading
+
+    root = str(tmp_path / "race")
+    df = spark.range(20).selectExpr("id", "id AS v")
+    got, errs = [], []
+
+    def writer():
+        try:
+            got.append(V.write_version_optimistic(df, root))
+        except Exception as e:  # noqa: BLE001 - collected for assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(got) == list(range(1, 7))  # distinct claimed versions
+    assert V.current_version(root) == V._max_published(root) == 6
+    for v in got:
+        assert V.read_version(spark, root, version=v).count() == 20

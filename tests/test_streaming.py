@@ -590,3 +590,20 @@ def test_compact_epochs_into_versioned_table(spark, tmp_path):
     pruned, total, read = MF.read_pruned(spark, table, "doc_id", lo, lo)
     assert pruned.filter(f"doc_id = {lo}").count() == \
         compacted.filter(f"doc_id = {lo}").count() == 1
+
+
+def test_kafka_wire_timestamp_is_true_instant(spark, tmp_path):
+    """Round-10 review fix: the wire timestamp is the produced epoch
+    instant (tz-aware UTC), not a session-timezone reinterpretation —
+    parity with format("kafka")."""
+    from bigdata_jobmatching_spark.sources import kafka_wire as KW
+
+    broker = str(tmp_path / "broker")
+    ts_ms = 1_700_000_000_000  # 2023-11-14T22:13:20Z
+    KW.produce(broker, "t", [(b"k", b"v")], partitions=1,
+               timestamp_ms=ts_ms)
+    KW.register_kafka_wire(spark)
+    row = (spark.read.format("kafka_wire")
+           .option("path", broker).option("subscribe", "t").load()
+           .selectExpr("unix_millis(timestamp) AS ms").first())
+    assert row.ms == ts_ms
