@@ -607,3 +607,60 @@ def test_kafka_wire_timestamp_is_true_instant(spark, tmp_path):
            .option("path", broker).option("subscribe", "t").load()
            .selectExpr("unix_millis(timestamp) AS ms").first())
     assert row.ms == ts_ms
+
+
+def test_kafka_wire_offset_protocol_properties(tmp_path):
+    """Property test of the wire double's offset protocol (pure
+    Python, no Spark): for ANY interleaving of produces and reads,
+    chaining read() from the initial offset loses nothing, duplicates
+    nothing, and readBetweenOffsets replays each slice exactly."""
+    import random
+
+    from bigdata_jobmatching_spark.sources import kafka_wire as KW
+
+    rng = random.Random(20260816)
+    broker = str(tmp_path / "broker")
+    topic = "prop"
+    produced: list[bytes] = []
+
+    reader = KW.KafkaWireStreamReader(
+        {"path": broker, "subscribe": topic, "maxOffsetsPerTrigger":
+         str(rng.choice([0, 3, 7]))})
+    offset = reader.initialOffset()
+    consumed: list[bytes] = []
+    batches: list[tuple[dict, dict]] = []
+    for step in range(40):
+        if rng.random() < 0.5:
+            n = rng.randint(0, 4)
+            recs = [(f"k{len(produced) + i}".encode(),
+                     f"v{len(produced) + i}".encode()) for i in range(n)]
+            KW.produce(broker, topic, recs, partitions=3)
+            produced.extend(v for _, v in recs)
+        else:
+            rows, nxt = reader.read(offset)
+            rows = list(rows)
+            batches.append((dict(offset), dict(nxt)))
+            consumed.extend(bytes(r[1]) for r in rows)
+            offset = nxt
+    # drain whatever remains (cap may need several reads)
+    for _ in range(200):
+        rows, nxt = reader.read(offset)
+        rows = list(rows)
+        if not rows and nxt == offset:
+            break
+        batches.append((dict(offset), dict(nxt)))
+        consumed.extend(bytes(r[1]) for r in rows)
+        offset = nxt
+    # exactly-once: multiset equality (order differs across partitions)
+    assert sorted(consumed) == sorted(produced)
+    # replay: every recorded batch replays to the identical multiset
+    for start, end in batches:
+        replay = [bytes(r[1])
+                  for r in reader.readBetweenOffsets(start, end)]
+        direct_rows, _ = KW.KafkaWireStreamReader(
+            {"path": broker, "subscribe": topic}).read(start)
+        # replay slice == the rows whose offsets fall in [start, end)
+        want = [bytes(r[1]) for r in direct_rows
+                if int(start.get(str(r[3]), 0)) <= r[4]
+                < int(end.get(str(r[3]), 0))]
+        assert sorted(replay) == sorted(want)
