@@ -581,3 +581,126 @@ def hard_negatives_topk(
     if score_decimals is not None:
         out = out.withColumn("score", F.round("score", score_decimals))
     return out
+
+
+def _quantized_long(df: DataFrame, id_col: str, vec_col: str,
+                    id_alias: str, scale: int) -> DataFrame:
+    """Long-form micro-quantized vectors: one (id, j, q) row per
+    dimension, q = floor(x * scale) — exact integers end-to-end, so
+    every dot product downstream is reproducible in an external SQL
+    oracle (same convention as operators/dedup's semantic family)."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.col(vec_col)),
+    ).select(
+        id_alias,
+        F.col("pos").alias("j"),
+        F.floor(F.col("col").cast("double") * scale).cast("long").alias("q"),
+    )
+
+
+def mmr_rerank_topk(
+    vecs: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pool: int = 20,
+    k: int = 5,
+    lam: tuple[int, int] = (7, 3),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k, exact and
+    deterministic: per probe, take the ``pool`` highest-relevance
+    candidates (integer dot products of micro-quantized vectors,
+    ties to the smaller id), then greedily select ``k`` of them with
+    the MMR rule — round r picks argmax of
+
+        lam[0] * rel(cand)  -  lam[1] * max_{s in selected} sim(cand, s)
+
+    (``lam = (7, 3)`` is the classic lambda = 0.7 scaled into
+    integers; round 1 has no selected set, so it picks pure argmax
+    relevance). Ties always break to the smaller candidate id, so
+    the whole greedy trajectory is a pure function of the data —
+    every score is an exact int64 and a SQL oracle replays the
+    selection round by round.
+
+    Returns ``(query_id, rnk, neighbor_id, rel, score)``.
+
+    Scale shape: relevance is a broadcast-probe dot against the
+    corpus (corpus never shuffles); the quadratic part — pairwise
+    sims — is CONFINED to the pool (pool^2 per probe, a constant),
+    and the k greedy rounds iterate over pool-sized frames with an
+    eager cut per round so the plan cannot re-derive the chain. At
+    10^9 candidates the same plan holds: pool bounds the rerank
+    exactly the way real retrieval stacks bound their cross-encoder
+    stage."""
+    F_ = F
+    lam_rel, lam_div = lam
+    c = _quantized_long(vecs, id_col, vec_col, "vec_id_", scale)
+    p = (
+        _quantized_long(probes, id_col, vec_col, "query_id", scale)
+        .withColumnRenamed("q", "pq")
+    )
+    rel = (
+        c.join(F_.broadcast(p), "j")
+        .filter(F_.col("vec_id_") != F_.col("query_id"))
+        .groupBy("query_id", "vec_id_")
+        .agg(F_.sum(F_.col("q") * F_.col("pq")).alias("rel"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F_.desc("rel"), F_.asc("vec_id_"))
+    pool_df = (
+        rel.withColumn("prn", F_.row_number().over(wp))
+        .filter(F_.col("prn") <= pool).drop("prn")
+        .localCheckpoint(eager=True)
+    )
+    pl = pool_df.select("query_id", "vec_id_").join(c, "vec_id_")
+    a = pl.select("query_id", F_.col("vec_id_").alias("a"), "j",
+                  F_.col("q").alias("qa"))
+    b = pl.select("query_id", F_.col("vec_id_").alias("b"), "j",
+                  F_.col("q").alias("qb"))
+    sims = (
+        a.join(b, ["query_id", "j"])
+        .filter(F_.col("a") != F_.col("b"))
+        .groupBy("query_id", "a", "b")
+        .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    sel: DataFrame | None = None
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = pool_df.withColumn(
+                "score", F_.col("rel") * lam_rel)
+        else:
+            picked = sel.select("query_id", "vec_id_")
+            remaining = pool_df.join(
+                picked, ["query_id", "vec_id_"], "left_anti")
+            ms = (
+                sims.join(
+                    picked.select("query_id",
+                                  F_.col("vec_id_").alias("b")),
+                    ["query_id", "b"])
+                .groupBy("query_id", F_.col("a").alias("vec_id_"))
+                .agg(F_.max("sim").alias("maxsim"))
+            )
+            # inner join is total: every pool pair has a sims row, and
+            # selected ids are excluded from `remaining` already
+            scored = (
+                remaining.join(ms, ["query_id", "vec_id_"])
+                .withColumn(
+                    "score",
+                    F_.col("rel") * lam_rel - F_.col("maxsim") * lam_div)
+                .drop("maxsim")
+            )
+        ws = Window.partitionBy("query_id").orderBy(
+            F_.desc("score"), F_.asc("vec_id_"))
+        pick = (
+            scored.withColumn("rn", F_.row_number().over(ws))
+            .filter(F_.col("rn") == 1).drop("rn")
+            .withColumn("rnk", F_.lit(r).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+    return sel.select(
+        "query_id", "rnk", F_.col("vec_id_").alias("neighbor_id"),
+        "rel", "score")

@@ -1746,3 +1746,87 @@ register(QuerySpec(
     "cumulative window on the collapsed (type, day) grain",
     ("events", "window", "robust"),
 ))
+
+
+# --- mv_rollup_serving: aggregate-navigator serving proof (round-10) --------
+# The read-side contract of the MV investment (mv.py + the IVM sink):
+# a month x type dashboard request is answered FROM the published
+# (day, type) materialized aggregate via the functional rollup
+# month = trunc(day), never from raw events — and the result is
+# hash-proven EQUAL to computing from base (the DuckDB oracle goes
+# straight at events), which is the SUM-reaggregation algebra the
+# whole serving layer rests on. The served_from column pins WHICH
+# source answered: if the navigator ever silently falls back to
+# base, the literal flips and the gate hash fails even though the
+# numbers would still match. mv_rows / base_rows carry the scan
+# economics (serving reads |days| x |types| rows, not |events|) —
+# at 100 TB that ratio is the whole point.
+
+def _mv_serving(spark: SparkSession, sf: str) -> DataFrame:
+    from ..mv import MatView, serve
+
+    ev = load_table(spark, sf, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .cast("long").alias("sum_cents"),
+        )
+        .localCheckpoint(eager=True)  # the "published" MV
+    )
+    mv = MatView(
+        "daily_type", ("day", "event_type"), ("n", "sum_cents"), daily,
+        {"month": "trunc(day, 'month')"},
+    )
+
+    def base() -> DataFrame:  # pragma: no cover — navigator must hit the MV
+        return (
+            ev.groupBy(
+                F.trunc(F.to_date("ts"), "month").alias("month"),
+                "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.expr(
+                     "CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+                 .cast("long").alias("sum_cents"))
+        )
+
+    served, src = serve(("month", "event_type"), [mv], base)
+    mv_rows = daily.agg(F.count(F.lit(1)).cast("long").alias("mv_rows"))
+    base_rows = ev.agg(F.count(F.lit(1)).cast("long").alias("base_rows"))
+    return (
+        served
+        .withColumn("served_from", F.lit(src))
+        .crossJoin(F.broadcast(mv_rows))
+        .crossJoin(F.broadcast(base_rows))
+        .select("month", "event_type", "n", "sum_cents", "served_from",
+                "mv_rows", "base_rows")
+    )
+
+
+_MV_SERVING_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month, event_type,
+  CAST(SUM(n) AS BIGINT) AS n,
+  CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+  'daily_type' AS served_from,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS mv_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS base_rows
+FROM daily GROUP BY 1, 2
+"""
+
+register(QuerySpec(
+    "mv_rollup_serving", _mv_serving, _MV_SERVING_SQL,
+    "materialized-view rollup serving: month x type dashboard "
+    "answered from the published (day, type) aggregate via the "
+    "functional month rollup (mv.py navigator), hash-proven equal "
+    "to base with the serving source and scan economics pinned in "
+    "the result",
+    ("events", "agg", "mv", "bench"),
+))

@@ -1207,3 +1207,123 @@ register(QuerySpec(
     "centroid coords fully value-oracled",
     ("vector", "iterative", "ml", "bench"),
 ))
+
+
+# --- mmr_diversified_topk: MMR diversity rerank (round-10) ------------------
+# The retrieval-diversity operator a training-data selection stack
+# runs between recall and consumption: per probe, the pool of 20
+# highest-relevance candidates is greedily reranked with the classic
+# maximal-marginal-relevance rule (lambda = 0.7 as the integer pair
+# 7/3), so near-duplicate candidates cannot crowd the final k — the
+# per-query complement of the corpus-level max-cover selection
+# already in the registry. Everything is exact int64 (micro-
+# quantized dots, integer lambda weights, min-id tie-breaks), so the
+# DuckDB oracle replays the greedy trajectory round by round as five
+# chained CTEs; a single flipped comparison anywhere in the greedy
+# loop flips the gate hash.
+#
+# Scale shape: relevance = broadcast-probe dot (corpus never
+# shuffles); the quadratic sim matrix is confined to pool^2 = 400
+# rows per probe (a constant); the k greedy rounds run over
+# pool-sized frames with an eager cut per round. At 10^9 candidates
+# the identical plan holds — pool bounds the rerank the way real
+# stacks bound their cross-encoder stage.
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAM = (7, 3)
+_MMR_SCALE = 1_000_000
+
+
+def _mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    return ANN.mmr_rerank_topk(
+        e, probes, "vec_id", "embedding",
+        pool=_MMR_POOL, k=_MMR_K, lam=_MMR_LAM, scale=_MMR_SCALE,
+    )
+
+
+def _mmr_sql() -> str:
+    lam_rel, lam_div = _MMR_LAM
+    head = f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, j, CAST(floor(CAST(x AS DOUBLE) * {_MMR_SCALE}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+      unnest(generate_series(0, len(embedding) - 1)) AS j,
+      unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+  )
+),
+rel AS MATERIALIZED (
+  SELECT p.vec_id AS query_id, c.vec_id, CAST(SUM(c.q * p.q) AS BIGINT) AS rel
+  FROM qv c JOIN qv p USING (j)
+  WHERE p.vec_id % 50 = 0 AND c.vec_id != p.vec_id
+  GROUP BY 1, 2
+),
+pool AS MATERIALIZED (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+    FROM rel
+  ) WHERE rn <= {_MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT pa.query_id, pa.vec_id AS a, pb.vec_id AS b,
+    CAST(SUM(ca.q * cb.q) AS BIGINT) AS sim
+  FROM pool pa
+  JOIN pool pb ON pb.query_id = pa.query_id AND pb.vec_id != pa.vec_id
+  JOIN qv ca ON ca.vec_id = pa.vec_id
+  JOIN qv cb ON cb.vec_id = pb.vec_id AND cb.j = ca.j
+  GROUP BY 1, 2, 3
+),
+sel1 AS (
+  SELECT query_id, vec_id, rel, CAST(rel * {lam_rel} AS BIGINT) AS score, 1 AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    blocks = [head]
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM sel{i}" for i in range(1, r))
+        blocks.append(f""",
+selu{r} AS (SELECT * FROM ({prev})),
+cand{r} AS (
+  SELECT p.query_id, p.vec_id, p.rel,
+    CAST(p.rel * {lam_rel} - MAX(s.sim) * {lam_div} AS BIGINT) AS score
+  FROM pool p
+  JOIN sims s ON s.query_id = p.query_id AND s.a = p.vec_id
+  JOIN selu{r} su ON su.query_id = s.query_id AND su.vec_id = s.b
+  LEFT JOIN selu{r} ex
+    ON ex.query_id = p.query_id AND ex.vec_id = p.vec_id
+  WHERE ex.vec_id IS NULL
+  GROUP BY 1, 2, 3
+),
+sel{r} AS (
+  SELECT query_id, vec_id, rel, score, {r} AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1))
+    blocks.append(f"""
+SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id AS neighbor_id,
+  rel, score
+FROM ({union})""")
+    return "".join(blocks)
+
+
+register(QuerySpec(
+    "mmr_diversified_topk", _mmr_rerank, _mmr_sql(),
+    "maximal-marginal-relevance diversified top-k: broadcast-probe "
+    "integer-dot relevance -> pool-confined pairwise sims -> k greedy "
+    "MMR rounds (lambda=0.7 as exact 7/3 integers, min-id ties) — "
+    "the retrieval-diversity rerank, oracle replays the greedy "
+    "trajectory as chained CTEs",
+    ("vector", "ann", "window", "join"),
+))

@@ -292,3 +292,117 @@ def test_audio_fp_flac_roundtrip_feeds_hash(spark):
     # different clips -> far fingerprints (measured cross min 12)
     d = bin(_audio_fp_of(7, 2) ^ _audio_fp_of(8, 2)).count("1")
     assert d > 10
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR demotes a redundant high-relevance candidate: with probe
+    [1,0], A=[1,1] wins round 1 on pure relevance; B=[0.95,1.2] is
+    nearly parallel to A (sim 2.15 vs rel 0.95 -> score 0.2) while
+    C=[0.7,-0.5] is anti-correlated with A (sim 0.2 -> score 4.3), so
+    the greedy order is A, C, B even though relevance says A, B, C."""
+    from bigdata_jobmatching_spark.operators.similarity_search import (
+        mmr_rerank_topk,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    corpus = spark.createDataFrame([
+        (1, [1.0, 1.0]),     # A
+        (2, [0.95, 1.2]),    # B: near-dup direction of A
+        (3, [0.7, -0.5]),    # C: diverse
+    ], schema)
+    probes = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    out = mmr_rerank_topk(corpus, probes, "vec_id", "embedding",
+                          pool=20, k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert order == [1, 3, 2]
+    # round-1 score is pure scaled relevance; later rounds subtract
+    by_rank = {r.rnk: r for r in out}
+    assert by_rank[1].score == by_rank[1].rel * 7
+    assert by_rank[2].score < by_rank[2].rel * 7
+
+
+def test_mmr_rerank_ties_and_small_pool(spark):
+    """Exact-duplicate candidates tie on every score -> smaller id
+    first; a pool smaller than k just stops early (no padding)."""
+    from bigdata_jobmatching_spark.operators.similarity_search import (
+        mmr_rerank_topk,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [1.0, 0.0])], schema)
+    probes = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    out = sorted(mmr_rerank_topk(corpus, probes, "vec_id", "embedding",
+                                 pool=20, k=5).collect(),
+                 key=lambda r: r.rnk)
+    assert [(r.rnk, r.neighbor_id) for r in out] == [(1, 5), (2, 6)]
+
+
+def test_mv_navigator_serves_and_falls_back(spark):
+    """The aggregate navigator: a servable request re-aggregates the
+    FIRST servable registered view (coarsest-first contract); an
+    unservable one falls back to base; roll_to raises on misuse."""
+    import pytest as _pytest
+
+    from bigdata_jobmatching_spark.mv import MatView, serve
+
+    base_df = spark.createDataFrame(
+        [("2024-01-01", "a", 1, 10), ("2024-01-01", "a", 1, 20),
+         ("2024-01-02", "b", 1, 30), ("2024-02-01", "a", 1, 40)],
+        ["day", "typ", "n", "cents"],
+    ).withColumn("day", F.to_date("day"))
+    daily = base_df.groupBy("day", "typ").agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    monthly = daily.withColumn("month", F.trunc("day", "month")) \
+        .groupBy("month", "typ").agg(
+            F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    mv_m = MatView("monthly", ("month", "typ"), ("n", "cents"), monthly)
+    mv_d = MatView("daily", ("day", "typ"), ("n", "cents"), daily,
+                   {"month": "trunc(day, 'month')"})
+
+    # coarsest-first: month x typ answered by the monthly MV
+    out, src = serve(("month", "typ"), [mv_m, mv_d], lambda: base_df)
+    assert src == "monthly"
+    got = {(str(r.month), r.typ): (r.n, r.cents) for r in out.collect()}
+    assert got == {("2024-01-01", "a"): (2, 30),
+                   ("2024-01-01", "b"): (1, 30),
+                   ("2024-02-01", "a"): (1, 40)}
+
+    # monthly can't serve a day grain; daily can (identity dims)
+    out, src = serve(("day", "typ"), [mv_m, mv_d], lambda: base_df)
+    assert src == "daily"
+
+    # nothing serves a dim no MV carries -> base
+    out, src = serve(("day", "cents"), [mv_m, mv_d], lambda: base_df)
+    assert src == "base" and out is base_df
+
+    with _pytest.raises(ValueError):
+        mv_m.roll_to(("day", "typ"))
+
+
+def test_mv_serving_equals_base(spark):
+    """The SUM-reaggregation algebra the serving layer rests on:
+    month x typ from the daily MV == month x typ from base rows."""
+    from bigdata_jobmatching_spark.mv import MatView, serve
+
+    rows = [(f"2024-{m:02d}-{d:02d}", t, v)
+            for m in (1, 2) for d in (1, 5, 28)
+            for t, v in (("x", 3), ("y", 7))]
+    base_df = spark.createDataFrame(rows, ["day", "typ", "v"]) \
+        .withColumn("day", F.to_date("day"))
+    daily = base_df.groupBy("day", "typ").agg(F.sum("v").alias("v"))
+    mv = MatView("daily", ("day", "typ"), ("v",), daily,
+                 {"month": "trunc(day, 'month')"})
+    served, src = serve(("month", "typ"), [mv],
+                        lambda: (_ for _ in ()).throw(AssertionError))
+    assert src == "daily"
+    direct = base_df.withColumn("month", F.trunc("day", "month")) \
+        .groupBy("month", "typ").agg(F.sum("v").alias("v"))
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, direct.collect()))
