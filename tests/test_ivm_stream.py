@@ -253,3 +253,45 @@ def test_ivm_pre_swap_crash_replay_converges(spark, tmp_path):
         for r in _incremental_agg_refresh(spark, _SF).collect()
     )
     assert _view_rows(spark, root) == want
+
+
+def test_streamed_view_serves_rollups(spark, tmp_path):
+    """Composition: the STREAM-maintained aggregate is a legitimate
+    MatView — after the IVM drain, the mv.py navigator serves a
+    coarser grain (gc = g % 10) from the published view, and the
+    answer equals recomputing that grain from the final base state.
+    This is the full write-side (IVM keeps the view fresh) +
+    read-side (navigator serves rollups from it) contract in one
+    test."""
+    from bigdata_jobmatching_spark.mv import MatView, serve
+
+    src = _write_sliced_cdf(spark, tmp_path)
+    root = str(tmp_path / "agg_view")
+    _seed(spark, root)
+    schema = spark.read.parquet(src).schema
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ivm.stream_ivm_refresh(
+        spark, changes, root, str(tmp_path / "ck"), ngroup=_NGROUP
+    ).awaitTermination(300)
+
+    view = V.read_version(spark, root)
+    mv = MatView("ivm_g", ("g",), ("n_rows", "sum_cents"), view,
+                 {"gc": "g % 10"})
+    served, src_name = serve(
+        ("gc",), [mv],
+        lambda: (_ for _ in ()).throw(AssertionError("must hit the MV")))
+    assert src_name == "ivm_g"
+    got = sorted((r.gc, r.n_rows, r.sum_cents) for r in served.collect())
+    want = sorted(
+        (r.gc, r.n_rows, r.sum_cents)
+        for r in _snap_v2(spark, _SF)
+        .groupBy(((F.col("id") % _NGROUP) % 10).alias("gc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").cast("long").alias("sum_cents"))
+        .collect()
+    )
+    assert got == want
