@@ -236,3 +236,119 @@ register(QuerySpec(
     "oracle) AND file economics hash-pinned",
     ("layout", "manifest", "warehouse", "storage"),
 ))
+
+
+# --- bloom_point_lookup_audit: Bloom file-skipping, physically (r10) --------
+# manifest_pruning_audit proves RANGE skipping off footer min/max;
+# point lookups on a high-cardinality key need the membership
+# summary instead — the Delta/Iceberg bloom-filter-index shape. This
+# query runs it physically: customer lands as a versioned table
+# hive-partitioned into 16 key-residue files, each carrying a
+# per-file Bloom bitset over c_custkey in _MANIFEST.json
+# (sources/manifest.py: k=3 integer-arithmetic probes into m=16384
+# bits — a hash family an external SQL engine reproduces bit for
+# bit); a FIXED 5-key probe panel (present and absent keys) is then
+# planned through read_point_pruned, and the result pins per probe
+# BOTH the answer (hit count + exact cents, pruning must never
+# change them) and the file economics (files_read out of 16 — the
+# no-false-negative floor plus measured false positives).
+#
+# The DuckDB oracle recomputes every Bloom bit from the same
+# arithmetic, derives the exact skip decision per (probe, file), and
+# the answer from base — a flipped bit anywhere in the writer, the
+# reader, or the probe arithmetic flips the gate hash. At 100 TB
+# this is the difference between touching k files and touching all
+# of them for every "find this key" lookup a pipeline issues.
+
+_BLOOM_PROBES = (3, 14, 159, 2653, 58979)
+_BLOOM_NFILES = 16
+
+
+def _bloom_lookup_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    from functools import reduce
+
+    from ..sources.manifest import read_point_pruned, write_version_with_blooms
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal",
+    ).withColumn("cg", (F.col("c_custkey") % _BLOOM_NFILES).cast("int"))
+    root = tempfile.mkdtemp(prefix="bloom_audit_")
+    write_version_with_blooms(
+        cust.repartition("cg"), root,
+        stats_cols=("c_custkey",), bloom_cols=("c_custkey",),
+        partition_by=("cg",),
+    )
+    outs = []
+    for pk in _BLOOM_PROBES:
+        pruned, files_total, files_read = read_point_pruned(
+            spark, root, "c_custkey", pk)
+        outs.append(
+            pruned.filter(F.col("c_custkey") == pk).agg(
+                F.lit(pk).cast("long").alias("probe_key"),
+                F.lit(files_total).cast("long").alias("files_total"),
+                F.lit(files_read).cast("long").alias("files_read"),
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+                F.coalesce(
+                    F.sum(F.round(F.col("c_acctbal") * 100).cast("long")),
+                    F.lit(0)).cast("long").alias("acct_cents"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+_BLOOM_PROBE_VALUES = ", ".join(f"({p})" for p in _BLOOM_PROBES)
+
+_BLOOM_SQL = f"""
+WITH probes(pk) AS (VALUES {_BLOOM_PROBE_VALUES}),
+salts(a) AS (VALUES (12345), (999331), (7654321)),
+fbits AS (
+  SELECT DISTINCT c_custkey % {_BLOOM_NFILES} AS cg,
+    ((c_custkey * 2654435761 + a) % 2147483648) % 16384 AS b
+  FROM customer, salts
+),
+pbits AS (
+  SELECT DISTINCT pk,
+    ((pk * 2654435761 + a) % 2147483648) % 16384 AS b
+  FROM probes, salts
+),
+need AS (SELECT pk, COUNT(*) AS nb FROM pbits GROUP BY 1),
+have AS (
+  SELECT pb.pk, fb.cg, COUNT(DISTINCT pb.b) AS nhit
+  FROM pbits pb JOIN fbits fb ON fb.b = pb.b
+  GROUP BY 1, 2
+),
+econ AS (
+  SELECT n.pk,
+    CAST(COUNT(CASE WHEN h.nhit = n.nb THEN 1 END) AS BIGINT)
+      AS files_read
+  FROM need n LEFT JOIN have h ON h.pk = n.pk
+  GROUP BY 1
+),
+total AS (
+  SELECT CAST(COUNT(DISTINCT c_custkey % {_BLOOM_NFILES}) AS BIGINT)
+    AS files_total
+  FROM customer
+),
+answer AS (
+  SELECT p.pk,
+    CAST(COUNT(c.c_custkey) AS BIGINT) AS n_hits,
+    CAST(COALESCE(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)), 0)
+         AS BIGINT) AS acct_cents
+  FROM probes p LEFT JOIN customer c ON c.c_custkey = p.pk
+  GROUP BY 1
+)
+SELECT CAST(e.pk AS BIGINT) AS probe_key, t.files_total, e.files_read,
+  a.n_hits, a.acct_cents
+FROM econ e JOIN answer a ON a.pk = e.pk CROSS JOIN total t
+"""
+
+register(QuerySpec(
+    "bloom_point_lookup_audit", _bloom_lookup_audit, _BLOOM_SQL,
+    "per-file Bloom index run physically: customer landed as 16 "
+    "key-residue files with integer-arithmetic Bloom bitsets in the "
+    "manifest, a fixed probe panel planned through read_point_pruned "
+    "— answer preservation AND file-skip economics hash-pinned "
+    "against an oracle that recomputes every bit",
+    ("layout", "manifest", "warehouse", "storage"),
+))

@@ -290,3 +290,139 @@ def read_pruned(
         return reader.parquet(any_file).limit(0), files_total, 0
     df = reader.parquet(*[os.path.join(vdir, f) for f in keep])
     return df, files_total, len(keep)
+
+
+# --- per-file Bloom indexes (point-lookup skipping) -------------------------
+# Min/max stats skip RANGE scans; point lookups on high-cardinality
+# keys (the "where is customer 4711" class) need a membership
+# summary: a per-file Bloom bitset over the key column, written at
+# land time and carried in the same _MANIFEST.json sidecar — the
+# Delta/Iceberg bloom-filter-index shape on the versioned store. The
+# hash family is plain int64 arithmetic (one multiplicative mix, k
+# additive offsets, two mods), so an external SQL oracle reproduces
+# every bit and therefore the exact file-skip decision — the
+# bloom_point_lookup_audit gate query hash-pins both the answer and
+# the FP economics. No false negatives by construction: the file
+# holding the key always passes (correctness); false positives only
+# cost extra reads (economics, measured not assumed).
+
+BLOOM_M = 16_384     # bits per file per column
+BLOOM_SALTS = (12_345, 999_331, 7_654_321)  # k = 3 probes
+_BLOOM_MULT = 2_654_435_761
+
+
+def bloom_positions(value: int, m: int = BLOOM_M) -> list[int]:
+    """The k probe bit positions of an integer key — the shared
+    definition for the writer, the reader, and (re-stated in SQL)
+    the oracle."""
+    return [
+        ((int(value) * _BLOOM_MULT + a) % 2_147_483_648) % m
+        for a in BLOOM_SALTS
+    ]
+
+
+def _collect_file_blooms(
+    vdir: str, bloom_cols: tuple[str, ...], m: int,
+) -> dict[str, dict[str, dict]]:
+    """Per-file Bloom bitsets: one column read per file (pyarrow,
+    column-pruned), bits as a sorted position list in the JSON
+    sidecar. At real scale the bitset would be a packed blob; the
+    position-list carrier keeps the sidecar human-auditable at test
+    sizes without changing the contract."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, dict]] = {}
+    for name in _walk_parquet(vdir):
+        path = os.path.join(vdir, name)
+        cols: dict[str, dict] = {}
+        for col in bloom_cols:
+            try:
+                vals = pq.read_table(path, columns=[col])[col]
+            except Exception:
+                continue  # column absent -> no bloom -> reader keeps
+            bits: set[int] = set()
+            for v in vals:
+                v = v.as_py()
+                if v is None:
+                    continue
+                bits.update(bloom_positions(v, m))
+            cols[col] = {"m": m, "bits": sorted(bits)}
+        out[name] = cols
+    return out
+
+
+def bloom_attacher(bloom_cols: tuple[str, ...], m: int = BLOOM_M):
+    """A pre-publish hook ADDING blooms to an existing manifest (run
+    it after manifest_attacher), same sidecar-before-swap discipline."""
+    def attach(vdir: str) -> None:
+        p = os.path.join(vdir, _MANIFEST)
+        with open(p) as f:
+            manifest = json.load(f)
+        blooms = _collect_file_blooms(vdir, bloom_cols, m)
+        for entry in manifest["files"]:
+            entry["bloom"] = blooms.get(entry["file"], {})
+        manifest["bloom_cols"] = list(bloom_cols)
+        with open(p, "w") as f:
+            json.dump(manifest, f)
+    return attach
+
+
+def write_version_with_blooms(
+    df: DataFrame,
+    root: str,
+    stats_cols: tuple[str, ...],
+    bloom_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+    m: int = BLOOM_M,
+) -> int:
+    """Land ``df`` as the next version carrying BOTH footer min/max
+    stats and per-file Bloom indexes on ``bloom_cols``."""
+    base = manifest_attacher(stats_cols, df.schema.json())
+    bloom = bloom_attacher(bloom_cols, m)
+
+    def attach(vdir: str) -> None:
+        base(vdir)
+        bloom(vdir)
+
+    return V.write_version(df, root, partition_by, pre_publish=attach)
+
+
+def read_point_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value: int,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """(pruned DataFrame, files_total, files_read) for the point
+    lookup ``col = value``, skipping every file whose Bloom bitset
+    PROVABLY excludes the key (some probe bit unset). Files without
+    a bloom for ``col`` are conservatively kept — skipping must never
+    change an answer."""
+    v = V.current_version(root) if version is None else version
+    man = read_manifest(root, v)
+    vdir = os.path.join(root, f"v{v:05d}")
+    keep = []
+    for entry in man["files"]:
+        bl = entry.get("bloom", {}).get(col)
+        if bl is None:
+            keep.append(entry["file"])
+            continue
+        bits = set(bl["bits"])
+        if all(p in bits for p in bloom_positions(value, bl["m"])):
+            keep.append(entry["file"])
+    files_total = len(man["files"])
+    if not man["files"]:
+        sj = man.get("schema")
+        if sj is None:
+            raise FileNotFoundError(
+                f"v{v:05d} under {root} lists zero files and its "
+                "manifest predates schema carriage — unreadable")
+        schema = T.StructType.fromJson(json.loads(sj))
+        return spark.read.schema(schema).parquet(vdir), 0, 0
+    reader = spark.read.option("basePath", vdir)
+    if not keep:
+        any_file = os.path.join(vdir, man["files"][0]["file"])
+        return reader.parquet(any_file).limit(0), files_total, 0
+    df = reader.parquet(*[os.path.join(vdir, f) for f in keep])
+    return df, files_total, len(keep)
