@@ -1959,3 +1959,155 @@ register(QuerySpec(
     "corpus with itself); id-sum pins the exact match set",
     ("dedup", "vector", "join", "agg"),
 ))
+
+
+# --- neardup_leakfree_split: contamination-safe train/val carve (r10) -------
+# The eval-integrity step every LLM corpus needs between dedup and
+# packing: a doc-grain split (doc_train_val_split's LCG) can put two
+# NEAR-DUPLICATES on opposite sides of the train/val fence — the
+# classic leakage that inflates eval numbers. The fix is to split at
+# duplicate-CLUSTER grain: label docs with their >=0.9-Jaccard
+# connected component (the docs_dedup_cluster_sizes machinery,
+# singletons = own cluster), apply the SAME LCG carve to the cluster
+# label, and every near-dup pair lands on one side by construction.
+# The query emits per-side census columns AND the leakage audit:
+# cross_pairs_cluster_split (pinned 0 — computed honestly from the
+# pair list, not assumed) next to cross_pairs_doc_split (what the
+# naive doc-grain carve WOULD have leaked on the same pair graph) —
+# the delta is the whole argument for cluster-grain splitting.
+#
+# Scale shape: same blocked candidate pairs + iterative CC as the
+# cluster-sizes query (never all-pairs); the split itself is one
+# integer LCG per cluster label and the audit is two broadcast-side
+# joins at pair grain. The DuckDB oracle recomputes components with
+# a recursive CTE and replays the carve arithmetic exactly.
+
+_LFS_A = 1103515245
+_LFS_C = 12345
+_LFS_M = 2_147_483_648
+_LFS_VAL_PCT = 10
+
+
+def _lfs_side(col: F.Column) -> F.Column:
+    h = (col * _LFS_A + _LFS_C) % _LFS_M
+    return (
+        F.when(h < _LFS_M * _LFS_VAL_PCT // 100, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def _leakfree_split(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = (
+        fan_out(load_table(spark, sf, "documents"))
+        .withColumn("blk", F.concat_ws("|", "lang", "source"))
+        .withColumn("tokset",
+                    _hashed(F.array_distinct(X.tokens(F.col("text")))))
+    )
+    cand = D.pairwise_candidates(
+        d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
+    )
+    dup_pairs = (
+        cand.withColumn(
+            "jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b")))
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)  # reused by CC and both audits
+    )
+    comp = connected_components(
+        dup_pairs.select(F.col("doc_id_a").alias("m"),
+                         F.col("doc_id_b").alias("n")))
+    assigned = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("grp"))
+        .withColumn("side", _lfs_side(F.col("grp")))
+        .localCheckpoint(eager=True)  # reused by census + audit joins
+    )
+    per_side = assigned.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("grp").cast("long").alias("n_clusters"),
+    )
+    sa = assigned.select(F.col("doc_id").alias("doc_id_a"),
+                         F.col("side").alias("side_a"))
+    sb = assigned.select(F.col("doc_id").alias("doc_id_b"),
+                         F.col("side").alias("side_b"))
+    audit = (
+        dup_pairs
+        .join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.sum((F.col("side_a") != F.col("side_b")).cast("long"))
+            .cast("long").alias("cross_pairs_cluster_split"),
+            F.sum((
+                _lfs_side(F.col("doc_id_a"))
+                != _lfs_side(F.col("doc_id_b"))
+            ).cast("long")).cast("long").alias("cross_pairs_doc_split"),
+        )
+    )
+    return per_side.crossJoin(F.broadcast(audit)).select(
+        "side", "n_docs", "n_clusters", "n_dup_pairs",
+        "cross_pairs_cluster_split", "cross_pairs_doc_split")
+
+
+_LFS_SIDE_SQL = (
+    "CASE WHEN ({v} * %d + %d) %% %d < %d THEN 'val' ELSE 'train' END"
+    % (_LFS_A, _LFS_C, _LFS_M, _LFS_M * _LFS_VAL_PCT // 100)
+)
+
+_LEAKFREE_SPLIT_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, {_SQL_TOKSET_H} AS ts FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS m, b.doc_id AS n
+  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+    AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+),
+sym AS (SELECT m AS a, n AS b FROM pairs UNION ALL SELECT n, m FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+),
+rep AS (SELECT node AS doc_id, MIN(label) AS grp FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, COALESCE(r.grp, d.doc_id) AS grp,
+    {_LFS_SIDE_SQL.format(v='COALESCE(r.grp, d.doc_id)')} AS side
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+),
+per_side AS (
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_clusters
+  FROM assigned GROUP BY 1
+),
+audit AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+    CAST(SUM(CASE WHEN aa.side != ab.side THEN 1 ELSE 0 END) AS BIGINT)
+      AS cross_pairs_cluster_split,
+    CAST(SUM(CASE WHEN {_LFS_SIDE_SQL.format(v='p.m')}
+                != {_LFS_SIDE_SQL.format(v='p.n')}
+             THEN 1 ELSE 0 END) AS BIGINT) AS cross_pairs_doc_split
+  FROM pairs p
+  JOIN assigned aa ON aa.doc_id = p.m
+  JOIN assigned ab ON ab.doc_id = p.n
+)
+SELECT side, n_docs, n_clusters, n_dup_pairs,
+  cross_pairs_cluster_split, cross_pairs_doc_split
+FROM per_side, audit
+"""
+
+register(QuerySpec(
+    "neardup_leakfree_split", _leakfree_split, _LEAKFREE_SPLIT_SQL,
+    "contamination-safe train/val carve: >=0.9-Jaccard duplicate "
+    "clusters split at CLUSTER grain (same LCG as the doc split) — "
+    "per-side census plus the honest leakage audit: cluster-grain "
+    "crossing pairs (0 by construction, measured not assumed) next "
+    "to what the naive doc-grain carve would have leaked",
+    ("dedup", "mixing", "graph", "agg"),
+))

@@ -406,3 +406,34 @@ def test_mv_serving_equals_base(spark):
         .groupBy("month", "typ").agg(F.sum("v").alias("v"))
     assert sorted(map(tuple, served.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_leakfree_split_semantics(spark, tmp_path):
+    """Cluster-grain carve on a crafted corpus: near-dup twins always
+    land on one side, and the naive doc-grain carve demonstrably
+    splits at least one planted pair on this fixture."""
+    from bigdata_jobmatching_spark.plans.dedup_queries import (
+        _leakfree_split,
+    )
+
+    # 30 planted twin pairs: doc 2k and 2k+1 share identical text ->
+    # jaccard 1.0 -> one cluster; distinct filler words elsewhere
+    rows = []
+    for k in range(30):
+        txt = f"alpha{k} beta{k} gamma{k} delta{k} epsilon{k}"
+        rows.append((2 * k, txt, "en", "src"))
+        rows.append((2 * k + 1, txt, "en", "src"))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"],
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.side: r for r in _leakfree_split(spark, str(tmp_path)).collect()}
+    a = next(iter(out.values()))
+    assert a.n_dup_pairs == 30
+    assert a.cross_pairs_cluster_split == 0
+    # the naive doc-id carve splits SOME twin pair here (doc ids 2k
+    # and 2k+1 hash independently; with 30 pairs at 10% val the
+    # chance all stay together is (0.82)^30-ish — this fixture was
+    # checked to leak)
+    assert a.cross_pairs_doc_split > 0
+    assert sum(r.n_docs for r in out.values()) == 60
