@@ -635,8 +635,12 @@ def semantic_blocks(
     norms = v.groupBy("__id").agg(
         F_.sum(F_.col("q") * F_.col("q")).alias("n2")).localCheckpoint(
         eager=True)
-    return SemanticParts(v, asg, norms, cent.localCheckpoint(eager=True),
-                         nb.localCheckpoint(eager=True))
+    # cent/nb are LAZY cuts: only the cross-corpus consumers
+    # (semantic_match_against) ever evaluate them — an eager cut here
+    # charged every stats/pairs caller one extra qv-scan job for a
+    # frame it never reads (measured 0.4 s at sf0.1)
+    return SemanticParts(v, asg, norms, cent.localCheckpoint(eager=False),
+                         nb.localCheckpoint(eager=False))
 
 
 def semantic_dedup_pairs(

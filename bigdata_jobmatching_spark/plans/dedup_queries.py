@@ -1350,11 +1350,13 @@ def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     parts = D.semantic_blocks(
         e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET, _SD_BITS_MAX)
     asg = parts.asg
+    # single consumer (pair_stats) -> no checkpoint: an eager cut
+    # here materialized the whole pair list once more than needed
     pairs = D.semantic_dedup_pairs(
         e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET,
         tau_sq=(49, 400), sig_bits_max=_SD_BITS_MAX,
         details=True, parts=parts,
-    ).localCheckpoint(eager=True)
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     per_cluster = asg.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"))
