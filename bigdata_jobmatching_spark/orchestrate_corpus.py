@@ -163,12 +163,41 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text", clean)
 
 
-def split_and_pack(docs: DataFrame, bin_tokens: int = 2048, val_pct: int = 10) -> DataFrame:
-    h = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M
-    tagged = docs.withColumn(
+def split_and_pack(
+    docs: DataFrame,
+    bin_tokens: int = 2048,
+    val_pct: int = 10,
+    fence_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val carve + FFD-ish sequential packing. ``fence_pairs``
+    (optional ``doc_id_a``/``doc_id_b`` near-dup pairs) switches the
+    carve to duplicate-CLUSTER grain: the hash is taken over the
+    pair graph's connected-component label instead of doc_id, so
+    near-duplicates can never straddle the train/val fence — the
+    keep-near-dups configuration (fence instead of drop) whose
+    leakage argument neardup_leakfree_split audits externally.
+    Default (None) is byte-identical to the historical doc-grain
+    carve."""
+    if fence_pairs is None:
+        keyed = docs.withColumn("__carve", F.col("doc_id"))
+    else:
+        from .operators.graph import connected_components
+
+        comp = connected_components(fence_pairs.select(
+            F.col("doc_id_a").alias("m"), F.col("doc_id_b").alias("n")))
+        keyed = (
+            docs.join(comp.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+            .withColumn("__carve",
+                        F.coalesce("component", F.col("doc_id")))
+            .drop("component")
+        )
+    h = (F.col("__carve") * _LCG_A + _LCG_C) % _LCG_M
+    tagged = keyed.withColumn(
         "split",
         F.when(h < _LCG_M * val_pct // 100, F.lit("val")).otherwise(F.lit("train")),
-    ).withColumn("n_tokens", X.token_count(F.col("text")).cast("long"))
+    ).drop("__carve").withColumn(
+        "n_tokens", X.token_count(F.col("text")).cast("long"))
     w = (
         Window.partitionBy("split", "source")
         .orderBy("doc_id")

@@ -437,3 +437,34 @@ def test_leakfree_split_semantics(spark, tmp_path):
     # checked to leak)
     assert a.cross_pairs_doc_split > 0
     assert sum(r.n_docs for r in out.values()) == 60
+
+
+def test_split_and_pack_fenced_carve(spark):
+    """split_and_pack(fence_pairs=...) puts near-dup twins on ONE
+    side; without pairs the historical doc-grain carve is unchanged
+    (same split labels for the same doc_ids)."""
+    from bigdata_jobmatching_spark.orchestrate_corpus import split_and_pack
+
+    rows = [(i, f"w{i} x{i} y{i}", "src") for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # fence every (2k, 2k+1) pair
+    pairs = spark.createDataFrame(
+        [(2 * k, 2 * k + 1) for k in range(60)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    fenced = {r.doc_id: r.split
+              for r in split_and_pack(docs, fence_pairs=pairs).collect()}
+    for k in range(60):
+        assert fenced[2 * k] == fenced[2 * k + 1]
+    # default path unchanged vs the registered doc-grain split query
+    plain = {r.doc_id: r.split for r in split_and_pack(docs).collect()}
+    from bigdata_jobmatching_spark.plans.mixing_queries import (
+        _LCG_A, _LCG_C, _LCG_M, _VAL_PCT,
+    )
+    for i in range(120):
+        want = ("val" if (i * _LCG_A + _LCG_C) % _LCG_M
+                < _LCG_M * _VAL_PCT // 100 else "train")
+        assert plain[i] == want
+    # the fenced carve differs from doc-grain somewhere on this
+    # fixture (otherwise the test proves nothing)
+    assert any(fenced[i] != plain[i] for i in range(120))
