@@ -219,6 +219,7 @@ def compact_version(
     root: str,
     target_files: int,
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction as a new version: read the CURRENT
     version, coalesce to ``target_files``, republish atomically (with
@@ -228,6 +229,12 @@ def compact_version(
     sink drips thousands of files per day, and scan cost follows file
     count until something like this runs."""
     cur = V.read_version(spark, root).coalesce(target_files)
+    if bloom_cols:
+        # compaction must not lose point-lookup indexes: re-derive
+        # blooms for the new leaf layout (bitsets are per-FILE, the
+        # old ones describe files that no longer exist)
+        return write_version_with_blooms(
+            cur, root, stats_cols=stats_cols, bloom_cols=bloom_cols)
     if stats_cols:
         return audit_then_publish(cur, root, audits=(), stats_cols=stats_cols)
     return V.write_version(cur, root)
@@ -426,3 +433,43 @@ def read_point_pruned(
         return reader.parquet(any_file).limit(0), files_total, 0
     df = reader.parquet(*[os.path.join(vdir, f) for f in keep])
     return df, files_total, len(keep)
+
+
+# --- manifest-stats-driven join planning ------------------------------------
+# The manifest already carries EXACT per-file row counts (parquet
+# footer metadata, no data read); that is table-statistics enough to
+# make the one physical-join decision that dominates at 100 TB:
+# broadcast the small side or shuffle both. Spark's own AQE decides
+# from runtime shuffle sizes — one shuffle too late for the first
+# join of a cold query; this helper decides from one small-object
+# read before any scan, the way a warehouse CBO reads its stats
+# catalog.
+
+def manifest_row_count(root: str, version: int | None = None) -> int:
+    """Exact row count of a published version from its manifest —
+    one JSON read, zero data scanned."""
+    return sum(e["rows"] for e in read_manifest(root, version)["files"])
+
+
+def join_versioned_by_stats(
+    big: DataFrame,
+    spark: SparkSession,
+    small_root: str,
+    on,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+) -> tuple[DataFrame, str]:
+    """Join ``big`` against a versioned table, choosing the physical
+    strategy from MANIFEST stats: under ``broadcast_max_rows`` the
+    versioned side gets an explicit broadcast hint (plan shows
+    BroadcastHashJoin with no exchange on the big side); over it the
+    join is left to the planner (sort-merge/shuffle-hash at scale).
+    Returns ``(joined, strategy)`` with strategy in
+    {"broadcast", "shuffle"} so callers and tests can assert the
+    decision, not just the values."""
+    from pyspark.sql import functions as F
+
+    small = V.read_version(spark, small_root)
+    if manifest_row_count(small_root) <= broadcast_max_rows:
+        return big.join(F.broadcast(small), on, how), "broadcast"
+    return big.join(small, on, how), "shuffle"

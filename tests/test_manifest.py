@@ -539,3 +539,57 @@ def test_bloom_missing_column_keeps_all(spark, tmp_path):
     pruned, total, read = read_point_pruned(spark, root, "zz", 7)
     assert read == total == 4
     assert pruned.count() == 40
+
+
+def test_join_strategy_from_manifest_stats(spark, tmp_path):
+    """The stats-catalog join decision: a small versioned dim joins
+    via an explicit broadcast (BroadcastHashJoin in the plan, no
+    exchange on the big side); pushing the threshold below its row
+    count flips the decision to shuffle — both read ONLY the
+    manifest, never the data, to decide."""
+    from bigdata_jobmatching_spark.sources.manifest import (
+        join_versioned_by_stats, manifest_row_count,
+        write_version_with_manifest,
+    )
+
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr"))
+    root = str(tmp_path / "dim")
+    write_version_with_manifest(dim, root, stats_cols=("k",))
+    assert manifest_row_count(root) == 50
+
+    big = spark.range(0, 10_000).select((F.col("id") % 50).alias("k"))
+    joined, strat = join_versioned_by_stats(big, spark, root, "k")
+    assert strat == "broadcast"
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == 10_000
+
+    joined2, strat2 = join_versioned_by_stats(
+        big, spark, root, "k", broadcast_max_rows=10)
+    assert strat2 == "shuffle"
+    assert joined2.count() == 10_000
+
+
+def test_compaction_preserves_blooms(spark, tmp_path):
+    """compact_version(bloom_cols=...) re-derives per-file bitsets
+    for the new layout: point lookups keep skipping after compaction
+    and answers are unchanged."""
+    from bigdata_jobmatching_spark.sources.manifest import (
+        compact_version, read_manifest, read_point_pruned,
+        write_version_with_blooms,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 8).cast("int").alias("g"))
+    root = str(tmp_path / "bl")
+    write_version_with_blooms(
+        df.repartition("g"), root,
+        stats_cols=("k",), bloom_cols=("k",), partition_by=("g",))
+    compact_version(spark, root, target_files=2,
+                    stats_cols=("k",), bloom_cols=("k",))
+    man = read_manifest(root)
+    assert all("bloom" in e and "k" in e["bloom"] for e in man["files"])
+    pruned, total, read = read_point_pruned(spark, root, "k", 123)
+    assert pruned.filter(F.col("k") == 123).count() == 1
+    _, total2, read2 = read_point_pruned(spark, root, "k", 99_999_989)
+    assert read2 < total2
