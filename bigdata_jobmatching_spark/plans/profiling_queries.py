@@ -458,3 +458,83 @@ register(QuerySpec(
     "fence, outlier rate via pure-int ratio6",
     ("profiling", "window", "quality"),
 ))
+
+
+# --- k_anonymity_census: re-identification risk profile (round-10) ----------
+# The privacy audit a dataset needs BEFORE release (the complement
+# of doc_pii_scrub's redaction): how many records sit in
+# quasi-identifier equivalence classes smaller than k — i.e. are
+# re-identifiable by joining public attributes — and how much does
+# one generalization step (nation -> region, the classic
+# value-generalization-hierarchy move) repair? Two censuses over
+# customer: granular QI = (nationkey, mktsegment) vs coarsened QI =
+# (regionkey, mktsegment); per level the class count, the smallest
+# class, classes below k and records at risk. Exact integer counts
+# only; the nation->region hop is a 25-row broadcast join.
+
+_KANON_K = 10
+
+
+def _k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_regionkey")
+    cr = c.join(F.broadcast(n),
+                c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_regionkey", "c_mktsegment")
+
+    def census(level: str, *qi: str) -> DataFrame:
+        classes = cr.groupBy(*qi).agg(
+            F.count(F.lit(1)).cast("long").alias("sz"))
+        return classes.agg(
+            F.lit(level).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("sz").cast("long").alias("min_class_size"),
+            F.sum((F.col("sz") < _KANON_K).cast("long"))
+            .cast("long").alias("classes_below_k"),
+            F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz"))
+                  .otherwise(F.lit(0))).cast("long")
+            .alias("records_at_risk"),
+        )
+
+    return census("nation_segment", "c_nationkey", "c_mktsegment") \
+        .unionByName(census("region_segment", "n_regionkey",
+                            "c_mktsegment"))
+
+
+_KANON_SQL = f"""
+WITH cr AS (
+  SELECT c.c_custkey, c.c_nationkey, n.n_regionkey, c.c_mktsegment
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+g1 AS (
+  SELECT COUNT(*) AS sz FROM cr GROUP BY c_nationkey, c_mktsegment
+),
+g2 AS (
+  SELECT COUNT(*) AS sz FROM cr GROUP BY n_regionkey, c_mktsegment
+)
+SELECT 'nation_segment' AS level,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+  CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS classes_below_k,
+  CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+    AS records_at_risk
+FROM g1
+UNION ALL
+SELECT 'region_segment',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(MIN(sz) AS BIGINT),
+  CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+FROM g2
+"""
+
+register(QuerySpec(
+    "k_anonymity_census", _k_anonymity, _KANON_SQL,
+    "k-anonymity re-identification risk profile: quasi-identifier "
+    "equivalence-class census at two generalization levels "
+    "(nation x segment vs region x segment) — class count, smallest "
+    "class, classes below k and records at risk, exact integers",
+    ("profiling", "privacy", "agg"),
+))
