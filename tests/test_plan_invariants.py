@@ -274,7 +274,8 @@ def test_no_new_unvetted_float_rounding():
                                      # the composite-score tie class is
                                      # handled by integer (…+2) div 5 instead
         "events_queries.py": 1,      # exact-grid conditional sum
-        "layout_queries.py": 1,      # r9 manifest_pruning_audit: standard
+        "layout_queries.py": 2,      # r9 manifest_pruning_audit + r10
+                                     # bloom_point_lookup_audit: standard
                                      # money-grid cents round (2-dp price
                                      # * 100 lands on grid points, never a
                                      # midpoint — identical both engines)
