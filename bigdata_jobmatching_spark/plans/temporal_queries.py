@@ -386,3 +386,99 @@ register(QuerySpec(
     "interval materialization)",
     ("temporal", "agg", "scd"),
 ))
+
+
+# --- events_gapfill_ffill: date-spine gap fill + forward fill (r10) ---------
+# The time-series operator every dashboard layer needs and Spark has
+# no verb for: a SPARSE observation series densified onto a complete
+# calendar spine with last-observation-carried-forward. Sparsity is
+# structural (a 1-in-199 event_id subset at HOUR grain: ~0.5% of
+# events over types x days x 24 slots keeps real gaps at every scale
+# factor — a dense series would make the fill vacuous). The spine is
+# generated per series from its own [min, max] hour index (sequence
+# + explode — generated rows, not scanned rows), the fill is one
+# last(ignorenulls) running window per series, and leading gaps
+# before the first observation fill with 0. Hours ride as an integer
+# epoch-hour index internally; the output renders (day DATE, hour
+# INT) so both engines hash identical carriers. At 100 TB the spine
+# is |series| x |slots| generated rows — independent of the event
+# count — and the window partitions by series, never globally.
+
+_GF_MOD = 199
+
+
+def _gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_id") % _GF_MOD == 0)
+    h = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long") * 24 + F.hour("ts").cast("long")
+    )
+    hourly = ev.groupBy("event_type", h.alias("h")).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long").alias("cents"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("event_type",
+                F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        F.expr("date_add(DATE '1970-01-01', CAST(h div 24 AS INT))")
+        .alias("day"),
+        F.expr("CAST(h % 24 AS INT)").alias("hour"),
+        F.col("cents").isNotNull().cast("long").alias("is_observed"),
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+        .cast("long").alias("cents_ffill"),
+    )
+
+
+_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      * 24 + CAST(hour(ts) AS BIGINT) AS h,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM events WHERE event_id % {_GF_MOD} = 0
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS h
+  FROM (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+        FROM hourly GROUP BY 1)
+),
+filled AS (
+  SELECT s.event_type, s.h, hh.cents
+  FROM spine s
+  LEFT JOIN hourly hh ON hh.event_type = s.event_type AND hh.h = s.h
+)
+SELECT event_type,
+  DATE '1970-01-01' + CAST(h // 24 AS INT) AS day,
+  CAST(h % 24 AS INT) AS hour,
+  CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS BIGINT)
+    AS is_observed,
+  CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+    AS cents_ffill
+FROM filled
+"""
+
+register(QuerySpec(
+    "events_gapfill_ffill", _gapfill, _GAPFILL_SQL,
+    "date-spine gap fill + forward fill: sparse hourly series "
+    "densified onto a per-series generated calendar spine, "
+    "last-observation-carried-forward window, leading gaps zero — "
+    "the time-series densification operator at spine cost "
+    "|series| x |slots|, independent of event count",
+    ("temporal", "events", "window", "timeseries"),
+))
