@@ -128,9 +128,22 @@ def apply_cdf_batch(
         )
     if epoch_id == cur_epoch:
         return False
+    _fold_deltas(spark, group_deltas(batch, ngroup), epoch_id, root,
+                 stats_cols)
+    return True
+
+
+def _fold_deltas(
+    spark: SparkSession, deltas: DataFrame, epoch_id: int, root: str,
+    stats_cols: tuple[str, ...] = (),
+) -> None:
+    """Fold pre-computed per-row (g, n_rows, sum_cents) deltas into
+    the view at ``root`` — the shared merge step of the single-level
+    and chained refreshers (deltas are additive, so the SAME rows
+    can fold into any coarsening of the grain)."""
     cur = V.read_version(spark, root).select("g", "n_rows", "sum_cents")
     merged = (
-        cur.unionByName(group_deltas(batch, ngroup))
+        cur.unionByName(deltas)
         .groupBy("g")
         .agg(
             F.sum("n_rows").cast("long").alias("n_rows"),
@@ -139,7 +152,6 @@ def apply_cdf_batch(
         .filter(F.col("n_rows") > 0)
     )
     _publish_with_epoch(merged, root, epoch_id, stats_cols)
-    return True
 
 
 def stream_ivm_refresh(
@@ -165,6 +177,64 @@ def stream_ivm_refresh(
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         apply_cdf_batch(spark, batch, epoch_id, root, ngroup, stats_cols)
+
+    writer = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ivm_refresh_chain(
+    spark: SparkSession,
+    changes: DataFrame,
+    fine_root: str,
+    coarse_root: str,
+    checkpoint_path: str,
+    ngroup: int = 97,
+    coarsen: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """MULTI-LEVEL incremental view maintenance: one change feed
+    keeps the fine per-group aggregate AND its coarsened rollup
+    (g % ``coarsen``) fresh in the same micro-batch — the
+    Materialize-style view-of-a-view chain, reduced to the
+    SUM-additive case the mv.py navigator serves.
+
+    The chain never reads level 1 to refresh level 2: group deltas
+    are ADDITIVE, so the same per-batch delta rows fold into any
+    coarsening of the grain — refresh cost per level stays
+    |changes| + |groups(level)|, and the whole chain is one
+    foreachBatch. Each level carries its OWN epoch marker: a crash
+    between the two publishes leaves the fine view one epoch ahead,
+    and the replayed epoch skips the fine fold (already applied) and
+    lands only the missing coarse one — per-level exactly-once, same
+    discipline as the single-level sink.
+
+    Seed BOTH roots (seed_view) with consistent aggregates of the
+    same snapshot before starting."""
+    for root in (fine_root, coarse_root):
+        if V.current_version(root) is None:
+            raise FileNotFoundError(
+                f"stream_ivm_refresh_chain: seed {root!r} first")
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        deltas = group_deltas(batch, ngroup).localCheckpoint(eager=True)
+        for root, dd in (
+            (fine_root, deltas),
+            (coarse_root, deltas.select(
+                (F.col("g") % coarsen).alias("g"), "n_rows", "sum_cents")),
+        ):
+            cur_epoch = current_epoch(root)
+            if epoch_id < cur_epoch:
+                raise RuntimeError(
+                    f"stream_ivm_refresh_chain: epoch regression at "
+                    f"{root!r} (incoming {epoch_id} < {cur_epoch})")
+            if epoch_id == cur_epoch:
+                continue  # this level already landed this epoch
+            _fold_deltas(spark, dd, epoch_id, root)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)

@@ -295,3 +295,94 @@ def test_streamed_view_serves_rollups(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_ivm_chain_maintains_both_levels(spark, tmp_path):
+    """Multi-level IVM: one drained change feed leaves BOTH the fine
+    view and its %10 rollup equal to recomputation from the final
+    base state, with matching epoch markers — and a checkpoint
+    replay (same source, same checkpoint) changes neither."""
+    src = _write_sliced_cdf(spark, tmp_path)
+    fine = str(tmp_path / "fine")
+    coarse = str(tmp_path / "coarse")
+    v1 = _snap_v1(spark, _SF)
+    ivm.seed_view(
+        v1.groupBy((F.col("id") % _NGROUP).alias("g")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents")), fine)
+    ivm.seed_view(
+        v1.groupBy(((F.col("id") % _NGROUP) % 10).alias("g")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents")), coarse)
+
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        ivm.stream_ivm_refresh_chain(
+            spark, changes, fine, coarse, str(tmp_path / "ck"),
+            ngroup=_NGROUP, coarsen=10,
+        ).awaitTermination(300)
+
+    run()
+
+    def want(grain):
+        return sorted(
+            (r.g, r.n_rows, r.sum_cents)
+            for r in _snap_v2(spark, _SF)
+            .groupBy(grain.alias("g")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"))
+            .collect())
+
+    assert _view_rows(spark, fine) == want(F.col("id") % _NGROUP)
+    assert _view_rows(spark, coarse) == want((F.col("id") % _NGROUP) % 10)
+    assert ivm.current_epoch(fine) == ivm.current_epoch(coarse) >= 3
+    vf, vc = V.current_version(fine), V.current_version(coarse)
+
+    # replay with the SAME checkpoint: nothing to do, nothing changes
+    run()
+    assert V.current_version(fine) == vf
+    assert V.current_version(coarse) == vc
+
+
+def test_ivm_chain_partial_crash_replay_converges(spark, tmp_path):
+    """A crash BETWEEN the two publishes (fine landed, coarse did
+    not) must converge on replay: the fine fold skips (epoch already
+    marked), the coarse fold lands — per-level exactly-once."""
+    src = _write_sliced_cdf(spark, tmp_path, n_slices=1)
+    fine = str(tmp_path / "fine")
+    coarse = str(tmp_path / "coarse")
+    v1 = _snap_v1(spark, _SF)
+    for root, grain in ((fine, F.col("id") % _NGROUP),
+                        (coarse, (F.col("id") % _NGROUP) % 10)):
+        ivm.seed_view(
+            v1.groupBy(grain.alias("g")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents")), root)
+
+    batch = spark.read.parquet(src)
+    # simulate the crash window: apply epoch 0 to the FINE level only
+    ivm._fold_deltas(
+        spark, ivm.group_deltas(batch, _NGROUP), 0, fine)
+    assert ivm.current_epoch(fine) == 0
+    assert ivm.current_epoch(coarse) == -1
+
+    # replayed epoch 0 through the chain: fine skips, coarse lands
+    changes = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    ivm.stream_ivm_refresh_chain(
+        spark, changes, fine, coarse, str(tmp_path / "ck"),
+        ngroup=_NGROUP, coarsen=10,
+    ).awaitTermination(300)
+    assert ivm.current_epoch(fine) == ivm.current_epoch(coarse) == 0
+    # fine applied exactly once (version did not advance on replay)
+    assert V.current_version(fine) == 2
+    assert _view_rows(spark, fine) == sorted(
+        (r.g, r.n_rows, r.sum_cents)
+        for r in _incremental_agg_refresh(spark, _SF).collect())
