@@ -386,3 +386,54 @@ def test_ivm_chain_partial_crash_replay_converges(spark, tmp_path):
     assert _view_rows(spark, fine) == sorted(
         (r.g, r.n_rows, r.sum_cents)
         for r in _incremental_agg_refresh(spark, _SF).collect())
+
+
+def test_navigator_prefers_coarse_chained_view(spark, tmp_path):
+    """Loop closure: after the chained drain, the mv.py navigator
+    registered coarsest-first answers a coarse request from the
+    COARSE maintained view and a fine request from the FINE one —
+    write side (chain) and read side (navigator) agree with base."""
+    from bigdata_jobmatching_spark.mv import MatView, serve
+
+    src = _write_sliced_cdf(spark, tmp_path)
+    fine = str(tmp_path / "fine")
+    coarse = str(tmp_path / "coarse")
+    v1 = _snap_v1(spark, _SF)
+    for root, grain in ((fine, F.col("id") % _NGROUP),
+                        (coarse, (F.col("id") % _NGROUP) % 10)):
+        ivm.seed_view(
+            v1.groupBy(grain.alias("g")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents")), root)
+    schema = spark.read.parquet(src).schema
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    ivm.stream_ivm_refresh_chain(
+        spark, changes, fine, coarse, str(tmp_path / "ck"),
+        ngroup=_NGROUP, coarsen=10,
+    ).awaitTermination(300)
+
+    mv_coarse = MatView(
+        "coarse", ("gc",), ("n_rows", "sum_cents"),
+        V.read_version(spark, coarse).withColumnRenamed("g", "gc"))
+    mv_fine = MatView(
+        "fine", ("g",), ("n_rows", "sum_cents"),
+        V.read_version(spark, fine), {"gc": "g % 10"})
+
+    out, src_name = serve(("gc",), [mv_coarse, mv_fine],
+                          lambda: (_ for _ in ()).throw(AssertionError))
+    assert src_name == "coarse"
+    want = sorted(
+        (r.gc, r.n_rows, r.sum_cents)
+        for r in _snap_v2(spark, _SF)
+        .groupBy(((F.col("id") % _NGROUP) % 10).alias("gc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").cast("long").alias("sum_cents")).collect())
+    assert sorted((r.gc, r.n_rows, r.sum_cents)
+                  for r in out.collect()) == want
+
+    _, src2 = serve(("g",), [mv_coarse, mv_fine],
+                    lambda: (_ for _ in ()).throw(AssertionError))
+    assert src2 == "fine"
