@@ -482,3 +482,135 @@ register(QuerySpec(
     "|series| x |slots|, independent of event count",
     ("temporal", "events", "window", "timeseries"),
 ))
+
+
+# --- events_gapfill_lerp: linear-interpolated gap fill (round-10) -----------
+# The interpolating sibling of events_gapfill_ffill (same sparse
+# series, same generated spine): interior gaps take the straight
+# line between their bracketing observations, computed as an exact
+# integer lerp — prev + (next - prev) * (h - h_prev) div (h_next -
+# h_prev), floor division toward negative infinity on BOTH engines
+# (Spark `div` on BIGINT and DuckDB `//` agree; no float ever
+# enters) — while leading/trailing gaps carry the nearest
+# observation. The bracketing pair comes from two running windows
+# (last/prev non-null backward, first/next non-null forward), so the
+# plan is two window passes per series, never a self-join.
+
+def _gapfill_lerp(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_id") % _GF_MOD == 0)
+    h = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long") * 24 + F.hour("ts").cast("long")
+    )
+    hourly = ev.groupBy("event_type", h.alias("h")).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long").alias("cents"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("event_type",
+                F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left")
+    back = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    hv = F.when(F.col("cents").isNotNull(), F.col("h"))
+    prev_c = F.last("cents", ignorenulls=True).over(back)
+    prev_h = F.last(hv, ignorenulls=True).over(back)
+    next_c = F.first("cents", ignorenulls=True).over(fwd)
+    next_h = F.first(hv, ignorenulls=True).over(fwd)
+    lerp = F.when(
+        prev_c.isNull(), next_c
+    ).when(
+        next_c.isNull(), prev_c
+    ).otherwise(
+        prev_c + F.expr(
+            "(__nc - __pc) * (h - __ph) div (__nh - __ph)")
+    )
+    return (
+        filled
+        .withColumn("__pc", prev_c).withColumn("__ph", prev_h)
+        .withColumn("__nc", next_c).withColumn("__nh", next_h)
+        .select(
+            "event_type",
+            F.expr("date_add(DATE '1970-01-01', CAST(h div 24 AS INT))")
+            .alias("day"),
+            F.expr("CAST(h % 24 AS INT)").alias("hour"),
+            F.col("cents").isNotNull().cast("long").alias("is_observed"),
+            F.when(F.col("__pc").isNull(), F.col("__nc"))
+            .when(F.col("__nc").isNull(), F.col("__pc"))
+            .when(F.col("__nh") == F.col("__ph"), F.col("__pc"))
+            .otherwise(F.col("__pc") + F.expr(
+                "(__nc - __pc) * (h - __ph) div (__nh - __ph)"))
+            .cast("long").alias("cents_lerp"),
+        )
+    )
+
+
+_GAPFILL_LERP_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      * 24 + CAST(hour(ts) AS BIGINT) AS h,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM events WHERE event_id % {_GF_MOD} = 0
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS h
+  FROM (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+        FROM hourly GROUP BY 1)
+),
+filled AS (
+  SELECT s.event_type, s.h, hh.cents
+  FROM spine s
+  LEFT JOIN hourly hh ON hh.event_type = s.event_type AND hh.h = s.h
+),
+br AS (
+  SELECT event_type, h, cents,
+    last_value(cents IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+    last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(cents IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+    first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM filled
+)
+SELECT event_type,
+  DATE '1970-01-01' + CAST(h // 24 AS INT) AS day,
+  CAST(h % 24 AS INT) AS hour,
+  CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS BIGINT)
+    AS is_observed,
+  CAST(CASE
+    WHEN pc IS NULL THEN nc
+    WHEN nc IS NULL THEN pc
+    WHEN nh = ph THEN pc
+    ELSE pc + (nc - pc) * (h - ph) // (nh - ph)
+  END AS BIGINT) AS cents_lerp
+FROM br
+"""
+
+register(QuerySpec(
+    "events_gapfill_lerp", _gapfill_lerp, _GAPFILL_LERP_SQL,
+    "linear-interpolated gap fill: interior gaps take the exact "
+    "integer lerp between bracketing observations (truncating "
+    "division, no float), edges carry the nearest — two window "
+    "series over the generated spine, never a self-join",
+    ("temporal", "events", "window", "timeseries"),
+))

@@ -468,3 +468,33 @@ def test_split_and_pack_fenced_carve(spark):
     # the fenced carve differs from doc-grain somewhere on this
     # fixture (otherwise the test proves nothing)
     assert any(fenced[i] != plain[i] for i in range(120))
+
+
+def test_gapfill_lerp_interior_and_edges(spark, tmp_path):
+    """Crafted series pins the lerp semantics: interior gaps take the
+    exact integer line between brackets, leading/trailing gaps carry
+    the nearest observation, observed slots keep their own value."""
+    import datetime as dt
+
+    from bigdata_jobmatching_spark.plans.temporal_queries import (
+        _GF_MOD, _gapfill_lerp,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        # observations at hours 2, 5 (values 1.00 and 7.00) and 6
+        (_GF_MOD * 1, t0 + dt.timedelta(hours=2), 1, "a", 1.0, "{}"),
+        (_GF_MOD * 2, t0 + dt.timedelta(hours=5), 1, "a", 7.0, "{}"),
+        (_GF_MOD * 3, t0 + dt.timedelta(hours=6), 1, "a", 2.0, "{}"),
+        # a non-multiple event id is filtered out of the series
+        (1, t0 + dt.timedelta(hours=4), 1, "a", 999.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {r.hour: r for r in _gapfill_lerp(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [2, 3, 4, 5, 6]
+    # observed values in cents
+    assert (out[2].cents_lerp, out[5].cents_lerp, out[6].cents_lerp) == \
+        (100, 700, 200)
+    # interior lerp between (h=2, 100) and (h=5, 700): slope 200/h
+    assert out[3].cents_lerp == 300 and out[4].cents_lerp == 500
+    assert out[3].is_observed == 0 and out[2].is_observed == 1
