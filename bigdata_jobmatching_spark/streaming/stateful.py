@@ -223,3 +223,58 @@ def streaming_token_budget(docs: DataFrame, budget: int = 100_000) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+# --- streaming LOCF gap fill (round-10) -------------------------------------
+# The streaming face of events_gapfill_ffill's densification: a
+# sparse per-series observation stream is emitted DENSE — every slot
+# between consecutive observations appears exactly once, gaps carry
+# the last observation forward — with the carry state persisting
+# ACROSS micro-batches in GroupState (last slot + last value per
+# series, a 2-int state row whatever the history length). Built-in
+# windows cannot express "emit rows for slots that have no input
+# row", which is exactly the applyInPandasWithState escape hatch's
+# job. Input rows must arrive in slot order per series (the upstream
+# hourly aggregation + file-source ordering provides this; stale
+# rows at or before the state's slot are DROPPED, counted nowhere —
+# document-and-drop beats silently corrupting the carry).
+
+_GF_STATE = "last_h long, last_cents long"
+_GF_OUT = "event_type string, h long, is_observed long, cents_ffill long"
+
+
+def _fill_series(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values("h")
+    last_h, last_c = state.get if state.exists else (None, None)
+    out = []
+    for h, c in zip(rows["h"], rows["cents"]):
+        h, c = int(h), int(c)
+        if last_h is not None and h <= last_h:
+            continue  # stale / duplicate slot: drop, keep the carry
+        if last_h is not None:
+            for g in range(last_h + 1, h):
+                out.append((key[0], g, 0, last_c))
+        out.append((key[0], h, 1, c))
+        last_h, last_c = h, c
+    state.update((last_h, last_c))
+    yield pd.DataFrame(
+        out, columns=["event_type", "h", "is_observed", "cents_ffill"])
+
+
+def stream_gapfill_locf(observations: DataFrame) -> DataFrame:
+    """Densify a sparse (event_type, h, cents) observation stream:
+    emits one row per slot from each series' first observation
+    onward, forward-filling gaps — the stream==batch twin of the
+    events_gapfill_ffill query (which fills each series' [min, max]
+    spine; a drained stream over the same observations emits the
+    identical row set)."""
+    return observations.groupBy("event_type").applyInPandasWithState(
+        _fill_series,
+        outputStructType=_GF_OUT,
+        stateStructType=_GF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -538,3 +538,72 @@ def test_stream_upsert_dimension_versions_and_restart(spark, sf_dir, tmp_path):
     assert {r["id"]: r["val"] for r in V.read_version(spark, root).collect()} == {
         1: "a", 2: "B2", 3: "c", 4: "d"
     }
+
+
+def test_stream_gapfill_locf_matches_batch(spark, tmp_path):
+    """stream==batch for the LOCF densifier: sparse observations
+    drained through stream_gapfill_locf emit exactly the batch
+    query's spine rows (per-series [first, last] slots, gaps carry
+    the last value), with the carry crossing micro-batch boundaries
+    through GroupState."""
+    import os as _os
+    import shutil as _shutil
+
+    from bigdata_jobmatching_spark.streaming.stateful import (
+        stream_gapfill_locf,
+    )
+
+    obs = [
+        # series a: observations at slots 2, 5, 9 (5 and 9 land in a
+        # LATER micro-batch -> the 3..4 and 6..8 gaps must be filled
+        # from state carried across batches)
+        ("a", 2, 100), ("a", 5, 700), ("a", 9, 200),
+        # series b: single batch, adjacent slots (no interior gap)
+        ("b", 10, 50), ("b", 11, 60),
+        # series b late slice: slot 14 -> gaps 12..13 carry 60
+        ("b", 14, 90),
+    ]
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    # slice by arrival: first batch holds slots <= 4 per series' early
+    # rows; later slices strictly increasing mtimes
+    slices = [
+        [("a", 2, 100), ("b", 10, 50), ("b", 11, 60)],
+        [("a", 5, 700)],
+        [("a", 9, 200), ("b", 14, 90)],
+    ]
+    for i, rows in enumerate(slices):
+        part = tmp_path / f"__p{i}"
+        spark.createDataFrame(
+            rows, "event_type string, h long, cents long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        f = next(part.glob("part-*.parquet"))
+        dest = src / f"s{i:03d}.parquet"
+        _shutil.move(str(f), str(dest))
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("event_type string, h long, cents long")
+        .option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_gapfill_locf(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted([
+        ("a", 2, 1, 100), ("a", 3, 0, 100), ("a", 4, 0, 100),
+        ("a", 5, 1, 700), ("a", 6, 0, 700), ("a", 7, 0, 700),
+        ("a", 8, 0, 700), ("a", 9, 1, 200),
+        ("b", 10, 1, 50), ("b", 11, 1, 60),
+        ("b", 12, 0, 60), ("b", 13, 0, 60), ("b", 14, 1, 90),
+    ])
+    assert got == want
