@@ -268,6 +268,7 @@ def run_corpus_pipeline(
     resume: bool = False,
     embeddings: DataFrame | None = None,
     surprisal_band: tuple[int, int] | None = None,
+    fence_near_dups: bool = False,
 ) -> dict:
     """Run the staged chain. With ``resume=True``, stages whose
     directory already committed (_SUCCESS present) are skipped and
@@ -275,7 +276,20 @@ def run_corpus_pipeline(
     multi-day 100 TB run needs (every stage is deterministic, so a
     resumed run cannot fork from the first attempt; proven by the
     idempotency test). Skipped stages re-count their landed rows for
-    the gate instead of observed in-flight metrics."""
+    the gate instead of observed in-flight metrics.
+
+    ``fence_near_dups=True`` selects the FENCE-INSTEAD-OF-DROP
+    configuration: BOTH token-level drop stages are skipped — the
+    near-dup keep-best AND the substring window dedup, which drops
+    every member of a duplicated-window family and would silently
+    remove the same mass the fence is meant to keep (measured at
+    sf1: substring removed exactly the 2x1,860 docs the skipped
+    near-dup stage would have paired) — and the packed stage
+    computes the MinHash-LSH pair graph over the scrubbed corpus
+    and carves train/val at duplicate-CLUSTER grain instead
+    (split_and_pack's fence_pairs), so kept near-duplicates can
+    never straddle the eval fence — the leakage argument
+    neardup_leakfree_split audits externally."""
     obs: dict[str, dict] = {}
 
     def stage(name: str, build, partition_by: tuple[str, ...], metrics=None):
@@ -302,22 +316,25 @@ def run_corpus_pipeline(
             spark.read.parquet(f"{out_dir}/{dedup_input}")),
         ("source",),
     )
-    stage(
-        "near_deduped",
-        lambda: near_dedup_docs(spark.read.parquet(f"{out_dir}/exact_deduped")),
-        ("source",),
-    )
-    stage(
-        "substring_deduped",
-        lambda: substring_dedup_docs(spark.read.parquet(f"{out_dir}/near_deduped")),
-        ("source",),
-    )
-    scrub_input = "substring_deduped"
+    scrub_input = "exact_deduped"
+    if not fence_near_dups:
+        stage(
+            "near_deduped",
+            lambda: near_dedup_docs(spark.read.parquet(f"{out_dir}/exact_deduped")),
+            ("source",),
+        )
+        stage(
+            "substring_deduped",
+            lambda: substring_dedup_docs(spark.read.parquet(f"{out_dir}/near_deduped")),
+            ("source",),
+        )
+        scrub_input = "substring_deduped"
     if embeddings is not None:
+        sem_input = scrub_input
         stage(
             "semantic_deduped",
             lambda: semantic_dedup_docs(
-                spark.read.parquet(f"{out_dir}/substring_deduped"),
+                spark.read.parquet(f"{out_dir}/{sem_input}"),
                 embeddings,
             ),
             ("source",),
@@ -335,19 +352,34 @@ def run_corpus_pipeline(
             ),
         },
     )
+    def _build_packed() -> DataFrame:
+        scrubbed = spark.read.parquet(f"{out_dir}/scrubbed")
+        fence = None
+        if fence_near_dups:
+            fence = D.minhash_lsh_pairs(
+                scrubbed, "doc_id", "text", jaccard_threshold=0.6,
+            ).select(F.col("id_a").alias("doc_id_a"),
+                     F.col("id_b").alias("doc_id_b"))
+        return split_and_pack(scrubbed, fence_pairs=fence)
+
     stage(
         "packed",
-        lambda: split_and_pack(spark.read.parquet(f"{out_dir}/scrubbed")),
+        _build_packed,
         ("split", "source"),
         metrics={"total_tokens": F.sum("n_tokens")},
     )
 
     stages = CORPUS_STAGES
+    if fence_near_dups:
+        stages = tuple(x for x in stages
+                       if x not in ("near_deduped", "substring_deduped"))
     if surprisal_band is not None:
         i = stages.index("filtered") + 1
         stages = stages[:i] + ("surprisal_filtered",) + stages[i:]
     if embeddings is not None:
-        i = stages.index("substring_deduped") + 1
+        anchor = ("substring_deduped" if "substring_deduped" in stages
+                  else "exact_deduped")
+        i = stages.index(anchor) + 1
         stages = stages[:i] + ("semantic_deduped",) + stages[i:]
     stats = corpus_gate(spark, out_dir, strict=strict, observed=obs,
                         stages=stages)

@@ -498,3 +498,46 @@ def test_gapfill_lerp_interior_and_edges(spark, tmp_path):
     # interior lerp between (h=2, 100) and (h=5, 700): slope 200/h
     assert out[3].cents_lerp == 300 and out[4].cents_lerp == 500
     assert out[3].is_observed == 0 and out[2].is_observed == 1
+
+
+def test_corpus_pipeline_fence_configuration(spark, tmp_path):
+    """Fence-instead-of-drop: the chain keeps near-duplicates (no
+    near_deduped stage) and the packed carve puts every >=0.6-Jaccard
+    pair on one side of the train/val fence."""
+    from bigdata_jobmatching_spark.operators import dedup as D
+    from bigdata_jobmatching_spark.orchestrate_corpus import (
+        run_corpus_pipeline,
+    )
+
+    rows = []
+    for k in range(40):
+        words = [f"w{k}x{i}" for i in range(44)]
+        base = " ".join(words)
+        rows.append((2 * k, base, "en", "src", len(base)))
+        # near-dup twin: three spaced swaps -> 3-gram shingle Jaccard
+        # ~0.65 (>= 0.6, a fence pair) while ~2/3 of the 8-token
+        # windows contain a change, so the substring-dedup stage
+        # (window grain, >50% duplicated drops) keeps both
+        tw = list(words)
+        for i in (10, 22, 34):
+            tw[i] = f"alt{k}x{i}"
+        twin = " ".join(tw)
+        rows.append((2 * k + 1, twin, "en", "src", len(twin)))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    out = str(tmp_path / "corpus")
+    stats = run_corpus_pipeline(
+        spark, docs, out, strict=True, min_quality=0.0,
+        fence_near_dups=True)
+    assert "near_deduped" not in stats
+    # near-dups were KEPT: packed row count equals the input
+    assert stats["packed"]["rows"] == 80
+    packed = spark.read.parquet(f"{out}/packed")
+    side = {r.doc_id: r.split for r in packed.collect()}
+    pairs = D.minhash_lsh_pairs(
+        spark.read.parquet(f"{out}/scrubbed"), "doc_id", "text",
+        jaccard_threshold=0.6).collect()
+    assert pairs  # the twins really are near-dup pairs
+    for p in pairs:
+        assert side[p.id_a] == side[p.id_b]
