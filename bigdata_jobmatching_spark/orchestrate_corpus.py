@@ -405,6 +405,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-strict", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose _SUCCESS already committed")
+    ap.add_argument("--fence-near-dups", action="store_true",
+                    help="keep near-duplicates (skip both token-level "
+                         "drop stages) and carve train/val at "
+                         "duplicate-cluster grain instead")
     args = ap.parse_args(argv)
 
     spark = get_spark("corpus-pipeline")
@@ -412,6 +416,7 @@ def main(argv: list[str] | None = None) -> int:
     stats = run_corpus_pipeline(
         spark, docs, args.out_dir,
         strict=not args.no_strict, resume=args.resume,
+        fence_near_dups=args.fence_near_dups,
     )
     print(json.dumps(stats))
     return 0
