@@ -326,14 +326,51 @@ _DRIVER_VERIFIED_R09: frozenset[str] = frozenset(
     }
 )
 
-# Queries whose SEMANTICS changed in round 10 after older green rows
-# were recorded: their old proofs no longer attest the current code,
-# so they re-enter the window as unproven regardless of set
-# membership above (events_sequence_match's r04/r09 greens were
-# vacuous 0=0 matches; customers_without_orders' r02/r07 greens
-# likewise matched 0 rows at the gate SF).
-_REOPENED_R10: frozenset[str] = frozenset(
-    {"events_sequence_match", "customers_without_orders"}
+# Queries whose SEMANTICS changed in a round AFTER older green rows
+# were recorded: proofs from rounds BEFORE the reopen round no longer
+# attest the current code, so only newer greens count. Round 10
+# reopened events_sequence_match (r04/r09 greens were vacuous 0=0)
+# and customers_without_orders (r02/r07 greens matched 0 rows at the
+# gate SF); both earned genuine non-vacuous greens in the r10 gate
+# (14 and 25 rows, CORRECTNESS_r10.json), which close the reopen.
+_REOPENED_AT: dict[str, int] = {
+    "events_sequence_match": 10,
+    "customers_without_orders": 10,
+}
+
+_DRIVER_VERIFIED_R10: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r10.json (49/50; the one red,
+        # semantic_dedup_stats, is deliberately NOT listed — it has
+        # never carried a green driver row and stays at the front of
+        # the window alongside the round-11 probe queries that
+        # decompose it).
+        "audio_fp_near_dups", "bloom_point_lookup_audit",
+        "customers_without_orders", "cv_profile_stats",
+        "doc_charclass_audit", "doc_repetition_ngram",
+        "doc_repetition_stats", "doc_substring_dup_spans",
+        "doc_tokenizer_fertility", "docs_dedup_cluster_sizes",
+        "embedding_cross_moments", "embedding_ivf_balance",
+        "embedding_pq_codes", "embedding_quantization_stats",
+        "epoch_mixture_plan", "event_heavy_hitters",
+        "event_path_counts", "events_ewma_daily",
+        "events_gapfill_ffill", "events_gapfill_lerp",
+        "events_hourly_anomalies", "events_props_typed",
+        "events_props_variant", "events_rate_outliers",
+        "events_sequence_match", "image_dhash_hamming_pairs",
+        "image_phash_near_dups", "image_pixel_stats",
+        "image_resize_pixel_stats", "join_key_skew_audit",
+        "k_anonymity_census", "label_centroid_similarity",
+        "label_class_weights", "minhash_band_load",
+        "mmr_diversified_topk", "mv_rollup_serving",
+        "neardup_leakfree_split", "open_orders_by_month",
+        "orders_column_profile", "referential_integrity_audit",
+        "semantic_blocking_recall_audit", "semantic_incremental_match",
+        "skew_split_brand_volumes", "source_lang_mismatch",
+        "source_mixing_weights", "supplier_market_concentration",
+        "user_status_point_in_time", "user_value_twa",
+        "vocab_oov_rate",
+    }
 )
 
 # Semantics note (round-5 verdict nit #3): membership in a
@@ -360,6 +397,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (7, _DRIVER_VERIFIED_R07),
     (8, _DRIVER_VERIFIED_R08),
     (9, _DRIVER_VERIFIED_R09),
+    (10, _DRIVER_VERIFIED_R10),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(
@@ -383,11 +421,10 @@ _MODULES_CHANGED_SINCE_R04: frozenset[str] = frozenset(
 
 
 def _newest_proof_round(name: str) -> int:
-    if name in _REOPENED_R10:
-        return 0
+    reopened_at = _REOPENED_AT.get(name, 0)
     newest = 0
     for rnd, names in _PROOF_ROUNDS:
-        if name in names:
+        if rnd >= reopened_at and name in names:
             newest = rnd
     return newest
 
