@@ -489,8 +489,10 @@ register(QuerySpec(
 # series, same generated spine): interior gaps take the straight
 # line between their bracketing observations, computed as an exact
 # integer lerp — prev + (next - prev) * (h - h_prev) div (h_next -
-# h_prev), floor division toward negative infinity on BOTH engines
-# (Spark `div` on BIGINT and DuckDB `//` agree; no float ever
+# h_prev), integer division truncating toward ZERO on both engines
+# (Spark `div` on BIGINT and DuckDB `//` both truncate — verified
+# -7 // 2 = -3 in DuckDB; NOT Python's floor-toward-negative-
+# infinity `//`, a porting trap for any third engine; no float ever
 # enters) — while leading/trailing gaps carry the nearest
 # observation. The bracketing pair comes from two running windows
 # (last/prev non-null backward, first/next non-null forward), so the

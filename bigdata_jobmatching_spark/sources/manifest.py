@@ -466,10 +466,17 @@ def join_versioned_by_stats(
     join is left to the planner (sort-merge/shuffle-hash at scale).
     Returns ``(joined, strategy)`` with strategy in
     {"broadcast", "shuffle"} so callers and tests can assert the
-    decision, not just the values."""
+    decision, not just the values.
+
+    The version is resolved ONCE and passed explicitly to both the
+    stats read and the data read — resolving twice would let a
+    concurrent publish land between the calls, making the broadcast
+    decision describe a different version than the data joined
+    (round-10 advice)."""
     from pyspark.sql import functions as F
 
-    small = V.read_version(spark, small_root)
-    if manifest_row_count(small_root) <= broadcast_max_rows:
+    v = V.current_version(small_root)
+    small = V.read_version(spark, small_root, version=v)
+    if manifest_row_count(small_root, version=v) <= broadcast_max_rows:
         return big.join(F.broadcast(small), on, how), "broadcast"
     return big.join(small, on, how), "shuffle"

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
 from .. import orchestrate_corpus as OC
 
@@ -265,7 +266,19 @@ def stream_fingerprint_assets(
     audio fingerprint. Signatures are deterministic per key, so a
     replayed epoch overwrites its own directory with identical rows
     — the same exactly-once discipline as the other corpus stages.
-    """
+
+    "Fingerprint ONCE" holds ACROSS epochs, not just within one
+    (round-10 advice): each batch dedupes its keys and anti-joins
+    them against every OTHER epoch already landed under ``out_root``
+    — a key re-arriving in a later micro-batch neither re-decodes
+    nor lands a duplicate row, so downstream band joins read the
+    store without needing a defensive dropDuplicates. The anti-join
+    excludes the CURRENT epoch directory so a replayed epoch still
+    regenerates its own rows instead of anti-joining against itself
+    into an empty overwrite. The landed store is (key, sig) — two
+    longs per asset — so the anti-join side stays a compact
+    key-column scan even at asset counts where the blobs themselves
+    are the 100 TB."""
     if kind == "image":
         from ..plans.multimodal_queries import _phash_of as fp_of
     elif kind == "audio":
@@ -300,7 +313,17 @@ def stream_fingerprint_assets(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        sigs = batch.select("p_partkey").mapInPandas(batches, schema)
+        keys = batch.select("p_partkey").dropDuplicates(["p_partkey"])
+        try:
+            seen = (
+                spark.read.option("basePath", out_root).parquet(out_root)
+                .filter(F.col("epoch") != epoch_id)
+                .select("p_partkey")
+            )
+            keys = keys.join(seen, "p_partkey", "left_anti")
+        except AnalysisException:
+            pass  # first epoch: nothing landed yet
+        sigs = keys.mapInPandas(batches, schema)
         sigs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
 
     writer = (

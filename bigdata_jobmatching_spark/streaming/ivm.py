@@ -196,6 +196,7 @@ def stream_ivm_refresh_chain(
     ngroup: int = 97,
     coarsen: int = 10,
     available_now: bool = True,
+    stats_cols: tuple[str, ...] = (),
 ) -> StreamingQuery:
     """MULTI-LEVEL incremental view maintenance: one change feed
     keeps the fine per-group aggregate AND its coarsened rollup
@@ -212,6 +213,12 @@ def stream_ivm_refresh_chain(
     and the replayed epoch skips the fine fold (already applied) and
     lands only the missing coarse one — per-level exactly-once, same
     discipline as the single-level sink.
+
+    With ``stats_cols``, every published version AT EVERY LEVEL
+    carries a file-stats manifest — parity with the single-level
+    sink (round-10 advice: the chain used to publish without
+    manifests, silently losing manifest-pruned reads over
+    stream-built rollups).
 
     Seed BOTH roots (seed_view) with consistent aggregates of the
     same snapshot before starting."""
@@ -234,7 +241,7 @@ def stream_ivm_refresh_chain(
                     f"{root!r} (incoming {epoch_id} < {cur_epoch})")
             if epoch_id == cur_epoch:
                 continue  # this level already landed this epoch
-            _fold_deltas(spark, dd, epoch_id, root)
+            _fold_deltas(spark, dd, epoch_id, root, stats_cols)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)

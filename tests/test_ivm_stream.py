@@ -324,10 +324,21 @@ def test_ivm_chain_maintains_both_levels(spark, tmp_path):
         )
         ivm.stream_ivm_refresh_chain(
             spark, changes, fine, coarse, str(tmp_path / "ck"),
-            ngroup=_NGROUP, coarsen=10,
+            ngroup=_NGROUP, coarsen=10, stats_cols=("g",),
         ).awaitTermination(300)
 
     run()
+
+    # stats_cols parity with the single-level sink (round-10 advice):
+    # chain-published versions at BOTH levels carry file-stats
+    # manifests, so manifest-pruned reads work over stream-built
+    # rollups too
+    from bigdata_jobmatching_spark.sources import manifest as MF
+    for root in (fine, coarse):
+        man = MF.read_manifest(root)
+        assert man["files"], f"chain level {root} published no manifest"
+        assert all("stats" in e and "g" in e["stats"]
+                   for e in man["files"])
 
     def want(grain):
         return sorted(

@@ -685,9 +685,17 @@ def test_stream_fingerprint_assets_matches_batch(spark, tmp_path):
     )
 
     keys = list(range(0, 24)) + [4096, 4097]
+    # third file RE-ARRIVES nine keys from the first two epochs plus
+    # two fresh ones: the cross-epoch anti-join must land only the
+    # fresh keys' rows ("fingerprint ONCE" holds across epochs —
+    # round-10 advice), with the re-arrivals neither duplicated nor
+    # re-decoded
+    fresh = [8192, 8193]
+    replays = keys[3:12]
+    keys = keys + fresh
     src = tmp_path / "keys_src"
     src.mkdir()
-    for i, half in enumerate((keys[:13], keys[13:])):
+    for i, half in enumerate((keys[:13], keys[13:26], replays + fresh)):
         part = tmp_path / f"__k{i}"
         spark.createDataFrame(
             [(k,) for k in half], "p_partkey long",
@@ -706,8 +714,11 @@ def test_stream_fingerprint_assets_matches_batch(spark, tmp_path):
         stream_fingerprint_assets(
             spark, stream, out, str(tmp_path / f"ck_{kind}"), kind=kind,
         ).awaitTermination(300)
-        got = {r.p_partkey: r.ph
-               for r in spark.read.parquet(out).drop("epoch").collect()}
+        landed = [(r.p_partkey, r.ph)
+                  for r in spark.read.parquet(out).drop("epoch").collect()]
+        assert len(landed) == len(keys), (
+            "a re-arriving key landed a duplicate signature row")
+        got = dict(landed)
         assert sorted(got) == sorted(keys)
         for k in keys:
             assert got[k] == fp_of(k // 8, (k % 8) // 2)
