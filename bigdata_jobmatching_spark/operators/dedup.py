@@ -442,6 +442,32 @@ def prefix_filter_pairs(
     )
 
 
+def substring_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Distinct (id, h) k-token rolling-window stream: every k-token
+    window hashed to an engine-exact 60-bit md5 int, one row per
+    (doc, distinct window). Docs with < k tokens emit nothing. The
+    shared scan under :func:`substring_dup_stats` (the census) and
+    :func:`substring_dup_families` (the family clustering) — linear
+    in corpus tokens, ships only the narrow (id, hash) stream."""
+    from ..functions import text as X
+
+    base = docs.select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    return base.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(1, size(toks) - {k} + 1), "
+            f"i -> CAST(conv(substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+        )).alias("h"),
+    ).distinct()
+
+
 def substring_dup_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -449,34 +475,63 @@ def substring_dup_stats(
     k: int = 8,
 ) -> DataFrame:
     """Per-document windowed exact-substring duplication census (the
-    Lee et al. substring-dedup signal): every k-token rolling window
-    is hashed to an engine-exact 60-bit md5 int, and a window counts
-    as duplicated iff it occurs in >= 2 DISTINCT documents. Returns
-    (id, n_windows, n_dup_windows) over docs with >= k tokens;
-    shorter docs simply have no row.
+    Lee et al. substring-dedup signal): a window counts as duplicated
+    iff it occurs in >= 2 DISTINCT documents. Returns (id, n_windows,
+    n_dup_windows) over docs with >= k tokens; shorter docs simply
+    have no row.
 
     One definition serves both the ``doc_substring_dup_spans`` gate
     query and the corpus pipeline's substring-dedup stage. Shape:
     explode -> distinct -> count -> join back — linear in corpus
     tokens, shuffles only the narrow (id, hash) stream.
     """
-    from ..functions import text as X
-
-    base = docs.select(
-        F.col(id_col), X.tokens(F.col(text_col)).alias("toks")
-    ).filter(F.size("toks") >= k)
-    wins = base.select(
-        id_col,
-        F.explode(F.expr(
-            f"transform(sequence(1, size(toks) - {k} + 1), "
-            f"i -> CAST(conv(substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 15), 16, 10) AS BIGINT))"
-        )).alias("h"),
-    ).distinct()
+    wins = substring_windows(docs, id_col, text_col, k)
     counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return wins.join(counts, "h").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
     )
+
+
+def substring_dup_families(
+    docs: DataFrame,
+    heavy: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cluster the substring-heavy docs into FAMILIES: two heavy docs
+    are kin iff they share at least one k-token window, families are
+    the connected components of that kinship graph (r10 verdict task
+    #4 — the drop-EVERY-member defect class the reference carries in
+    deduplicate.py:287-306 needs a family grain to fix). Returns one
+    row per heavy doc: ``(id, grp)`` with ``grp`` the family label
+    (min member id).
+
+    Edge construction is the star reduction: per shared window, every
+    member links to the window's MIN heavy member — same components
+    as the full per-window clique at |doc-window| edges instead of
+    |clique|^2, so a window shared by 10^4 boilerplate docs costs
+    10^4 edges, not 10^8."""
+    from .graph import connected_components
+
+    hw = substring_windows(docs, id_col, text_col, k).join(
+        heavy.select(id_col), id_col)
+    star = (
+        hw.groupBy("h")
+        .agg(F.min(id_col).alias("m"), F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") >= 2)
+        .select("h", "m")
+    )
+    edges = (
+        hw.join(star, "h")
+        .filter(F.col(id_col) != F.col("m"))
+        .select("m", F.col(id_col).alias("n"))
+        .distinct()
+    )
+    comp = connected_components(edges).withColumnRenamed("node", id_col)
+    return heavy.select(id_col).join(comp, id_col, "left").select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("grp"))
 
 
 def _sd_quantize(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:

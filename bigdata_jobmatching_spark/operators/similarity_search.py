@@ -666,6 +666,35 @@ def mmr_rerank_topk(
         .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("sim"))
         .localCheckpoint(eager=True)
     )
+    return mmr_greedy(pool_df, sims, k, lam).select(
+        "query_id", "rnk", F_.col("vec_id_").alias("neighbor_id"),
+        "rel", "score")
+
+
+def mmr_greedy(
+    pool_df: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: tuple[int, int] = (7, 3),
+) -> DataFrame:
+    """The MMR greedy selection itself, decoupled from WHERE relevance
+    and similarity come from: ``pool_df`` is ``(query_id, vec_id_,
+    rel)`` (integer relevance, already pool-capped) and ``sims`` is
+    ``(query_id, a, b, sim)`` with a row for EVERY ordered pool pair
+    (a != b) — round r picks per query the argmax of ``lam[0]*rel -
+    lam[1]*max(sim to selected)``, ties to the smaller ``vec_id_``.
+
+    Extracted (round 11) so embedding-dot rerank
+    (:func:`mmr_rerank_topk`) and set-overlap rerank over matching
+    scores (candidate_recs_diversified — the reference's declared
+    'Top 20 offres-CVs' dashboard, diversified) share one greedy
+    loop. Queries whose pool is smaller than ``k`` simply stop
+    early (no padded rows). All scores must be exact int64 so a SQL
+    oracle can replay the trajectory round by round.
+
+    Returns ``(query_id, vec_id_, rel, score, rnk)``."""
+    F_ = F
+    lam_rel, lam_div = lam
     sel: DataFrame | None = None
     for r in range(1, k + 1):
         if sel is None:
@@ -701,6 +730,4 @@ def mmr_rerank_topk(
             .localCheckpoint(eager=True)
         )
         sel = pick if sel is None else sel.unionByName(pick)
-    return sel.select(
-        "query_id", "rnk", F_.col("vec_id_").alias("neighbor_id"),
-        "rel", "score")
+    return sel

@@ -61,19 +61,44 @@ def near_dedup_docs(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFram
 
 
 def substring_dedup_docs(
-    docs: DataFrame, k: int = 8, max_dup_milli: int = 500
+    docs: DataFrame, k: int = 8, max_dup_milli: int = 500,
+    family_grain: bool = False,
 ) -> DataFrame:
     """Drop documents whose duplicated-window fraction exceeds
     max_dup_milli/1000 — the document-level form of exact-substring
     dedup (Lee et al.): a doc made mostly of k-token windows that
     also appear in other docs is boilerplate/template mass. Integer
     cross-multiplication (no float threshold); docs shorter than k
-    tokens carry no window stats and always survive."""
+    tokens carry no window stats and always survive.
+
+    ``family_grain=False`` (the historical form) drops EVERY heavy
+    doc — which, on a family of N near-identical docs whose windows
+    duplicate each other, removes the whole family and its content
+    with it: the same drop-both defect class the reference has in
+    deduplicate.py:287-306 (measured at sf1: 2x1,860 docs gone).
+    ``family_grain=True`` (r10 verdict task #4) clusters the heavy
+    docs into shared-window families (operators/dedup.
+    substring_dup_families) and keeps ONE representative per family
+    — longest text, min id on ties, the same keep-best rule as the
+    near-dup stage — so template mass still collapses but its
+    content survives once; this is the form the fenced corpus chain
+    composes with."""
     stats = D.substring_dup_stats(docs, k=k)
     heavy = stats.filter(
         F.col("n_dup_windows") * 1000 > F.lit(max_dup_milli) * F.col("n_windows")
     ).select("doc_id")
-    return docs.join(heavy, "doc_id", "left_anti")
+    if not family_grain:
+        return docs.join(heavy, "doc_id", "left_anti")
+    fam = D.substring_dup_families(docs, heavy, k=k)
+    w = Window.partitionBy("grp").orderBy(
+        F.length("text").desc(), F.col("doc_id"))
+    drops = (
+        docs.join(fam, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti")
 
 
 def fit_unigram_lm(docs: DataFrame) -> DataFrame:
@@ -279,14 +304,17 @@ def run_corpus_pipeline(
     the gate instead of observed in-flight metrics.
 
     ``fence_near_dups=True`` selects the FENCE-INSTEAD-OF-DROP
-    configuration: BOTH token-level drop stages are skipped — the
-    near-dup keep-best AND the substring window dedup, which drops
-    every member of a duplicated-window family and would silently
-    remove the same mass the fence is meant to keep (measured at
-    sf1: substring removed exactly the 2x1,860 docs the skipped
-    near-dup stage would have paired) — and the packed stage
-    computes the MinHash-LSH pair graph over the scrubbed corpus
-    and carves train/val at duplicate-CLUSTER grain instead
+    configuration: the near-dup keep-best stage is skipped, and the
+    substring stage runs at FAMILY grain (r10 verdict task #4 —
+    keep one representative per shared-window family) instead of
+    being skipped outright: the old drop-all form removed every
+    member of a duplicated-window family and would silently delete
+    the same mass the fence is meant to keep (measured at sf1:
+    2x1,860 docs, exactly the docs the skipped near-dup stage would
+    have paired), while the family form collapses template mass to
+    one surviving copy whose content the fence can still place. The
+    packed stage computes the MinHash-LSH pair graph over the
+    scrubbed corpus and carves train/val at duplicate-CLUSTER grain
     (split_and_pack's fence_pairs), so kept near-duplicates can
     never straddle the eval fence — the leakage argument
     neardup_leakfree_split audits externally."""
@@ -316,7 +344,6 @@ def run_corpus_pipeline(
             spark.read.parquet(f"{out_dir}/{dedup_input}")),
         ("source",),
     )
-    scrub_input = "exact_deduped"
     if not fence_near_dups:
         stage(
             "near_deduped",
@@ -328,7 +355,15 @@ def run_corpus_pipeline(
             lambda: substring_dedup_docs(spark.read.parquet(f"{out_dir}/near_deduped")),
             ("source",),
         )
-        scrub_input = "substring_deduped"
+    else:
+        stage(
+            "substring_deduped",
+            lambda: substring_dedup_docs(
+                spark.read.parquet(f"{out_dir}/exact_deduped"),
+                family_grain=True),
+            ("source",),
+        )
+    scrub_input = "substring_deduped"
     if embeddings is not None:
         sem_input = scrub_input
         stage(
@@ -371,8 +406,9 @@ def run_corpus_pipeline(
 
     stages = CORPUS_STAGES
     if fence_near_dups:
-        stages = tuple(x for x in stages
-                       if x not in ("near_deduped", "substring_deduped"))
+        # family-grain substring stays ON; only the near-dup drop
+        # stage is replaced by the fence (r10 verdict task #4)
+        stages = tuple(x for x in stages if x != "near_deduped")
     if surprisal_band is not None:
         i = stages.index("filtered") + 1
         stages = stages[:i] + ("surprisal_filtered",) + stages[i:]

@@ -9,7 +9,7 @@ records the weaker rows-only check) and get unit-tested instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
@@ -1330,6 +1330,47 @@ register(QuerySpec(
 # computed-length substring; bit packing and prefix selection are
 # pure shift arithmetic, identical by definition on both engines.
 #
+# Round-11 localization (r10 verdict task #1): the r10 gate red-rowed
+# the rebuilt query AGAIN (rows/schema matched, hash didn't; local
+# DuckDB 1.0.0 twin passes at 3 SFs), so blind hardening is over. Two
+# moves this round:
+#
+# 1. THE TYPE FIX — `sum_pair_dot` was the ONLY DECIMAL(38,0) output
+#    column in the entire 255-query registry (audited r11; the only
+#    other decimals anywhere are proven-green DECIMAL(2,1)s). DuckDB
+#    backs p>18 decimals with int128 — the exact storage class whose
+#    rendering divergence red-rowed 23 queries in round 4 (HUGEINT),
+#    and the one class tools/oracle_type_audit.py forgot to flag for
+#    decimals. A scale-0 decimal is also the one decimal shape whose
+#    rendering DIFFERS between a Decimal fetch ('5291587757310') and
+#    any float64-converting fetch layer ('5291587757310.0'), while
+#    scale-1 DECIMAL(2,1) values render identically both ways
+#    ('0.5') — consistent with every observation across r09/r10.
+#    Internal accumulation stays exact (Spark decimal(38,0) / DuckDB
+#    HUGEINT); only the OUTPUT casts to BIGINT. Bound: |dot| <=
+#    dims * scale^2 = 64e12 per pair, so the cast is exact below
+#    ~1.4e5 pairs/cluster — the gate tiers sit 4 orders of magnitude
+#    under that (12 pairs/cluster at sf0.01, linear growth). At
+#    true 100 TB the census would shard per (cluster, sig) block or
+#    report modular residues (sdd_probe_dot_mod below is that shape).
+#
+# 2. THE PROBES — five single-aspect gate queries sharing this
+#    census's full mechanics, registered unproven so the r11 window
+#    samples them all (catalog ordering). The green/red pattern
+#    localizes the divergence no matter what the driver sees:
+#      sdd_probe_counts    cardinalities only (assign + pair set +
+#                          drop rule, no value sums)
+#      sdd_probe_pairset   SUM(id_a+id_b) — pins exact pair identity
+#      sdd_probe_dot_mod   SUM(dot) mod 2^61-1 as BIGINT — pins dot
+#                          values free of the decimal type
+#      sdd_probe_drops     SUM of dropped ids — pins drop-rule values
+#      sdd_probe_dec38     CAST(n_vecs AS DECIMAL(38,0)) — trivially
+#                          correct values in the legacy type; red
+#                          here = driver-environment DECIMAL(38,0)
+#                          rendering defect PROVEN (document it),
+#                          green = the type theory is wrong and the
+#                          other probes say where to dig next.
+#
 # Scale shape: one broadcast join against K*64 seed rows, a
 # self-join CONFINED to (cluster, sig) blocks of expected size ~50
 # at every tier (pair count linear in the corpus by construction;
@@ -1345,46 +1386,69 @@ _SD_BITS_MAX = 12
 _SD_SUB_TARGET = 50  # aim ~50 vectors per (cluster, sig) block
 
 
-def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def _sdd_frames(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Shared census core: (per_cluster, detailed tau-close pairs).
+
+    Every sdd_* query below — the full census and its five
+    localization probes — is a projection over exactly these two
+    frames, so a probe's gate row attests the SAME mechanics the
+    census runs, not a lookalike.
+    """
     e = load_table(spark, sf, "embeddings")
     parts = D.semantic_blocks(
         e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET, _SD_BITS_MAX)
-    asg = parts.asg
-    # single consumer (pair_stats) -> no checkpoint: an eager cut
-    # here materialized the whole pair list once more than needed
+    # single consumer per query -> no checkpoint: an eager cut here
+    # materialized the whole pair list once more than needed
     pairs = D.semantic_dedup_pairs(
         e, "vec_id", "embedding", _SD_K, _SD_SUB_TARGET,
         tau_sq=(49, 400), sig_bits_max=_SD_BITS_MAX,
         details=True, parts=parts,
     )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    per_cluster = asg.groupBy("cluster").agg(
+    per_cluster = parts.asg.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return per_cluster, pairs
+
+
+def _sdd_census(per_cluster: DataFrame, pair_stats: DataFrame,
+                zero_fill: dict[str, Column]) -> DataFrame:
+    """left-join pair aggregates onto the cluster census, zero-filling
+    clusters with no tau-close pairs (column -> zero literal)."""
+    out = per_cluster.join(F.broadcast(pair_stats), "cluster", "left")
+    cols = [F.col("cluster"), F.col("n_vecs")]
+    for name, zero in zero_fill.items():
+        cols.append(F.coalesce(F.col(name), zero).alias(name))
+    return out.select(*cols)
+
+
+_SDD_DEC = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+_SDD_MOD = 2305843009213693951  # 2^61 - 1; dots are >= 0 so % == pmod
+
+
+def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    per_cluster, pairs = _sdd_frames(spark, sf)
     pair_stats = pairs.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(dec("dot")).cast("decimal(38,0)").alias("sum_pair_dot"),
+        # exact decimal accumulation, BIGINT at the output boundary
+        # (round-11 type fix — see the block comment above)
+        F.sum(_SDD_DEC("dot")).cast("long").alias("sum_pair_dot"),
         F.count_distinct(F.col("drop_id")).cast("long").alias("n_dropped"),
         F.sum_distinct(F.col("drop_id")).cast("long").alias("sum_dropped_ids"),
     )
-    return (
-        per_cluster
-        .join(F.broadcast(pair_stats), "cluster", "left")
-        .select(
-            "cluster", "n_vecs",
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce("sum_pair_dot", F.lit(0).cast("decimal(38,0)"))
-            .alias("sum_pair_dot"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long")
-            .alias("n_dropped"),
-            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
-            .cast("long").alias("n_kept"),
-            F.coalesce("sum_dropped_ids", F.lit(0)).cast("long")
-            .alias("sum_dropped_ids"),
-        )
+    zero = F.lit(0).cast("long")
+    return _sdd_census(per_cluster, pair_stats, {
+        "n_pairs": zero, "sum_pair_dot": zero, "n_dropped": zero,
+        "sum_dropped_ids": zero,
+    }).select(
+        "cluster", "n_vecs", "n_pairs", "sum_pair_dot", "n_dropped",
+        (F.col("n_vecs") - F.col("n_dropped")).cast("long").alias("n_kept"),
+        "sum_dropped_ids",
     )
 
 
-_SEMANTIC_DEDUP_SQL = f"""
+# Shared oracle core: everything through the tau-close pair list and
+# the cluster census. Each sdd_* oracle appends its own aggregation so
+# a probe's SQL is the census's SQL, not a re-derivation.
+_SDD_SQL_CORE = f"""
 WITH qv AS MATERIALIZED (
   SELECT vec_id, j,
     CAST(floor(CAST(x AS DOUBLE) * {_SD_SCALE}) AS BIGINT) AS q
@@ -1470,17 +1534,19 @@ pairs AS MATERIALIZED (
 per_cluster AS (
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
   FROM asg GROUP BY 1
-),
+)"""
+
+_SEMANTIC_DEDUP_SQL = _SDD_SQL_CORE + """,
 pair_stats AS (
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-    CAST(SUM(CAST(dot AS HUGEINT)) AS DECIMAL(38, 0)) AS sum_pair_dot,
+    CAST(SUM(CAST(dot AS HUGEINT)) AS BIGINT) AS sum_pair_dot,
     CAST(COUNT(DISTINCT drop_id) AS BIGINT) AS n_dropped,
     CAST(SUM(DISTINCT drop_id) AS BIGINT) AS sum_dropped_ids
   FROM pairs GROUP BY 1
 )
 SELECT p.cluster, p.n_vecs,
   COALESCE(ps.n_pairs, 0) AS n_pairs,
-  COALESCE(ps.sum_pair_dot, CAST(0 AS DECIMAL(38, 0))) AS sum_pair_dot,
+  COALESCE(ps.sum_pair_dot, 0) AS sum_pair_dot,
   COALESCE(ps.n_dropped, 0) AS n_dropped,
   CAST(p.n_vecs - COALESCE(ps.n_dropped, 0) AS BIGINT) AS n_kept,
   COALESCE(ps.sum_dropped_ids, 0) AS sum_dropped_ids
@@ -1497,8 +1563,167 @@ register(QuerySpec(
     "keep-farthest-from-centroid representative rule (exact seed "
     "distance ranking, min-id tiebreak) — per-cluster kept/dropped "
     "census; oracle uses shift arithmetic only (no bin/string "
-    "rendering)",
+    "rendering); r11 type fix: sum_pair_dot reports as BIGINT "
+    "(exact decimal/HUGEINT accumulation inside, cast at the output "
+    "boundary — DECIMAL(38,0) was the registry's only int128-backed "
+    "output column and the prime rendering-divergence suspect)",
     ("dedup", "vector", "join", "agg", "bench"),
+))
+
+
+# --- sdd_probe_*: single-aspect localization probes (r10 verdict #1) --------
+# Each probe aggregates the SAME frames/SQL core as the full census,
+# projecting ONE aspect, so the r11 gate's green/red pattern across
+# them localizes the census's two-round hash divergence (decision
+# matrix in the block comment above). Not bench-tagged: they are
+# evidence instruments, not workload.
+
+def _sdd_probe_counts(spark: SparkSession, sf: str) -> DataFrame:
+    per_cluster, pairs = _sdd_frames(spark, sf)
+    zero = F.lit(0).cast("long")
+    stats = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct(F.col("drop_id")).cast("long").alias("n_dropped"))
+    return _sdd_census(per_cluster, stats,
+                       {"n_pairs": zero, "n_dropped": zero}).select(
+        "cluster", "n_vecs", "n_pairs", "n_dropped",
+        (F.col("n_vecs") - F.col("n_dropped")).cast("long").alias("n_kept"))
+
+
+register(QuerySpec(
+    "sdd_probe_counts", _sdd_probe_counts, _SDD_SQL_CORE + """,
+pair_stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(COUNT(DISTINCT drop_id) AS BIGINT) AS n_dropped
+  FROM pairs GROUP BY 1
+)
+SELECT p.cluster, p.n_vecs,
+  COALESCE(ps.n_pairs, 0) AS n_pairs,
+  COALESCE(ps.n_dropped, 0) AS n_dropped,
+  CAST(p.n_vecs - COALESCE(ps.n_dropped, 0) AS BIGINT) AS n_kept
+FROM per_cluster p LEFT JOIN pair_stats ps USING (cluster)
+""",
+    "SemDeDup census probe 1/5 — cardinalities only (cluster sizes, "
+    "tau-close pair count, distinct dropped count): green here pins "
+    "quantization, seed assignment, the threshold predicate's pair "
+    "SET, and the drop rule's cardinality, independent of any value "
+    "sum",
+    ("dedup", "vector", "probe"),
+))
+
+
+def _sdd_probe_pairset(spark: SparkSession, sf: str) -> DataFrame:
+    per_cluster, pairs = _sdd_frames(spark, sf)
+    zero = F.lit(0).cast("long")
+    stats = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long")
+        .alias("sum_pair_ids"))
+    return _sdd_census(per_cluster, stats,
+                       {"n_pairs": zero, "sum_pair_ids": zero})
+
+
+register(QuerySpec(
+    "sdd_probe_pairset", _sdd_probe_pairset, _SDD_SQL_CORE + """,
+pair_stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(id_a + id_b) AS BIGINT) AS sum_pair_ids
+  FROM pairs GROUP BY 1
+)
+SELECT p.cluster, p.n_vecs,
+  COALESCE(ps.n_pairs, 0) AS n_pairs,
+  COALESCE(ps.sum_pair_ids, 0) AS sum_pair_ids
+FROM per_cluster p LEFT JOIN pair_stats ps USING (cluster)
+""",
+    "SemDeDup census probe 2/5 — pair IDENTITY (sum of member ids "
+    "per cluster): distinguishes 'same number of pairs, different "
+    "pairs' from a truly identical pair set",
+    ("dedup", "vector", "probe"),
+))
+
+
+def _sdd_probe_dot_mod(spark: SparkSession, sf: str) -> DataFrame:
+    per_cluster, pairs = _sdd_frames(spark, sf)
+    stats = pairs.groupBy("cluster").agg(
+        F.sum(_SDD_DEC("dot")).alias("sd"))
+    stats = stats.select(
+        "cluster",
+        (F.col("sd") % F.lit(_SDD_MOD).cast("decimal(38,0)"))
+        .cast("long").alias("dot_mod"))
+    return _sdd_census(per_cluster, stats,
+                       {"dot_mod": F.lit(0).cast("long")})
+
+
+register(QuerySpec(
+    "sdd_probe_dot_mod", _sdd_probe_dot_mod, _SDD_SQL_CORE + f""",
+pair_stats AS (
+  SELECT cluster,
+    CAST(SUM(CAST(dot AS HUGEINT)) % {_SDD_MOD} AS BIGINT) AS dot_mod
+  FROM pairs GROUP BY 1
+)
+SELECT p.cluster, p.n_vecs,
+  COALESCE(ps.dot_mod, 0) AS dot_mod
+FROM per_cluster p LEFT JOIN pair_stats ps USING (cluster)
+""",
+    "SemDeDup census probe 3/5 — pair-dot VALUES as a BIGINT residue "
+    "(exact decimal/HUGEINT sum mod 2^61-1; dots are non-negative so "
+    "remainder agrees across engines): green here with a red "
+    "sum_pair_dot "
+    "means the dot arithmetic matches and only the reporting type "
+    "diverged; also the modular-residue shape the census would report "
+    "at true 100 TB pair volumes",
+    ("dedup", "vector", "probe"),
+))
+
+
+def _sdd_probe_drops(spark: SparkSession, sf: str) -> DataFrame:
+    per_cluster, pairs = _sdd_frames(spark, sf)
+    zero = F.lit(0).cast("long")
+    stats = pairs.groupBy("cluster").agg(
+        F.sum_distinct(F.col("drop_id")).cast("long")
+        .alias("sum_dropped_ids"))
+    return _sdd_census(per_cluster, stats, {"sum_dropped_ids": zero})
+
+
+register(QuerySpec(
+    "sdd_probe_drops", _sdd_probe_drops, _SDD_SQL_CORE + """,
+pair_stats AS (
+  SELECT cluster, CAST(SUM(DISTINCT drop_id) AS BIGINT) AS sum_dropped_ids
+  FROM pairs GROUP BY 1
+)
+SELECT p.cluster, p.n_vecs,
+  COALESCE(ps.sum_dropped_ids, 0) AS sum_dropped_ids
+FROM per_cluster p LEFT JOIN pair_stats ps USING (cluster)
+""",
+    "SemDeDup census probe 4/5 — keep-farthest drop rule VALUES "
+    "(sum of distinct dropped ids, the rule's full output as one "
+    "BIGINT)",
+    ("dedup", "vector", "probe"),
+))
+
+
+def _sdd_probe_dec38(spark: SparkSession, sf: str) -> DataFrame:
+    per_cluster, _ = _sdd_frames(spark, sf)
+    return per_cluster.select(
+        "cluster", "n_vecs",
+        F.col("n_vecs").cast("decimal(38,0)").alias("n_vecs_dec38"))
+
+
+register(QuerySpec(
+    "sdd_probe_dec38", _sdd_probe_dec38, _SDD_SQL_CORE + """
+SELECT cluster, n_vecs,
+  CAST(n_vecs AS DECIMAL(38, 0)) AS n_vecs_dec38
+FROM per_cluster
+""",
+    "SemDeDup census probe 5/5 — DECIMAL(38,0) rendering canary: the "
+    "same trivially-correct small integers emitted twice, once as "
+    "BIGINT and once in the int128-backed decimal type the census "
+    "used to report sum_pair_dot in. Red here while n_vecs-carrying "
+    "probes are green PROVES a driver-environment DECIMAL(38,0) "
+    "rendering defect (the r09/r10 red rows' suspected cause); green "
+    "refutes the type theory and shifts suspicion to whichever other "
+    "probe went red",
+    ("dedup", "vector", "probe"),
 ))
 
 
@@ -2112,4 +2337,122 @@ register(QuerySpec(
     "crossing pairs (0 by construction, measured not assumed) next "
     "to what the naive doc-grain carve would have leaked",
     ("dedup", "mixing", "graph", "agg"),
+))
+
+
+# --- substring_family_census: family-grain substring keep rule (r11) --------
+# The oracle for r10 verdict task #4: the substring-dedup stage's
+# FAMILY grain (orchestrate_corpus.substring_dedup_docs
+# family_grain=True). Heavy docs (>50% duplicated k-token windows,
+# the Lee et al. doc-level signal) are clustered into families —
+# connected components of the shared-window graph, built by star
+# reduction (per window: every member links to the window's min
+# member; same components as the clique at linear edge count) — and
+# each family keeps its best member (longest text, min id ties)
+# instead of dropping everyone (the reference's drop-both defect
+# class, deduplicate.py:287-306). Output: one row per family with
+# the full rule result (size, kept id, kept length, member-id sum),
+# so a single flipped edge, component label, or keep choice flips
+# the gate hash. ~9% of the synthetic docs are heavy at every tier
+# (measured 45/500 at sf0.001, 477/5000 at sf0.1) — non-vacuous by
+# construction.
+#
+# Scale shape: windows/stats are the linear explode->distinct->count
+# stream; the family graph is |heavy doc-window| edges (star
+# reduction); components via the shared label-propagation operator
+# (driver union-find fast path under 1M edges, distributed loop
+# above); keep rule is one window function per family.
+
+_SSF_K = 8
+_SSF_MAX_DUP_MILLI = 500
+
+
+def _ss_family_census(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    stats = D.substring_dup_stats(d, k=_SSF_K)
+    heavy = stats.filter(
+        F.col("n_dup_windows") * 1000
+        > F.lit(_SSF_MAX_DUP_MILLI) * F.col("n_windows")
+    ).select("doc_id")
+    fam = D.substring_dup_families(d, heavy, k=_SSF_K)
+    w = Window.partitionBy("grp").orderBy(
+        F.length("text").desc(), F.col("doc_id"))
+    ranked = (
+        d.select("doc_id", "text").join(fam, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long").alias("kept_id"),
+        F.min(F.when(F.col("rn") == 1, F.length("text")))
+        .cast("long").alias("kept_len"),
+        F.sum("doc_id").cast("long").alias("sum_member_ids"),
+    )
+
+
+_SSF_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+    CAST('0x' || substr(md5(array_to_string(toks[i:i+{_SSF_K - 1}], ' ')), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - {_SSF_K} + 2)) AS i
+    FROM tok WHERE len(toks) >= {_SSF_K}
+  )
+),
+counts AS (SELECT h, COUNT(*) AS nd FROM wins GROUP BY h),
+heavy AS (
+  SELECT w.doc_id
+  FROM wins w JOIN counts c ON w.h = c.h
+  GROUP BY w.doc_id
+  HAVING SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 1000
+         > {_SSF_MAX_DUP_MILLI} * COUNT(*)
+),
+hw AS (SELECT w.doc_id, w.h FROM wins w JOIN heavy USING (doc_id)),
+star AS (
+  SELECT h, MIN(doc_id) AS m FROM hw GROUP BY h HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT DISTINCT s.m, w.doc_id AS n
+  FROM hw w JOIN star s ON s.h = w.h
+  WHERE w.doc_id != s.m
+),
+sym AS (SELECT m AS a, n AS b FROM edges UNION ALL SELECT n, m FROM edges),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+),
+rep AS (SELECT node AS doc_id, MIN(label) AS grp FROM reach GROUP BY node),
+fam AS (
+  SELECT h.doc_id, COALESCE(r.grp, h.doc_id) AS grp
+  FROM heavy h LEFT JOIN rep r USING (doc_id)
+),
+ranked AS (
+  SELECT f.grp, d.doc_id, length(d.text) AS ln,
+    ROW_NUMBER() OVER (
+      PARTITION BY f.grp ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM fam f JOIN documents d USING (doc_id)
+)
+SELECT grp,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+  CAST(MIN(CASE WHEN rn = 1 THEN ln END) AS BIGINT) AS kept_len,
+  CAST(SUM(doc_id) AS BIGINT) AS sum_member_ids
+FROM ranked
+GROUP BY grp
+"""
+
+register(QuerySpec(
+    "substring_family_census", _ss_family_census, _SSF_SQL,
+    "family-grain substring dedup census: >50%-duplicated-window "
+    "docs clustered into shared-window families (star-reduction "
+    "edges, connected components), keep-best per family (longest "
+    "text, min id) — one row per family with size, kept id/length "
+    "and member-id sum; the oracle recomputes windows, the heavy "
+    "rule, components (recursive CTE) and the keep choice end to end",
+    ("dedup", "text", "graph", "agg"),
 ))

@@ -11,7 +11,7 @@ the same code twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import classify
@@ -728,6 +728,174 @@ register(QuerySpec(
     "top_matches_per_candidate", _top_matches, _TOP_MATCH_SQL,
     "top-k offers per candidate (Top-20 offres-CVs dashboard, PLAN_REALISATION.md:509-511)",
     ("domain", "matching", "topk"),
+))
+
+
+# --- candidate_recs_diversified: the dashboard, diversified (round-11) ------
+# The product query the reference PROMISED (the "Top 20 offres-CVs"
+# dashboard, PLAN_REALISATION.md:483-511) composed from two
+# independently gate-green ingredients (r10 verdict task #3): the
+# PRODUCTION matching variant (job_cv_matching_prefiltered — the
+# rare-token pruned join, 58x measured cut over the quadratic truth
+# twin at sf1) supplies per-(candidate, offer) relevance, and the
+# MMR greedy loop (operators/similarity_search.mmr_greedy, shared
+# with mmr_diversified_topk) reranks each candidate's pool so
+# near-identical offers cannot crowd the final list — diversity here
+# is OFFER skill-set overlap (exact integer Jaccard in micro-units),
+# the set-space analogue of the vector query's embedding dots.
+#
+# Exactness chain: match_score is a 6-dp-rounded double that is
+# bit-identical across engines (the matching family's green rows
+# prove it), so rel = floor(score*1e6 + 0.5) — two single IEEE ops +
+# floor — is the same int64 on both; Jaccard micro-units use the
+# ratio6-style half-up integer rescale ((i*2M + u) div (2u), both
+# engines truncate toward zero on positives); every greedy
+# comparison is int64 with min-id ties, so the DuckDB oracle replays
+# the full trajectory as chained CTEs exactly like mmr_diversified's.
+#
+# Scale shape: matching is the prefiltered inverted-index join
+# (linear in posting lists, not offers x cvs); pooling is one window
+# over its output; sims are confined to pool^2 = 100 rows per
+# candidate (constant); offers' skill lists join in by key (tiny dim
+# — broadcast here, shuffle join at 10^8 offers, same plan). Serving
+# cost is linear in candidates with a constant rerank factor — the
+# same bound a production recommender puts on its cross-encoder.
+
+_RECS_POOL = 10
+_RECS_K = 5
+_RECS_LAM = (7, 3)
+
+
+def _candidate_recs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import similarity_search as ANN
+
+    m = _matching_prefiltered(spark, sf)
+    rel = m.select(
+        F.col("candidate_id").alias("query_id"),
+        F.col("job_id").alias("vec_id_"),
+        F.floor(F.col("match_score") * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("rel"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id_"))
+    pool = (
+        rel.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _RECS_POOL).drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    osk = F.broadcast(
+        _tiered_offers(spark, sf).select(
+            "job_id", F.array_distinct("skills").alias("skills")))
+    pa = pool.select("query_id", F.col("vec_id_").alias("a"))
+    pb = pool.select("query_id", F.col("vec_id_").alias("b"))
+    sims = (
+        pa.join(pb, "query_id").filter(F.col("a") != F.col("b"))
+        .join(osk.select(F.col("job_id").alias("a"),
+                         F.col("skills").alias("sa")), "a")
+        .join(osk.select(F.col("job_id").alias("b"),
+                         F.col("skills").alias("sb")), "b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn("uni",
+                    (F.size("sa") + F.size("sb")).cast("long")
+                    - F.col("inter"))
+        .select(
+            "query_id", "a", "b",
+            F.expr("(inter * 2000000 + uni) div (2 * uni)").alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    return ANN.mmr_greedy(pool, sims, k=_RECS_K, lam=_RECS_LAM).select(
+        F.col("query_id").alias("candidate_id"), "rnk",
+        F.col("vec_id_").alias("job_id"), "rel", "score")
+
+
+def _recs_sql() -> str:
+    lam_rel, lam_div = _RECS_LAM
+    head = f"""
+WITH m AS MATERIALIZED ({_MATCH_PREFILTERED_SQL}),
+osk AS MATERIALIZED (
+  SELECT o_orderkey AS job_id,
+    list_distinct([{_RAMP_O1}, {_RAMP_O2}, {_RAMP_O3},
+                   'pop' || CAST(o_orderkey % 10 AS VARCHAR),
+                   'excel']) AS skills
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+pool AS MATERIALIZED (
+  SELECT query_id, item_id, rel FROM (
+    SELECT candidate_id AS query_id, job_id AS item_id,
+      CAST(floor(match_score * 1000000 + 0.5) AS BIGINT) AS rel,
+      ROW_NUMBER() OVER (
+        PARTITION BY candidate_id
+        ORDER BY CAST(floor(match_score * 1000000 + 0.5) AS BIGINT) DESC,
+                 job_id) AS rn
+    FROM m
+  ) WHERE rn <= {_RECS_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT query_id, a, b,
+    (inter * 2000000 + uni) // (2 * uni) AS sim
+  FROM (
+    SELECT pa.query_id, pa.item_id AS a, pb.item_id AS b,
+      CAST(len(list_intersect(sa.skills, sb.skills)) AS BIGINT) AS inter,
+      CAST(len(sa.skills) + len(sb.skills)
+           - len(list_intersect(sa.skills, sb.skills)) AS BIGINT) AS uni
+    FROM pool pa
+    JOIN pool pb ON pb.query_id = pa.query_id AND pb.item_id != pa.item_id
+    JOIN osk sa ON sa.job_id = pa.item_id
+    JOIN osk sb ON sb.job_id = pb.item_id
+  )
+),
+sel1 AS (
+  SELECT query_id, item_id, rel,
+    CAST(rel * {lam_rel} AS BIGINT) AS score, 1 AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, item_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    blocks = [head]
+    for r in range(2, _RECS_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, item_id FROM sel{i}" for i in range(1, r))
+        blocks.append(f""",
+selu{r} AS (SELECT * FROM ({prev})),
+cand{r} AS (
+  SELECT p.query_id, p.item_id, p.rel,
+    CAST(p.rel * {lam_rel} - MAX(s.sim) * {lam_div} AS BIGINT) AS score
+  FROM pool p
+  JOIN sims s ON s.query_id = p.query_id AND s.a = p.item_id
+  JOIN selu{r} su ON su.query_id = s.query_id AND su.item_id = s.b
+  LEFT JOIN selu{r} ex
+    ON ex.query_id = p.query_id AND ex.item_id = p.item_id
+  WHERE ex.item_id IS NULL
+  GROUP BY 1, 2, 3
+),
+sel{r} AS (
+  SELECT query_id, item_id, rel, score, {r} AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, item_id) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _RECS_K + 1))
+    blocks.append(f"""
+SELECT query_id AS candidate_id, CAST(rnk AS INT) AS rnk,
+  item_id AS job_id, rel, score
+FROM ({union})""")
+    return "".join(blocks)
+
+
+register(QuerySpec(
+    "candidate_recs_diversified", _candidate_recs, _recs_sql(),
+    "the reference's declared 'Top 20 offres-CVs' dashboard, "
+    "diversified: production prefiltered matching supplies relevance "
+    "(floor(match_score*1e6+0.5) micro-units), offer skill-set "
+    "Jaccard supplies diversity, and the shared MMR greedy loop "
+    "(lambda=0.7 as 7/3 integers, min-id ties) picks 5 per candidate "
+    "from a 10-offer pool — oracle replays the greedy trajectory as "
+    "chained CTEs over the full prefiltered-matching SQL",
+    ("domain", "matching", "vector", "topk", "bench"),
 ))
 
 

@@ -477,8 +477,27 @@ def test_oracle_audit_rejects_top_level_complex_types():
     assert type_problems("STRUCT(a BIGINT, b VARCHAR)") is not None
     assert type_problems("MAP(VARCHAR, BIGINT)") is not None
     assert type_problems("BIGINT") is None
-    assert type_problems("DECIMAL(38,0)") is None
     assert type_problems("VARCHAR") is None
+
+
+def test_oracle_audit_rejects_int128_and_scale0_decimals():
+    """Round-11 blind spot, closed: the audit blessed every
+    DECIMAL(p,s), but DuckDB backs p>18 decimals with int128 — the
+    same storage class as the round-4 HUGEINT reds — and scale-0
+    decimals render '123' vs '123.0' depending on the fetch layer.
+    semantic_dedup_stats' sum_pair_dot was the registry's ONLY
+    DECIMAL(38,0) column and its only two-round hash-red row; the
+    proven-green DECIMAL(2,1) shape stays allowed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.oracle_type_audit import type_problems
+
+    assert type_problems("DECIMAL(38,0)") is not None
+    assert type_problems("DECIMAL(19,2)") is not None  # int128-backed
+    assert type_problems("DECIMAL(9,0)") is not None   # scale-0
+    assert type_problems("DECIMAL(2,1)") is None       # proven green
+    assert type_problems("DECIMAL(18,6)") is None
 
 
 def test_bench_plan_shapes_do_not_regress(spark, sf_dir):

@@ -531,6 +531,10 @@ def test_corpus_pipeline_fence_configuration(spark, tmp_path):
         spark, docs, out, strict=True, min_quality=0.0,
         fence_near_dups=True)
     assert "near_deduped" not in stats
+    # r10 verdict task #4: the substring stage now RUNS in the fenced
+    # configuration (family grain) instead of being skipped; these
+    # twins are below the heavy threshold so it passes them through
+    assert stats["substring_deduped"]["rows"] == 80
     # near-dups were KEPT: packed row count equals the input
     assert stats["packed"]["rows"] == 80
     packed = spark.read.parquet(f"{out}/packed")

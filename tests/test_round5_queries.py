@@ -291,6 +291,40 @@ def test_substring_dedup_stage_drops_boilerplate(spark):
     assert all_kept == {1, 2, 3, 4}
 
 
+def test_substring_dedup_family_grain_keeps_one_representative(spark):
+    """r10 verdict task #4: the drop-all form removes EVERY member of
+    a duplicated-window family (the reference's drop-both defect
+    class, deduplicate.py:287-306); family grain clusters the heavy
+    docs by shared windows and keeps the best member per family
+    (longest text, min id ties). Two disjoint families here — one
+    chained a~b, b~c (components, not just direct pairs) — plus an
+    untouched unique doc."""
+    from bigdata_jobmatching_spark import orchestrate_corpus as OC
+
+    f1 = " ".join(f"w{i}" for i in range(40))
+    f2 = " ".join(f"v{i}" for i in range(40))
+    mid = " ".join(f"w{i}" for i in range(20, 60))  # overlaps f1's tail
+    rows = [
+        (1, f1 + " tail one", "a"),
+        (2, f1 + " " + " ".join(f"w{i}" for i in range(40, 60)), "a"),
+        # doc 3 shares windows with doc 2's extension, not doc 1:
+        # the family must still be {1, 2, 3} via the 2-hop chain
+        (3, mid + " tri", "a"),
+        (10, f2 + " x", "a"),
+        (11, f2 + " y", "a"),
+        (20, " ".join(f"solo{i}" for i in range(40)), "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # drop-all removes both families whole
+    assert {r.doc_id for r in OC.substring_dedup_docs(docs, k=8).collect()} \
+        == {20}
+    kept = {r.doc_id for r in
+            OC.substring_dedup_docs(docs, k=8, family_grain=True).collect()}
+    # family {1,2,3}: doc 2 is the longest text; family {10,11}: equal
+    # lengths except x/y (equal), min id 10 wins; solo survives
+    assert kept == {2, 10, 20}
+
+
 def test_end_to_end_offers_plus_cvs_to_matching(spark, tmp_path):
     """The reference's complete declared vision, executed end-to-end:
     offer JSON -> staged enrichment chain -> lake; CV JSON ->

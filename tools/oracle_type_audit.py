@@ -92,10 +92,43 @@ def type_problems(duck_type: str) -> str | None:
         return f"top-level complex type {t} (pandas canonicalizer cannot sort it)"
     for leaf in _leaf_types(t):
         if leaf.startswith("DECIMAL("):
-            continue  # Spark DecimalType is exact up to (38, s)
+            # Round-11 hardening (the semantic_dedup_stats lesson: the
+            # registry's single DECIMAL(38,0) column was the only
+            # rows/schema-green hash-red row for two straight rounds):
+            #   - p > 18 is int128-backed in DuckDB — the SAME storage
+            #     class whose rendering divergence red-rowed the 23
+            #     HUGEINT columns in round 4; this audit blessed it.
+            #   - scale 0 is the one decimal shape whose rendering
+            #     differs between a Decimal fetch ('123') and any
+            #     float64-converting fetch layer ('123.0'); s >= 1
+            #     values render identically both ways ('0.5'), which
+            #     is why the DECIMAL(2,1) queries are proven green.
+            # Gate-safe decimal = p <= 18 AND s >= 1. Integer-valued
+            # outputs belong in BIGINT.
+            p, s = (int(x) for x in
+                    leaf[len("DECIMAL("):-1].split(","))
+            if p > 18:
+                return (f"{leaf} (int128-backed: p>18 renders through "
+                        "the round-4 HUGEINT divergence path)")
+            if s == 0:
+                return (f"{leaf} (scale-0 decimal renders '123' vs "
+                        "'123.0' across fetch layers; use BIGINT)")
+            continue  # p<=18, s>=1: exact and render-stable
         if leaf not in _EXACT_SPARK_TYPES:
             return leaf
     return None
+
+
+# Columns that carry a gate-unsafe type ON PURPOSE: sdd_probe_dec38
+# is the round-11 rendering canary — it re-emits trivially-correct
+# small integers in the int128-backed DECIMAL(38,0) the census used
+# to report sum_pair_dot in, so the driver gate itself measures
+# whether that type renders divergently in ITS environment (the
+# r09/r10 semantic_dedup_stats red rows' suspected cause). Do not
+# add entries here to silence a real finding.
+CANARY_COLUMNS: frozenset[tuple[str, str]] = frozenset(
+    {("sdd_probe_dec38", "n_vecs_dec38")}
+)
 
 
 def audit(sf_dir: str = "/root/testdata/sf0.01") -> list[tuple[str, str, str]]:
@@ -113,6 +146,8 @@ def audit(sf_dir: str = "/root/testdata/sf0.01") -> list[tuple[str, str, str]]:
     for name, sql in entry_mod.oracle_sql().items():
         rows = con.execute(f"DESCRIBE {sql}").fetchall()
         for col, duck_type, *_ in rows:
+            if (name, col) in CANARY_COLUMNS:
+                continue
             reason = type_problems(duck_type)
             if reason is not None:
                 bad.append((name, col, reason))
