@@ -664,7 +664,16 @@ def semantic_blocks(
         .localCheckpoint(eager=True)
     )
     sigs = _sd_sigints(qv, _sd_planes(spark, sig_bits_max), sig_bits_max)
-    # b from a broadcast count vs a 13-row power-of-two ladder
+    # b from a broadcast count vs a 13-row power-of-two ladder; bsub
+    # is the PROBE-side width (r10 verdict task #5, the sawtooth
+    # smoother): block width b is a staircase in corpus size, so just
+    # before each b transition the expected block is ~2x sub_target
+    # wide and every cross-corpus probe pays that doubled fan-out.
+    # When the size factor m/2^b reaches 1.5 (integer test: 2m >=
+    # 3*2^b), probes cut one bit finer (bsub = b+1, capped at
+    # sig_bits_max) — the recall of width b+1, which the structure
+    # adopts at the next transition anyway, in exchange for halving
+    # the fan-out spike. Self-pairing keeps width b unchanged.
     ladder = spark.range(sig_bits_max + 1).select(
         F_.col("id").cast("int").alias("i"),
         F_.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("p"),
@@ -676,7 +685,15 @@ def semantic_blocks(
             F_.expr(f"greatest(1, __n div {n_seeds * sub_target})")
             .alias("m"), "i", "p")
         .agg(F_.max(F_.when(F_.col("p") <= F_.col("m"), F_.col("i"))
-                    .otherwise(0)).cast("int").alias("b"))
+                    .otherwise(0)).cast("int").alias("b"),
+             F_.max("m").alias("m"))
+        .select(
+            "b",
+            F_.expr(
+                f"CAST(least(CASE WHEN 2 * m >= "
+                f"3 * shiftleft(CAST(1 AS BIGINT), b) THEN b + 1 "
+                f"ELSE b END, {sig_bits_max}) AS INT)").alias("bsub"),
+        )
     )
     v = (
         qv.join(asg.select("__id", "cluster"), "__id")
@@ -684,7 +701,9 @@ def semantic_blocks(
         .crossJoin(F_.broadcast(nb))
         .withColumn(
             "sig", F_.expr(f"shiftright(sigint, {sig_bits_max} - b)"))
-        .select("cluster", "sig", "__id", "j", "q")
+        .withColumn(
+            "sigf", F_.expr(f"shiftright(sigint, {sig_bits_max} - bsub)"))
+        .select("cluster", "sig", "sigf", "__id", "j", "q")
         .localCheckpoint(eager=True)
     )
     norms = v.groupBy("__id").agg(
@@ -785,11 +804,11 @@ def semantic_dedup_pairs(
 class SemanticParts(NamedTuple):
     """Frozen SemDeDup block structure of one corpus (semantic_blocks)."""
 
-    v: DataFrame        # (cluster, sig, __id, j, q) long-form blocks
+    v: DataFrame        # (cluster, sig, sigf, __id, j, q) long-form
     asg: DataFrame      # (__id, cluster, seed_dist)
     norms: DataFrame    # (__id, n2)
     cent: DataFrame     # (cid, j, c) seed coordinates
-    nb: DataFrame       # 1-row (b) block width
+    nb: DataFrame       # 1-row (b, bsub): block width + probe width
 
 
 def semantic_match_against(
@@ -809,15 +828,21 @@ def semantic_match_against(
 
     New vectors cluster against the reference's seeds (broadcast
     ``ref.cent``), take sign bits from the same integer-LCG planes,
-    and cut their prefix at the reference's frozen block width
-    (``ref.nb``) — so an incoming vector lands in exactly the block
-    its tau-neighbors live in, and the only join is (cluster, sig, j)
-    against ``ref.v``. Returns distinct ``(match_id)`` rows.
+    and cut their prefix at the reference's PROBE width ``bsub``
+    (``ref.nb``) — the frozen block width ``b``, plus one finer bit
+    when the reference sits on the heavy half of the block-width
+    sawtooth (r10 verdict task #5: the fan-out used to double just
+    before every b transition, a measured 6.1x sf0.1->1 bench step;
+    the finer probe cut gives the recall of width b+1, which the
+    structure adopts at the next transition anyway, and halves the
+    spike). The join is (cluster, sigf, j) against ``ref.v``'s
+    stored fine prefix. Returns distinct ``(match_id)`` rows.
 
     Scale: per arriving batch of m vectors the work is m*64 quantize
     rows, one broadcast join against K*64 seeds, and a block join
-    whose expected fan-out is the reference block size (~sub_target)
-    — linear in the batch, independent of reference self-pair count.
+    whose expected fan-out is bounded by ~1.5*sub_target at every
+    corpus size — linear in the batch, independent of reference
+    self-pair count.
     """
     F_ = F
     tau_num, tau_den = tau_sq
@@ -837,18 +862,18 @@ def semantic_match_against(
         qv.join(asg_new, "__id").join(sigs_new, "__id")
         .crossJoin(F_.broadcast(ref.nb))
         .withColumn(
-            "sig", F_.expr(f"shiftright(sigint, {sig_bits_max} - b)"))
-        .select("cluster", "sig", "__id", "j", "q")
+            "sigf", F_.expr(f"shiftright(sigint, {sig_bits_max} - bsub)"))
+        .select("cluster", "sigf", "__id", "j", "q")
         .localCheckpoint(eager=True)
     )
     norms_new = v_new.groupBy("__id").agg(
         F_.sum(F_.col("q") * F_.col("q")).alias("n2"))
-    a = v_new.select("cluster", "sig", F_.col("__id").alias("id_a"), "j",
+    a = v_new.select("cluster", "sigf", F_.col("__id").alias("id_a"), "j",
                      F_.col("q").alias("qa"))
-    b = ref.v.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
+    b = ref.v.select("cluster", "sigf", F_.col("__id").alias("id_b"), "j",
                      F_.col("q").alias("qb"))
     dots = (
-        a.join(b, ["cluster", "sig", "j"])
+        a.join(b, ["cluster", "sigf", "j"])
         .groupBy("id_a", "id_b")
         .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("dot"))
     )

@@ -336,6 +336,11 @@ _DRIVER_VERIFIED_R09: frozenset[str] = frozenset(
 _REOPENED_AT: dict[str, int] = {
     "events_sequence_match": 10,
     "customers_without_orders": 10,
+    # r11 reopened the incremental match: probe-side sub-prefix cut
+    # (sawtooth smoothing, r10 verdict task #5) changes its semantics
+    # above the factor-1.5 tiers, so the r10 green no longer attests
+    # the current code even though the sf0.01 output is unchanged.
+    "semantic_incremental_match": 11,
 }
 
 _DRIVER_VERIFIED_R10: frozenset[str] = frozenset(

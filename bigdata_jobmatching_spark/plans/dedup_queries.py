@@ -1996,26 +1996,36 @@ register(QuerySpec(
 # streaming semantic stage (streaming/corpus_stream.py) runs per
 # micro-batch; this query is its external value oracle.
 #
-# Incoming probes are planted from the corpus itself: one
-# LCG-perturbed twin per vector (id + 10^7, +-48000 micro-units —
-# cos ~0.976 to its base, tau-close at the query's tau=0.35 whenever
-# blocking lands it beside its base) and one NEGATED probe per
-# vector (id + 2*10^7, exact sign flip — its own base can never
-# match through the dot >= 0 gate; it may still legitimately match
-# some OTHER vector at cos <= -0.35 to ITS base, which the exact
-# arithmetic scores identically on both engines). Output is the
-# global census (n_in, n_matched, n_kept, sum_matched_ids) — the id
-# sum pins the exact match SET, not just its size.
+# Incoming probes are planted from a FIXED base panel (vec_id % 5 ==
+# 0 and < 500 — 100 vectors present at every tier, the r10 MMR
+# lesson: an arriving batch is WORKLOAD-sized, so a probe panel that
+# grows with the corpus measures corpus growth squared, not the
+# per-batch serving cost this query exists to price; r10's
+# full-corpus panel made the sf0.1->1 bench step an irreducible ~6x
+# because probes themselves grew 10x). Per base vector: one
+# LCG-perturbed twin (id + 10^7, +-48000 micro-units — cos ~0.976 to
+# its base, tau-close at the query's tau=0.35 whenever blocking
+# lands it beside its base) and one NEGATED probe (id + 2*10^7,
+# exact sign flip — its own base can never match through the
+# dot >= 0 gate; it may still legitimately match some OTHER vector
+# at cos <= -0.35 to ITS base, which the exact arithmetic scores
+# identically on both engines). Output is the global census (n_in,
+# n_matched, n_kept, sum_matched_ids) — the id sum pins the exact
+# match SET, not just its size.
 
 _SIM_TWIN_OFF = 10_000_000
 _SIM_NEG_OFF = 20_000_000
+_SIM_BASE_MOD = 5
+_SIM_BASE_MAX = 500  # 100 base vectors, fixed across every tier
 
 
 def _semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     ref = D.semantic_blocks(e, "vec_id", "embedding",
                             _SD_K, _SD_SUB_TARGET, _SD_BITS_MAX)
-    twin = e.select(
+    base = e.filter((F.col("vec_id") % _SIM_BASE_MOD == 0)
+                    & (F.col("vec_id") < _SIM_BASE_MAX))
+    twin = base.select(
         (F.col("vec_id") + _SIM_TWIN_OFF).alias("vec_id"),
         F.expr(
             "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + "
@@ -2024,7 +2034,7 @@ def _semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
             " / 1000000.0)"
         ).alias("embedding"),
     )
-    neg = e.select(
+    neg = base.select(
         (F.col("vec_id") + _SIM_NEG_OFF).alias("vec_id"),
         F.expr("transform(embedding, x -> -CAST(x AS DOUBLE))")
         .alias("embedding"),
@@ -2094,16 +2104,26 @@ sigs AS (
     FROM qv JOIN planes p USING (j) GROUP BY 1, 2
   ) GROUP BY 1
 ),
-nbits AS (
+nbits0 AS (
   SELECT CAST(MAX(CASE WHEN (CAST(1 AS BIGINT) << i) <= m
-                  THEN i ELSE 0 END) AS INT) AS b
+                  THEN i ELSE 0 END) AS INT) AS b,
+    MAX(m) AS m
   FROM (SELECT greatest(1, COUNT(*) // {_SD_K * _SD_SUB_TARGET}) AS m
         FROM asg) mm,
        (SELECT unnest(generate_series(0, {_SD_BITS_MAX})) AS i) ii
 ),
+nbits AS (
+  -- probe-side width: one finer bit on the heavy half of the block
+  -- sawtooth (2m >= 3*2^b), capped at the stored signature width —
+  -- mirrors operators/dedup.semantic_blocks' bsub exactly
+  SELECT b,
+    CAST(least(CASE WHEN 2 * m >= 3 * (CAST(1 AS BIGINT) << b)
+               THEN b + 1 ELSE b END, {_SD_BITS_MAX}) AS INT) AS bsub
+  FROM nbits0
+),
 v AS MATERIALIZED (
   SELECT asg.cluster,
-    sigs.sigint >> ({_SD_BITS_MAX} - (SELECT b FROM nbits)) AS sig,
+    sigs.sigint >> ({_SD_BITS_MAX} - (SELECT bsub FROM nbits)) AS sig,
     qv.vec_id, qv.j, qv.q
   FROM qv JOIN asg USING (vec_id) JOIN sigs USING (vec_id)
 ),
@@ -2116,10 +2136,12 @@ inc AS MATERIALIZED (
         % 2147483648) % {2 * _SEM_TWIN_AMP + 1} - {_SEM_TWIN_AMP}
         AS DOUBLE) / 1000000.0) * {_SD_SCALE}) AS BIGINT) AS q
   FROM raw
+  WHERE vec_id % {_SIM_BASE_MOD} = 0 AND vec_id < {_SIM_BASE_MAX}
   UNION ALL
   SELECT vec_id + {_SIM_NEG_OFF} AS vid, j,
     CAST(floor((-x) * {_SD_SCALE}) AS BIGINT) AS q
   FROM raw
+  WHERE vec_id % {_SIM_BASE_MOD} = 0 AND vec_id < {_SIM_BASE_MAX}
 ),
 asg_in AS (
   SELECT vid,
@@ -2143,7 +2165,7 @@ sigs_in AS (
 ),
 v_in AS MATERIALIZED (
   SELECT asg_in.cluster,
-    sigs_in.sigint >> ({_SD_BITS_MAX} - (SELECT b FROM nbits)) AS sig,
+    sigs_in.sigint >> ({_SD_BITS_MAX} - (SELECT bsub FROM nbits)) AS sig,
     inc.vid, inc.j, inc.q
   FROM inc JOIN asg_in USING (vid) JOIN sigs_in USING (vid)
 ),
@@ -2183,7 +2205,10 @@ register(QuerySpec(
     "matched against the frozen reference block structure "
     "(semantic_match_against — the incremental/streaming dedup "
     "shape: arriving data vs kept corpus, never re-pairing the "
-    "corpus with itself); id-sum pins the exact match set",
+    "corpus with itself); r11: probes cut one bit finer on the "
+    "heavy half of the block-width sawtooth (bsub), bounding "
+    "fan-out at ~1.5x sub_target across corpus sizes; id-sum pins "
+    "the exact match set",
     ("dedup", "vector", "join", "agg"),
 ))
 
