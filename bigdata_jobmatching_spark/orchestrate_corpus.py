@@ -442,8 +442,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose _SUCCESS already committed")
     ap.add_argument("--fence-near-dups", action="store_true",
-                    help="keep near-duplicates (skip both token-level "
-                         "drop stages) and carve train/val at "
+                    help="keep near-duplicates (skip the near-dup drop "
+                         "stage, run the substring stage at family "
+                         "grain) and carve train/val at "
                          "duplicate-cluster grain instead")
     args = ap.parse_args(argv)
 
