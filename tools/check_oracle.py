@@ -38,11 +38,51 @@ def row_hashes(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted(out)
 
 
+def _duckdb_modules():
+    """DuckDB version matrix (round-10 verdict task #1: the driver's
+    DuckDB version is a standing suspect whenever a query passes this
+    local twin but fails the external gate). Yields (version, module)
+    for every importable DuckDB: the installed one, plus any
+    alternate builds listed in DUCKDB_MATRIX_PATHS (colon-separated
+    dirs each containing a `duckdb` package — e.g. unpacked wheels of
+    other releases). This sandbox ships exactly one build and has no
+    network to fetch others, so the matrix is usually a single entry;
+    the version is printed with the run so every PASS/FAIL line is
+    attributable to a concrete engine build.
+    """
+    import importlib
+    import os
+
+    import duckdb as installed
+
+    yield installed.__version__, installed
+    for p in filter(None, os.environ.get(
+            "DUCKDB_MATRIX_PATHS", "").split(":")):
+        sys.path.insert(0, p)
+        try:
+            importlib.invalidate_caches()
+            for mod_name in list(sys.modules):
+                if mod_name == "duckdb" or mod_name.startswith("duckdb."):
+                    del sys.modules[mod_name]
+            alt = importlib.import_module("duckdb")
+            if alt.__version__ != installed.__version__:
+                yield alt.__version__, alt
+        finally:
+            sys.path.remove(p)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import duckdb
+    matrix = list(_duckdb_modules())
+    print("duckdb matrix: " + ", ".join(v for v, _ in matrix))
+    duckdb = matrix[0][1]
+    # Matrix mode: with >1 build available, every oracle runs under
+    # EVERY build and the per-build hashes must agree before the
+    # Spark comparison even starts — a cross-version oracle
+    # divergence is reported as its own failure class.
+    alt_builds = matrix[1:]
 
     import __spark_entry__ as entry_mod
     from bigdata_jobmatching_spark.session import get_spark
@@ -51,10 +91,17 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def _mk_con(mod):
+        c = mod.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = _mk_con(duckdb)
+    alt_cons = [(v, _mk_con(m)) for v, m in alt_builds]
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
@@ -80,6 +127,27 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        # cross-version matrix: the SAME oracle under every other
+        # available DuckDB build must hash identically — a divergence
+        # here is a portability bug in the oracle SQL itself,
+        # independent of Spark
+        xver = []
+        for ver, acon in alt_cons:
+            try:
+                ares = acon.execute(sql)
+                a_cols = [d[0] for d in ares.description]
+                a_rows = ares.fetchall()
+                if (sorted(a_cols) != sorted(d_cols)
+                        or row_hashes(a_cols, a_rows)
+                        != row_hashes(d_cols, d_rows)):
+                    xver.append(ver)
+            except Exception as e:  # noqa: BLE001
+                xver.append(f"{ver} ({type(e).__name__})")
+        if xver:
+            print(f"FAIL {name}: oracle diverges across duckdb builds: "
+                  f"{matrix[0][0]} vs {', '.join(xver)}")
             n_fail += 1
             continue
         problems = []
