@@ -692,42 +692,80 @@ def mmr_greedy(
     early (no padded rows). All scores must be exact int64 so a SQL
     oracle can replay the trajectory round by round.
 
+    Execution shape: the pool is a CONSTANT (<= ~20 rows per query)
+    by construction, so the whole k-round trajectory for one query
+    is a few hundred integer ops — per-query cost must stay at that
+    grain. Both relational formulations failed it, measured at sf0.1
+    on candidate_recs_diversified's ~4,500 query groups: k DataFrame
+    rounds with an eager-checkpoint barrier each spent ~5 s on k
+    sequential global jobs, and a cogrouped applyInPandas spent
+    ~8 s on one pandas-frame-construction per GROUP. This shape —
+    pack each query's pool and sims into list columns (two groupBy
+    shuffles), then ONE Arrow mapInPandas whose batches carry
+    thousands of queries — runs the same greedy loop in plain
+    python ints at ~1 s. collect_list order is nondeterministic but
+    the greedy argmax with explicit (score, min-id) tie-breaks is
+    order-independent, which the partition-order determinism sweep
+    re-verifies. Values are bit-identical to the relational
+    formulation — the SQL oracles (chained greedy CTEs) check that
+    externally. At 10^9 queries this is one shuffle of pool-sized
+    rows and a linear scan; no driver-side loop anywhere.
+
     Returns ``(query_id, vec_id_, rel, score, rnk)``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     F_ = F
     lam_rel, lam_div = lam
-    sel: DataFrame | None = None
-    for r in range(1, k + 1):
-        if sel is None:
-            scored = pool_df.withColumn(
-                "score", F_.col("rel") * lam_rel)
-        else:
-            picked = sel.select("query_id", "vec_id_")
-            remaining = pool_df.join(
-                picked, ["query_id", "vec_id_"], "left_anti")
-            ms = (
-                sims.join(
-                    picked.select("query_id",
-                                  F_.col("vec_id_").alias("b")),
-                    ["query_id", "b"])
-                .groupBy("query_id", F_.col("a").alias("vec_id_"))
-                .agg(F_.max("sim").alias("maxsim"))
-            )
-            # inner join is total: every pool pair has a sims row, and
-            # selected ids are excluded from `remaining` already
-            scored = (
-                remaining.join(ms, ["query_id", "vec_id_"])
-                .withColumn(
-                    "score",
-                    F_.col("rel") * lam_rel - F_.col("maxsim") * lam_div)
-                .drop("maxsim")
-            )
-        ws = Window.partitionBy("query_id").orderBy(
-            F_.desc("score"), F_.asc("vec_id_"))
-        pick = (
-            scored.withColumn("rn", F_.row_number().over(ws))
-            .filter(F_.col("rn") == 1).drop("rn")
-            .withColumn("rnk", F_.lit(r).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        sel = pick if sel is None else sel.unionByName(pick)
-    return sel
+    packed = (
+        pool_df.groupBy("query_id")
+        .agg(F_.collect_list(F_.struct("vec_id_", "rel")).alias("pitems"))
+        .join(
+            sims.groupBy("query_id").agg(
+                F_.collect_list(F_.struct("a", "b", "sim")).alias("sitems")),
+            "query_id", "left")
+    )
+
+    def greedy_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int, int, int, int]] = []
+            for qid, pitems, sitems in zip(
+                    pdf["query_id"], pdf["pitems"], pdf["sitems"]):
+                qid = int(qid)
+                rel = {int(d["vec_id_"]): int(d["rel"]) for d in pitems}
+                sim = {} if sitems is None else {
+                    (int(d["a"]), int(d["b"])): int(d["sim"])
+                    for d in sitems}
+                remaining = set(rel)
+                selected: list[int] = []
+                for rnk in range(1, k + 1):
+                    best = None  # ((score, -id), id, score): min-id ties
+                    for cand in remaining:
+                        if not selected:
+                            score = rel[cand] * lam_rel
+                        else:
+                            pairs = [sim[(cand, s)] for s in selected
+                                     if (cand, s) in sim]
+                            if not pairs:
+                                # mirror the relational formulation: a
+                                # candidate with no sims row to any
+                                # selected member joins away this round
+                                continue
+                            score = (rel[cand] * lam_rel
+                                     - max(pairs) * lam_div)
+                        key = (score, -cand)
+                        if best is None or key > best[0]:
+                            best = (key, cand, score)
+                    if best is None:
+                        break
+                    _, pick, score = best
+                    remaining.discard(pick)
+                    selected.append(pick)
+                    out.append((qid, pick, rel[pick], score, rnk))
+            yield pd.DataFrame(
+                out, columns=["query_id", "vec_id_", "rel", "score", "rnk"])
+
+    return packed.mapInPandas(
+        greedy_all,
+        "query_id long, vec_id_ long, rel long, score long, rnk int")
