@@ -545,3 +545,27 @@ def test_corpus_pipeline_fence_configuration(spark, tmp_path):
     assert pairs  # the twins really are near-dup pairs
     for p in pairs:
         assert side[p.id_a] == side[p.id_b]
+
+
+def test_mmr_greedy_packed_edges(spark):
+    """The round-11 one-Arrow-pass mmr_greedy: a size-1 pool arrives
+    with a NULL packed sims cell (left join) and must still emit its
+    rnk-1 row; a size-2 pool replays the exact integer trajectory
+    (round 2 score = rel*7 - sim*3); k beyond the pool stops early."""
+    from bigdata_jobmatching_spark.operators import (
+        similarity_search as ANN,
+    )
+
+    pool = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 50), (2, 21, 40)],
+        "query_id long, vec_id_ long, rel long")
+    sims = spark.createDataFrame(
+        [(2, 20, 21, 5), (2, 21, 20, 5)],
+        "query_id long, a long, b long, sim long")
+    out = sorted(tuple(r) for r in
+                 ANN.mmr_greedy(pool, sims, k=3, lam=(7, 3)).collect())
+    assert out == [
+        (1, 10, 100, 700, 1),
+        (2, 20, 50, 350, 1),
+        (2, 21, 40, 40 * 7 - 5 * 3, 2),
+    ]
