@@ -500,6 +500,24 @@ def test_oracle_audit_rejects_int128_and_scale0_decimals():
     assert type_problems("DECIMAL(18,6)") is None
 
 
+def test_scale0_decimal_rendering_asymmetry():
+    """The mechanism the sdd_probe_dec38 canary measures, pinned as
+    arithmetic fact: a scale-0 decimal renders differently between a
+    Decimal-preserving fetch ('123') and any float64-converting fetch
+    layer ('123.0'), while a scale>=1 decimal of the proven-green
+    DECIMAL(2,1) shape renders identically both ways — which is
+    exactly the observed gate pattern (every DECIMAL(2,1) query
+    green, the registry's only DECIMAL(38,0) column red twice with
+    rows/schema matching)."""
+    from decimal import Decimal
+
+    big = Decimal("5291587757310")  # a real sum_pair_dot value (r11)
+    assert str(big) != repr(float(big))           # '...310' vs '...310.0'
+    assert float(big) == int(big)                 # value survives; TEXT doesn't
+    for s in ("0.5", "1.0", "0.3"):               # the DECIMAL(2,1) shape
+        assert str(Decimal(s)) == repr(float(Decimal(s)))
+
+
 def test_bench_plan_shapes_do_not_regress(spark, sf_dir):
     """Plan-shape regression guard: every bench-tagged query's current
     physical plan must not have MORE shuffles / cartesians / Python
