@@ -534,6 +534,9 @@ def substring_dup_families(
         id_col, F.coalesce("component", F.col(id_col)).alias("grp"))
 
 
+_SD_Q_SCALE = 1_000_000
+
+
 def _sd_quantize(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Micro-quantized long form (__id, j, q) — q = floor(x * 1e6),
     one IEEE multiply + floor, identical on any engine. Shared by the
@@ -544,9 +547,27 @@ def _sd_quantize(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.posexplode(vec_col).alias("j", "x"),
     ).select(
         "__id", "j",
-        F.floor(F.col("x").cast("double") * 1_000_000)
+        F.floor(F.col("x").cast("double") * _SD_Q_SCALE)
         .cast("long").alias("q"),
     ).localCheckpoint(eager=True)
+
+
+def _arr_norm2(qarr):
+    """Exact int64 squared norm of a quantized array — same sum as
+    the long-form groupBy(sum(q*q)) it replaced (integer adds in any
+    order are equal)."""
+    return F.aggregate(
+        qarr, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+
+def _arr_dot(qa, qb):
+    """Exact int64 dot of two quantized arrays. coalesce(x*y, 0)
+    makes ragged lengths contribute only where BOTH sides have a
+    value — bit-equal to the long-form join on the shared dimension
+    index j (zip_with pads the shorter array with null)."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: F.coalesce(x * y, F.lit(0))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def _sd_planes(spark, sig_bits_max: int) -> DataFrame:
@@ -597,7 +618,17 @@ def semantic_blocks(
     against this corpus's frozen block structure. The first three:
 
     - ``v``: long-form ``(cluster, sig, __id, j, q)`` — one row per
-      (vector, dimension), block key = (cluster, sig);
+      (vector, dimension), block key = (cluster, sig). The self-pair
+      dot stage stays long-form ON PURPOSE: the per-j join + sum is
+      whole-stage-codegen primitive arithmetic, measured FASTER at
+      the census's pair volumes than a zip_with/aggregate array dot
+      (higher-order lambdas don't codegen — 11.0 s vs 7.9 s at sf1
+      when round 11 tried the array form here);
+    - ``varr``: vector-grain ``(cluster, sigf, __id, qarr)`` — the
+      same vectors as ONE quantized int64 array row keyed by the
+      finer PROBE prefix; the cross-corpus path joins this at vector
+      grain and dots with zip_with (few, probe-bounded pairs — there
+      the 64x join-volume cut wins: 8.2 -> 5.2 s at sf1, measured);
     - ``asg``: ``(__id, cluster, seed_dist)`` — seed_dist is the
       exact quantized squared L2 distance to the assigned seed, the
       keep-farthest representative rule's ranking key;
@@ -701,10 +732,33 @@ def semantic_blocks(
         .crossJoin(F_.broadcast(nb))
         .withColumn(
             "sig", F_.expr(f"shiftright(sigint, {sig_bits_max} - b)"))
+        .select("cluster", "sig", "__id", "j", "q")
+        .localCheckpoint(eager=True)
+    )
+    # vector-grain twin of v keyed by the PROBE prefix (r11): the
+    # cross-corpus path joins at vector grain and dots the quantized
+    # arrays with zip_with — exact int64, identical values to a
+    # long-form per-j join, at 1/64th the join rows (measured 8.2 ->
+    # 5.2 s at sf1 on the incremental match). transform() is the
+    # same floor(x*1e6) per element as _sd_quantize; size(vec)>0
+    # mirrors posexplode's empty-vector semantics. Lazy cut: only
+    # the cross-corpus consumers evaluate it (same posture as cent).
+    varr = (
+        vecs.filter(F_.size(F_.col(vec_col)) > 0).select(
+            F_.col(id_col).alias("__id"),
+            F_.transform(
+                F_.col(vec_col),
+                lambda x: F_.floor(x.cast("double") * F_.lit(_SD_Q_SCALE))
+                .cast("long"),
+            ).alias("qarr"),
+        )
+        .join(asg.select("__id", "cluster"), "__id")
+        .join(sigs, "__id")
+        .crossJoin(F_.broadcast(nb))
         .withColumn(
             "sigf", F_.expr(f"shiftright(sigint, {sig_bits_max} - bsub)"))
-        .select("cluster", "sig", "sigf", "__id", "j", "q")
-        .localCheckpoint(eager=True)
+        .select("cluster", "sigf", "__id", "qarr")
+        .localCheckpoint(eager=False)
     )
     norms = v.groupBy("__id").agg(
         F_.sum(F_.col("q") * F_.col("q")).alias("n2")).localCheckpoint(
@@ -713,8 +767,9 @@ def semantic_blocks(
     # (semantic_match_against) ever evaluate them — an eager cut here
     # charged every stats/pairs caller one extra qv-scan job for a
     # frame it never reads (measured 0.4 s at sf0.1)
-    return SemanticParts(v, asg, norms, cent.localCheckpoint(eager=False),
-                         nb.localCheckpoint(eager=False))
+    return SemanticParts(v, asg, norms,
+                         cent.localCheckpoint(eager=False),
+                         nb.localCheckpoint(eager=False), varr)
 
 
 def semantic_dedup_pairs(
@@ -762,6 +817,8 @@ def semantic_dedup_pairs(
                  F_.col("q").alias("qa"))
     b = v.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
                  F_.col("q").alias("qb"))
+    # long-form per-j join + codegen sum — measured faster than the
+    # zip_with array dot at self-pair volumes (see semantic_blocks)
     dots = (
         a.join(b, ["cluster", "sig", "j"])
         .filter(F_.col("id_a") < F_.col("id_b"))
@@ -804,11 +861,12 @@ def semantic_dedup_pairs(
 class SemanticParts(NamedTuple):
     """Frozen SemDeDup block structure of one corpus (semantic_blocks)."""
 
-    v: DataFrame        # (cluster, sig, sigf, __id, j, q) long-form
+    v: DataFrame        # (cluster, sig, __id, j, q) long-form blocks
     asg: DataFrame      # (__id, cluster, seed_dist)
     norms: DataFrame    # (__id, n2)
     cent: DataFrame     # (cid, j, c) seed coordinates
     nb: DataFrame       # 1-row (b, bsub): block width + probe width
+    varr: DataFrame     # (cluster, sigf, __id, qarr) probe-prefix twin
 
 
 def semantic_match_against(
@@ -835,8 +893,11 @@ def semantic_match_against(
     before every b transition, a measured 6.1x sf0.1->1 bench step;
     the finer probe cut gives the recall of width b+1, which the
     structure adopts at the next transition anyway, and halves the
-    spike). The join is (cluster, sigf, j) against ``ref.v``'s
-    stored fine prefix. Returns distinct ``(match_id)`` rows.
+    spike). The join is (cluster, sigf) at VECTOR grain against
+    ``ref.varr``, each pair's dot computed by an exact int64
+    zip_with over the stored quantized arrays (r11: 64x fewer join
+    rows than the long-form per-j join — 8.2 -> 5.2 s at sf1).
+    Returns distinct ``(match_id)`` rows.
 
     Scale: per arriving batch of m vectors the work is m*64 quantize
     rows, one broadcast join against K*64 seeds, and a block join
@@ -858,24 +919,32 @@ def semantic_match_against(
     )
     sigs_new = _sd_sigints(
         qv, _sd_planes(new_vecs.sparkSession, sig_bits_max), sig_bits_max)
+    arr_new = new_vecs.filter(F_.size(F_.col(vec_col)) > 0).select(
+        F_.col(id_col).alias("__id"),
+        F_.transform(
+            F_.col(vec_col),
+            lambda x: F_.floor(x.cast("double") * F_.lit(_SD_Q_SCALE))
+            .cast("long"),
+        ).alias("qarr"),
+    )
     v_new = (
-        qv.join(asg_new, "__id").join(sigs_new, "__id")
+        arr_new.join(asg_new, "__id").join(sigs_new, "__id")
         .crossJoin(F_.broadcast(ref.nb))
         .withColumn(
             "sigf", F_.expr(f"shiftright(sigint, {sig_bits_max} - bsub)"))
-        .select("cluster", "sigf", "__id", "j", "q")
+        .select("cluster", "sigf", "__id", "qarr")
         .localCheckpoint(eager=True)
     )
-    norms_new = v_new.groupBy("__id").agg(
-        F_.sum(F_.col("q") * F_.col("q")).alias("n2"))
-    a = v_new.select("cluster", "sigf", F_.col("__id").alias("id_a"), "j",
-                     F_.col("q").alias("qa"))
-    b = ref.v.select("cluster", "sigf", F_.col("__id").alias("id_b"), "j",
-                     F_.col("q").alias("qb"))
+    norms_new = v_new.select(
+        "__id", _arr_norm2(F_.col("qarr")).alias("n2"))
+    a = v_new.select("cluster", "sigf", F_.col("__id").alias("id_a"),
+                     F_.col("qarr").alias("qa"))
+    b = ref.varr.select("cluster", "sigf", F_.col("__id").alias("id_b"),
+                        F_.col("qarr").alias("qb"))
     dots = (
-        a.join(b, ["cluster", "sigf", "j"])
-        .groupBy("id_a", "id_b")
-        .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("dot"))
+        a.join(b, ["cluster", "sigf"])
+        .select("id_a", "id_b",
+                _arr_dot(F_.col("qa"), F_.col("qb")).alias("dot"))
     )
     dec = lambda c: F_.col(c).cast("decimal(38,0)")  # noqa: E731
     return (
