@@ -23,9 +23,11 @@ is atomic per key).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,10 +85,24 @@ def _max_published(root: str) -> int | None:
 
 
 def _set_pointer(root: str, version: int) -> None:
-    tmp = _pointer_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(f"v{version:05d}\n")
-    os.replace(tmp, _pointer_path(root))  # atomic publish
+    # UNIQUE temp per call (round-11 concurrency fix): a shared
+    # "_CURRENT.tmp" name let two concurrent publishers truncate each
+    # other's in-flight content, and the loser's os.replace raised
+    # FileNotFoundError after the winner had already moved the file
+    # away — the OCC stress test's rare full-suite failure. mkstemp
+    # gives each publisher its own file in the same directory (same
+    # filesystem, so os.replace stays atomic); an orphaned temp from
+    # a crash is inert (list_versions matches only vNNNNN dirs).
+    fd, tmp = tempfile.mkstemp(
+        prefix=_POINTER + ".", suffix=".tmp", dir=root)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(f"v{version:05d}\n")
+        os.replace(tmp, _pointer_path(root))  # atomic publish
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def write_version(

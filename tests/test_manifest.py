@@ -593,3 +593,40 @@ def test_compaction_preserves_blooms(spark, tmp_path):
     assert pruned.filter(F.col("k") == 123).count() == 1
     _, total2, read2 = read_point_pruned(spark, root, "k", 99_999_989)
     assert read2 < total2
+
+
+def test_pointer_swap_concurrent_unique_temps(tmp_path):
+    """Round-11 concurrency fix, pinned: _set_pointer used a SHARED
+    '_CURRENT.tmp' name, so two concurrent publishers could truncate
+    each other's in-flight temp and the loser's os.replace raised
+    FileNotFoundError after the winner moved the file away (the rare
+    full-suite failure of the OCC stress test). 16 threads x 50 swaps
+    hammer the swap directly: no exceptions, the final pointer parses,
+    and it is one of the values actually written."""
+    import threading
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root)
+    errs: list[Exception] = []
+    written: set[int] = set()
+
+    def swapper(tid: int) -> None:
+        try:
+            for i in range(50):
+                v = tid * 100 + i + 1
+                written.add(v)
+                V._set_pointer(root, v)
+        except Exception as e:  # noqa: BLE001 - collected for assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=swapper, args=(t,))
+               for t in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:3]
+    assert V.current_version(root) in written
+    # no leaked temp files beyond the pointer itself
+    leftovers = [n for n in os.listdir(root) if n.endswith(".tmp")]
+    assert leftovers == []
