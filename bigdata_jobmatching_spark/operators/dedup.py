@@ -468,6 +468,93 @@ def substring_windows(
     ).distinct()
 
 
+def winnowed_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing-SELECTED distinct (id, h) window stream — the scale
+    face of :func:`substring_windows`. Every k-token window is still
+    hashed (the same engine-exact 60-bit md5 family), but only each
+    w-window MINIMUM is recorded (MOSS winnowing), cutting the
+    shuffled/deduped stream ~w x while guaranteeing at least one
+    SHARED fingerprint for any shared token run of >= k + w - 1
+    tokens — exactly the long boilerplate runs that make a document
+    >50% window-duplicated. Docs shorter than k + w - 1 tokens emit
+    nothing.
+
+    All selection is per-row shift-and-zip array math (the
+    doc_winnowing_fingerprints lesson: no slice-per-window lambdas —
+    Spark HOF lambdas re-evaluate the whole upstream expression per
+    element — and each stage let-bound so CollapseProject cannot
+    inline it into every consumer). The per-doc fingerprint set is
+    array_distinct'ed BEFORE the explode, so the stream needs no
+    global distinct: the only exchange in the plan is the scan
+    fan-out plus whatever the consumer does with the narrow
+    (id, hash) stream. k and w must be powers of two (the gram and
+    min windows are composed by doubling: shift 1, 2, 4, ...)."""
+    from ..functions import text as X
+    from ..functions.binding import let
+
+    if k & (k - 1) or w & (w - 1):
+        raise ValueError("winnowed_windows: k and w must be powers of 2")
+
+    def _shift(c: Column, by: int) -> Column:
+        return F.slice(c, by + 1, F.greatest(F.size(c) - by, F.lit(0)))
+
+    def _win(c: Column, by: int, f) -> Column:
+        # zip_with null-pads the shorter side: slice back to the true
+        # sliding length before the padded tail is read.
+        return F.slice(
+            F.zip_with(c, _shift(c, by), f),
+            1, F.greatest(F.size(c) - by, F.lit(0)),
+        )
+
+    def _grams(tk: Column) -> Column:
+        g, by = tk, 1
+        while by < k:
+            g = _win(g, by, lambda a, b: F.concat_ws(" ", a, b))
+            by *= 2
+        return g
+
+    def _minima(hs: Column) -> Column:
+        m, by = hs, 1
+        while by < w:
+            m = _win(m, by, lambda a, b: F.least(a, b))
+            by *= 2
+        return m
+
+    def _md5_60(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    fp = let(
+        X.tokens(F.col(text_col)),
+        lambda tk: let(
+            F.transform(_grams(tk), _md5_60),
+            lambda hs: F.array_distinct(_minima(hs)),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(fp).alias("h"))
+
+
+def dup_stats_over(
+    wins: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplication census over a distinct (id, h) window
+    stream: a window counts as duplicated iff it occurs in >= 2
+    DISTINCT documents. Returns (id, n_windows, n_dup_windows); docs
+    that emitted no windows have no row. Shape: count-per-hash ->
+    join back -> count-per-doc, two shuffles of the narrow stream."""
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return wins.join(counts, "h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+    )
+
+
 def substring_dup_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -475,22 +562,18 @@ def substring_dup_stats(
     k: int = 8,
 ) -> DataFrame:
     """Per-document windowed exact-substring duplication census (the
-    Lee et al. substring-dedup signal): a window counts as duplicated
-    iff it occurs in >= 2 DISTINCT documents. Returns (id, n_windows,
-    n_dup_windows) over docs with >= k tokens; shorter docs simply
-    have no row.
+    Lee et al. substring-dedup signal) over EVERY k-token window.
+    Returns (id, n_windows, n_dup_windows) over docs with >= k
+    tokens; shorter docs simply have no row.
 
     One definition serves both the ``doc_substring_dup_spans`` gate
     query and the corpus pipeline's substring-dedup stage. Shape:
     explode -> distinct -> count -> join back — linear in corpus
-    tokens, shuffles only the narrow (id, hash) stream.
-    """
-    wins = substring_windows(docs, id_col, text_col, k)
-    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    return wins.join(counts, "h").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
-    )
+    tokens, shuffles only the narrow (id, hash) stream. The
+    winnowing-selected scale face is :func:`winnowed_windows` +
+    :func:`dup_stats_over`."""
+    return dup_stats_over(
+        substring_windows(docs, id_col, text_col, k), id_col)
 
 
 def substring_dup_families(
@@ -513,10 +596,21 @@ def substring_dup_families(
     as the full per-window clique at |doc-window| edges instead of
     |clique|^2, so a window shared by 10^4 boilerplate docs costs
     10^4 edges, not 10^8."""
+    return families_over(
+        substring_windows(docs, id_col, text_col, k), heavy, id_col)
+
+
+def families_over(
+    wins: DataFrame, heavy: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Family clustering over a distinct (id, h) window stream: the
+    star-reduction + connected-components core of
+    :func:`substring_dup_families`, factored out so the exact
+    (every-window) and winnowing-selected streams share one edge/
+    component definition. Returns (id, grp) for every heavy doc."""
     from .graph import connected_components
 
-    hw = substring_windows(docs, id_col, text_col, k).join(
-        heavy.select(id_col), id_col)
+    hw = wins.join(heavy.select(id_col), id_col)
     star = (
         hw.groupBy("h")
         .agg(F.min(id_col).alias("m"), F.count(F.lit(1)).alias("nm"))
@@ -555,9 +649,12 @@ def _sd_quantize(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _arr_norm2(qarr):
     """Exact int64 squared norm of a quantized array — same sum as
     the long-form groupBy(sum(q*q)) it replaced (integer adds in any
-    order are equal)."""
+    order are equal; sum() skips nulls, so a null element contributes
+    0 here too rather than nulling the whole norm — mirrors
+    _arr_dot's coalesce)."""
     return F.aggregate(
-        qarr, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+        qarr, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.coalesce(x * x, F.lit(0)))
 
 
 def _arr_dot(qa, qb):

@@ -378,6 +378,42 @@ _DRIVER_VERIFIED_R10: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R11: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r11.json (49/50; the one red,
+        # sdd_probe_dec38, was the DELIBERATE DECIMAL(38,0) rendering
+        # canary — red exactly as designed, proving the r09/r10
+        # semantic_dedup_stats divergence was a driver-environment
+        # DECIMAL(38,0) fetch-rendering defect, not an engine wrong
+        # answer. Finding banked; the canary is retired in round 12
+        # (tools/oracle_type_audit.py enforces the resulting law:
+        # no p>18 or scale-0 decimals at any gate output boundary).
+        "candidate_recs_diversified", "sdd_probe_counts",
+        "sdd_probe_dot_mod", "sdd_probe_drops", "sdd_probe_pairset",
+        "semantic_dedup_stats", "semantic_incremental_match",
+        "substring_family_census", "weighted_median_price",
+        "excess_stock_suppliers", "last_shippers_by_supplier",
+        "min_cost_suppliers", "nation_market_share",
+        "product_profit_by_nation", "returned_revenue_topk",
+        "als_preference_matrix", "ann_hard_negatives",
+        "avg_price_by_segment_priority", "bigram_pmi_topk",
+        "contract_type_mix", "corpus_checksum",
+        "customer_order_history", "customers_all_priorities",
+        "doc_bigrams", "doc_fingerprints", "doc_gopher_filter",
+        "doc_language_id", "doc_quality", "doc_stats",
+        "docs_dedup_keep_best", "docs_exact_dedup",
+        "docs_jaccard_pairs", "docs_ngram_jaccard_pairs",
+        "embedding_truncation_audit", "embeddings_near_dup_cosine",
+        "events_debounce", "events_sliding_distinct_users",
+        "ffd_packing_invariants", "fuzzy_title_pairs",
+        "gif_pixel_stats", "job_cv_matching", "jpeg_pixel_stats",
+        "keyword_catalog_tags", "lake_match_stats",
+        "minhash_md5_near_dups", "padding_waste_audit",
+        "parts_pareto_frontier", "price_qty_correlation",
+        "price_quantiles",
+    }
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -403,6 +439,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (8, _DRIVER_VERIFIED_R08),
     (9, _DRIVER_VERIFIED_R09),
     (10, _DRIVER_VERIFIED_R10),
+    (11, _DRIVER_VERIFIED_R11),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(

@@ -1364,12 +1364,11 @@ register(QuerySpec(
 #      sdd_probe_dot_mod   SUM(dot) mod 2^61-1 as BIGINT — pins dot
 #                          values free of the decimal type
 #      sdd_probe_drops     SUM of dropped ids — pins drop-rule values
-#      sdd_probe_dec38     CAST(n_vecs AS DECIMAL(38,0)) — trivially
-#                          correct values in the legacy type; red
-#                          here = driver-environment DECIMAL(38,0)
-#                          rendering defect PROVEN (document it),
-#                          green = the type theory is wrong and the
-#                          other probes say where to dig next.
+#      sdd_probe_dec38     (RETIRED r12 — see the retirement note at
+#                          the probe-5 site below) CAST(n_vecs AS
+#                          DECIMAL(38,0)) canary; its r11 red row
+#                          proved the driver-environment DECIMAL(38,0)
+#                          rendering defect and closed its mission.
 #
 # Scale shape: one broadcast join against K*64 seed rows, a
 # self-join CONFINED to (cluster, sig) blocks of expected size ~50
@@ -1702,29 +1701,21 @@ FROM per_cluster p LEFT JOIN pair_stats ps USING (cluster)
 ))
 
 
-def _sdd_probe_dec38(spark: SparkSession, sf: str) -> DataFrame:
-    per_cluster, _ = _sdd_frames(spark, sf)
-    return per_cluster.select(
-        "cluster", "n_vecs",
-        F.col("n_vecs").cast("decimal(38,0)").alias("n_vecs_dec38"))
-
-
-register(QuerySpec(
-    "sdd_probe_dec38", _sdd_probe_dec38, _SDD_SQL_CORE + """
-SELECT cluster, n_vecs,
-  CAST(n_vecs AS DECIMAL(38, 0)) AS n_vecs_dec38
-FROM per_cluster
-""",
-    "SemDeDup census probe 5/5 — DECIMAL(38,0) rendering canary: the "
-    "same trivially-correct small integers emitted twice, once as "
-    "BIGINT and once in the int128-backed decimal type the census "
-    "used to report sum_pair_dot in. Red here while n_vecs-carrying "
-    "probes are green PROVES a driver-environment DECIMAL(38,0) "
-    "rendering defect (the r09/r10 red rows' suspected cause); green "
-    "refutes the type theory and shifts suspicion to whichever other "
-    "probe went red",
-    ("dedup", "vector", "probe"),
-))
+# Probe 5/5, sdd_probe_dec38, is RETIRED (round 12). It was the
+# DECIMAL(38,0) rendering canary: the same trivially-correct small
+# integers emitted once as BIGINT (green) and once in the
+# int128-backed decimal type the census used to report sum_pair_dot
+# in (red in the r11 gate with rows_match and schema_match both
+# true). That red row, alongside the four green value probes above,
+# PROVED the r09/r10 semantic_dedup_stats divergence was a
+# driver-environment DECIMAL(38,0) fetch-rendering difference
+# (Decimal '123' vs float64-fetch '123.0'), not an engine wrong
+# answer. The finding is banked as a standing law — no p>18 and no
+# scale-0 decimals at any gate output boundary — enforced
+# registry-wide by tools/oracle_type_audit.py and pinned as
+# arithmetic fact by
+# tests/test_plan_invariants.py::test_scale0_decimal_rendering_asymmetry.
+# A permanently-red instrument has no business holding a gate slot.
 
 
 # --- semantic_blocking_recall_audit: audit the shortcut at tau=0.95 --------
@@ -2479,5 +2470,131 @@ register(QuerySpec(
     "text, min id) — one row per family with size, kept id/length "
     "and member-id sum; the oracle recomputes windows, the heavy "
     "rule, components (recursive CTE) and the keep choice end to end",
+    ("dedup", "text", "graph", "agg"),
+))
+
+
+# --- substring_family_census_winnowed: the winnowing scale face (r12) ------
+# r11 verdict task #3: the exact census's every-k-token-window explode
+# is the heaviest curve in the repo (22.7 s / 5.1x on the sf0.1->1
+# step). This is the production-scale face: windows are still hashed
+# one per position (same 60-bit md5 family), but only each w=4
+# window MINIMUM is recorded (MOSS winnowing, the mechanics already
+# value-proven by doc_winnowing_fingerprints), cutting the shuffled
+# stream ~4x and — because selection happens in per-row array math —
+# replacing the explode->global-distinct shuffle with a per-doc
+# array_distinct before a much smaller explode. Winnowing's guarantee
+# does the semantic work: any shared run of >= k + w - 1 = 11 tokens
+# shares at least one selected fingerprint, and the >50%-duplicated
+# docs this stage exists to collapse are made OF such runs, so family
+# recovery concentrates exactly where the defect class lives. The
+# heavy rule and family graph run at fingerprint grain (>50% of
+# selected fingerprints duplicated; families = components of the
+# shared-fingerprint star graph); the keep-best rule is identical.
+# The exact census above stays registered as the auditable truth
+# twin (the job_cv_matching / _prefiltered pattern). Docs shorter
+# than k + w - 1 tokens emit no fingerprints and are never heavy
+# (the exact census's floor is k tokens — this face's own
+# semantics, spelled out so the oracle twins stay honest).
+
+_SSFW_W = 4
+
+
+def _ss_family_census_winnowed(spark: SparkSession, sf: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf, "documents"))
+    wins = D.winnowed_windows(d, k=_SSF_K, w=_SSFW_W)
+    stats = D.dup_stats_over(wins)
+    heavy = stats.filter(
+        F.col("n_dup_windows") * 1000
+        > F.lit(_SSF_MAX_DUP_MILLI) * F.col("n_windows")
+    ).select("doc_id")
+    fam = D.families_over(wins, heavy)
+    w = Window.partitionBy("grp").orderBy(
+        F.length("text").desc(), F.col("doc_id"))
+    ranked = (
+        d.select("doc_id", "text").join(fam, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long").alias("kept_id"),
+        F.min(F.when(F.col("rn") == 1, F.length("text")))
+        .cast("long").alias("kept_len"),
+        F.sum("doc_id").cast("long").alias("sum_member_ids"),
+    )
+
+
+_SSFW_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+gr AS (
+  SELECT doc_id, list_transform(
+    range(1, greatest(len(toks) - {_SSF_K - 1}, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{_SSF_K - 1}], ' ')), 1, 15) AS BIGINT)
+  ) AS hs
+  FROM tok
+),
+wins AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(hs) - {_SSFW_W - 1}, 0) + 1),
+    j -> list_min(hs[j:j+{_SSFW_W - 1}])))) AS h
+  FROM gr
+),
+counts AS (SELECT h, COUNT(*) AS nd FROM wins GROUP BY h),
+heavy AS (
+  SELECT w.doc_id
+  FROM wins w JOIN counts c ON w.h = c.h
+  GROUP BY w.doc_id
+  HAVING SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 1000
+         > {_SSF_MAX_DUP_MILLI} * COUNT(*)
+),
+hw AS (SELECT w.doc_id, w.h FROM wins w JOIN heavy USING (doc_id)),
+star AS (
+  SELECT h, MIN(doc_id) AS m FROM hw GROUP BY h HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT DISTINCT s.m, w.doc_id AS n
+  FROM hw w JOIN star s ON s.h = w.h
+  WHERE w.doc_id != s.m
+),
+sym AS (SELECT m AS a, n AS b FROM edges UNION ALL SELECT n, m FROM edges),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+),
+rep AS (SELECT node AS doc_id, MIN(label) AS grp FROM reach GROUP BY node),
+fam AS (
+  SELECT h.doc_id, COALESCE(r.grp, h.doc_id) AS grp
+  FROM heavy h LEFT JOIN rep r USING (doc_id)
+),
+ranked AS (
+  SELECT f.grp, d.doc_id, length(d.text) AS ln,
+    ROW_NUMBER() OVER (
+      PARTITION BY f.grp ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM fam f JOIN documents d USING (doc_id)
+)
+SELECT grp,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+  CAST(MIN(CASE WHEN rn = 1 THEN ln END) AS BIGINT) AS kept_len,
+  CAST(SUM(doc_id) AS BIGINT) AS sum_member_ids
+FROM ranked
+GROUP BY grp
+"""
+
+register(QuerySpec(
+    "substring_family_census_winnowed", _ss_family_census_winnowed,
+    _SSFW_SQL,
+    "winnowing-selected family-grain substring dedup census (the "
+    "exact census's production scale face): k-gram window hashes "
+    "thinned to per-w-window minima in per-row array math (~4x less "
+    "shuffled stream, no global distinct), then the same heavy rule, "
+    "star-reduction family components and keep-best choice at "
+    "fingerprint grain; shared runs >= k+w-1 tokens are guaranteed a "
+    "shared fingerprint (MOSS), so the >50%-duplicated defect class "
+    "this stage collapses is exactly what winnowing preserves",
     ("dedup", "text", "graph", "agg"),
 ))

@@ -766,10 +766,31 @@ _RECS_K = 5
 _RECS_LAM = (7, 3)
 
 
-def _candidate_recs(spark: SparkSession, sf: str) -> DataFrame:
+def candidate_recs_for(
+    spark: SparkSession,
+    sf: str,
+    cvs: DataFrame,
+    offers: DataFrame | None = None,
+) -> DataFrame:
+    """Serve the diversified dashboard for ONE slice of candidates
+    against the FROZEN offers corpus. The whole pipeline is
+    per-candidate independent — the rare-skill prefilter threshold is
+    a function of OFFERS only, matching/pool/sims/MMR all partition by
+    candidate — so serving candidates in any number of arriving
+    slices is bit-equal to the full recompute restricted to those
+    candidates (the property the ``candidate_recs_incremental`` gate
+    query and the streaming equivalence test pin). ``offers``: pass a
+    pre-materialized (e.g. eagerly checkpointed) offers frame so a
+    serving loop doesn't re-derive the corpus side per batch."""
     from ..operators import similarity_search as ANN
 
-    m = _matching_prefiltered(spark, sf)
+    if offers is None:
+        offers = _tiered_offers(spark, sf)
+    m = M.match_offers_cvs_prefiltered(
+        offers, cvs,
+        max_skill_df=_PREFILTER_DF_MIN,
+        max_skill_df_frac=_PREFILTER_DF_FRAC,
+    )
     rel = m.select(
         F.col("candidate_id").alias("query_id"),
         F.col("job_id").alias("vec_id_"),
@@ -784,7 +805,7 @@ def _candidate_recs(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     osk = F.broadcast(
-        _tiered_offers(spark, sf).select(
+        offers.select(
             "job_id", F.array_distinct("skills").alias("skills")))
     pa = pool.select("query_id", F.col("vec_id_").alias("a"))
     pb = pool.select("query_id", F.col("vec_id_").alias("b"))
@@ -807,6 +828,10 @@ def _candidate_recs(spark: SparkSession, sf: str) -> DataFrame:
     return ANN.mmr_greedy(pool, sims, k=_RECS_K, lam=_RECS_LAM).select(
         F.col("query_id").alias("candidate_id"), "rnk",
         F.col("vec_id_").alias("job_id"), "rel", "score")
+
+
+def _candidate_recs(spark: SparkSession, sf: str) -> DataFrame:
+    return candidate_recs_for(spark, sf, _tiered_cvs(spark, sf))
 
 
 def _recs_sql() -> str:
@@ -884,6 +909,55 @@ SELECT query_id AS candidate_id, CAST(rnk AS INT) AS rnk,
   item_id AS job_id, rel, score
 FROM ({union})""")
     return "".join(blocks)
+
+
+# --- candidate_recs_incremental: the dashboard served on arrival (r12) -----
+# r11 verdict task #4: a real dashboard serves the product query when
+# a candidate ARRIVES, not by nightly recompute. The serving face is
+# candidate_recs_for — the identical pipeline restricted to an
+# arriving candidate slice against the frozen offers corpus — and its
+# correctness rests on per-candidate independence: the rare-skill
+# prefilter threshold depends on offers only, and matching, pooling,
+# sims and the MMR greedy all partition by candidate, so
+# slice-by-slice serving is bit-equal to the full recompute. This
+# gate query PROVES that externally: the Spark side serves the
+# candidate population in three independent arrival slices
+# (cv_id mod 3, each slice its own pipeline invocation) and unions
+# the results; the ORACLE is the full one-shot dashboard SQL — a
+# green hash is a driver-verified incremental==full equivalence, the
+# strongest form available to this shape. The streaming face
+# (streaming/serving.stream_candidate_recs) drives the same function
+# from foreachBatch micro-batches with its own stream==batch test.
+#
+# Scale shape: identical to candidate_recs_diversified per slice
+# (posting-list prefilter, pool-bounded sims, one-Arrow-pass greedy);
+# the offers side is materialized ONCE (eager checkpoint) and reused
+# by all three serving passes — per-arrival cost is linear in the
+# slice, the frozen corpus is never re-derived.
+
+
+def _candidate_recs_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    cvs = _tiered_cvs(spark, sf)
+    offers = _tiered_offers(spark, sf).localCheckpoint(eager=True)
+    out = None
+    for i in range(3):
+        part = candidate_recs_for(
+            spark, sf, cvs.filter(F.col("cv_id") % 3 == i), offers)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+register(QuerySpec(
+    "candidate_recs_incremental", _candidate_recs_incremental,
+    _recs_sql(),
+    "the diversified dashboard served INCREMENTALLY: three "
+    "independent arrival slices (cv_id mod 3) each run the full "
+    "serving pipeline (candidate_recs_for) against the frozen offers "
+    "corpus and union — the oracle is the one-shot full-dashboard "
+    "SQL, so a green hash is a driver-verified incremental==full "
+    "equivalence (per-candidate independence makes it exact)",
+    ("domain", "matching", "topk", "incremental"),
+))
 
 
 register(QuerySpec(

@@ -33,6 +33,8 @@ reused across every epoch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -314,15 +316,24 @@ def stream_fingerprint_assets(
         if batch.isEmpty():
             return
         keys = batch.select("p_partkey").dropDuplicates(["p_partkey"])
-        try:
-            seen = (
-                spark.read.option("basePath", out_root).parquet(out_root)
-                .filter(F.col("epoch") != epoch_id)
-                .select("p_partkey")
-            )
-            keys = keys.join(seen, "p_partkey", "left_anti")
-        except AnalysisException:
-            pass  # first epoch: nothing landed yet
+        # First epoch: nothing landed yet — detect that case explicitly
+        # (directory missing/empty) instead of a bare except around the
+        # read, which would also swallow real failures (corrupt store,
+        # schema drift) and silently disable the cross-epoch anti-join.
+        has_prior = os.path.isdir(out_root) and any(
+            e.startswith("epoch=") for e in os.listdir(out_root))
+        if has_prior:
+            try:
+                seen = (
+                    spark.read.option("basePath", out_root)
+                    .parquet(out_root)
+                    .filter(F.col("epoch") != epoch_id)
+                    .select("p_partkey")
+                )
+                keys = keys.join(seen, "p_partkey", "left_anti")
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise  # real failure: do NOT land duplicates silently
         sigs = keys.mapInPandas(batches, schema)
         sigs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
 

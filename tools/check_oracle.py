@@ -56,19 +56,31 @@ def _duckdb_modules():
     import duckdb as installed
 
     yield installed.__version__, installed
-    for p in filter(None, os.environ.get(
-            "DUCKDB_MATRIX_PATHS", "").split(":")):
-        sys.path.insert(0, p)
-        try:
-            importlib.invalidate_caches()
-            for mod_name in list(sys.modules):
-                if mod_name == "duckdb" or mod_name.startswith("duckdb."):
-                    del sys.modules[mod_name]
-            alt = importlib.import_module("duckdb")
-            if alt.__version__ != installed.__version__:
-                yield alt.__version__, alt
-        finally:
-            sys.path.remove(p)
+    # Snapshot the installed build's sys.modules entries so a later
+    # bare `import duckdb` in this process resolves back to it, not
+    # to whichever alternate build the matrix scan imported last.
+    snapshot = {m: sys.modules[m] for m in list(sys.modules)
+                if m == "duckdb" or m.startswith("duckdb.")}
+    try:
+        for p in filter(None, os.environ.get(
+                "DUCKDB_MATRIX_PATHS", "").split(":")):
+            sys.path.insert(0, p)
+            try:
+                importlib.invalidate_caches()
+                for mod_name in list(sys.modules):
+                    if (mod_name == "duckdb"
+                            or mod_name.startswith("duckdb.")):
+                        del sys.modules[mod_name]
+                alt = importlib.import_module("duckdb")
+                if alt.__version__ != installed.__version__:
+                    yield alt.__version__, alt
+            finally:
+                sys.path.remove(p)
+    finally:
+        for mod_name in list(sys.modules):
+            if mod_name == "duckdb" or mod_name.startswith("duckdb."):
+                del sys.modules[mod_name]
+        sys.modules.update(snapshot)
 
 
 def main() -> int:

@@ -119,16 +119,17 @@ def type_problems(duck_type: str) -> str | None:
     return None
 
 
-# Columns that carry a gate-unsafe type ON PURPOSE: sdd_probe_dec38
-# is the round-11 rendering canary — it re-emits trivially-correct
-# small integers in the int128-backed DECIMAL(38,0) the census used
-# to report sum_pair_dot in, so the driver gate itself measures
-# whether that type renders divergently in ITS environment (the
-# r09/r10 semantic_dedup_stats red rows' suspected cause). Do not
-# add entries here to silence a real finding.
-CANARY_COLUMNS: frozenset[tuple[str, str]] = frozenset(
-    {("sdd_probe_dec38", "n_vecs_dec38")}
-)
+# Columns allowed to carry a gate-unsafe type ON PURPOSE. The round-11
+# occupant, sdd_probe_dec38's n_vecs_dec38, is retired: its red r11
+# gate row (rows/schema matching, hash red, while four BIGINT value
+# probes over the same census frames were green) PROVED the
+# driver-environment DECIMAL(38,0) rendering defect it was built to
+# detect, closing the r09/r10 semantic_dedup_stats divergence as
+# environmental. The finding survives as this audit's standing law
+# (p>18 or scale-0 decimals rejected registry-wide) and as the
+# arithmetic pin in tests/test_plan_invariants.py. Do not add entries
+# here to silence a real finding.
+CANARY_COLUMNS: frozenset[tuple[str, str]] = frozenset()
 
 
 def audit(sf_dir: str = "/root/testdata/sf0.01") -> list[tuple[str, str, str]]:
