@@ -83,13 +83,22 @@ def substring_dedup_docs(
     near-dup stage — so template mass still collapses but its
     content survives once; this is the form the fenced corpus chain
     composes with."""
-    stats = D.substring_dup_stats(docs, k=k)
+    if not family_grain:
+        stats = D.substring_dup_stats(docs, k=k)
+        heavy = stats.filter(
+            F.col("n_dup_windows") * 1000
+            > F.lit(max_dup_milli) * F.col("n_windows")
+        ).select("doc_id")
+        return docs.join(heavy, "doc_id", "left_anti")
+    # Family grain consumes the window stream twice (heavy rule +
+    # family graph): pay the per-window md5 map cost once (the
+    # census queries' single-materialization cut).
+    wins = D.substring_windows(docs, k=k).localCheckpoint(eager=True)
+    stats = D.dup_stats_over(wins)
     heavy = stats.filter(
         F.col("n_dup_windows") * 1000 > F.lit(max_dup_milli) * F.col("n_windows")
     ).select("doc_id")
-    if not family_grain:
-        return docs.join(heavy, "doc_id", "left_anti")
-    fam = D.substring_dup_families(docs, heavy, k=k)
+    fam = D.families_over(wins, heavy)
     w = Window.partitionBy("grp").orderBy(
         F.length("text").desc(), F.col("doc_id"))
     drops = (

@@ -2385,12 +2385,20 @@ _SSF_MAX_DUP_MILLI = 500
 
 def _ss_family_census(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    stats = D.substring_dup_stats(d, k=_SSF_K)
+    # The window stream feeds BOTH the heavy rule and the family
+    # graph; its map-side cost (per-window md5 over the whole corpus,
+    # measured ~5.6 s of the 22.7 s sf1 wall) is the single biggest
+    # term, so materialize it once instead of recomputing per
+    # consumer. At cluster scale the same cut is a persisted stage /
+    # reused exchange; single-materialization eager cut is this
+    # repo's local form (same pattern as _sd_quantize).
+    wins = D.substring_windows(d, k=_SSF_K).localCheckpoint(eager=True)
+    stats = D.dup_stats_over(wins)
     heavy = stats.filter(
         F.col("n_dup_windows") * 1000
         > F.lit(_SSF_MAX_DUP_MILLI) * F.col("n_windows")
     ).select("doc_id")
-    fam = D.substring_dup_families(d, heavy, k=_SSF_K)
+    fam = D.families_over(wins, heavy)
     w = Window.partitionBy("grp").orderBy(
         F.length("text").desc(), F.col("doc_id"))
     ranked = (
@@ -2502,7 +2510,12 @@ _SSFW_W = 4
 
 def _ss_family_census_winnowed(spark: SparkSession, sf: str) -> DataFrame:
     d = fan_out(load_table(spark, sf, "documents"))
-    wins = D.winnowed_windows(d, k=_SSF_K, w=_SSFW_W)
+    # Winnowing already cut the stream ~2.6x; the remaining cost is
+    # the per-gram md5 map work, so pay it ONCE for both consumers
+    # (heavy rule + family graph) — same single-materialization cut
+    # as the exact census.
+    wins = D.winnowed_windows(d, k=_SSF_K, w=_SSFW_W).localCheckpoint(
+        eager=True)
     stats = D.dup_stats_over(wins)
     heavy = stats.filter(
         F.col("n_dup_windows") * 1000
