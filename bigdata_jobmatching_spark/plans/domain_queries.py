@@ -781,11 +781,15 @@ def candidate_recs_for(
     candidates (the property the ``candidate_recs_incremental`` gate
     query and the streaming equivalence test pin). ``offers``: pass a
     pre-materialized (e.g. eagerly checkpointed) offers frame so a
-    serving loop doesn't re-derive the corpus side per batch."""
+    serving loop doesn't re-derive the corpus side per batch; by
+    default the offers side is derived and eagerly materialized HERE,
+    because the pipeline consumes it three ways (posting lists, score
+    join, the sims skill broadcast) and re-deriving it per consumer
+    measured 7.2 -> 4.6 s on the one-shot sf0.1 dashboard."""
     from ..operators import similarity_search as ANN
 
     if offers is None:
-        offers = _tiered_offers(spark, sf)
+        offers = _tiered_offers(spark, sf).localCheckpoint(eager=True)
     m = M.match_offers_cvs_prefiltered(
         offers, cvs,
         max_skill_df=_PREFILTER_DF_MIN,
