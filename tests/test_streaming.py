@@ -766,3 +766,60 @@ def test_stream_candidate_recs_matches_batch(spark, tmp_path):
         for r in want.collect())
     assert got_rows == want_rows
     assert len(got_rows) > 0
+
+
+def test_stream_candidate_recs_restart_is_exactly_once(spark, tmp_path):
+    """Serving restart discipline: drain half the arriving CV files,
+    stop, restart from the same checkpoint with the remaining files
+    appended — every candidate's recs land exactly once, and a replay
+    with nothing new adds nothing (epoch=N overwrite + checkpointed
+    offsets)."""
+    from bigdata_jobmatching_spark.plans.domain_queries import (
+        _tiered_cvs,
+        candidate_recs_for,
+    )
+    from bigdata_jobmatching_spark.streaming.serving import (
+        stream_candidate_recs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cvs = _tiered_cvs(spark, sf)
+    first = cvs.filter(F.col("cv_id") % 2 == 0)
+    second = cvs.filter(F.col("cv_id") % 2 == 1)
+    src = str(tmp_path / "cv_src")
+    first.coalesce(2).write.parquet(src)
+
+    out = str(tmp_path / "recs_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        stream_candidate_recs(spark, sf, stream, out, ckpt).awaitTermination(300)
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # restart with the second half appended: only the delta lands
+    second.coalesce(2).write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    want = candidate_recs_for(spark, sf, spark.read.parquet(src))
+    got_rows = sorted(
+        (r.candidate_id, r.rnk, r.job_id, r.rel, r.score)
+        for r in got.drop("epoch").collect())
+    want_rows = sorted(
+        (r.candidate_id, r.rnk, r.job_id, r.rel, r.score)
+        for r in want.collect())
+    assert got_rows == want_rows  # no lost and no duplicated candidates
+
+    # replay with nothing new: output unchanged
+    drain()
+    again = sorted(
+        (r.candidate_id, r.rnk, r.job_id, r.rel, r.score)
+        for r in spark.read.parquet(out).drop("epoch").collect())
+    assert again == want_rows
