@@ -1354,10 +1354,12 @@ register(QuerySpec(
 #    true 100 TB the census would shard per (cluster, sig) block or
 #    report modular residues (sdd_probe_dot_mod below is that shape).
 #
-# 2. THE PROBES — five single-aspect gate queries sharing this
-#    census's full mechanics, registered unproven so the r11 window
-#    samples them all (catalog ordering). The green/red pattern
-#    localizes the divergence no matter what the driver sees:
+# 2. THE PROBES — single-aspect gate queries sharing this census's
+#    full mechanics (all sampled green in the r11 gate, which —
+#    together with the deliberately-red DECIMAL(38,0) canary, since
+#    retired — localized the r09/r10 divergence to the driver
+#    environment's decimal rendering). The green/red pattern
+#    localizes any future divergence no matter what the driver sees:
 #      sdd_probe_counts    cardinalities only (assign + pair set +
 #                          drop rule, no value sums)
 #      sdd_probe_pairset   SUM(id_a+id_b) — pins exact pair identity
