@@ -1026,3 +1026,44 @@ def test_jpeg12_flat_block_exactness_property(wb, hb, ri, seed):
     got = np.frombuffer(raw, dtype="<u2").reshape(dh, dw)
     assert (dw, dh, ch) == (w, h, 1)
     assert (got == px).all()
+
+
+_vocab = ["tok%d" % i for i in range(12)]
+_docs = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=0, max_size=40),
+    min_size=3, max_size=8,
+)
+
+
+@given(docs=_docs)
+@settings(**_SETTINGS)
+def test_winnowed_windows_matches_python_reference(spark, docs):
+    """The shift-and-zip winnowing composition (operators/dedup.
+    winnowed_windows) selects EXACTLY the fingerprints an independent
+    pure-Python winnowing computes: same k-gram md5-60 hashes, same
+    per-w-window minima, same per-doc distinct sets — on generated
+    token sequences including empty and sub-threshold docs."""
+    import hashlib
+
+    from bigdata_jobmatching_spark.operators import dedup as D
+
+    k, w = 8, 4
+
+    def ref(toks):
+        if len(toks) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        if len(hs) < w:
+            return set()
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in D.winnowed_windows(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+    want = {i: ref(t) for i, t in enumerate(docs) if ref(t)}
+    assert got == want
