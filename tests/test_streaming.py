@@ -823,3 +823,41 @@ def test_stream_candidate_recs_restart_is_exactly_once(spark, tmp_path):
         (r.candidate_id, r.rnk, r.job_id, r.rel, r.score)
         for r in spark.read.parquet(out).drop("epoch").collect())
     assert again == want_rows
+
+
+def test_fingerprint_stream_fails_loudly_on_store_schema_drift(spark, tmp_path):
+    """Round-12 advice fix pinned: the cross-epoch seen-keys read used
+    to swallow EVERY AnalysisException as 'first epoch', silently
+    disabling the anti-join on a corrupt/drifted store and landing
+    duplicates. Now only the genuine first-epoch case (no epoch=
+    directories) skips the anti-join; a store whose schema drifted
+    fails the stream loudly instead of degrading silently."""
+    import pyspark.sql.utils as U
+
+    from bigdata_jobmatching_spark.streaming.corpus_stream import (
+        stream_fingerprint_assets,
+    )
+
+    src = str(tmp_path / "keys_src")
+    spark.createDataFrame([(k,) for k in range(8)], "p_partkey long") \
+        .coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "sigs")
+    # pre-existing store with a DRIFTED schema (p_partkey renamed)
+    spark.createDataFrame([(1, 2)], "part_key long, ph long") \
+        .write.parquet(f"{out}/epoch=999")
+
+    stream = (
+        spark.readStream.schema("p_partkey long")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_fingerprint_assets(
+        spark, stream, out, str(tmp_path / "ck"), kind="image")
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except Exception:
+        failed = True
+    assert failed, (
+        "schema-drifted signature store must fail the stream, not "
+        "silently disable the cross-epoch anti-join")
