@@ -512,28 +512,33 @@ def winnowed_windows(
             1, F.greatest(F.size(c) - by, F.lit(0)),
         )
 
-    def _grams(tk: Column) -> Column:
-        g, by = tk, 1
-        while by < k:
-            g = _win(g, by, lambda a, b: F.concat_ws(" ", a, b))
-            by *= 2
-        return g
+    def _ladder(c: Column, target: int, f, then) -> Column:
+        # Each doubling level's output is let-bound BEFORE the next
+        # level references it twice (zip_with left arg + its shift):
+        # without the binding, level-i's expression is inlined 2x per
+        # consumer and the level-1 work appears 2^(levels-1) times in
+        # the final plan.
+        def step(cur: Column, by: int) -> Column:
+            if by >= target:
+                return then(cur)
+            return let(_win(cur, by, f), lambda nxt: step(nxt, by * 2))
 
-    def _minima(hs: Column) -> Column:
-        m, by = hs, 1
-        while by < w:
-            m = _win(m, by, lambda a, b: F.least(a, b))
-            by *= 2
-        return m
+        return step(c, 1)
 
     def _md5_60(c: Column) -> Column:
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
     fp = let(
         X.tokens(F.col(text_col)),
-        lambda tk: let(
-            F.transform(_grams(tk), _md5_60),
-            lambda hs: F.array_distinct(_minima(hs)),
+        lambda tk: _ladder(
+            tk, k, lambda a, b: F.concat_ws(" ", a, b),
+            lambda g: let(
+                F.transform(g, _md5_60),
+                lambda hs: _ladder(
+                    hs, w, lambda a, b: F.least(a, b),
+                    F.array_distinct,
+                ),
+            ),
         ),
     )
     return docs.select(

@@ -33,8 +33,6 @@ reused across every epoch.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -316,24 +314,29 @@ def stream_fingerprint_assets(
         if batch.isEmpty():
             return
         keys = batch.select("p_partkey").dropDuplicates(["p_partkey"])
-        # First epoch: nothing landed yet — detect that case explicitly
-        # (directory missing/empty) instead of a bare except around the
-        # read, which would also swallow real failures (corrupt store,
-        # schema drift) and silently disable the cross-epoch anti-join.
-        has_prior = os.path.isdir(out_root) and any(
-            e.startswith("epoch=") for e in os.listdir(out_root))
-        if has_prior:
-            try:
-                seen = (
-                    spark.read.option("basePath", out_root)
-                    .parquet(out_root)
-                    .filter(F.col("epoch") != epoch_id)
-                    .select("p_partkey")
-                )
-                keys = keys.join(seen, "p_partkey", "left_anti")
-            except AnalysisException as exc:
-                if "PATH_NOT_FOUND" not in str(exc):
-                    raise  # real failure: do NOT land duplicates silently
+        # Cross-epoch anti-join against the landed store. Two benign
+        # "nothing landed yet" shapes are tolerated — the store path
+        # not existing (first epoch) and the store existing with no
+        # committed data files (first epoch crashed mid-write; the
+        # epoch=N overwrite below repairs it) — while every OTHER
+        # AnalysisException (corrupt store, schema drift) re-raises:
+        # the round-11 bare `except: pass` would have silently
+        # disabled the anti-join and landed duplicates. The probe is
+        # the read itself (works on any Hadoop filesystem, unlike an
+        # os.listdir guard which would silently disable the anti-join
+        # for every non-local out_root).
+        try:
+            seen = (
+                spark.read.option("basePath", out_root)
+                .parquet(out_root)
+                .filter(F.col("epoch") != epoch_id)
+                .select("p_partkey")
+            )
+            keys = keys.join(seen, "p_partkey", "left_anti")
+        except AnalysisException as exc:
+            benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            if not any(code in str(exc) for code in benign):
+                raise  # real failure: do NOT land duplicates silently
         sigs = keys.mapInPandas(batches, schema)
         sigs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
 

@@ -26,11 +26,20 @@ pool-bounded sims and one-Arrow-pass greedy of the batch query.
 Epoch landing is ``epoch=N`` overwrite: serving against a frozen
 corpus is deterministic, so a crash-replayed epoch rewrites identical
 rows (the exactly-once discipline shared with the corpus stages).
+
+Re-arrivals are a FEATURE, not a defect: a candidate whose CV
+re-arrives (profile update, upstream replay) is re-served in the new
+epoch, and the store's read contract is LATEST-WINS per candidate —
+:func:`read_current_recs` resolves it (max epoch per candidate, the
+merge-on-read posture of sources/mor.py applied at serving grain).
+Raw ``spark.read.parquet(out_root)`` is the full serving HISTORY;
+dashboards read through the resolver.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -66,3 +75,15 @@ def stream_candidate_recs(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_current_recs(spark: SparkSession, out_root: str) -> DataFrame:
+    """The serving store's read contract: each candidate's CURRENT
+    recommendations — the rows of their newest epoch (latest-wins, so
+    a re-served candidate's stale epochs are superseded, never
+    double-read). One window at candidate grain over the compact
+    (candidate, epoch) store; returns the batch-query columns."""
+    hist = spark.read.parquet(out_root)
+    latest = hist.groupBy("candidate_id").agg(
+        F.max("epoch").alias("epoch"))
+    return hist.join(latest, ["candidate_id", "epoch"]).drop("epoch")

@@ -47,7 +47,6 @@ def test_winnowed_family_census_agrees_on_boilerplate(spark):
     keep-best choice. (On marginal real-corpus docs the two faces
     legitimately differ — fingerprint-grain heavy rule — which is why
     each carries its own oracle.)"""
-    from bigdata_jobmatching_spark.plans.catalog import load_all
 
     f1 = " ".join(f"w{i}" for i in range(40))
     f2 = " ".join(f"v{i}" for i in range(40))

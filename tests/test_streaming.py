@@ -861,3 +861,54 @@ def test_fingerprint_stream_fails_loudly_on_store_schema_drift(spark, tmp_path):
     assert failed, (
         "schema-drifted signature store must fail the stream, not "
         "silently disable the cross-epoch anti-join")
+
+
+def test_stream_candidate_recs_rearrival_latest_wins(spark, tmp_path):
+    """A candidate whose CV re-arrives in a later micro-batch is
+    RE-served; the store keeps the full history, and the read
+    contract (read_current_recs) resolves latest-wins so dashboards
+    never see two rec sets for one candidate."""
+    from bigdata_jobmatching_spark.plans.domain_queries import (
+        _tiered_cvs,
+        candidate_recs_for,
+    )
+    from bigdata_jobmatching_spark.streaming.serving import (
+        read_current_recs,
+        stream_candidate_recs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cvs = _tiered_cvs(spark, sf)
+    src = str(tmp_path / "cv_src")
+    # file 1: all candidates; file 2: a RE-ARRIVAL of some of them
+    cvs.coalesce(1).write.parquet(src)
+    cvs.filter(F.col("cv_id") % 3 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = str(tmp_path / "recs_out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    stream_candidate_recs(
+        spark, sf, stream, out, str(tmp_path / "ckpt")
+    ).awaitTermination(300)
+
+    hist = spark.read.parquet(out)
+    rearrived = hist.filter(F.col("candidate_id") % 3 == 0)
+    # the history really contains both servings of the re-arrivals
+    assert rearrived.select("epoch").distinct().count() == 2
+
+    current = read_current_recs(spark, out)
+    # exactly one rec set per candidate...
+    per_cand = current.groupBy("candidate_id").count().collect()
+    assert per_cand and all(r["count"] <= 5 for r in per_cand)
+    # ...and (frozen corpus) the current rows equal the batch answer
+    want = candidate_recs_for(spark, sf, cvs)
+    got_rows = sorted(
+        (r.candidate_id, r.rnk, r.job_id, r.rel, r.score)
+        for r in current.collect())
+    want_rows = sorted(
+        (r.candidate_id, r.rnk, r.job_id, r.rel, r.score)
+        for r in want.collect())
+    assert got_rows == want_rows
