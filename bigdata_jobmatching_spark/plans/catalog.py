@@ -341,6 +341,16 @@ _REOPENED_AT: dict[str, int] = {
     # above the factor-1.5 tiers, so the r10 green no longer attests
     # the current code even though the sf0.01 output is unchanged.
     "semantic_incremental_match": 11,
+    # r13 rewrote the three partitionless-ntile plans to broadcast
+    # quantile fences + bin assignment (r12 verdict task #1) and gave
+    # vocab_coverage_curve a group-limit-pushable pre-filter (task #3).
+    # Outputs are designed to be byte-identical, but the proofs that
+    # attested the OLD plans no longer attest the new code, so all
+    # four re-prove at the front of the r13 window.
+    "order_price_deciles": 13,
+    "priority_rate_by_price_decile": 13,
+    "customer_rfm_scores": 13,
+    "vocab_coverage_curve": 13,
 }
 
 _DRIVER_VERIFIED_R10: frozenset[str] = frozenset(
@@ -414,6 +424,39 @@ _DRIVER_VERIFIED_R11: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R12: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r12.json (50/50 — the first
+        # fully-clean gate; the dec38 canary was retired in r12, its
+        # finding banked as the no-p>18/scale-0-decimal law enforced
+        # by tools/oracle_type_audit.py).
+        "active_nations_union", "ann_recall_audit",
+        "bloom_prefilter_audit", "bm25_topk", "bpe_apply_fertility",
+        "candidate_recs_incremental", "copurchase_label_propagation",
+        "countmin_user_estimates", "customer_order_distribution",
+        "doc_winnowing_fingerprints", "embedding_kmeans_exact",
+        "events_cusum_changepoint", "events_daily_by_type",
+        "events_distribution_drift", "events_hourly_windows",
+        "events_json_props", "events_multi_grain_rollup",
+        "events_session_spans", "events_sessionization",
+        "events_theilsen_slope", "events_type_mix",
+        "fk_integrity_audit", "gif_frame_census", "greedy_vocab_cover",
+        "grouped_kfold_assignment", "hll_registers_audit",
+        "incremental_agg_refresh", "interlaced_png_pixel_stats",
+        "mp4_track_census", "order_price_deciles",
+        "palette_png_pixel_stats", "png16_pixel_stats",
+        "price_mad_outliers", "priority_rate_by_price_decile",
+        "salary_inference_grid", "salary_parse_roundtrip",
+        "sector_scoring_full", "sentence_span_stats",
+        "simhash_md5_signatures", "skill_cooccurrence",
+        "substring_family_census_winnowed", "supplier_chain_rollup",
+        "surrogate_dim_ids", "tiff_pixel_stats",
+        "token_systematic_sample", "top_matches_per_candidate",
+        "user_funnel_conversion", "version_diff_audit",
+        "vocab_coverage_curve", "wav_sample_stats",
+    }
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -440,6 +483,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (9, _DRIVER_VERIFIED_R09),
     (10, _DRIVER_VERIFIED_R10),
     (11, _DRIVER_VERIFIED_R11),
+    (12, _DRIVER_VERIFIED_R12),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(
