@@ -214,12 +214,20 @@ register(QuerySpec(
 # --- order_price_deciles: ntile window distribution -----------------------
 
 def _deciles(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ranking import global_ntile
 
+    # Distributed NTILE (r12 verdict task #1): deterministic
+    # price-range buckets (floor(price/256) — ~2k buckets over TPC-H's
+    # fixed price domain at ANY scale factor) + per-bucket parallel
+    # ranks + broadcast prefix offsets reproduce the oracle's
+    # NTILE(10) bit-for-bit with no single-partition window; the
+    # (o_totalprice, o_orderkey) pair is a total order.
     o = load_table(spark, sf, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(
+            o, [F.col("o_totalprice"), F.col("o_orderkey")],
+            [F.floor(F.col("o_totalprice") / 256).cast("long")],
+            10, "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

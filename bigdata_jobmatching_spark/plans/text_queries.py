@@ -1379,9 +1379,22 @@ def _vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     w = Window.orderBy(F.desc("freq"), F.asc("w"))
-    ranked = vocab.select(
-        "w", "freq",
-        F.row_number().over(w).alias("rank"),
+    # Two windows instead of one (r12 verdict task #3): the rank-only
+    # window plus a `rank <= max` filter lets Spark's
+    # InferWindowGroupLimit rule insert a WindowGroupLimit that bounds
+    # the single-partition sort's input to the top rows per input
+    # partition (a sum in the SAME window node blocks the rule, and
+    # `isin` alone is a predicate it doesn't recognise). The prefix
+    # cum_tokens sum then runs over the <=max(ranks)-row survivor
+    # frame — it only ever reads rows ranked above a survivor, all
+    # inside the kept prefix, so the values are unchanged.
+    ranked = (
+        vocab.select(
+            "w", "freq", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= max(_COVERAGE_RANKS))
+    )
+    ranked = ranked.select(
+        "w", "freq", "rank",
         F.sum("freq").over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum_tokens"),
@@ -1474,7 +1487,13 @@ def _bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
             F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))),
         )
-        .filter(F.col("rank").isin(*_BM25_QRANKS))
+        # `rank <= max` before the isin so the window-group-limit rule
+        # bounds the global ranking window's input per partition
+        # (same fix as vocab_coverage_curve, r12 verdict task #3).
+        .filter(
+            (F.col("rank") <= max(_BM25_QRANKS))
+            & F.col("rank").isin(*_BM25_QRANKS)
+        )
         .select("w", "df")
     )
     scalars = dl.agg(
