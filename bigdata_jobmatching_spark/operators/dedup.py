@@ -494,11 +494,33 @@ def winnowed_windows(
     global distinct: the only exchange in the plan is the scan
     fan-out plus whatever the consumer does with the narrow
     (id, hash) stream. k and w must be powers of two (the gram and
-    min windows are composed by doubling: shift 1, 2, 4, ...)."""
+    min windows are composed by doubling: shift 1, 2, 4, ...).
+
+    The fingerprint expression is inlined DIRECTLY as the explode
+    argument — never first aliased to a column and then exploded.
+    Exploding an aliased projection lets InferFiltersFromGenerate
+    push a `size(col) > 0 AND isnotnull(col)` filter below the
+    Project, substituting the whole md5 ladder into BOTH predicates
+    (ladder evaluated 3x per row — observed live when a delegation
+    refactor introduced the alias). Exploding the raw expression
+    leaves no attribute for the rule to infer on."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(_winnow_fp_expr(text_col, k, w)).alias("h"))
+
+
+def _winnow_fp_expr(text_col: str, k: int, w: int) -> Column:
+    """The winnowing-selected fingerprint array as a single column
+    expression (shared by winnowed_windows and
+    winnowed_fingerprint_arrays — a COLUMN, not a DataFrame, so each
+    caller controls where it lands in its plan)."""
     from ..functions import text as X
     from ..functions.binding import let
 
-    if k & (k - 1) or w & (w - 1):
+    # k < 1 / w < 1 must be rejected explicitly: 0 & -1 == 0, so the
+    # bit test alone would accept 0 and silently degenerate (k=0
+    # hashes single tokens; w=0 skips winnowing entirely) — r12 advice.
+    if k < 1 or w < 1 or k & (k - 1) or w & (w - 1):
         raise ValueError("winnowed_windows: k and w must be powers of 2")
 
     def _shift(c: Column, by: int) -> Column:
@@ -528,7 +550,7 @@ def winnowed_windows(
     def _md5_60(c: Column) -> Column:
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
-    fp = let(
+    return let(
         X.tokens(F.col(text_col)),
         lambda tk: _ladder(
             tk, k, lambda a, b: F.concat_ws(" ", a, b),
@@ -541,8 +563,44 @@ def winnowed_windows(
             ),
         ),
     )
+
+
+def winnowed_fingerprint_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """The pre-explode form of :func:`winnowed_windows` (which
+    delegates here): one row per doc with ``(id, n_tokens, fps)`` —
+    the token count and the distinct winnowing-selected fingerprint
+    array. The hybrid census's proposal stage needs both the
+    fingerprints (loose duplication share) and the token count
+    (auto-candidate floor for docs winnowing cannot see); emitting
+    them from one select lets the caller checkpoint the small result
+    and fan it out without re-paying the gram hashing.
+
+    n_tokens deliberately re-tokenises rather than sharing the
+    ladder's bound token array through a struct: a struct wrapping
+    the let-bound ladder gets its field extractions inlined by
+    CollapseProject, TRIPLICATING the md5 ladder in the optimized
+    plan (measured: zip_with x15 vs x5). Two independent column
+    expressions keep the ladder single; the extra tokenise is cheap
+    next to the per-gram md5 work.
+
+    CALLER CONTRACT: checkpoint/materialize this frame before
+    exploding ``fps`` — exploding the aliased ladder column straight
+    off this plan re-triggers the InferFiltersFromGenerate recompute
+    documented on :func:`winnowed_windows` (which is why that
+    function inlines the expression instead of delegating here)."""
+    from ..functions import text as X
+
     return docs.select(
-        F.col(id_col), F.explode(fp).alias("h"))
+        F.col(id_col),
+        F.size(X.tokens(F.col(text_col))).alias("n_tokens"),
+        _winnow_fp_expr(text_col, k, w).alias("fps"),
+    )
 
 
 def dup_stats_over(

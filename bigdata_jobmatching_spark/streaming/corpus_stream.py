@@ -335,7 +335,16 @@ def stream_fingerprint_assets(
             keys = keys.join(seen, "p_partkey", "left_anti")
         except AnalysisException as exc:
             benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-            if not any(code in str(exc) for code in benign):
+            # Compare the structured error class when the API exists
+            # (message formats vary across PySpark versions; a
+            # substring probe could misread them), falling back to the
+            # substring check only when it doesn't (r12 advice).
+            get_cls = getattr(exc, "getErrorClass", None)
+            cls = get_cls() if callable(get_cls) else None
+            if cls is not None:
+                if cls not in benign:
+                    raise  # real failure: do NOT land duplicates silently
+            elif not any(code in str(exc) for code in benign):
                 raise  # real failure: do NOT land duplicates silently
         sigs = keys.mapInPandas(batches, schema)
         sigs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")

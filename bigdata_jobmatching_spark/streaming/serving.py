@@ -41,6 +41,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> dict[int, object]:
+    """{rdd id: java rdd} for every block-manager-resident RDD —
+    localCheckpoint'ed frames included (they are persisted RDDs with
+    truncated lineage). Used to free per-epoch checkpoints
+    deterministically instead of waiting on Python GC."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {e.getKey(): e.getValue() for e in jmap.entrySet().toArray()}
 
 
 def stream_candidate_recs(
@@ -65,11 +75,156 @@ def stream_candidate_recs(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        recs = candidate_recs_for(spark, sf, batch, offers)
-        recs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
+        # The batch pipeline eagerly checkpoints its pool/sims frames;
+        # left to Python GC those blocks accumulate in executor
+        # storage across epochs of a long stream (r12 advice).
+        # Snapshot the persistent-RDD set, run the epoch, then free
+        # exactly what the epoch created — the stream-lifetime offers
+        # checkpoint predates the snapshot and survives.
+        before = _persistent_rdd_ids(spark)
+        try:
+            recs = candidate_recs_for(spark, sf, batch, offers)
+            recs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
+        finally:
+            for rid, jrdd in _persistent_rdd_ids(spark).items():
+                if rid not in before:
+                    jrdd.unpersist(False)
 
     writer = (
         cvs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bootstrap_offer_serving(
+    spark: SparkSession,
+    sf: str,
+    out_root: str,
+    base_offers: DataFrame,
+    cvs: DataFrame | None = None,
+) -> None:
+    """Land the full dashboard for every candidate against the
+    bootstrap offers corpus at ``epoch=-1`` — the serving store's
+    starting state before :func:`stream_offer_arrivals` epochs (which
+    begin at 0) refresh slices of it latest-wins."""
+    from ..plans.domain_queries import _tiered_cvs, candidate_recs_for
+
+    if cvs is None:
+        cvs = _tiered_cvs(spark, sf)
+    recs = candidate_recs_for(spark, sf, cvs, base_offers)
+    recs.write.mode("overwrite").parquet(f"{out_root}/epoch=-1")
+
+
+def stream_offer_arrivals(
+    spark: SparkSession,
+    sf: str,
+    offers_stream: DataFrame,
+    out_root: str,
+    checkpoint_path: str,
+    offers_store: str,
+    base_offers: DataFrame | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Delta-driven re-serve when OFFERS arrive (r12 verdict task #4:
+    the CV-arrival stream froze the offers corpus at start; this is
+    the other half of the product surface). Each micro-batch of
+    arriving offers:
+
+    1. reconstructs the current corpus (bootstrap offers + every
+       arrival epoch landed in ``offers_store``, excluding a crash
+       replay of this epoch),
+    2. computes the AFFECTED candidate set through the posting lists
+       (plans/domain_queries.offer_arrival_affected_cvs — rare-status
+       flips plus arriving rare skills; every other candidate's
+       pool/MMR trajectory is provably bit-identical),
+    3. re-runs the exact serving pipeline for that slice against the
+       updated corpus and lands it at ``epoch=N`` (latest-wins via
+       :func:`read_current_recs`),
+    4. appends the batch to ``offers_store`` at ``epoch=N``.
+
+    Exactly-once: both writes are per-epoch overwrites of
+    deterministic content, and the corpus read excludes the current
+    epoch, so a crash-replayed epoch reconstructs the same corpus and
+    rewrites identical rows. Equivalence to the full recompute over
+    the final corpus is pinned by the stream displacement test and by
+    the ``candidate_recs_offer_arrivals`` gate oracle."""
+    from ..plans.domain_queries import (
+        _tiered_cvs,
+        _tiered_offers,
+        candidate_recs_for,
+        offer_arrival_affected_cvs,
+    )
+
+    base = (base_offers if base_offers is not None
+            else _tiered_offers(spark, sf)).localCheckpoint(eager=True)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        before = _persistent_rdd_ids(spark)
+        try:
+            try:
+                landed = (
+                    spark.read.option("basePath", offers_store)
+                    .parquet(offers_store)
+                    .filter(F.col("epoch") != epoch_id)
+                    .drop("epoch")
+                )
+                old = base.unionByName(landed)
+            except AnalysisException as exc:
+                # first epoch: nothing landed yet (same benign-class
+                # probe as the corpus stream — structured error class
+                # first, substring fallback for older PySpark)
+                benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+                get_cls = getattr(exc, "getErrorClass", None)
+                cls = get_cls() if callable(get_cls) else None
+                if cls is not None:
+                    if cls not in benign:
+                        raise
+                elif not any(code in str(exc) for code in benign):
+                    raise
+                old = base
+            cvs = _tiered_cvs(spark, sf)
+            affected = offer_arrival_affected_cvs(
+                old, batch, cvs).localCheckpoint(eager=True)
+            newc = old.unionByName(batch).localCheckpoint(eager=True)
+            fresh = candidate_recs_for(
+                spark, sf, cvs.join(affected, "cv_id", "semi"), newc
+            ).localCheckpoint(eager=True)
+            # TOMBSTONES: an affected candidate whose pool became
+            # EMPTY under the new corpus (a rare-status flip removed
+            # their only pairs) produces no fresh rows — without an
+            # explicit marker their STALE bootstrap rows would win
+            # the latest-epoch read. Land a null-rnk row per such
+            # candidate; read_current_recs filters them out after
+            # resolving the newest epoch.
+            tomb_src = (
+                affected.withColumnRenamed("cv_id", "candidate_id")
+                .join(fresh.select("candidate_id"), "candidate_id",
+                      "left_anti")
+            )
+            tomb = tomb_src.select(
+                "candidate_id",
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in fresh.schema.fields
+                  if f.name != "candidate_id"],
+            )
+            fresh.unionByName(tomb).write.mode("overwrite").parquet(
+                f"{out_root}/epoch={epoch_id}")
+            batch.write.mode("overwrite").parquet(
+                f"{offers_store}/epoch={epoch_id}")
+        finally:
+            # free this epoch's checkpoints deterministically (the
+            # stream-lifetime base checkpoint predates the snapshot)
+            for rid, jrdd in _persistent_rdd_ids(spark).items():
+                if rid not in before:
+                    jrdd.unpersist(False)
+
+    writer = (
+        offers_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_path)
     )
     if available_now:
@@ -82,8 +237,15 @@ def read_current_recs(spark: SparkSession, out_root: str) -> DataFrame:
     recommendations — the rows of their newest epoch (latest-wins, so
     a re-served candidate's stale epochs are superseded, never
     double-read). One window at candidate grain over the compact
-    (candidate, epoch) store; returns the batch-query columns."""
+    (candidate, epoch) store; returns the batch-query columns.
+    Null-rnk rows are TOMBSTONES (a candidate re-served into an empty
+    rec set, stream_offer_arrivals): they win the epoch race like any
+    other row and are then dropped, so the candidate disappears from
+    the current view instead of resurrecting stale recs."""
     hist = spark.read.parquet(out_root)
     latest = hist.groupBy("candidate_id").agg(
         F.max("epoch").alias("epoch"))
-    return hist.join(latest, ["candidate_id", "epoch"]).drop("epoch")
+    return (
+        hist.join(latest, ["candidate_id", "epoch"]).drop("epoch")
+        .filter(F.col("rnk").isNotNull())
+    )

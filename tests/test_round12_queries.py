@@ -89,6 +89,13 @@ def test_winnowed_windows_rejects_non_power_of_two(spark):
         D.winnowed_windows(docs, k=6)
     with pytest.raises(ValueError):
         D.winnowed_windows(docs, k=8, w=3)
+    # 0 passes the bare bit test (0 & -1 == 0) but must be rejected:
+    # k=0 would hash single tokens, w=0 would skip winnowing (r12
+    # advice fix pinned)
+    with pytest.raises(ValueError):
+        D.winnowed_windows(docs, k=0)
+    with pytest.raises(ValueError):
+        D.winnowed_windows(docs, k=8, w=0)
 
 
 def test_candidate_recs_incremental_equals_full(spark, sf_dir):

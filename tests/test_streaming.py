@@ -825,6 +825,98 @@ def test_stream_candidate_recs_restart_is_exactly_once(spark, tmp_path):
     assert again == want_rows
 
 
+def test_stream_candidate_recs_frees_per_epoch_storage(spark, tmp_path):
+    """Round-13 (r12 advice): each serving micro-batch eagerly
+    checkpoints its pool/sims frames; a long stream must not
+    accumulate those blocks in executor storage between Python GC
+    cycles. After the stream drains, the only surviving NEW persistent
+    RDD is the stream-lifetime offers checkpoint — per-epoch
+    checkpoints are freed deterministically at the end of each
+    apply_batch, not left to GC."""
+    from bigdata_jobmatching_spark.plans.domain_queries import _tiered_cvs
+    from bigdata_jobmatching_spark.streaming.serving import (
+        _persistent_rdd_ids,
+        stream_candidate_recs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "cv_src")
+    _tiered_cvs(spark, sf).repartition(4).write.parquet(src)
+
+    before = set(_persistent_rdd_ids(spark))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_candidate_recs(
+        spark, sf, stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    n_epochs = spark.read.parquet(str(tmp_path / "out")) \
+        .select("epoch").distinct().count()
+    assert n_epochs > 1  # really streamed several epochs
+    leaked = set(_persistent_rdd_ids(spark)) - before
+    # one offers checkpoint, zero per-epoch leftovers (each epoch
+    # creates >=2 eager checkpoints, so an unbounded stream would
+    # otherwise grow by 2 per epoch)
+    assert len(leaked) <= 1, f"per-epoch checkpoints leaked: {leaked}"
+
+
+def test_stream_offer_arrivals_displaces_and_matches_full(spark, tmp_path):
+    """Round-13 (r12 verdict task #4): fresh OFFERS reach candidates.
+    Bootstrap the serving store against 6/7 of the offers corpus,
+    stream the held-out offers in as arrival micro-batches, and
+    check (a) at least one candidate's top-5 actually CHANGED — an
+    arriving offer displaced a bootstrap entry, so the test isn't
+    vacuous — and (b) the final latest-wins store row-equals the full
+    one-shot recompute over the complete corpus (the delta-serve
+    exactness contract: only affected candidates were re-served)."""
+    from bigdata_jobmatching_spark.plans.domain_queries import (
+        _tiered_cvs,
+        _tiered_offers,
+        candidate_recs_for,
+    )
+    from bigdata_jobmatching_spark.streaming.serving import (
+        bootstrap_offer_serving,
+        read_current_recs,
+        stream_offer_arrivals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = _tiered_offers(spark, sf)
+    base = full.filter(F.col("job_id") % 7 != 3)
+    arrivals = full.filter(F.col("job_id") % 7 == 3)
+    assert arrivals.count() > 0
+
+    out = str(tmp_path / "recs_out")
+    bootstrap_offer_serving(spark, sf, out, base)
+    boot_rows = sorted(
+        (r.candidate_id, r.rnk, r.job_id)
+        for r in read_current_recs(spark, out).collect())
+
+    src = str(tmp_path / "offer_src")
+    arrivals.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_offer_arrivals(
+        spark, sf, stream, out, str(tmp_path / "ckpt"),
+        str(tmp_path / "offer_store"), base_offers=base)
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r.candidate_id, r.rnk, r.job_id)
+        for r in read_current_recs(spark, out).collect())
+    assert got != boot_rows  # an arriving offer displaced an entry
+
+    want = sorted(
+        (r.candidate_id, r.rnk, r.job_id)
+        for r in candidate_recs_for(spark, sf, _tiered_cvs(spark, sf),
+                                    full).collect())
+    assert got == want  # delta-serve == full recompute, row for row
+
+
 def test_fingerprint_stream_fails_loudly_on_store_schema_drift(spark, tmp_path):
     """Round-12 advice fix pinned: the cross-epoch seen-keys read used
     to swallow EVERY AnalysisException as 'first epoch', silently
