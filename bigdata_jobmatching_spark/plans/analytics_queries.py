@@ -721,13 +721,14 @@ register(QuerySpec(
 
 # --- priority_rate_by_price_decile: binned target-rate (calibration) -------
 # The supervised-learning diagnostic: bin orders into totalprice
-# deciles (ntile over exact cents with an orderkey tie-break, so the
-# binning is a total order both engines agree on) and measure the
-# URGENT-priority rate per bin — the calibration-curve/WOE-binning
-# input, kept log-free as exact count ratios. Scale shape: ntile is
-# a global sort at this grain; at 100 TB the same census swaps ntile
-# for pre-computed quantile fences (order_price_deciles) and a range
-# join — the per-bin rate arithmetic is unchanged.
+# deciles (NTILE semantics over exact cents with an orderkey
+# tie-break, so the binning is a total order both engines agree on)
+# and measure the URGENT-priority rate per bin — the calibration-
+# curve/WOE-binning input, kept log-free as exact count ratios.
+# Scale shape (r13): the ntile is the DISTRIBUTED bucketed form
+# (operators/ranking.py — value-aligned cents buckets, per-bucket
+# parallel ranks, broadcast prefix offsets); no single-partition
+# sort at any grain, per-bin rate arithmetic unchanged.
 
 def _rate_by_decile(spark: SparkSession, sf: str) -> DataFrame:
     from .catalog import ratio6 as _r6

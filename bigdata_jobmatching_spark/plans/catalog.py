@@ -341,16 +341,19 @@ _REOPENED_AT: dict[str, int] = {
     # above the factor-1.5 tiers, so the r10 green no longer attests
     # the current code even though the sf0.01 output is unchanged.
     "semantic_incremental_match": 11,
-    # r13 rewrote the three partitionless-ntile plans to broadcast
-    # quantile fences + bin assignment (r12 verdict task #1) and gave
-    # vocab_coverage_curve a group-limit-pushable pre-filter (task #3).
-    # Outputs are designed to be byte-identical, but the proofs that
-    # attested the OLD plans no longer attest the new code, so all
-    # four re-prove at the front of the r13 window.
+    # r13 rewrote the three partitionless-ntile plans to distributed
+    # bucketed ranking (deterministic order-aligned value buckets +
+    # per-bucket row_number + broadcast prefix offsets, r12 verdict
+    # task #1) and gave vocab_coverage_curve AND bm25_topk
+    # group-limit-pushable rank<=max pre-filters (task #3). Outputs
+    # are designed to be byte-identical, but the proofs that attested
+    # the OLD plans no longer attest the new code, so all five
+    # re-prove at the front of the r13 window.
     "order_price_deciles": 13,
     "priority_rate_by_price_decile": 13,
     "customer_rfm_scores": 13,
     "vocab_coverage_curve": 13,
+    "bm25_topk": 13,
 }
 
 _DRIVER_VERIFIED_R10: frozenset[str] = frozenset(

@@ -2635,12 +2635,19 @@ register(QuerySpec(
 #      census's own. The whole corpus is tokenised and gram-hashed
 #      exactly ONCE (winnowed_fingerprint_arrays, checkpointed, with
 #      the token count riding along for the short-doc floor); the
-#      exact pass touches only the context docs. The approximation is
-#      confined to winnowing granularity — a doc related to the
-#      census outcome ONLY through shared runs shorter than k+w-1
-#      tokens can be missed in proposal or partner detection — and
-#      the exact-census oracle verifies the equivalence end-to-end at
-#      every gate.
+#      exact pass touches only the context docs. The proposal is a
+#      MEASURED HEURISTIC, not a guarantee: a doc can be missed if
+#      its duplication lives in runs shorter than k+w-1 tokens
+#      (winnowing blind) OR if its winnowing-SELECTED duplication
+#      share lands under the loose half-cut even though its exact
+#      share clears 50% (selected-fingerprint density is
+#      hash-dependent, so many minimal k+w-1 runs can under-represent
+#      in the selection). Both modes are bounded empirically, not
+#      formally: the floor-tightening experiment (SCALING.md r13)
+#      shows the current cut has margin on this corpus, and the
+#      exact-census ORACLE verifies the end-to-end equivalence at
+#      every gate — a recall miss turns the gate red instead of
+#      shipping silently.
 
 _SSFH_LOOSE_MILLI = _SSF_MAX_DUP_MILLI // 2
 _SSFH_SHORT_TOKENS = _SSF_K + 4 * _SSFW_W

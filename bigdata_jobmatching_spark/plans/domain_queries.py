@@ -771,6 +771,7 @@ def candidate_recs_for(
     sf: str,
     cvs: DataFrame,
     offers: DataFrame | None = None,
+    track: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Serve the diversified dashboard for ONE slice of candidates
     against the FROZEN offers corpus. The whole pipeline is
@@ -785,11 +786,23 @@ def candidate_recs_for(
     default the offers side is derived and eagerly materialized HERE,
     because the pipeline consumes it three ways (posting lists, score
     join, the sims skill broadcast) and re-deriving it per consumer
-    measured 7.2 -> 4.6 s on the one-shot sf0.1 dashboard."""
+    measured 7.2 -> 4.6 s on the one-shot sf0.1 dashboard.
+    ``track``: a serving LOOP passes a list here and every eager
+    checkpoint this call creates is appended, so the caller can free
+    exactly those blocks at the end of its epoch
+    (streaming/serving._free_checkpoints) — scoped, unlike a
+    persistent-RDD diff, which would also free checkpoints a
+    CONCURRENT workload on the same session created mid-epoch."""
     from ..operators import similarity_search as ANN
 
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        if track is not None:
+            track.append(out)
+        return out
+
     if offers is None:
-        offers = _tiered_offers(spark, sf).localCheckpoint(eager=True)
+        offers = _ckpt(_tiered_offers(spark, sf))
     m = M.match_offers_cvs_prefiltered(
         offers, cvs,
         max_skill_df=_PREFILTER_DF_MIN,
@@ -803,10 +816,9 @@ def candidate_recs_for(
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("vec_id_"))
-    pool = (
+    pool = _ckpt(
         rel.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= _RECS_POOL).drop("rn")
-        .localCheckpoint(eager=True)
     )
     osk = F.broadcast(
         offers.select(
@@ -827,8 +839,8 @@ def candidate_recs_for(
         .select(
             "query_id", "a", "b",
             F.expr("(inter * 2000000 + uni) div (2 * uni)").alias("sim"))
-        .localCheckpoint(eager=True)
     )
+    sims = _ckpt(sims)
     return ANN.mmr_greedy(pool, sims, k=_RECS_K, lam=_RECS_LAM).select(
         F.col("query_id").alias("candidate_id"), "rnk",
         F.col("vec_id_").alias("job_id"), "rel", "score")
@@ -1048,6 +1060,36 @@ def offer_arrival_affected_cvs(
     )
 
 
+def delta_serve_slice(
+    spark: SparkSession,
+    sf: str,
+    offers_old: DataFrame,
+    offers_batch: DataFrame,
+    cvs: DataFrame,
+    track: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared core of one offer-arrival delta-serve step — used
+    by BOTH the batch gate query (through reserve_for_offer_batch)
+    and the streaming face (stream_offer_arrivals), so a future
+    change to the delta logic cannot silently break the stream==batch
+    equivalence the oracle pins. Returns ``(affected, fresh,
+    offers_new)``: the affected cv ids (eagerly checkpointed — both
+    callers consume it twice), the freshly-served rec rows for that
+    slice, and the checkpointed updated corpus (callers roll it
+    forward). ``track`` collects every checkpoint for scoped
+    epoch-end freeing."""
+    affected = offer_arrival_affected_cvs(
+        offers_old, offers_batch, cvs).localCheckpoint(eager=True)
+    offers_new = offers_old.unionByName(offers_batch).localCheckpoint(
+        eager=True)
+    if track is not None:
+        track.extend([affected, offers_new])
+    fresh = candidate_recs_for(
+        spark, sf, cvs.join(affected, "cv_id", "semi"), offers_new,
+        track=track)
+    return affected, fresh, offers_new
+
+
 def reserve_for_offer_batch(
     spark: SparkSession,
     sf: str,
@@ -1055,41 +1097,40 @@ def reserve_for_offer_batch(
     offers_old: DataFrame,
     offers_batch: DataFrame,
     cvs: DataFrame,
-) -> DataFrame:
-    """One delta-serve step: fold an arriving offers batch into the
-    corpus, re-serve the affected candidate slice against the updated
-    corpus, and merge latest-wins over the previous recommendations.
-    Exact-equivalence contract: the result equals
+) -> tuple[DataFrame, DataFrame]:
+    """One batch delta-serve step: fold an arriving offers batch into
+    the corpus, re-serve the affected candidate slice against the
+    updated corpus, and merge latest-wins over the previous
+    recommendations (the anti-join drops an affected candidate's old
+    rows even when their new rec set is EMPTY — the property the
+    streaming face needs tombstones for). Returns ``(recs,
+    offers_new)``. Exact-equivalence contract: ``recs`` equals
     candidate_recs_for(cvs, offers_old ∪ offers_batch) row-for-row
     (pinned by the candidate_recs_offer_arrivals gate oracle and the
     streaming displacement test)."""
-    affected = offer_arrival_affected_cvs(
-        offers_old, offers_batch, cvs).localCheckpoint(eager=True)
-    offers_new = offers_old.unionByName(offers_batch)
-    fresh = candidate_recs_for(
-        spark, sf, cvs.join(affected, "cv_id", "semi"), offers_new)
-    return (
+    affected, fresh, offers_new = delta_serve_slice(
+        spark, sf, offers_old, offers_batch, cvs)
+    recs = (
         recs_prev.join(affected.withColumnRenamed("cv_id", "candidate_id"),
                        "candidate_id", "left_anti")
         .unionByName(fresh)
     )
+    return recs, offers_new
 
 
 def _candidate_recs_offer_arrivals(spark: SparkSession, sf: str) -> DataFrame:
     cvs = _tiered_cvs(spark, sf)
     full = _tiered_offers(spark, sf)
-    base = full.filter(F.col("job_id") % 7 != 3).localCheckpoint(eager=True)
+    corpus = full.filter(F.col("job_id") % 7 != 3).localCheckpoint(eager=True)
     batches = [
         full.filter(F.col("job_id") % 14 == 3),
         full.filter(F.col("job_id") % 14 == 10),
     ]
-    recs = candidate_recs_for(spark, sf, cvs, base)
-    corpus = base
+    recs = candidate_recs_for(spark, sf, cvs, corpus)
     for b in batches:
-        b = b.localCheckpoint(eager=True)
-        recs = reserve_for_offer_batch(
-            spark, sf, recs.localCheckpoint(eager=True), corpus, b, cvs)
-        corpus = corpus.unionByName(b).localCheckpoint(eager=True)
+        recs, corpus = reserve_for_offer_batch(
+            spark, sf, recs.localCheckpoint(eager=True), corpus,
+            b.localCheckpoint(eager=True), cvs)
     return recs
 
 

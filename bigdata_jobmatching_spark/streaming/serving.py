@@ -47,10 +47,25 @@ from pyspark.sql.utils import AnalysisException
 def _persistent_rdd_ids(spark: SparkSession) -> dict[int, object]:
     """{rdd id: java rdd} for every block-manager-resident RDD —
     localCheckpoint'ed frames included (they are persisted RDDs with
-    truncated lineage). Used to free per-epoch checkpoints
-    deterministically instead of waiting on Python GC."""
+    truncated lineage). MEASUREMENT helper for the storage-bounded
+    stream tests; the epoch cleanup itself uses the scoped
+    :func:`_free_checkpoints` (a before/after diff here would also
+    free checkpoints a CONCURRENT workload on the same session
+    created mid-epoch — and a localCheckpoint's data is
+    unrecoverable once unpersisted)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {e.getKey(): e.getValue() for e in jmap.entrySet().toArray()}
+
+
+def _free_checkpoints(frames: list[DataFrame]) -> None:
+    """Free exactly the given localCheckpoint'ed frames' block-manager
+    storage (each frame's analyzed plan is a LogicalRDD over the
+    checkpointed RDD — unpersist that specific RDD). Deterministic
+    and SCOPED: nothing another workload checkpointed is touched.
+    The frames are dead afterwards (truncated lineage, no recompute),
+    so call only at the end of an epoch whose outputs are written."""
+    for df in frames:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
 
 
 def stream_candidate_recs(
@@ -77,18 +92,16 @@ def stream_candidate_recs(
             return
         # The batch pipeline eagerly checkpoints its pool/sims frames;
         # left to Python GC those blocks accumulate in executor
-        # storage across epochs of a long stream (r12 advice).
-        # Snapshot the persistent-RDD set, run the epoch, then free
-        # exactly what the epoch created — the stream-lifetime offers
-        # checkpoint predates the snapshot and survives.
-        before = _persistent_rdd_ids(spark)
+        # storage across epochs of a long stream (r12 advice). Track
+        # exactly the checkpoints this epoch creates and free them
+        # after the write — the stream-lifetime offers checkpoint is
+        # never in the list.
+        track: list[DataFrame] = []
         try:
-            recs = candidate_recs_for(spark, sf, batch, offers)
+            recs = candidate_recs_for(spark, sf, batch, offers, track=track)
             recs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")
         finally:
-            for rid, jrdd in _persistent_rdd_ids(spark).items():
-                if rid not in before:
-                    jrdd.unpersist(False)
+            _free_checkpoints(track)
 
     writer = (
         cvs_stream.writeStream.foreachBatch(apply_batch)
@@ -114,8 +127,16 @@ def bootstrap_offer_serving(
 
     if cvs is None:
         cvs = _tiered_cvs(spark, sf)
-    recs = candidate_recs_for(spark, sf, cvs, base_offers)
-    recs.write.mode("overwrite").parquet(f"{out_root}/epoch=-1")
+    track: list[DataFrame] = []
+    base = base_offers.localCheckpoint(eager=True)
+    track.append(base)
+    try:
+        # materialize the offers side once — the pipeline consumes it
+        # three ways, and the bootstrap serves the FULL population
+        recs = candidate_recs_for(spark, sf, cvs, base, track=track)
+        recs.write.mode("overwrite").parquet(f"{out_root}/epoch=-1")
+    finally:
+        _free_checkpoints(track)
 
 
 def stream_offer_arrivals(
@@ -154,8 +175,7 @@ def stream_offer_arrivals(
     from ..plans.domain_queries import (
         _tiered_cvs,
         _tiered_offers,
-        candidate_recs_for,
-        offer_arrival_affected_cvs,
+        delta_serve_slice,
     )
 
     base = (base_offers if base_offers is not None
@@ -164,7 +184,7 @@ def stream_offer_arrivals(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        before = _persistent_rdd_ids(spark)
+        track: list[DataFrame] = []
         try:
             try:
                 landed = (
@@ -187,20 +207,35 @@ def stream_offer_arrivals(
                 elif not any(code in str(exc) for code in benign):
                     raise
                 old = base
+            # DUPLICATE-DELIVERY GUARD: offers are immutable postings,
+            # so an at-least-once upstream re-delivering a job_id must
+            # not land it twice — a duplicate would double the skill's
+            # document frequency (can flip rare status corpus-wide)
+            # and put the offer twice in affected pools. Drop in-batch
+            # twins, then anti-join the already-landed corpus (the
+            # corpus_stream seen-keys contract at offer grain).
+            batch = (
+                batch.dropDuplicates(["job_id"])
+                .join(old.select("job_id"), "job_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            track.append(batch)
+            if batch.isEmpty():
+                return
             cvs = _tiered_cvs(spark, sf)
-            affected = offer_arrival_affected_cvs(
-                old, batch, cvs).localCheckpoint(eager=True)
-            newc = old.unionByName(batch).localCheckpoint(eager=True)
-            fresh = candidate_recs_for(
-                spark, sf, cvs.join(affected, "cv_id", "semi"), newc
-            ).localCheckpoint(eager=True)
+            affected, fresh, _newc = delta_serve_slice(
+                spark, sf, old, batch, cvs, track=track)
+            fresh = fresh.localCheckpoint(eager=True)
+            track.append(fresh)
             # TOMBSTONES: an affected candidate whose pool became
             # EMPTY under the new corpus (a rare-status flip removed
             # their only pairs) produces no fresh rows — without an
             # explicit marker their STALE bootstrap rows would win
-            # the latest-epoch read. Land a null-rnk row per such
-            # candidate; read_current_recs filters them out after
-            # resolving the newest epoch.
+            # the latest-epoch read (the batch API's anti-join merge
+            # drops them for free; a latest-wins store needs the
+            # marker). Land a null-rnk row per such candidate;
+            # read_current_recs filters them out after resolving the
+            # newest epoch.
             tomb_src = (
                 affected.withColumnRenamed("cv_id", "candidate_id")
                 .join(fresh.select("candidate_id"), "candidate_id",
@@ -217,11 +252,9 @@ def stream_offer_arrivals(
             batch.write.mode("overwrite").parquet(
                 f"{offers_store}/epoch={epoch_id}")
         finally:
-            # free this epoch's checkpoints deterministically (the
-            # stream-lifetime base checkpoint predates the snapshot)
-            for rid, jrdd in _persistent_rdd_ids(spark).items():
-                if rid not in before:
-                    jrdd.unpersist(False)
+            # free this epoch's checkpoints deterministically, scoped
+            # to exactly what this epoch created
+            _free_checkpoints(track)
 
     writer = (
         offers_stream.writeStream.foreachBatch(apply_batch)

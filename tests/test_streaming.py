@@ -916,6 +916,26 @@ def test_stream_offer_arrivals_displaces_and_matches_full(spark, tmp_path):
                                     full).collect())
     assert got == want  # delta-serve == full recompute, row for row
 
+    # at-least-once upstream RE-DELIVERY: append the same offers
+    # again — the duplicate guard must drop them (offers are
+    # immutable postings), leaving the store duplicate-free and the
+    # current view unchanged (a landed duplicate would double skill
+    # document frequencies and could flip rare status corpus-wide)
+    arrivals.repartition(1).write.mode("append").parquet(src)
+    q2 = stream_offer_arrivals(
+        spark, sf,
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        out, str(tmp_path / "ckpt"), str(tmp_path / "offer_store"),
+        base_offers=base)
+    q2.awaitTermination(300)
+    store = spark.read.parquet(str(tmp_path / "offer_store"))
+    assert store.count() == store.select("job_id").distinct().count()
+    again = sorted(
+        (r.candidate_id, r.rnk, r.job_id)
+        for r in read_current_recs(spark, out).collect())
+    assert again == want
+
 
 def test_fingerprint_stream_fails_loudly_on_store_schema_drift(spark, tmp_path):
     """Round-12 advice fix pinned: the cross-epoch seen-keys read used

@@ -110,7 +110,16 @@ def unbounded_global_windows(plan: str) -> int:
             if any(b in lj for b in _BOUND_NODES):
                 bounded = True
                 break
-            if "Exchange " in lj or "ShuffleQueryStage" in lj:
+            # AQE wraps a materialized exchange as a ShuffleQueryStage
+            # line with the real `Exchange ...` node on the NEXT line —
+            # the wrapper is transparent, only the Exchange line
+            # carries the partitioning (counting the wrapper would
+            # make the inner SinglePartition look like a benign
+            # second exchange and pass the very shape this detector
+            # exists to kill).
+            if "ShuffleQueryStage" in lj or "AQEShuffleRead" in lj:
+                continue
+            if "Exchange " in lj:
                 exchanges_seen += 1
                 if exchanges_seen == 1:
                     first_ex = lj
