@@ -99,6 +99,35 @@ def test_ntile_from_rank_arithmetic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3, 8: 3, 9: 4, 10: 4}
 
 
+def test_global_ntile_property_random_values(spark):
+    """Property sweep (seeded, not hypothesis — one Spark job per
+    example is the cost driver): random value distributions with
+    heavy bucket-expression ties, negative values, duplicate payload
+    values (tie-broken by id), several n including n > N — the
+    bucketed ntile must match the window ntile on every draw."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(13)
+    for trial in range(6):
+        n_rows = rng.choice([3, 17, 101, 400])
+        n = rng.choice([2, 4, 7, 10, 450])
+        vals = [rng.randint(-50, 50) for _ in range(n_rows)]
+        df = spark.createDataFrame(
+            [Row(id=i, v=v) for i, v in enumerate(vals)])
+        cols = [F.col("v"), F.col("id")]
+        ref = df.withColumn(
+            "d", F.ntile(n).over(Window.orderBy(*cols))).select(
+            "id", F.col("d").alias("d_ref"))
+        # shiftright floors toward -inf for negatives: order-aligned
+        got = global_ntile(
+            df, cols, [F.shiftright(F.col("v"), 3)], n, "d"
+        ).select("id", F.col("d").alias("d_got"))
+        bad = ref.join(got, "id").filter("d_ref <> d_got").count()
+        assert bad == 0, f"trial {trial}: n_rows={n_rows} n={n}"
+
+
 def test_no_single_partition_window_in_plan(spark):
     import sys
 
