@@ -1067,6 +1067,7 @@ def delta_serve_slice(
     offers_batch: DataFrame,
     cvs: DataFrame,
     track: list[DataFrame] | None = None,
+    corpus_new: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared core of one offer-arrival delta-serve step — used
     by BOTH the batch gate query (through reserve_for_offer_batch)
@@ -1075,19 +1076,28 @@ def delta_serve_slice(
     equivalence the oracle pins. Returns ``(affected, fresh,
     offers_new)``: the affected cv ids (eagerly checkpointed — both
     callers consume it twice), the freshly-served rec rows for that
-    slice, and the checkpointed updated corpus (callers roll it
-    forward). ``track`` collects every checkpoint for scoped
-    epoch-end freeing."""
+    slice, and the updated corpus (callers roll it forward).
+    ``track`` collects every checkpoint for scoped epoch-end
+    freeing. ``corpus_new``: a caller that already holds the updated
+    corpus in DURABLE form (the stream lands the batch to its offers
+    store BEFORE serving, so base ∪ store IS the corpus on disk)
+    passes it here and skips the per-epoch corpus re-checkpoint —
+    the fixed O(|corpus|) materialization the sf1 epoch measurement
+    flagged; the batch path keeps the checkpoint because it rolls
+    the frame through further in-memory steps."""
     affected = offer_arrival_affected_cvs(
         offers_old, offers_batch, cvs).localCheckpoint(eager=True)
-    offers_new = offers_old.unionByName(offers_batch).localCheckpoint(
-        eager=True)
     if track is not None:
-        track.extend([affected, offers_new])
+        track.append(affected)
+    if corpus_new is None:
+        corpus_new = offers_old.unionByName(offers_batch).localCheckpoint(
+            eager=True)
+        if track is not None:
+            track.append(corpus_new)
     fresh = candidate_recs_for(
-        spark, sf, cvs.join(affected, "cv_id", "semi"), offers_new,
+        spark, sf, cvs.join(affected, "cv_id", "semi"), corpus_new,
         track=track)
-    return affected, fresh, offers_new
+    return affected, fresh, corpus_new
 
 
 def reserve_for_offer_batch(

@@ -161,17 +161,21 @@ def stream_offer_arrivals(
        (plans/domain_queries.offer_arrival_affected_cvs — rare-status
        flips plus arriving rare skills; every other candidate's
        pool/MMR trajectory is provably bit-identical),
-    3. re-runs the exact serving pipeline for that slice against the
-       updated corpus and lands it at ``epoch=N`` (latest-wins via
-       :func:`read_current_recs`),
-    4. appends the batch to ``offers_store`` at ``epoch=N``.
+    3. lands the (deduplicated) batch to ``offers_store`` at
+       ``epoch=N`` FIRST, so base ∪ store is the updated corpus in
+       durable form and the serve reads it from disk instead of
+       re-checkpointing the whole corpus per epoch,
+    4. re-runs the exact serving pipeline for the affected slice
+       against that corpus and lands it at ``epoch=N`` (latest-wins
+       via :func:`read_current_recs`).
 
     Exactly-once: both writes are per-epoch overwrites of
-    deterministic content, and the corpus read excludes the current
-    epoch, so a crash-replayed epoch reconstructs the same corpus and
-    rewrites identical rows. Equivalence to the full recompute over
-    the final corpus is pinned by the stream displacement test and by
-    the ``candidate_recs_offer_arrivals`` gate oracle."""
+    deterministic content; the OLD-corpus read excludes the current
+    epoch while the NEW one includes the just-landed batch, so a
+    crash between the two writes replays to identical frames and
+    identical rows. Equivalence to the full recompute over the final
+    corpus is pinned by the stream displacement test and by the
+    ``candidate_recs_offer_arrivals`` gate oracle."""
     from ..plans.domain_queries import (
         _tiered_cvs,
         _tiered_offers,
@@ -222,9 +226,23 @@ def stream_offer_arrivals(
             track.append(batch)
             if batch.isEmpty():
                 return
+            # Land the batch BEFORE serving: base ∪ store is then the
+            # updated corpus in DURABLE form, so the serve reads it
+            # from disk instead of re-checkpointing the whole corpus
+            # every epoch (the fixed O(|corpus|) per-epoch term the
+            # sf1 measurement flagged). Crash between this write and
+            # the recs write replays identically: the OLD corpus read
+            # excludes the current epoch, the NEW one includes the
+            # landed batch — same frames, same outputs, overwritten.
+            batch.write.mode("overwrite").parquet(
+                f"{offers_store}/epoch={epoch_id}")
+            corpus_new = base.unionByName(
+                spark.read.option("basePath", offers_store)
+                .parquet(offers_store).drop("epoch"))
             cvs = _tiered_cvs(spark, sf)
             affected, fresh, _newc = delta_serve_slice(
-                spark, sf, old, batch, cvs, track=track)
+                spark, sf, old, batch, cvs, track=track,
+                corpus_new=corpus_new)
             fresh = fresh.localCheckpoint(eager=True)
             track.append(fresh)
             # TOMBSTONES: an affected candidate whose pool became
@@ -249,8 +267,6 @@ def stream_offer_arrivals(
             )
             fresh.unionByName(tomb).write.mode("overwrite").parquet(
                 f"{out_root}/epoch={epoch_id}")
-            batch.write.mode("overwrite").parquet(
-                f"{offers_store}/epoch={epoch_id}")
         finally:
             # free this epoch's checkpoints deterministically, scoped
             # to exactly what this epoch created
