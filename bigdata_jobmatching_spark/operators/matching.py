@@ -160,6 +160,7 @@ def match_offers_cvs_prefiltered(
     cvs: DataFrame,
     max_skill_df: int | None = None,
     max_skill_df_frac: float | None = None,
+    rare_skills: DataFrame | None = None,
 ) -> DataFrame:
     """Rare-token candidate pruning (round-7 verdict task #4): generate
     candidate pairs ONLY through skills whose offer-side document
@@ -188,6 +189,14 @@ def match_offers_cvs_prefiltered(
     fractional form is the scale-invariant lever, the absolute floor
     keeps the rare tail non-empty at tiny corpora where
     ``frac * n_offers < 1`` would prune everything.
+
+    ``rare_skills``: a caller that ALREADY holds the rare set for
+    this corpus and these caps (a delta-serve epoch computes it once
+    for the affected-candidate math and maintains the frequencies
+    additively across epochs) passes it here and the corpus-wide
+    frequency aggregate is skipped. CONTRACT: it must equal the set
+    this function would derive itself — recall and scores are defined
+    by it (pinned by test_operators' injected-vs-derived equality).
     """
     norm_skills = F.array_distinct(F.transform(
         F.coalesce(F.col("skills"), F.array()), lambda s: F.lower(F.trim(s))))
@@ -197,21 +206,25 @@ def match_offers_cvs_prefiltered(
     o_sk = offers.select("job_id", F.explode(norm_skills).alias("skill"))
     c_sk = cvs.select("cv_id", F.explode(norm_comp).alias("skill"))
 
-    freq = o_sk.groupBy("skill").count()
-    if max_skill_df_frac is not None:
-        total = offers.select(F.count(F.lit(1)).alias("__n_offers"))
-        cap = F.col("__n_offers") * F.lit(max_skill_df_frac)
-        if max_skill_df is not None:
-            cap = F.greatest(F.lit(float(max_skill_df)), cap)
-        rare = freq.crossJoin(F.broadcast(total)).filter(F.col("count") <= cap)
-    elif max_skill_df is not None:
-        rare = freq.filter(F.col("count") <= max_skill_df)
+    if rare_skills is not None:
+        rare = rare_skills
     else:
-        raise ValueError(
-            "match_offers_cvs_prefiltered needs max_skill_df or "
-            "max_skill_df_frac — an uncapped prefilter is just "
-            "match_offers_cvs with extra steps"
-        )
+        freq = o_sk.groupBy("skill").count()
+        if max_skill_df_frac is not None:
+            total = offers.select(F.count(F.lit(1)).alias("__n_offers"))
+            cap = F.col("__n_offers") * F.lit(max_skill_df_frac)
+            if max_skill_df is not None:
+                cap = F.greatest(F.lit(float(max_skill_df)), cap)
+            rare = freq.crossJoin(F.broadcast(total)).filter(
+                F.col("count") <= cap)
+        elif max_skill_df is not None:
+            rare = freq.filter(F.col("count") <= max_skill_df)
+        else:
+            raise ValueError(
+                "match_offers_cvs_prefiltered needs max_skill_df or "
+                "max_skill_df_frac — an uncapped prefilter is just "
+                "match_offers_cvs with extra steps"
+            )
 
     # candidate generation: pairs sharing >= 1 RARE skill, deduped to
     # the pair grain (a pair found through two rare skills enters once)

@@ -772,6 +772,7 @@ def candidate_recs_for(
     cvs: DataFrame,
     offers: DataFrame | None = None,
     track: list[DataFrame] | None = None,
+    rare_skills: DataFrame | None = None,
 ) -> DataFrame:
     """Serve the diversified dashboard for ONE slice of candidates
     against the FROZEN offers corpus. The whole pipeline is
@@ -807,6 +808,7 @@ def candidate_recs_for(
         offers, cvs,
         max_skill_df=_PREFILTER_DF_MIN,
         max_skill_df_frac=_PREFILTER_DF_FRAC,
+        rare_skills=rare_skills,
     )
     rel = m.select(
         F.col("candidate_id").alias("query_id"),
@@ -1006,13 +1008,22 @@ def _norm_offer_skills(offers: DataFrame) -> DataFrame:
     )
 
 
-def _rare_skills(offers: DataFrame) -> DataFrame:
-    """The prefiltered matcher's rare-skill set for a given offers
-    corpus — df <= greatest(absolute floor, frac * |offers|), the
-    EXACT cap arithmetic of match_offers_cvs_prefiltered (the
-    affected-set math is only sound if this mirrors the matcher)."""
-    freq = _norm_offer_skills(offers).groupBy("skill").count()
-    total = offers.select(F.count(F.lit(1)).alias("__n_offers"))
+def offer_skill_freq(offers: DataFrame) -> DataFrame:
+    """(skill, count) document frequencies over the normalized offer
+    skill posting lists — the matcher's frequency aggregate, exposed
+    so a serving loop can MAINTAIN it additively across offer-arrival
+    epochs (freq_new = groupBy-sum of freq_old ∪ batch counts)
+    instead of re-scanning the corpus per epoch."""
+    return _norm_offer_skills(offers).groupBy("skill").agg(
+        F.count(F.lit(1)).alias("count"))
+
+
+def rare_skills_from_freq(freq: DataFrame, total: DataFrame) -> DataFrame:
+    """Rare set from a frequency frame + a 1-row ``__n_offers`` frame:
+    df <= greatest(absolute floor, frac * |offers|) — the EXACT cap
+    arithmetic of match_offers_cvs_prefiltered (the affected-set math
+    and the rare-set injection contract are only sound if this
+    mirrors the matcher bit-for-bit)."""
     cap = F.greatest(
         F.lit(float(_PREFILTER_DF_MIN)),
         F.col("__n_offers") * F.lit(_PREFILTER_DF_FRAC))
@@ -1023,10 +1034,18 @@ def _rare_skills(offers: DataFrame) -> DataFrame:
     )
 
 
+def _rare_skills(offers: DataFrame) -> DataFrame:
+    return rare_skills_from_freq(
+        offer_skill_freq(offers),
+        offers.select(F.count(F.lit(1)).alias("__n_offers")))
+
+
 def offer_arrival_affected_cvs(
     offers_old: DataFrame,
     offers_batch: DataFrame,
     cvs: DataFrame,
+    rare_old: DataFrame | None = None,
+    rare_new: DataFrame | None = None,
 ) -> DataFrame:
     """Candidates whose dashboard can change when ``offers_batch``
     lands on ``offers_old``: holders of a skill that is (a) on an
@@ -1035,10 +1054,15 @@ def offer_arrival_affected_cvs(
     |offers|). Returns distinct cv_id rows. Everything is posting-
     list-grain: two rare-set aggregates + an anti-join symmetric
     difference + one semi-join into the CV skill index — never a
-    pass over the candidate-pair space."""
+    pass over the candidate-pair space. ``rare_old``/``rare_new``:
+    callers holding the rare sets already (a serving loop maintains
+    the frequencies additively) pass them in and the corpus-wide
+    aggregates are skipped; they must equal the self-derived sets."""
     offers_new = offers_old.unionByName(offers_batch)
-    rare_old = _rare_skills(offers_old)
-    rare_new = _rare_skills(offers_new)
+    if rare_old is None:
+        rare_old = _rare_skills(offers_old)
+    if rare_new is None:
+        rare_new = _rare_skills(offers_new)
     flipped = (
         rare_old.join(rare_new, "skill", "left_anti")
         .unionByName(rare_new.join(rare_old, "skill", "left_anti"))
@@ -1068,6 +1092,8 @@ def delta_serve_slice(
     cvs: DataFrame,
     track: list[DataFrame] | None = None,
     corpus_new: DataFrame | None = None,
+    rare_old: DataFrame | None = None,
+    rare_new: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared core of one offer-arrival delta-serve step — used
     by BOTH the batch gate query (through reserve_for_offer_batch)
@@ -1085,18 +1111,26 @@ def delta_serve_slice(
     the fixed O(|corpus|) materialization the sf1 epoch measurement
     flagged; the batch path keeps the checkpoint because it rolls
     the frame through further in-memory steps."""
-    affected = offer_arrival_affected_cvs(
-        offers_old, offers_batch, cvs).localCheckpoint(eager=True)
-    if track is not None:
-        track.append(affected)
     if corpus_new is None:
         corpus_new = offers_old.unionByName(offers_batch).localCheckpoint(
             eager=True)
         if track is not None:
             track.append(corpus_new)
+    # the rare set of the NEW corpus is needed twice (affected-set
+    # math AND the matcher's prefilter) — compute it ONCE per epoch
+    # unless the caller maintains it additively across epochs
+    if rare_new is None:
+        rare_new = _rare_skills(corpus_new).localCheckpoint(eager=True)
+        if track is not None:
+            track.append(rare_new)
+    affected = offer_arrival_affected_cvs(
+        offers_old, offers_batch, cvs,
+        rare_old=rare_old, rare_new=rare_new).localCheckpoint(eager=True)
+    if track is not None:
+        track.append(affected)
     fresh = candidate_recs_for(
         spark, sf, cvs.join(affected, "cv_id", "semi"), corpus_new,
-        track=track)
+        track=track, rare_skills=rare_new)
     return affected, fresh, corpus_new
 
 

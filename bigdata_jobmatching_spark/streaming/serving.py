@@ -180,10 +180,29 @@ def stream_offer_arrivals(
         _tiered_cvs,
         _tiered_offers,
         delta_serve_slice,
+        offer_skill_freq,
+        rare_skills_from_freq,
     )
 
     base = (base_offers if base_offers is not None
             else _tiered_offers(spark, sf)).localCheckpoint(eager=True)
+
+    # Maintained ACROSS epochs: the offer-side skill document
+    # frequencies and corpus size. Both rare sets an epoch needs
+    # (affected-set math + the matcher's prefilter) derive from these
+    # tiny frames, so the per-epoch cost of the frequency side is
+    # |batch| + |distinct skills| instead of a corpus scan — document
+    # frequencies are purely additive over the (duplicate-guarded,
+    # disjoint) arrival batches, so the maintained frame is EXACTLY
+    # the recomputed one. Reset on restart: the first epoch after a
+    # (re)start derives state from the landed corpus once. The two
+    # ints are driver-side metadata-scale scalars (corpus row counts),
+    # deterministic.
+    state: dict[str, object] = {"freq": None, "n": None}
+
+    def _total(n: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(n).cast("long").alias("__n_offers"))
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -239,34 +258,67 @@ def stream_offer_arrivals(
             corpus_new = base.unionByName(
                 spark.read.option("basePath", offers_store)
                 .parquet(offers_store).drop("epoch"))
+
+            # frequency state: derive once after a (re)start, then
+            # roll additively; freq_new outlives the epoch, so it is
+            # NOT in track — it is freed when the NEXT roll replaces
+            # it (or on an error below)
+            if state["freq"] is None:
+                state["freq"] = offer_skill_freq(old).localCheckpoint(
+                    eager=True)
+                state["n"] = old.count()
+            freq_old, n_old = state["freq"], state["n"]
+            freq_new = (
+                freq_old.unionByName(offer_skill_freq(batch))
+                .groupBy("skill").agg(F.sum("count").alias("count"))
+                .localCheckpoint(eager=True)
+            )
+            n_new = n_old + batch.count()
+            rare_old = rare_skills_from_freq(freq_old, _total(n_old))
+            rare_new = rare_skills_from_freq(
+                freq_new, _total(n_new)).localCheckpoint(eager=True)
+            track.append(rare_new)
+
             cvs = _tiered_cvs(spark, sf)
-            affected, fresh, _newc = delta_serve_slice(
-                spark, sf, old, batch, cvs, track=track,
-                corpus_new=corpus_new)
-            fresh = fresh.localCheckpoint(eager=True)
-            track.append(fresh)
-            # TOMBSTONES: an affected candidate whose pool became
-            # EMPTY under the new corpus (a rare-status flip removed
-            # their only pairs) produces no fresh rows — without an
-            # explicit marker their STALE bootstrap rows would win
-            # the latest-epoch read (the batch API's anti-join merge
-            # drops them for free; a latest-wins store needs the
-            # marker). Land a null-rnk row per such candidate;
-            # read_current_recs filters them out after resolving the
-            # newest epoch.
-            tomb_src = (
-                affected.withColumnRenamed("cv_id", "candidate_id")
-                .join(fresh.select("candidate_id"), "candidate_id",
-                      "left_anti")
-            )
-            tomb = tomb_src.select(
-                "candidate_id",
-                *[F.lit(None).cast(f.dataType).alias(f.name)
-                  for f in fresh.schema.fields
-                  if f.name != "candidate_id"],
-            )
-            fresh.unionByName(tomb).write.mode("overwrite").parquet(
-                f"{out_root}/epoch={epoch_id}")
+            try:
+                affected, fresh, _newc = delta_serve_slice(
+                    spark, sf, old, batch, cvs, track=track,
+                    corpus_new=corpus_new,
+                    rare_old=rare_old, rare_new=rare_new)
+                fresh = fresh.localCheckpoint(eager=True)
+                track.append(fresh)
+                # TOMBSTONES: an affected candidate whose pool became
+                # EMPTY under the new corpus (a rare-status flip
+                # removed their only pairs) produces no fresh rows —
+                # without an explicit marker their STALE bootstrap
+                # rows would win the latest-epoch read (the batch
+                # API's anti-join merge drops them for free; a
+                # latest-wins store needs the marker). Land a
+                # null-rnk row per such candidate; read_current_recs
+                # filters them out after resolving the newest epoch.
+                tomb_src = (
+                    affected.withColumnRenamed("cv_id", "candidate_id")
+                    .join(fresh.select("candidate_id"), "candidate_id",
+                          "left_anti")
+                )
+                tomb = tomb_src.select(
+                    "candidate_id",
+                    *[F.lit(None).cast(f.dataType).alias(f.name)
+                      for f in fresh.schema.fields
+                      if f.name != "candidate_id"],
+                )
+                fresh.unionByName(tomb).write.mode("overwrite").parquet(
+                    f"{out_root}/epoch={epoch_id}")
+            except BaseException:
+                # the epoch failed: the rolled frequency frame must
+                # not leak (it was kept out of track to outlive a
+                # SUCCESSFUL epoch)
+                _free_checkpoints([freq_new])
+                raise
+            # epoch committed: roll the maintained state and free the
+            # superseded frequency frame
+            state["freq"], state["n"] = freq_new, n_new
+            _free_checkpoints([freq_old])
         finally:
             # free this epoch's checkpoints deterministically, scoped
             # to exactly what this epoch created

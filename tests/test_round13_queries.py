@@ -60,6 +60,56 @@ def test_delta_serve_equals_full_under_random_splits(spark):
         assert _rows(recs) == want, f"seed {seed} diverged from full"
 
 
+def test_matcher_injected_rare_set_equals_derived(spark):
+    """The rare-set injection contract (r13: a serving epoch computes
+    the rare set once and hands it to the matcher): passing the
+    self-derived set must reproduce the default path bit-for-bit —
+    candidate recall AND scores are defined by it."""
+    from bigdata_jobmatching_spark.operators import matching as M
+    from bigdata_jobmatching_spark.plans.domain_queries import (
+        _PREFILTER_DF_FRAC,
+        _PREFILTER_DF_MIN,
+        _rare_skills,
+        _tiered_cvs,
+        _tiered_offers,
+    )
+
+    offers = _tiered_offers(spark, SF).localCheckpoint(eager=True)
+    cvs = _tiered_cvs(spark, SF)
+    kw = dict(max_skill_df=_PREFILTER_DF_MIN,
+              max_skill_df_frac=_PREFILTER_DF_FRAC)
+    default = M.match_offers_cvs_prefiltered(offers, cvs, **kw)
+    injected = M.match_offers_cvs_prefiltered(
+        offers, cvs, **kw, rare_skills=_rare_skills(offers))
+    cols = sorted(default.columns)
+    a = sorted(tuple(r) for r in default.select(*cols).collect())
+    b = sorted(tuple(r) for r in injected.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
+def test_maintained_freq_roll_is_exact(spark):
+    """The stream's additive frequency roll: freq(old) ∪ freq(batch)
+    summed by skill must equal freq(old ∪ batch) exactly (batches are
+    duplicate-guarded disjoint, so document frequencies are purely
+    additive)."""
+    from bigdata_jobmatching_spark.plans.domain_queries import (
+        _tiered_offers,
+        offer_skill_freq,
+    )
+
+    full = _tiered_offers(spark, SF).localCheckpoint(eager=True)
+    old = full.filter(F.col("job_id") % 5 != 2)
+    batch = full.filter(F.col("job_id") % 5 == 2)
+    rolled = (
+        offer_skill_freq(old).unionByName(offer_skill_freq(batch))
+        .groupBy("skill").agg(F.sum("count").alias("count"))
+    )
+    derived = offer_skill_freq(old.unionByName(batch))
+    a = sorted((r.skill, r[1]) for r in rolled.collect())
+    b = sorted((r.skill, r[1]) for r in derived.collect())
+    assert a == b and len(a) > 0
+
+
 def test_affected_set_is_sound_not_vacuous(spark):
     """The affected set must (a) actually shrink the re-serve (not
     'everyone', or the delta-serve is a full recompute in disguise)
