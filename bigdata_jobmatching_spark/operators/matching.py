@@ -161,6 +161,7 @@ def match_offers_cvs_prefiltered(
     max_skill_df: int | None = None,
     max_skill_df_frac: float | None = None,
     rare_skills: DataFrame | None = None,
+    partition_pairs_by: str | None = None,
 ) -> DataFrame:
     """Rare-token candidate pruning (round-7 verdict task #4): generate
     candidate pairs ONLY through skills whose offer-side document
@@ -197,6 +198,18 @@ def match_offers_cvs_prefiltered(
     frequency aggregate is skipped. CONTRACT: it must equal the set
     this function would derive itself — recall and scores are defined
     by it (pinned by test_operators' injected-vs-derived equality).
+
+    ``partition_pairs_by`` ("job_id" or "cv_id"): hash-partition the
+    candidate pairs by that single key BEFORE the pair dedup instead
+    of letting the dedup exchange on the composite (job_id, cv_id)
+    key. The dedup is identical (hash partitioning on a subset of the
+    grouping key satisfies the aggregate's clustering requirement),
+    but the output now carries a single-key partitioning that a
+    downstream per-key window (the serving pipeline's per-candidate
+    pool cut) reuses — one exchange where the default shape pays two.
+    Trade: the pair shuffle loses map-side dedup (duplicates from
+    multi-rare-skill pairs travel), which is a few percent of the
+    tiny 2-long rows; identical rows out either way.
     """
     norm_skills = F.array_distinct(F.transform(
         F.coalesce(F.col("skills"), F.array()), lambda s: F.lower(F.trim(s))))
@@ -232,8 +245,10 @@ def match_offers_cvs_prefiltered(
         o_sk.join(F.broadcast(rare.select("skill")), "skill")
         .join(c_sk, "skill")
         .select("job_id", "cv_id")
-        .distinct()
     )
+    if partition_pairs_by is not None:
+        cand = cand.repartition(partition_pairs_by)
+    cand = cand.distinct()
 
     # exact scoring on survivors: n_shared over the FULL skill sets
     o_dim = offers.select(

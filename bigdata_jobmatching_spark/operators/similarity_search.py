@@ -718,13 +718,31 @@ def mmr_greedy(
 
     F_ = F
     lam_rel, lam_div = lam
+    # ONE exchange, not two + a sort-merge join: tag-union the pool and
+    # sims rows and collect both lists in a single groupBy —
+    # collect_list skips nulls, so each side's rows land only in its
+    # own list. Equivalence to the old two-groupBy + left-join shape:
+    # sims query_ids are a subset of pool query_ids by construction in
+    # every caller (sims rows are pool self-join pairs), and a query
+    # with no sims rows gets an EMPTY sitems list here where the left
+    # join gave NULL — greedy_all treats both as "no sims". Plan
+    # effect (r14): Exchange x2 + Sort x2 + SortMergeJoin -> 1 Exchange.
+    p_type = pool_df.select(
+        F_.struct("vec_id_", "rel").alias("p")).schema[0].dataType
+    s_type = sims.select(
+        F_.struct("a", "b", "sim").alias("s")).schema[0].dataType
     packed = (
-        pool_df.groupBy("query_id")
-        .agg(F_.collect_list(F_.struct("vec_id_", "rel")).alias("pitems"))
-        .join(
-            sims.groupBy("query_id").agg(
-                F_.collect_list(F_.struct("a", "b", "sim")).alias("sitems")),
-            "query_id", "left")
+        pool_df.select(
+            "query_id",
+            F_.struct("vec_id_", "rel").alias("p"),
+            F_.lit(None).cast(s_type).alias("s"))
+        .unionByName(sims.select(
+            "query_id",
+            F_.lit(None).cast(p_type).alias("p"),
+            F_.struct("a", "b", "sim").alias("s")))
+        .groupBy("query_id")
+        .agg(F_.collect_list("p").alias("pitems"),
+             F_.collect_list("s").alias("sitems"))
     )
 
     def greedy_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -809,6 +809,9 @@ def candidate_recs_for(
         max_skill_df=_PREFILTER_DF_MIN,
         max_skill_df_frac=_PREFILTER_DF_FRAC,
         rare_skills=rare_skills,
+        # pair dedup partitions by the candidate key so the pool
+        # window below reuses that exchange instead of adding its own
+        partition_pairs_by="cv_id",
     )
     rel = m.select(
         F.col("candidate_id").alias("query_id"),
