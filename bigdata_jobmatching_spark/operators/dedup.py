@@ -281,15 +281,26 @@ def levenshtein_pairs(
     over = sizes.filter(F.col("__bn") > max_block).select("bk")
     b = b.join(F.broadcast(over), "bk", "left_anti")
 
+    # The a-side anti-joins on its OWN block key BEFORE exploding into
+    # neighbor buckets (see cap-symmetry note above). Keying that join
+    # on the same "bk" name and the same `over` subtree as the b-side
+    # lets ReuseExchange share one broadcast of `over` (and one
+    # evaluation of the sizes aggregate) across both joins; the
+    # explode happens after, on the surviving rows only.
+    a_ln = F.length(F.col("text_a"))
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
-        F.concat_ws("#", token, own.cast("string")).alias("__own_bk"),
-        F.explode(F.sequence(lo, hi)).alias("__lb"),
         token.alias("__tok"),
-    ).join(
-        F.broadcast(over.withColumnRenamed("bk", "__own_bk")),
-        "__own_bk", "left_anti",
+        F.concat_ws("#", token, own.cast("string")).alias("bk"),
+    ).join(F.broadcast(over), "bk", "left_anti").select(
+        "id_a", "text_a", "__tok",
+        F.explode(
+            F.sequence(
+                F.floor((a_ln - max_distance) / length_bucket),
+                F.floor((a_ln + max_distance) / length_bucket),
+            )
+        ).alias("__lb"),
     ).select(
         "id_a", "text_a",
         F.concat_ws("#", F.col("__tok"), F.col("__lb").cast("string")).alias("bk"),

@@ -460,6 +460,39 @@ _DRIVER_VERIFIED_R12: frozenset[str] = frozenset(
     }
 )
 
+_DRIVER_VERIFIED_R13: frozenset[str] = frozenset(
+    {
+        # hash-green rows of CORRECTNESS_r13.json (50/50 — second
+        # consecutive fully-clean gate: 7 unproven new/reopened faces
+        # + 13 r07-age + 30 r08-age re-proofs).
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_exact",
+        "ann_lsh_topk", "benchmark_decontamination",
+        "blocking_recall_audit", "bm25_topk",
+        "candidate_recs_offer_arrivals", "copurchase_triangles",
+        "corpus_stage_counts", "customer_rfm_scores",
+        "customer_spend_percentiles", "customers_inactive_1998",
+        "doc_pii_scrub", "doc_sequence_packing",
+        "doc_train_val_split", "embedding_centroids",
+        "embedding_dim_stats", "embedding_norm_stats",
+        "events_daily_deltas", "events_retention_cohorts",
+        "events_running_value", "events_sliding_hour_value",
+        "events_user_type_cube", "image_header_dims",
+        "important_stock_shares", "interlaced_gif_pixel_stats",
+        "job_cv_matching_capped", "job_cv_matching_prefiltered",
+        "kmv_distinct_estimate", "large_volume_customers",
+        "lowbit_png_pixel_stats", "lzw_tiff_pixel_stats",
+        "media_header_meta", "nb_token_label_stats",
+        "order_price_deciles", "order_priority_check",
+        "order_priority_mix", "part_size_rollup",
+        "priority_rate_by_price_decile", "promo_revenue_share",
+        "q1_pricing_summary", "q3_top_unshipped",
+        "q5_region_revenue", "rrf_hybrid_fusion",
+        "source_vocab_jaccard", "substring_family_census_hybrid",
+        "token_simpson_diversity", "vocab_coverage_curve",
+        "zonemap_pruning_audit",
+    }
+)
+
 # Semantics note (round-5 verdict nit #3): membership in a
 # _DRIVER_VERIFIED_R0N set means "the driver's round-N gate sampled the
 # query and it did not fail". For ORACLED queries that is the strong
@@ -487,6 +520,7 @@ _PROOF_ROUNDS: tuple[tuple[int, frozenset[str]], ...] = (
     (10, _DRIVER_VERIFIED_R10),
     (11, _DRIVER_VERIFIED_R11),
     (12, _DRIVER_VERIFIED_R12),
+    (13, _DRIVER_VERIFIED_R13),
 )
 
 _DRIVER_VERIFIED: frozenset[str] = frozenset().union(

@@ -279,12 +279,29 @@ register(QuerySpec(
 # near-identical names, identically on both engines).
 
 def _fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # One scan instead of a two-branch Union: each part row explodes
+    # into itself plus (for every 5th key) its planted typo twin.
+    # The Union formulation made the optimizer push the operator's
+    # oversized-block anti-join into BOTH branches, duplicating the
+    # whole cap-aggregate subtree per consumer (10 scans of `part` in
+    # the r13 plan; 3 after this rewrite + the operator's shared-
+    # broadcast fix). Same rows, same oracle.
     p = fan_out(load_table(spark, sf, "part")).select("p_partkey", "p_name")
-    twins = p.filter(F.col("p_partkey") % 5 == 0).select(
-        (F.col("p_partkey") + 1_000_000).alias("p_partkey"),
-        F.concat(F.col("p_name"), F.lit("aa")).alias("p_name"),
+    self_row = F.struct(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
     )
-    corpus = p.unionByName(twins)
+    twin_row = F.struct(
+        (F.col("p_partkey") + 1_000_000).alias("id"),
+        F.concat(F.col("p_name"), F.lit("aa")).alias("name"),
+    )
+    corpus = p.select(
+        F.explode(
+            F.when(F.col("p_partkey") % 5 == 0, F.array(self_row, twin_row))
+            .otherwise(F.array(self_row))
+        ).alias("__r")
+    ).select(
+        F.col("__r.id").alias("p_partkey"), F.col("__r.name").alias("p_name")
+    )
     return D.levenshtein_pairs(corpus, "p_partkey", "p_name", max_distance=3)
 
 

@@ -42,14 +42,27 @@ def _orders_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.struct(F.lit(name).alias("col_name"), F.expr(spark_expr).alias("v"))
         for name, spark_expr, _ in _ORDERS_COLS
     ])
+    # Two-level aggregation (r14, guide §2.5): a direct
+    # groupBy(col_name) + countDistinct shuffles every (column, value)
+    # pair into |columns| = 6 reduce groups — parallelism 6 whatever
+    # the cluster. Aggregating at (col_name, v) grain first spreads
+    # the big shuffle over the full value space (and partial
+    # aggregation dedups map-side); the fold to col_name grain then
+    # moves one row per distinct value. Identical results: n_rows is
+    # the sum of value counts, n_null the null group's count,
+    # n_distinct the number of non-null value groups, min/max ignore
+    # nulls in both shapes.
     return (
         o.select(F.explode(pairs).alias("cv"))
         .select("cv.col_name", "cv.v")
+        .groupBy("col_name", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("col_name")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-            F.countDistinct("v").alias("n_distinct"),
+            F.sum("c").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), F.col("c")).otherwise(0))
+            .alias("n_null"),
+            F.count("v").alias("n_distinct"),
             F.min("v").alias("min_str"),
             F.max("v").alias("max_str"),
         )

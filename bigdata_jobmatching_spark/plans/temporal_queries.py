@@ -181,6 +181,10 @@ _M_IDX = (
 def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    # The joined interval frame feeds BOTH delta branches (line grain
+    # + order grain); without the checkpoint each branch re-runs the
+    # lineitem x orders join and both scans (r14: 2 joins + 4 scans ->
+    # 1 join + 2 scans; the materialized frame is three ints per line).
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -188,6 +192,7 @@ def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(_M_IDX.format(c="o_orderdate")).alias("s_idx"),
             F.expr(_M_IDX.format(c="l_shipdate")).alias("e_idx"),
         )
+        .localCheckpoint(eager=False)
     )
 
     def deltas(df: DataFrame, col: str) -> DataFrame:

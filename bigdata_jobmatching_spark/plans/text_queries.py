@@ -1603,6 +1603,13 @@ register(QuerySpec(
 # doc grain.
 
 def _doc_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    # r14 examined, left as-is: a (doc_id, tok, c) pre-aggregation
+    # that tokenizes once was measured 1.56 -> 1.63 s at sf0.1 — the
+    # extra full-width (doc, tok) exchange it needs costs exactly what
+    # the saved second tokenize buys. This shape's shuffles are
+    # already minimal: the LM aggregate and the per-doc aggregate are
+    # both map-side combinable, so only vocabulary-sized and
+    # doc-count-sized rows ever cross the wire.
     d = fan_out(load_table(spark, sf, "documents"))
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))

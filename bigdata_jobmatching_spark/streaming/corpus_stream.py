@@ -38,6 +38,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
+
+def benign_analysis_error(
+    exc: AnalysisException, benign: tuple[str, ...]
+) -> bool:
+    """True when ``exc`` carries one of the ``benign`` error
+    conditions. Prefers the structured accessors — Spark 4's
+    ``getCondition()`` first, then the legacy ``getErrorClass()``
+    (probed only when getCondition is absent, so PySpark 4 never
+    emits the deprecation FutureWarning) — and falls back to a
+    substring scan only when no structured condition is attached
+    (r13 advice)."""
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(exc, attr, None)
+        if callable(get):
+            cls = get()
+            if cls is not None:
+                return cls in benign
+            break  # structured API present, no condition: substring probe
+    return any(code in str(exc) for code in benign)
+
 from .. import orchestrate_corpus as OC
 
 
@@ -334,17 +354,13 @@ def stream_fingerprint_assets(
             )
             keys = keys.join(seen, "p_partkey", "left_anti")
         except AnalysisException as exc:
-            benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-            # Compare the structured error class when the API exists
-            # (message formats vary across PySpark versions; a
+            # Compare the structured error condition when the API
+            # exists (message formats vary across PySpark versions; a
             # substring probe could misread them), falling back to the
-            # substring check only when it doesn't (r12 advice).
-            get_cls = getattr(exc, "getErrorClass", None)
-            cls = get_cls() if callable(get_cls) else None
-            if cls is not None:
-                if cls not in benign:
-                    raise  # real failure: do NOT land duplicates silently
-            elif not any(code in str(exc) for code in benign):
+            # substring check only when it doesn't (r12/r13 advice).
+            if not benign_analysis_error(
+                exc, ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            ):
                 raise  # real failure: do NOT land duplicates silently
         sigs = keys.mapInPandas(batches, schema)
         sigs.write.mode("overwrite").parquet(f"{out_root}/epoch={epoch_id}")

@@ -43,6 +43,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
+from .corpus_stream import benign_analysis_error
+
 
 def _persistent_rdd_ids(spark: SparkSession) -> dict[int, object]:
     """{rdd id: java rdd} for every block-manager-resident RDD —
@@ -219,15 +221,11 @@ def stream_offer_arrivals(
                 old = base.unionByName(landed)
             except AnalysisException as exc:
                 # first epoch: nothing landed yet (same benign-class
-                # probe as the corpus stream — structured error class
-                # first, substring fallback for older PySpark)
-                benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-                get_cls = getattr(exc, "getErrorClass", None)
-                cls = get_cls() if callable(get_cls) else None
-                if cls is not None:
-                    if cls not in benign:
-                        raise
-                elif not any(code in str(exc) for code in benign):
+                # probe as the corpus stream — getCondition first,
+                # legacy getErrorClass, then substring fallback)
+                if not benign_analysis_error(
+                    exc, ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+                ):
                     raise
                 old = base
             # DUPLICATE-DELIVERY GUARD: offers are immutable postings,
@@ -319,6 +317,20 @@ def stream_offer_arrivals(
             # superseded frequency frame
             state["freq"], state["n"] = freq_new, n_new
             _free_checkpoints([freq_old])
+        except BaseException:
+            # a foreachBatch exception fails the QUERY terminally —
+            # nothing outlives it, so free the stream-lifetime frames
+            # deterministically too (r13 advice: the maintained
+            # frequency frame and the base-corpus checkpoint otherwise
+            # stay persisted until session end; a restart re-derives
+            # state from the landed corpus). unpersist is idempotent,
+            # so overlap with the inner freq_new handler is harmless.
+            frames = [base]
+            if state["freq"] is not None:
+                frames.append(state["freq"])
+            state["freq"], state["n"] = None, None
+            _free_checkpoints(frames)
+            raise
         finally:
             # free this epoch's checkpoints deterministically, scoped
             # to exactly what this epoch created

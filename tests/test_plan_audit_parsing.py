@@ -104,6 +104,26 @@ def test_sibling_limit_does_not_bless():
     assert unbounded_global_windows(SIBLING_LIMIT) == 1
 
 
+# r13 advice: a Limit inside ONE BRANCH of a join below the window's
+# gather does not bound the join's output (the other branch is
+# data-proportional) — the spine scan must stop at the `:-` branch
+# boundary instead of letting the branch Limit bless the window
+BRANCH_LIMIT = """AdaptiveSparkPlan isFinalPlan=false
++- Window [ntile(4) windowspecdefinition(v#3 ASC NULLS FIRST) AS b#9], [v#3 ASC NULLS FIRST]
+   +- Sort [v#3 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=11]
+         +- BroadcastHashJoin [k#1], [k#2], Inner, BuildLeft, false
+            :- BroadcastExchange HashedRelationBroadcastMode(List(k#2))
+            :  +- GlobalLimit 5, 0
+            :     +- FileScan parquet [k#2]
+            +- FileScan parquet [k#1,v#3]
+"""
+
+
+def test_branch_limit_does_not_bless():
+    assert unbounded_global_windows(BRANCH_LIMIT) == 1
+
+
 DUP_EXCHANGES = """AdaptiveSparkPlan isFinalPlan=false
 +- SortMergeJoin [k#1], [k#45], Inner
    :- Sort [k#1 ASC NULLS FIRST], false, 0

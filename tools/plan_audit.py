@@ -87,13 +87,17 @@ def unbounded_global_windows(plan: str) -> int:
     single partition — the shape that becomes one task's sort of a
     data-proportional frame at scale.
 
-    For each `Window [...]` line, walk its subtree: if the first
-    Exchange encountered is `Exchange SinglePartition` and no bounding
-    node (Global/Local/CollectLimit, WindowGroupLimit,
-    TakeOrderedAndProject) appears in the subtree prefix up to the
-    SECOND exchange (a `.limit(n)` lands its GlobalLimit just below the
+    For each `Window [...]` line, walk the straight SPINE below it: if
+    the first Exchange encountered is `Exchange SinglePartition` and no
+    bounding node (Global/Local/CollectLimit, WindowGroupLimit,
+    TakeOrderedAndProject) appears on the spine up to the SECOND
+    exchange (a `.limit(n)` lands its GlobalLimit just below the
     window's own gather), the window is an unbounded global window.
-    WindowGroupLimit lines themselves are not windows."""
+    WindowGroupLimit lines themselves are not windows. The scan STOPS
+    at the first branch boundary (a `:-` connector: a binary node —
+    join/union — forks below): a Limit inside one branch of a join
+    does not bound the join's output, so it must not bless the window
+    (r13 advice — the subtree-wide scan was a false-negative hole)."""
     lines = plan.splitlines()
     n_bad = 0
     for i, line in enumerate(lines):
@@ -107,6 +111,10 @@ def unbounded_global_windows(plan: str) -> int:
             if _node_depth(lines[j]) <= d:
                 break
             lj = lines[j]
+            if re.search(r":-\s", lj):
+                # a binary node branches here — the spine ends; bound
+                # nodes inside a branch do not bound the window input
+                break
             if any(b in lj for b in _BOUND_NODES):
                 bounded = True
                 break
