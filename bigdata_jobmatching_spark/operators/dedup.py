@@ -51,7 +51,9 @@ def blocking_key(title: Column, company: Column, location: Column) -> Column:
     return F.concat_ws("|", t3, c2, l1)
 
 
-def pairwise_candidates(df: DataFrame, block_col: str, id_col: str, payload_cols: list[str]) -> DataFrame:
+def pairwise_candidates(df: DataFrame, block_col: str, id_col: str,
+                        payload_cols: list[str],
+                        prefilter: Column | None = None) -> DataFrame:
     """Self-join within blocking groups: the idiomatic replacement for
     the reference's groupBy+collect_list+O(n²)-UDF+explode pattern
     (deduplicate.py:207-281). ``id_a < id_b`` keeps each unordered
@@ -65,7 +67,15 @@ def pairwise_candidates(df: DataFrame, block_col: str, id_col: str, payload_cols
     query). The exchange computes them once per row and ships bytes;
     both join sides read the SAME shuffle (ReuseExchange dedups the
     identical subplans), which is also the co-partitioned self-join
-    shape a 100 TB block join wants."""
+    shape a 100 TB block join wants.
+
+    ``prefilter`` (over columns suffixed _a/_b) is ANDed into the id
+    ordering condition rather than applied as a later .filter(): a
+    separate filter gets pushed into the join condition AHEAD of the
+    ``id_a < id_b`` conjunct (observed on Spark 4.1), which makes any
+    expensive predicate merged with it evaluate on BOTH orientations
+    of every pair; anchoring cheap prune conditions here keeps the
+    conjunct order cheap-first."""
     df = df.repartition(F.col(block_col))
     left = df.select(
         F.col(block_col),
@@ -77,7 +87,10 @@ def pairwise_candidates(df: DataFrame, block_col: str, id_col: str, payload_cols
         F.col(id_col).alias(f"{id_col}_b"),
         *[F.col(c).alias(f"{c}_b") for c in payload_cols],
     )
-    return left.join(right, block_col).filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    cond = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    if prefilter is not None:
+        cond = cond & prefilter
+    return left.join(right, block_col).filter(cond)
 
 
 def keep_best(df: DataFrame, dup_pairs: DataFrame, id_col: str, order_cols: list[Column]) -> DataFrame:
@@ -128,27 +141,59 @@ def minhash_lsh_pairs(
     shingle -> minhash signature -> band keys -> explode -> equi-join
     on band key -> exact shingle-Jaccard verify on the candidate set.
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+
+    The candidate join and its distinct run on BARE ids: shingle
+    arrays are heavy payloads, and dragging them through the band
+    join + pair-dedup exchange ships every array once per band
+    collision instead of once per doc (the guide's decide-with-small-
+    rows/move-big-rows-once rule). The shingle+signature chain is
+    materialized once (four consumers otherwise re-run the
+    tokenize->shingle->hash chain) and the verify joins attach each
+    side's shingles exactly once, after the distinct.
     """
     rows = num_hashes // num_bands
-    sh = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        S.word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", S.minhash_signature(F.col("shingles"), num_hashes))
-    banded = sig.select(
-        id_col, "shingles",
+    base = (
+        fan_out(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            S.word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", S.minhash_signature(F.col("shingles"), num_hashes))
+        .localCheckpoint(eager=False)
+    )
+    banded = base.select(
+        id_col,
         F.explode(S.minhash_bands(F.col("sig"), num_bands, rows)).alias("band"),
     )
-    a = banded.select(F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = banded.select(F.col("band"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = banded.select(F.col("band"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sh = base.select(id_col, "shingles", F.size("shingles").alias("nsh"))
     return (
-        cand.withColumn("jaccard", S.jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand
+        .join(sh.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"),
+                        F.col("nsh").alias("nsh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"),
+                        F.col("nsh").alias("nsh_b")), "id_b")
+        # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+        # (shingle arrays are distinct, so size() IS the set size), so
+        # J >= t implies min >= t*max. The 1e-9 slack only ever keeps
+        # extra candidates (the exact filter below still applies), so
+        # results are provably unchanged while the expensive
+        # intersect/union is skipped for pairs that cannot qualify.
+        .filter(
+            F.least("nsh_a", "nsh_b").cast("double")
+            >= F.lit(jaccard_threshold - 1e-9) * F.greatest("nsh_a", "nsh_b")
+        )
+        .withColumn("jaccard", S.jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -997,6 +1042,12 @@ def semantic_dedup_pairs(
         .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("dot"))
     )
     dec = lambda c: F_.col(c).cast("decimal(38,0)")  # noqa: E731
+    # NOTE (r14): collapsing these four per-vector broadcast joins to
+    # two via a pre-joined (n2, seed_dist) side frame was measured
+    # SLOWER at sf1 (11.5 -> 12.4 s interleaved): the norms x asg
+    # pre-join costs more than the two saved probe passes over the
+    # pair stream, because the tau filter already prunes pairs before
+    # the da/db joins. Kept as-is deliberately.
     pairs = (
         dots
         .join(F_.broadcast(norms.select(F_.col("__id").alias("id_a"),

@@ -76,11 +76,21 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
         .withColumn("tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
-        .select("blk", "doc_id", "tokset")
+        # exact SET size of the hashed tokset (collision-proof), once
+        # per doc at the pairwise barrier: J >= 0.8 forces the smaller
+        # set to hold >= 4/5 of the larger (J <= min/max), so the
+        # integer prefilter below skips the expensive intersect/union
+        # for the bulk of in-block pairs without changing any result.
+        .withColumn("nts", F.size(F.array_distinct("tokset")))
+        .select("blk", "doc_id", "tokset", "nts")
     )
-    pairs = D.pairwise_candidates(d, "blk", "doc_id", ["tokset"])
+    pairs = D.pairwise_candidates(
+        d, "blk", "doc_id", ["tokset", "nts"],
+        prefilter=F.least("nts_a", "nts_b") * 5 >= F.greatest("nts_a", "nts_b") * 4,
+    )
     return (
-        pairs.withColumn("jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b")))
+        pairs
+        .withColumn("jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b")))
         .filter(F.col("jaccard") >= 0.8)
         .select(
             F.col("doc_id_a").alias("id_a"),
@@ -109,18 +119,35 @@ register(QuerySpec(
 
 # --- docs_dedup_keep_best: full pipeline pairs -> groups -> survivors -----
 
-def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
+def _block_dup_frames(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(d, dup_pairs): the fanned-out corpus with block/tokset columns
+    and its >=0.9-Jaccard in-block duplicate pairs — shared by
+    keep_best and cluster_sizes.
+
+    The integer size prefilter is lossless: J <= min/max over exact
+    SET sizes (array_distinct guards the cosmic hash-collision case),
+    so J >= 0.9 forces 10*min >= 9*max; pruned pairs could never pass
+    the jaccard filter, but skip its per-pair intersect/union.
+    """
     d = (
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
         .withColumn("tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
+        .withColumn("nts", F.size(F.array_distinct("tokset")))
     )
     cand = D.pairwise_candidates(
-        d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
+        d.select("blk", "doc_id", "tokset", "nts"), "blk", "doc_id",
+        ["tokset", "nts"],
+        prefilter=F.least("nts_a", "nts_b") * 10 >= F.greatest("nts_a", "nts_b") * 9,
     )
     dup_pairs = cand.withColumn(
         "jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b"))
     ).filter(F.col("jaccard") >= 0.9)
+    return d, dup_pairs
+
+
+def _keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    d, dup_pairs = _block_dup_frames(spark, sf)
     kept = D.keep_best(
         d.select("doc_id", "n_chars"), dup_pairs, "doc_id",
         [F.desc("n_chars"), F.asc("doc_id")],
@@ -184,11 +211,18 @@ def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
         fan_out(load_table(spark, sf, "documents"))
         .withColumn("blk", F.concat_ws("|", "lang", "source"))
         .withColumn("sh", S.word_ngrams(F.col("text"), 3))
-        .select("blk", "doc_id", "sh")
+        # word_ngrams is distinct, so size(sh) is the exact shingle-set
+        # size; J >= 0.18 = 9/50 forces 50*min >= 9*max (J <= min/max).
+        .withColumn("nsh", F.size("sh"))
+        .select("blk", "doc_id", "sh", "nsh")
     )
-    pairs = D.pairwise_candidates(d, "blk", "doc_id", ["sh"])
+    pairs = D.pairwise_candidates(
+        d, "blk", "doc_id", ["sh", "nsh"],
+        prefilter=F.least("nsh_a", "nsh_b") * 50 >= F.greatest("nsh_a", "nsh_b") * 9,
+    )
     return (
-        pairs.withColumn("jaccard", S.jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs
+        .withColumn("jaccard", S.jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= 0.18)
         .select(
             F.col("doc_id_a").alias("id_a"),
@@ -359,7 +393,9 @@ def _mmh_base(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.array_distinct(S.word_ngrams(F.col("text"), 3)).alias("ts"),
+            # word_ngrams already returns DISTINCT shingles; no second
+            # array_distinct pass (r14: redundant O(n) per row removed)
+            S.word_ngrams(F.col("text"), 3).alias("ts"),
         )
         .filter(F.size("ts") > 0)
         .withColumn("sig", S.md5_minhash_signature(F.col("ts"), _MMH_HASHES))
@@ -392,10 +428,18 @@ def _mmh_bands(base: DataFrame) -> DataFrame:
 
 def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     base, cand = _mmh_base_and_candidates(spark, sf)
-    ts = base.select("doc_id", "ts")
+    ts = base.select("doc_id", "ts", F.size("ts").alias("nts"))
     return (
-        cand.join(ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
-        .join(ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        cand.join(ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"),
+                            F.col("nts").alias("nts_a")), "id_a")
+        .join(ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"),
+                        F.col("nts").alias("nts_b")), "id_b")
+        # lossless size prefilter (ts is distinct, so size() is the set
+        # size): round(J,6) >= 0.8 needs J >= 0.7999995, and J <=
+        # min/max, so min < 0.799999*max can never qualify — the
+        # slackened constant absorbs the 6-dp rounding of the verify.
+        .filter(F.least("nts_a", "nts_b") * F.lit(1000000)
+                >= F.greatest("nts_a", "nts_b") * F.lit(799999))
         .withColumn("jaccard", F.round(S.jaccard(F.col("ts_a"), F.col("ts_b")), 6))
         .filter(F.col("jaccard") >= _MMH_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
@@ -580,17 +624,7 @@ register(QuerySpec(
 def _cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    d = (
-        fan_out(load_table(spark, sf, "documents"))
-        .withColumn("blk", F.concat_ws("|", "lang", "source"))
-        .withColumn("tokset", _hashed(F.array_distinct(X.tokens(F.col("text")))))
-    )
-    cand = D.pairwise_candidates(
-        d.select("blk", "doc_id", "tokset"), "blk", "doc_id", ["tokset"]
-    )
-    dup_pairs = cand.withColumn(
-        "jaccard", S.jaccard(F.col("tokset_a"), F.col("tokset_b"))
-    ).filter(F.col("jaccard") >= 0.9)
+    d, dup_pairs = _block_dup_frames(spark, sf)
     comp = connected_components(
         dup_pairs.select(F.col("doc_id_a").alias("m"), F.col("doc_id_b").alias("n"))
     )

@@ -400,14 +400,20 @@ def _rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf")
     ).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    vocab = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    qterms = (
+    top3 = (
         tf.filter(F.col("doc_id") == 0)
         .withColumn("qrn", F.row_number().over(
             Window.orderBy(F.desc("tf"), F.asc("w"))))
         .filter(F.col("qrn") <= 3)
-        .join(vocab, "w")
-        .select("w", "df")
+        .select("w")
+    )
+    # document frequency counted ONLY for the 3 query terms (was a
+    # full-vocabulary groupBy(w) whose other ~|V| rows were thrown
+    # away at the 3-term join — guide §1.2: don't compute what you
+    # discard; the semi-joined count is identical for those terms)
+    qterms = (
+        tf.join(F.broadcast(top3), "w")
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     scalars = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
