@@ -95,14 +95,22 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    # per-repeat context (r13 verdict task #6 / r14 task #7): every
+    # repeat records (wall, loadavg_1m at completion) so a cross-round
+    # reader can tell whether a query's min was taken under ambient
+    # load — additions-only; the driver parses `queries`/`value`.
+    repeat_log: dict[str, list[list[float]]] = {}
     for name, spec in bench_specs.items():
         best = None
+        reps: list[list[float]] = []
         for _ in range(max(1, repeats)):
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            reps.append([round(dt, 3), round(os.getloadavg()[0], 2)])
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        repeat_log[name] = reps
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
@@ -119,6 +127,8 @@ def main() -> None:
             "os_cpus": os.cpu_count(),
             "loadavg_1m_start": round(load_start[0], 2),
             "loadavg_1m_end": round(load_end[0], 2),
+            # [wall_sec, loadavg_1m_after] per repeat, per query
+            "repeats_detail": repeat_log,
         },
     }))
     spark.stop()

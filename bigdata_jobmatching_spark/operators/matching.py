@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism
+
 EXPERIENCE_ORDER = {"Débutant": 0, "Intermédiaire": 1, "Senior": 2}
 
 W_SKILLS, W_LOCATION, W_SALARY, W_EXPERIENCE = 0.4, 0.2, 0.2, 0.2
@@ -69,9 +71,20 @@ def match_offers_cvs(
             freq = freq.filter(F.col("count") <= max_skill_df)
         o_sk = o_sk.join(F.broadcast(freq.select("skill")), "skill")
 
-    # inverted-index join: candidate pairs = share >= 1 skill
+    # inverted-index join: candidate pairs = share >= 1 skill.
+    # Hash-partition the offer-side skill stream by job_id BEFORE the
+    # broadcast join: the join preserves the streamed side's
+    # partitioning, and hash partitioning on a subset of the grouping
+    # keys satisfies the pair aggregate's clustering requirement — so
+    # the exchange moves the slim per-offer skill stream (|offers| x
+    # skills-per-offer rows) instead of the candidate-pair fan-out
+    # (orders of magnitude more rows when pair density is high).
+    # Partition count is pinned (AQE would coalesce the tiny skill
+    # exchange to 1 partition and serialize the whole pair aggregate);
+    # default_parallelism() is env-parameterised like fan_out.
     shared = (
-        o_sk.join(c_sk, "skill")
+        o_sk.repartition(default_parallelism(), "job_id")
+        .join(c_sk, "skill")
         .groupBy("job_id", "cv_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

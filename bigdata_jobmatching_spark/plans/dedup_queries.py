@@ -438,8 +438,10 @@ def _minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
         # size): round(J,6) >= 0.8 needs J >= 0.7999995, and J <=
         # min/max, so min < 0.799999*max can never qualify — the
         # slackened constant absorbs the 6-dp rounding of the verify.
-        .filter(F.least("nts_a", "nts_b") * F.lit(1000000)
-                >= F.greatest("nts_a", "nts_b") * F.lit(799999))
+        # cast to long first: size() is int, and int * 1000000 overflows
+        # under ANSI mode for docs with >= 2148 distinct shingles
+        .filter(F.least("nts_a", "nts_b").cast("long") * F.lit(1000000)
+                >= F.greatest("nts_a", "nts_b").cast("long") * F.lit(799999))
         .withColumn("jaccard", F.round(S.jaccard(F.col("ts_a"), F.col("ts_b")), 6))
         .filter(F.col("jaccard") >= _MMH_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
