@@ -754,7 +754,15 @@ def _sd_quantize(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Micro-quantized long form (__id, j, q) — q = floor(x * 1e6),
     one IEEE multiply + floor, identical on any engine. Shared by the
     within-corpus and cross-corpus semantic paths; eagerly cut because
-    every consumer fans out into several branches."""
+    every consumer fans out into several branches.
+
+    NOTE (r15): a hash repartition by __id before the cut (to
+    parallelize the single-row-group local scan) was measured and
+    reverted — at the bench corpus (2k vectors, 128k long-form rows)
+    the exchange costs more than the parallelism buys (0.69 -> 0.87 s
+    warm on the sign-bit stage). At real scale the scan arrives
+    already split; the right lever there is input splits, not an
+    extra exchange."""
     return vecs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(vec_col).alias("j", "x"),
@@ -1024,22 +1032,36 @@ def semantic_dedup_pairs(
     local tier; at 10^9-vector scale drop the hints and the same
     plan becomes shuffle joins on the pair keys.
     """
+    from ..session import default_parallelism
+
     F_ = F
     tau_num, tau_den = tau_sq
     blocks = parts if parts is not None else semantic_blocks(
         vecs, id_col, vec_col, n_seeds, sub_target, sig_bits_max)
     v, asg, norms = blocks.v, blocks.asg, blocks.norms
-    a = v.select("cluster", "sig", F_.col("__id").alias("id_a"), "j",
-                 F_.col("q").alias("qa"))
-    b = v.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
-                 F_.col("q").alias("qb"))
+    # ONE exchange for the whole dot stage (r15): hash-partition the
+    # long-form table by the BLOCK key (cluster, sig) — a subset of
+    # the join keys, so both self-join sides read this single shuffle
+    # (ReuseExchange) — and add sig to the pair-grain grouping keys
+    # (functionally determined by the pair: both members share one
+    # block), so the aggregation's clustering requirement is already
+    # satisfied and the (pairs x dims)-row exchange that used to
+    # follow the join disappears. Partition count pinned: AQE would
+    # coalesce the slim vector-grain shuffle while the heavy work —
+    # the pair fan-out — happens AFTER it.
+    vp = v.repartition(default_parallelism(), "cluster", "sig")
+    a = vp.select("cluster", "sig", F_.col("__id").alias("id_a"), "j",
+                  F_.col("q").alias("qa"))
+    b = vp.select("cluster", "sig", F_.col("__id").alias("id_b"), "j",
+                  F_.col("q").alias("qb"))
     # long-form per-j join + codegen sum — measured faster than the
     # zip_with array dot at self-pair volumes (see semantic_blocks)
     dots = (
         a.join(b, ["cluster", "sig", "j"])
         .filter(F_.col("id_a") < F_.col("id_b"))
-        .groupBy("cluster", "id_a", "id_b")
+        .groupBy("cluster", "sig", "id_a", "id_b")
         .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("dot"))
+        .drop("sig")
     )
     dec = lambda c: F_.col(c).cast("decimal(38,0)")  # noqa: E731
     # NOTE (r14): collapsing these four per-vector broadcast joins to

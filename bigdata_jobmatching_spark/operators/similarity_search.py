@@ -661,7 +661,11 @@ def mmr_rerank_topk(
                   F_.col("q").alias("qb"))
     sims = (
         a.join(b, ["query_id", "j"])
-        .filter(F_.col("a") != F_.col("b"))
+        # a < b, not a != b: the quantized dot is symmetric, so one
+        # row per unordered pair carries the full information —
+        # mmr_greedy mirrors orientations internally (halves the
+        # pair fan-out, the sims exchange and the Arrow transfer)
+        .filter(F_.col("a") < F_.col("b"))
         .groupBy("query_id", "a", "b")
         .agg(F_.sum(F_.col("qa") * F_.col("qb")).alias("sim"))
         .localCheckpoint(eager=True)
@@ -680,9 +684,13 @@ def mmr_greedy(
     """The MMR greedy selection itself, decoupled from WHERE relevance
     and similarity come from: ``pool_df`` is ``(query_id, vec_id_,
     rel)`` (integer relevance, already pool-capped) and ``sims`` is
-    ``(query_id, a, b, sim)`` with a row for EVERY ordered pool pair
-    (a != b) — round r picks per query the argmax of ``lam[0]*rel -
-    lam[1]*max(sim to selected)``, ties to the smaller ``vec_id_``.
+    ``(query_id, a, b, sim)`` with SYMMETRIC similarity, one row per
+    unordered pool pair (a < b) or per ordered pair (a != b) — both
+    are accepted; the greedy mirrors each row into both orientations
+    (r15: callers ship a < b only, halving the sims join, exchange
+    and Arrow volume) — round r picks per query the argmax of
+    ``lam[0]*rel - lam[1]*max(sim to selected)``, ties to the smaller
+    ``vec_id_``.
 
     Extracted (round 11) so embedding-dot rerank
     (:func:`mmr_rerank_topk`) and set-overlap rerank over matching
@@ -731,6 +739,13 @@ def mmr_greedy(
         F_.struct("vec_id_", "rel").alias("p")).schema[0].dataType
     s_type = sims.select(
         F_.struct("a", "b", "sim").alias("s")).schema[0].dataType
+    # Arrow-boundary shape (r15): ship parallel PRIMITIVE arrays, not
+    # lists of structs — the struct form crossed into pandas as one
+    # python dict per element (~10 pool + ~90 sims dicts per query),
+    # which dominated the stage; field extraction over the collected
+    # struct lists is a JVM-side transform and the arrays land in
+    # pandas as flat int64 buffers. Order correspondence is preserved
+    # because all fields extract from the SAME collected list.
     packed = (
         pool_df.select(
             "query_id",
@@ -743,18 +758,35 @@ def mmr_greedy(
         .groupBy("query_id")
         .agg(F_.collect_list("p").alias("pitems"),
              F_.collect_list("s").alias("sitems"))
+        .select(
+            "query_id",
+            F_.col("pitems.vec_id_").alias("p_ids"),
+            F_.col("pitems.rel").alias("p_rels"),
+            F_.col("sitems.a").alias("s_as"),
+            F_.col("sitems.b").alias("s_bs"),
+            F_.col("sitems.sim").alias("s_sims"),
+        )
     )
 
     def greedy_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: list[tuple[int, int, int, int, int]] = []
-            for qid, pitems, sitems in zip(
-                    pdf["query_id"], pdf["pitems"], pdf["sitems"]):
+            for qid, p_ids, p_rels, s_as, s_bs, s_sims in zip(
+                    pdf["query_id"], pdf["p_ids"], pdf["p_rels"],
+                    pdf["s_as"], pdf["s_bs"], pdf["s_sims"]):
                 qid = int(qid)
-                rel = {int(d["vec_id_"]): int(d["rel"]) for d in pitems}
-                sim = {} if sitems is None else {
-                    (int(d["a"]), int(d["b"])): int(d["sim"])
-                    for d in sitems}
+                rel = {int(i): int(r) for i, r in zip(p_ids, p_rels)}
+                sim: dict[tuple[int, int], int] = {}
+                if s_as is not None:
+                    # similarity is symmetric in every caller; rows may
+                    # arrive unordered (one per pair) — mirror both
+                    # orientations so the (cand, selected) lookup below
+                    # is orientation-free. Ordered inputs (both rows
+                    # present) write the same value twice — idempotent.
+                    for x, y, s in zip(s_as, s_bs, s_sims):
+                        x, y, s = int(x), int(y), int(s)
+                        sim[(x, y)] = s
+                        sim[(y, x)] = s
                 remaining = set(rel)
                 selected: list[int] = []
                 for rnk in range(1, k + 1):

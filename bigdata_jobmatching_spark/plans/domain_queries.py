@@ -831,7 +831,10 @@ def candidate_recs_for(
     pa = pool.select("query_id", F.col("vec_id_").alias("a"))
     pb = pool.select("query_id", F.col("vec_id_").alias("b"))
     sims = (
-        pa.join(pb, "query_id").filter(F.col("a") != F.col("b"))
+        # a < b only: skill-overlap Jaccard is symmetric and
+        # mmr_greedy mirrors orientations internally (r15) — halves
+        # the pool self-join fan-out and the packed Arrow transfer
+        pa.join(pb, "query_id").filter(F.col("a") < F.col("b"))
         .join(osk.select(F.col("job_id").alias("a"),
                          F.col("skills").alias("sa")), "a")
         .join(osk.select(F.col("job_id").alias("b"),

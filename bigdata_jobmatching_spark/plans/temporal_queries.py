@@ -179,12 +179,20 @@ _M_IDX = (
 
 
 def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from ..session import default_parallelism
+
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     # The joined interval frame feeds BOTH delta branches (line grain
-    # + order grain); without the checkpoint each branch re-runs the
-    # lineitem x orders join and both scans (r14: 2 joins + 4 scans ->
-    # 1 join + 2 scans; the materialized frame is three ints per line).
+    # + order grain). r14 shared it with a localCheckpoint and the
+    # driver measured the materialization COSTING more than the saved
+    # join (1.76 -> 2.06 s), plus the executor-loss caveat of a
+    # truncated lineage. r15: share via an EXCHANGE instead — both
+    # branches reference the identical repartition subtree, so
+    # ReuseExchange runs the join once and each branch re-reads the
+    # shuffle files; hashing on o_orderkey also makes the order-grain
+    # pre-aggregate exchange-free (subset co-partitioning). No
+    # checkpoint: lineage stays recomputable.
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -192,7 +200,7 @@ def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(_M_IDX.format(c="o_orderdate")).alias("s_idx"),
             F.expr(_M_IDX.format(c="l_shipdate")).alias("e_idx"),
         )
-        .localCheckpoint(eager=False)
+        .repartition(default_parallelism(), "o_orderkey")
     )
 
     def deltas(df: DataFrame, col: str) -> DataFrame:

@@ -298,9 +298,17 @@ def _tfidf(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # one materialization feeds BOTH consumers (r15): without it
+        # the broadcast df side re-ran the whole scan -> fan_out ->
+        # tokenize -> explode -> tf aggregation chain a second time
+        # (plan: two identical Generate+2xHashAggregate subtrees)
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # scalar count straight off the scan: the fan_out exchange is for
+    # compute-heavy projections, a COUNT(*) pays it for nothing
+    n = load_table(spark, sf, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))

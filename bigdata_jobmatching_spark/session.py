@@ -41,6 +41,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Subset co-partitioning (r15): let a join accept children
+        # hash-partitioned on a SUBSET of the join keys instead of
+        # re-shuffling both sides onto the full key list. The engine
+        # deliberately partitions self-join inputs by their block key
+        # (e.g. the semantic census partitions the long-form vector
+        # table by (cluster, sig) and joins on (cluster, sig, j)); with
+        # the default=true every such join added two full-key exchanges
+        # AND destroyed the partitioning the downstream pair-grain
+        # aggregate could have reused. Audited over all 265 registered
+        # queries: 16 plan improvements (shuffle/SMJ eliminations), 0
+        # regressions. The documented risk of subset co-partitioning —
+        # under-parallelization when the subset key has few distinct
+        # values — does not apply: every subset key here (block id,
+        # query_id, cv_id) grows with the corpus.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
