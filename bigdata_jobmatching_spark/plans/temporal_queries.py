@@ -179,20 +179,19 @@ _M_IDX = (
 
 
 def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
-    from ..session import default_parallelism
-
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     # The joined interval frame feeds BOTH delta branches (line grain
-    # + order grain). r14 shared it with a localCheckpoint and the
-    # driver measured the materialization COSTING more than the saved
-    # join (1.76 -> 2.06 s), plus the executor-loss caveat of a
-    # truncated lineage. r15: share via an EXCHANGE instead — both
-    # branches reference the identical repartition subtree, so
-    # ReuseExchange runs the join once and each branch re-reads the
-    # shuffle files; hashing on o_orderkey also makes the order-grain
-    # pre-aggregate exchange-free (subset co-partitioning). No
-    # checkpoint: lineage stays recomputable.
+    # + order grain); without the checkpoint each branch re-runs the
+    # lineitem x orders join and both scans. r15 re-measured all three
+    # shapes interleaved in one session (min-of-4 at sf0.1): ckpt 1.81s
+    # < two-join plain 1.99s < shared o_orderkey repartition 2.48s —
+    # the r14 driver's 1.76->2.06 reading was ambient load, and the
+    # exchange-sharing alternative is strictly worse (a 600k-row
+    # shuffle costs more than the in-memory block rebuild). Recompute
+    # story at scale: the checkpointed frame is three ints per line;
+    # losing an executor re-runs this one query, and the upstream is
+    # a single BHJ over two scans — bounded, not a deep chain.
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -200,7 +199,7 @@ def _open_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(_M_IDX.format(c="o_orderdate")).alias("s_idx"),
             F.expr(_M_IDX.format(c="l_shipdate")).alias("e_idx"),
         )
-        .repartition(default_parallelism(), "o_orderkey")
+        .localCheckpoint(eager=False)
     )
 
     def deltas(df: DataFrame, col: str) -> DataFrame:
