@@ -901,11 +901,14 @@ def semantic_blocks(
     cent = qv.join(F_.broadcast(seeds), "__id").select(
         "cid", "j", F_.col("q").alias("c"))
     d = F_.col("q") - F_.col("c")
-    # eager cut: asg feeds per-cluster stats, the block table AND both
-    # keep-farthest sides — without it each consumer re-runs the whole
-    # quantize+assign chain (the exchange-blowup class plan_audit's
-    # snapshot guards; one row per vector, same size class as v)
-    asg = (
+    # NOT checkpointed (r15): the assignment folds into v's single
+    # eager materialization below — v now carries seed_dist, and every
+    # former asg consumer (per-cluster stats, the keep-farthest sides,
+    # nb) reads v's j==0 rows or qv instead. The census went from four
+    # upfront materialization jobs (qv, asg, v, norms) to two (qv, v);
+    # at the bench corpus the fixed job/stage overhead of those two
+    # extra materializations was the dominant cost of the whole query.
+    asg_plan = (
         qv.join(F_.broadcast(cent), "j")
         .groupBy("__id", "cid")
         .agg(F_.sum(d * d).alias("dist"))
@@ -916,7 +919,6 @@ def semantic_blocks(
             (F_.col("enc") % n_seeds).cast("int").alias("cluster"),
             F_.expr(f"enc div {n_seeds}").alias("seed_dist"),
         )
-        .localCheckpoint(eager=True)
     )
     sigs = _sd_sigints(qv, _sd_planes(spark, sig_bits_max), sig_bits_max)
     # b from a broadcast count vs a 13-row power-of-two ladder; bsub
@@ -933,8 +935,13 @@ def semantic_blocks(
         F_.col("id").cast("int").alias("i"),
         F_.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("p"),
     )
+    # __n counts qv's j==0 rows, not asg: posexplode emits position 0
+    # for every non-empty vector and asg has one row per distinct
+    # __id, so the two counts are EQUAL by construction — counting qv
+    # breaks the asg -> nb dependency so the assignment can fold into
+    # v's materialization (asg_plan note above).
     nb = (
-        asg.agg(F_.count(F_.lit(1)).alias("__n"))
+        qv.filter(F_.col("j") == 0).agg(F_.count(F_.lit(1)).alias("__n"))
         .crossJoin(ladder)
         .select(
             F_.expr(f"greatest(1, __n div {n_seeds * sub_target})")
@@ -951,14 +958,18 @@ def semantic_blocks(
         )
     )
     v = (
-        qv.join(asg.select("__id", "cluster"), "__id")
+        qv.join(asg_plan, "__id")
         .join(sigs, "__id")
         .crossJoin(F_.broadcast(nb))
         .withColumn(
             "sig", F_.expr(f"shiftright(sigint, {sig_bits_max} - b)"))
-        .select("cluster", "sig", "__id", "j", "q")
+        # seed_dist rides along (one long per row): v's checkpoint is
+        # now ALSO the materialized assignment — asg below is its
+        # j==0 projection, so no separate asg job runs.
+        .select("cluster", "sig", "__id", "j", "q", "seed_dist")
         .localCheckpoint(eager=True)
     )
+    asg = v.filter(F_.col("j") == 0).select("__id", "cluster", "seed_dist")
     # vector-grain twin of v keyed by the PROBE prefix (r11): the
     # cross-corpus path joins at vector grain and dots the quantized
     # arrays with zip_with — exact int64, identical values to a

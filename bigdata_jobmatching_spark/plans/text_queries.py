@@ -159,8 +159,13 @@ def _keyword_tags(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("keyword")
     )
     tagged = toks.join(F.broadcast(catalog), "keyword")
+    # count(*), not countDistinct: the explode runs over the per-doc
+    # array_distinct'ed token set, so each (doc_id, keyword) occurs at
+    # most once by construction — identical value, and the plain count
+    # drops the distinct-aggregate's extra exchange and map-side
+    # partial-aggregates before the shuffle (r15, guide §2.3)
     counts = tagged.groupBy("category", "keyword").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        F.count(F.lit(1)).alias("n_docs")
     )
     w = Window.partitionBy("category").orderBy(F.desc("n_docs"), F.asc("keyword"))
     return (
